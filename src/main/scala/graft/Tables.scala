@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Loaders for the driver-generated TPC-H-ish testdata (see TESTDATA.md).
+  *
+  * Design notes for 100 TB scale: every loader returns a plain parquet
+  * scan DataFrame so Catalyst keeps predicate pushdown + column pruning;
+  * nothing is cached or collected here. Normalization (e.g. nanosecond
+  * timestamps) is expressed as Column ops that stay inside codegen.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** events.ts is nanosecond parquet. Depending on the session conf Spark
+    * reads it either as TimestampType (micros, truncated) or — with
+    * spark.sql.legacy.parquet.nanosAsLong — as LongType nanos. Normalize
+    * to TimestampType at microsecond precision (floor), which matches
+    * DuckDB's date_trunc('microseconds', ts) on the oracle side.
+    */
+  private def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      case TimestampType => df
+      case other => df // TIMESTAMP_NTZ etc: leave as-is
+    }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,378 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Core relational suite (SURVEY.md §2, q01–q19): the jx query-language
+  * semantics of the reference (filter/select/groupby/edges/window/sort/
+  * limit) re-expressed as declarative DataFrame plans so Catalyst gets
+  * pushdown, pruning, join-reorder and whole-stage codegen for free.
+  *
+  * Determinism policy (SURVEY.md §5): money/quantity sums go through
+  * DECIMAL so Spark's parallel aggregation is order-independent and
+  * matches the single-threaded DuckDB oracle bit-for-bit.
+  */
+object Relational extends QueryPack {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  val q01 = Q(
+    "q01_filter_project",
+    (s, d) =>
+      li(s, d)
+        .where(col("l_quantity") > 30 && col("l_discount") >= 0.02 &&
+          col("l_discount") <= 0.06 && col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          (col("l_quantity") * col("l_tax")).as("taxed_qty")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  l_extendedprice * (1 - l_discount) AS revenue,
+           |  l_quantity * l_tax AS taxed_qty
+           |FROM lineitem
+           |WHERE l_quantity > 30 AND l_discount >= 0.02
+           |  AND l_discount <= 0.06 AND l_returnflag = 'R'""".stripMargin),
+    "filter + projection with arithmetic expressions")
+
+  val q02 = Q(
+    "q02_agg_group",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           |  COUNT(*) AS count_order
+           |FROM lineitem
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    "group-by with sum/avg/count aggregates")
+
+  val q03 = Q(
+    "q03_join_broadcast",
+    (s, d) =>
+      li(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_lines")),
+    Some("""SELECT p_brand,
+           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand""".stripMargin),
+    "star-schema broadcast dim join (part is small → broadcast hint)")
+
+  val q04 = Q(
+    "q04_join_shuffle",
+    (s, d) =>
+      ord(s, d)
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("gross"),
+          dsum(col("o_totalprice")).as("order_price_weighted")),
+    Some("""SELECT o_orderstatus,
+           |  COUNT(*) AS n_lines,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_price_weighted
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderstatus""".stripMargin),
+    "fact⨝fact shuffle join on the natural key; AQE handles skew at scale")
+
+  val q05 = Q(
+    "q05_multijoin",
+    (s, d) => {
+      val l = li(s, d)
+      val o = ord(s, d).where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = cust(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT r_name, n_name,
+           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |GROUP BY r_name, n_name""".stripMargin),
+    "multi-way star join with selective date filter (TPC-H Q5-ish)")
+
+  val q06 = Q(
+    "q06_selective_agg",
+    (s, d) =>
+      li(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n_lines")),
+    Some("""SELECT
+           |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin),
+    "selective scan-aggregate (TPC-H Q6-ish); filters push to parquet")
+
+  val q07 = Q(
+    "q07_distinct",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""SELECT l_returnflag,
+           |  COUNT(DISTINCT l_partkey) AS n_parts,
+           |  COUNT(DISTINCT l_suppkey) AS n_supps,
+           |  COUNT(DISTINCT l_orderkey) AS n_orders
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    "distinct + count-distinct; at 100 TB prefer approx_count_distinct " +
+      "(provided in graft.functions) unless exactness is required")
+
+  val q08 = Q(
+    "q08_sort_limit",
+    (s, d) =>
+      ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey ASC
+           |LIMIT 10""".stripMargin),
+    "global top-k: Spark TakeOrderedAndProject — no full sort at scale")
+
+  val q09 = Q(
+    "q09_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      cust(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+    },
+    Some("""SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, c_custkey, c_acctbal FROM (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal,
+           |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+           |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+           |  FROM customer) WHERE rnk <= 3""".stripMargin),
+    "top-n per group via row_number window")
+
+  val q10 = Q(
+    "q10_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      ord(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dsumCast(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total,
+           |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+           |FROM orders""".stripMargin),
+    "running decimal sum + lag/lead; decimal keeps the cumulative sum " +
+      "independent of the engine's frame-accumulation order")
+
+  val q11 = Q(
+    "q11_pivot_edges",
+    (s, d) =>
+      ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+          sum(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0)).as("n_high"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("n_other"),
+          count(lit(1)).as("n_total")),
+    Some("""SELECT n_name,
+           |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+           |  COUNT(*) AS n_total
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name""".stripMargin),
+    "jx 'edges' (pivot) as conditional aggregation — one shuffle, no cube")
+
+  val q12 = Q(
+    "q12_case_null",
+    (s, d) =>
+      cust(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          dsum(when(col("c_acctbal") > 0, col("c_acctbal"))).as("positive_bal"),
+          count(when(col("c_acctbal") < 0, lit(1))).as("n_negative"),
+          dsum(coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(0.0))).as("bal_nullif_roundtrip"),
+          count(lit(1)).as("n_total")),
+    Some("""SELECT c_mktsegment,
+           |  CAST(SUM(CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS positive_bal,
+           |  COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+           |  CAST(SUM(CAST(COALESCE(NULLIF(c_acctbal, 0.0), 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS bal_nullif_roundtrip,
+           |  COUNT(*) AS n_total
+           |FROM customer GROUP BY c_mktsegment""".stripMargin),
+    "case/when + coalesce/nullif null semantics (jx 'missing' → SQL NULL)")
+
+  val q13 = Q(
+    "q13_string_funcs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head"),
+          length(col("text")).as("n_chars_str"),
+          concat(col("lang"), lit("_"), col("source")).as("tag"),
+          col("text").startsWith("the").as("starts_the"),
+          col("text").contains("spark").as("has_spark"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word")),
+    Some("""SELECT doc_id,
+           |  UPPER(SUBSTR(text, 1, 10)) AS head,
+           |  CAST(LENGTH(text) AS INT) AS n_chars_str,
+           |  lang || '_' || source AS tag,
+           |  STARTS_WITH(text, 'the') AS starts_the,
+           |  CONTAINS(text, 'spark') AS has_spark,
+           |  REGEXP_EXTRACT(text, '^(\w+)', 1) AS first_word
+           |FROM documents""".stripMargin),
+    "string expressions: prefix / regexp / concat / substr / case-change")
+
+  val q14 = Q(
+    "q14_date_funcs",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(
+          date_trunc("month", col("o_orderdate")).as("month"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("rev")),
+    Some("""SELECT
+           |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           |  COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           |FROM orders
+           |GROUP BY 1, 2, 3""".stripMargin),
+    "date expressions: trunc-to-month, extract year/quarter, monthly rollup")
+
+  val q15 = Q(
+    "q15_semijoin",
+    (s, d) => {
+      val highValue = ord(s, d).where(col("o_totalprice") > 100000)
+      cust(s, d)
+        .join(highValue, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal
+           |FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin),
+    "EXISTS → left-semi join (no row multiplication, broadcastable)")
+
+  val q16 = Q(
+    "q16_antijoin",
+    (s, d) => {
+      val urgent = ord(s, d).where(col("o_orderpriority") === "1-URGENT")
+      cust(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey
+           |                    AND o_orderpriority = '1-URGENT')""".stripMargin),
+    "NOT EXISTS → left-anti join")
+
+  val q17 = Q(
+    "q17_union_dedup",
+    (s, d) => {
+      val a = ord(s, d).where(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      val b = cust(s, d).where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      a.union(b).distinct()
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+           |UNION
+           |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000""".stripMargin),
+    "union + dedup (UNION DISTINCT); partial-agg distinct, one shuffle")
+
+  val q18 = Q(
+    "q18_percentile",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag,
+           |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           |  COUNT(*) AS n
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    "exact percentile/median; at 100 TB switch to approx_percentile " +
+      "(t-digest sketch, mergeable map-side) — see graft.functions")
+
+  val q19 = Q(
+    "q19_having",
+    (s, d) =>
+      li(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("total_size"))
+        .where(col("n") >= 20),
+    Some("""SELECT p_brand, p_type, COUNT(*) AS n,
+           |  CAST(SUM(p_size) AS BIGINT) AS total_size
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand, p_type
+           |HAVING COUNT(*) >= 20""".stripMargin),
+    "post-aggregation HAVING filter")
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+
+Reads <out>/oracle_sql.json + each <out>/<name>/ parquet dump written by
+graft.Verify, runs each oracle SQL in DuckDB against views named after
+the testdata tables, and compares: columns sorted by name, rows sorted
+by all columns, exact value equality (floats compared bit-exact first,
+then with 1e-9 rel tolerance reported separately).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), ignore_index=True,
+                            key=lambda s: s.astype(str))
+    return df.reset_index(drop=True)
+
+def main():
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    names = sorted([os.path.basename(p) for p in glob.glob(f"{out}/*")
+                    if os.path.isdir(p)])
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            print(f"ROWS {name}: rows={len(got)} (rows-only, no oracle)")
+            if len(got) == 0:
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1
+            continue
+        bad = []
+        for c in g.columns:
+            a, b = g[c].values, w[c].values
+            if a.dtype != b.dtype:
+                bad.append(f"{c}: dtype {a.dtype} != {b.dtype}")
+                continue
+            if a.dtype.kind == 'f':
+                eq = (a == b) | (np.isnan(a.astype(float)) & np.isnan(b.astype(float)))
+                if not eq.all():
+                    close = np.isclose(a.astype(float), b.astype(float),
+                                       rtol=1e-9, equal_nan=True)
+                    tag = "CLOSE-but-not-exact" if close.all() else "DIFF"
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}: {tag} e.g. row{i} {a[i]!r} vs {b[i]!r}")
+            else:
+                eq = pd.Series(a).astype(str) == pd.Series(b).astype(str)
+                if not eq.all():
+                    i = int(np.argmin(eq.values))
+                    bad.append(f"{c}: DIFF e.g. row{i} {a[i]!r} vs {b[i]!r}")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad)); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    extra = set(oracles) - set(names)
+    if extra:
+        print(f"WARN: oracles with no output dir: {sorted(extra)}")
+    print(f"== {n_pass} pass, {n_fail} fail, {len(names)-n_pass-n_fail} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
