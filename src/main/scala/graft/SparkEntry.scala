@@ -12,7 +12,12 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     operators.Relational)
 
-  private lazy val registry: Seq[Q] = packs.flatMap(_.all)
+  private lazy val registry: Seq[Q] = {
+    val qs = packs.flatMap(_.all)
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -32,7 +32,9 @@ object Tables {
   private def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+        // `div` is integral division: ns-epoch longs exceed 2^53, so the
+        // double division `/` would lose precision and drift vs the oracle.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
       case other => df // TIMESTAMP_NTZ etc: leave as-is
     }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Scale-oriented column functions promised by the operator Scaladoc.
+  *
+  * The exact aggregates (`percentile`, `countDistinct`) are what the
+  * DuckDB oracle can verify, but both are scale hazards: exact
+  * percentile buffers every value of a group on the merge side, and
+  * exact count-distinct triggers an Expand (N× row multiplication) for
+  * multiple distincts in one aggregate. At 100 TB use these mergeable
+  * sketch variants — both are map-side partial-aggregable, so the
+  * shuffle carries a fixed-size sketch per group instead of raw values.
+  */
+package object functions {
+
+  /** HyperLogLog++ count-distinct (mergeable sketch; default rsd 2.3%). */
+  def approxCountDistinct(c: Column, rsd: Double = 0.023): Column =
+    approx_count_distinct(c, rsd)
+
+  /** Mergeable approximate percentile.
+    * `accuracy` trades memory (bytes per group ~ O(accuracy)) for error
+    * (~1/accuracy quantile error). 10000 → 0.01% error.
+    */
+  def approxPercentile(c: Column, p: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(p), lit(accuracy))
+
+  /** Cosine similarity of two float/double array columns, computed in
+    * double precision with a sequential left fold (deterministic order,
+    * reproducible across partitionings). Stays inside codegen —
+    * `zip_with`/`aggregate` are Catalyst expressions, not UDFs.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = fold(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+    dot / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  }
+
+  /** Sum of squares of an array column in double precision. */
+  def norm2(a: Column): Column =
+    fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Word tokens: split on runs of whitespace. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles joined with single spaces; empty array when
+    * the document has fewer than `n` words.
+    */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** One 64-bit MinHash signature component: min over the shingle set of
+    * a seeded xxhash64. k components ≈ k independent permutations.
+    */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+
+  /** 64-bit SimHash of a token array: per bit, sum +1/-1 votes from each
+    * token's xxhash64, then pack the sign bits. Computed as Catalyst
+    * expressions (sequence/transform/aggregate) — no UDF.
+    */
+  def simhash64(tokens: Column): Column = {
+    // votes(b) = sum over tokens of (bit b of xxhash64(token) ? 1 : -1);
+    // bits unrolled at plan-build time so shift amounts are literals.
+    val hashes = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { b =>
+      val votes = aggregate(
+        transform(hashes, x => when(shiftright(x, b).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Polynomial rolling fingerprint of a document: the minimum of
+    * md5(shingle) over its word 5-gram shingles (winnowing-style
+    * representative hash; stable under small edits elsewhere in the
+    * doc). Expressed with functions the oracle can mirror.
+    */
+  def fingerprint(text: Column): Column =
+    array_min(transform(shingles(words(text), 5), s => md5(s)))
+}

@@ -60,6 +60,12 @@ def main():
         bad = []
         for c in g.columns:
             a, b = g[c].values, w[c].values
+            # Spark parquet timestamps load as datetime64[ns] while recent
+            # duckdb .df() returns datetime64[us]; normalize before the
+            # strict dtype check so equal instants don't false-FAIL.
+            if a.dtype.kind == 'M' and b.dtype.kind == 'M':
+                a = a.astype('datetime64[us]')
+                b = b.astype('datetime64[us]')
             if a.dtype != b.dtype:
                 bad.append(f"{c}: dtype {a.dtype} != {b.dtype}")
                 continue
