@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def packs: Seq[QueryPack] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.Hierarchy)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Hierarchy
+import org.apache.spark.sql.Row
+
+/** Closure semantics on a hand-built graph:
+  *
+  *   10 -> 1,  11 -> 1,  12 -> 10,  12 -> 11  (diamond: 12 reaches 1
+  *   via two paths), 13 -> 12, 20 -> 2 (second root), 30 isolated-ish
+  *   chain 31 -> 30.
+  *
+  * Roots: 1, 2, 30. Min-depth for (1, 12) must be 2 despite two paths.
+  */
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edges = Seq(
+    (10L, 1L), (11L, 1L), (12L, 10L), (12L, 11L),
+    (13L, 12L), (20L, 2L), (31L, 30L))
+    .toDF("child", "parent")
+
+  test("closure finds all reachable pairs with min depth") {
+    val cl = Hierarchy.closure(edges)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = Set(
+      (1L, 10L, 1), (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (10L, 12L, 1), (10L, 13L, 2), (11L, 12L, 1), (11L, 13L, 2),
+      (12L, 13L, 1), (2L, 20L, 1), (30L, 31L, 1))
+    cl shouldBe expected
+  }
+
+  test("roots are parents that are never children") {
+    Hierarchy.roots(edges).as[Long].collect().toSet shouldBe Set(1L, 2L, 30L)
+  }
+
+  test("closure on testdata edges matches depth bound and has no self-pairs") {
+    val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
+    cl.where($"ancestor" === $"descendant").count() shouldBe 0L
+    // binary-tree depth bound: ceil(log2(max key)) for sf0.001 part keys
+    val maxDepth = cl.agg(org.apache.spark.sql.functions.max($"depth"))
+      .head().getInt(0)
+    maxDepth should be <= 12
+    maxDepth should be >= 5
+  }
+}
