@@ -11,7 +11,8 @@ object SparkEntry {
 
   def packs: Seq[QueryPack] = Seq(
     operators.Relational,
-    operators.Hierarchy)
+    operators.Hierarchy,
+    operators.Etl)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.util._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL mechanics — the reference's extract/push pipeline re-expressed
+  * on Spark (MoDevETL `extract.py`: pull only records modified since
+  * the last run's watermark; `push_to_es.py`: batch upsert with
+  * latest-revision-wins dedup), plus the event-stream derivations
+  * (sessionize, funnel) the same pipeline feeds.
+  *
+  * Scale notes: the watermark is a 1-row broadcast (never a driver
+  * collect); upsert-latest is a single window shuffle on the key —
+  * at 100 TB partition the sink by key-hash so the window shuffle is
+  * the only wide stage. Gap arithmetic is done in exact epoch
+  * microseconds (unix_micros), never double seconds.
+  */
+object Etl extends QueryPack {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
+
+  val q22 = Q(
+    "q22_incr_extract",
+    (s, d) => {
+      val e = ev(s, d)
+      // High-watermark incremental extract: everything in the last 2
+      // days before the source's max timestamp. The bookmark is an
+      // aggregate broadcast against the scan — one pass, no collect.
+      val wm = e.agg(max(col("ts")).as("wm"))
+      e.crossJoin(broadcast(wm))
+        .where(col("ts") > col("wm") - expr("INTERVAL 2 DAYS"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    },
+    Some("""SELECT event_id, ts, user_id, event_type, value
+           |FROM events
+           |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 2 DAY""".stripMargin),
+    "watermark incremental extract (reference extract.py modified-since)")
+
+  val q23 = Q(
+    "q23_upsert_latest",
+    (s, d) => {
+      // Latest-revision-wins upsert keyed by user_id: ts desc, then
+      // event_id desc as the deterministic revision tie-break.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(
+          col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          col("value").as("last_value"))
+    },
+    Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           |  event_type AS last_type, value AS last_value
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+           |WHERE rn = 1""".stripMargin),
+    "keyed upsert, latest-revision-wins (reference push_to_es.py dedup)")
+
+  val q24 = Q(
+    "q24_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = 30L * 60 * 1000000 // 30 min in µs, exact integer math
+      val flagged = ev(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"),
+          max(col("ts")).as("sess_end"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+          dsum(col("value")).as("total_value"))
+    },
+    Some("""WITH flagged AS (
+           |  SELECT *, CASE WHEN prev_us IS NULL
+           |                   OR epoch_us(ts) - prev_us > 1800000000
+           |            THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT *, LAG(epoch_us(ts), 1) OVER
+           |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           |        FROM events)
+           |), sess AS (
+           |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+           |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM sess GROUP BY user_id, session_id""".stripMargin),
+    "gap-based sessionization (30-min inactivity) via lag + running sum")
+
+  val q25 = Q(
+    "q25_funnel",
+    (s, d) => {
+      val e = ev(s, d)
+      // Ordered funnel view→click→purchase: each stage's first hit must
+      // be strictly after the previous stage's. Stage tables shrink at
+      // every step, so the later joins broadcast at any scale.
+      val tv = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tc = e.where(col("event_type") === "click")
+        .join(tv, "user_id").where(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val tp = e.where(col("event_type") === "purchase")
+        .join(tc, "user_id").where(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      e.select(col("user_id")).distinct()
+        .join(tv, Seq("user_id"), "left")
+        .join(tc.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+    },
+    Some("""WITH tv AS (
+           |  SELECT user_id, MIN(ts) AS t_view FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id
+           |), tc AS (
+           |  SELECT e.user_id, MIN(e.ts) AS t_click
+           |  FROM events e JOIN tv ON e.user_id = tv.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > tv.t_view
+           |  GROUP BY e.user_id
+           |), tp AS (
+           |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+           |  FROM events e JOIN tc ON e.user_id = tc.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+           |  GROUP BY e.user_id
+           |)
+           |SELECT u.user_id, tv.t_view, tc.t_click, tp.t_purchase
+           |FROM (SELECT DISTINCT user_id FROM events) u
+           |LEFT JOIN tv ON u.user_id = tv.user_id
+           |LEFT JOIN tc ON u.user_id = tc.user_id
+           |LEFT JOIN tp ON u.user_id = tp.user_id""".stripMargin),
+    "ordered multi-stage funnel (view→click→purchase) via staged min-aggregation")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25)
+}
