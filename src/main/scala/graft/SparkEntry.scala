@@ -12,7 +12,8 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     operators.Relational,
     operators.Hierarchy,
-    operators.Etl)
+    operators.Etl,
+    operators.Text)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.{fingerprint, words}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: exact dedup,
+  * language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure Column expression (codegen'd, one scan,
+  * no UDFs): at 100 TB these are the map-side of the pipeline and
+  * must not break whole-stage codegen. Ratios divide by constants /
+  * counts in one fixed order so doubles match the oracle bit-for-bit.
+  */
+object Text extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  val q30 = Q(
+    "q30_dedup_exact",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(
+          min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+           |  COUNT(*) AS n_copies
+           |FROM documents GROUP BY 1""".stripMargin),
+    "exact dedup via content hash; keeper = min doc_id per hash group")
+
+  /** Frequency-weighted marker-word score: counts every occurrence (not
+    * set intersection), so longer docs in a language score higher.
+    */
+  private def markerScore(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, t => t.isin(markers: _*)))
+
+  private val enM = Seq("the", "a", "of", "and", "is")
+  private val esM = Seq("el", "la", "de", "que", "los")
+  private val deM = Seq("der", "die", "und", "das", "ist")
+  private val frM = Seq("le", "les", "et", "des", "une")
+  // Whitespace tokenization cannot segment Chinese; zh detection keys on
+  // the characters appearing anywhere as tokens. Honest limitation of a
+  // stopword heuristic, stated rather than hidden.
+  private val zhM = Seq("的", "是", "了", "在", "我")
+
+  val q36 = Q(
+    "q36_lang_id",
+    (s, d) => {
+      val ws = words(col("text"))
+      val scored = docs(s, d).select(
+        col("doc_id"),
+        markerScore(ws, enM).as("s_en"),
+        markerScore(ws, esM).as("s_es"),
+        markerScore(ws, deM).as("s_de"),
+        markerScore(ws, frM).as("s_fr"),
+        markerScore(ws, zhM).as("s_zh"))
+      scored.withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+            col("s_es") >= col("s_zh"), "es")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS INT) AS s_en,
+           |    CAST(len(list_filter(w, t -> t IN ('el','la','de','que','los'))) AS INT) AS s_es,
+           |    CAST(len(list_filter(w, t -> t IN ('der','die','und','das','ist'))) AS INT) AS s_de,
+           |    CAST(len(list_filter(w, t -> t IN ('le','les','et','des','une'))) AS INT) AS s_fr,
+           |    CAST(len(list_filter(w, t -> t IN ('的','是','了','在','我'))) AS INT) AS s_zh
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents)
+           |)
+           |SELECT *, CASE
+           |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |  WHEN s_fr >= s_zh THEN 'fr'
+           |  ELSE 'zh' END AS predicted
+           |FROM scored""".stripMargin),
+    "language-ID via frequency-weighted stopword markers, fixed precedence")
+
+  private val stops = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  val q37 = Q(
+    "q37_quality",
+    (s, d) => {
+      val ws = words(col("text"))
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(ws).as("n_words"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(ws)).as("avg_word_len"),
+        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") / length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / length(col("text"))).as("digit_ratio"),
+        (size(filter(ws, t => t.isin(stops: _*))).cast("double") / size(ws)).as("stop_ratio"))
+        .withColumn("quality",
+          round(col("stop_ratio") * 0.5 +
+            (lit(1.0) - col("punct_ratio")) * 0.3 +
+            least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS INT) AS n_chars_m,
+           |    CAST(len(w) AS INT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(w) AS avg_word_len,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+           |    CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to','it'))) AS DOUBLE) / len(w) AS stop_ratio
+           |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w FROM documents)
+           |)
+           |SELECT *, ROUND(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 +
+           |  LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+           |FROM f""".stripMargin),
+    "quality scoring: word/punct/digit/stopword stats + composite score")
+
+  val q38 = Q(
+    "q38_tokens",
+    (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("n_bpe_tokens"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_char_estimate")),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe_tokens,
+           |  CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_char_estimate
+           |FROM documents""".stripMargin),
+    "token counting: whitespace, BPE-ish regex segmentation, chars/4 estimate")
+
+  val q39 = Q(
+    "q39_fingerprint",
+    (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), fps AS (
+           |  SELECT doc_id, MIN(md5(array_to_string(w[i:i+4], ' '))) AS fp
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 4)) t(i)
+           |  GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, fps.fp
+           |FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id""".stripMargin),
+    "document fingerprint: min-hash over word 5-gram shingles (winnowing-style)")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39)
+}
