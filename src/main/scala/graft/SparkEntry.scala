@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational,
     operators.Hierarchy,
     operators.Etl,
-    operators.Text)
+    operators.Text,
+    operators.Dedup)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.{minhash, shingles, simhash64, words}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines.
+  *
+  * Scale invariant: candidate generation is ALWAYS bucketed — a join on
+  * a shingle / LSH-band / SimHash-chunk key — never an all-pairs cross
+  * join. Pairwise work is O(sum of bucket²), which stays linear-ish
+  * when bucket keys are selective. The exact-Jaccard operator (q31) is
+  * the verifiable baseline: it buckets by shingle, which is fine at
+  * bench scale but develops hot buckets on very common shingles; at
+  * 100 TB use q32's MinHash bands (fixed 8 buckets per doc regardless
+  * of content) with this exact measure only on the candidates.
+  */
+object Dedup extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** (doc_id, shingle) exploded distinct word-3-gram sets. */
+  def shingleSets(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(shingles(words(col("text")), 3))).as("shingle"))
+
+  /** Exact Jaccard over word-3-gram sets for all pairs sharing at least
+    * one shingle, thresholded. Co-occurrence counting via shingle join:
+    * |A∩B| = shared shingles, |A∪B| = nA + nB − |A∩B|.
+    */
+  def jaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSets(df)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("d1", "shingle")
+    val b = sh.toDF("d2", "shingle")
+    a.join(b, "shingle")
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  val q31 = Q(
+    "q31_dedup_jaccard",
+    (s, d) => jaccardPairs(docs(s, d), 0.5),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |)
+           |SELECT d1, d2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+           |FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+    "exact word-3-gram Jaccard near-dup pairs (shingle-bucketed, never all-pairs)")
+
+  /** MinHash signatures (k seeded xxhash64 minima) banded into
+    * `bands` buckets of `rows` signature slots each. Two docs land in
+    * the same bucket for band i iff their signatures agree on all of
+    * that band's slots — P[candidate] = 1−(1−s^rows)^bands for true
+    * Jaccard s. Candidates are then verified with EXACT Jaccard on the
+    * shingle sets, so output precision is exact; only recall is
+    * probabilistic (spec-tested against q31).
+    */
+  def minhashPairs(df: DataFrame, threshold: Double,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val sets = df
+      .select(col("doc_id"), array_distinct(shingles(words(col("text")), 3)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sets.select(col("doc_id"), col("sh"),
+      array((0 until k).map(i => minhash(col("sh"), i)): _*).as("sig"))
+    val bandHashes = array((0 until bands).map { bd =>
+      xxhash64((lit(bd) +: (0 until rows).map(j =>
+        element_at(col("sig"), bd * rows + j + 1))): _*)
+    }: _*)
+    val buckets = sig.select(col("doc_id"), col("sh"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
+    val cand = buckets.toDF("d1", "sh1", "band", "bh")
+      .join(buckets.toDF("d2", "sh2", "band", "bh"), Seq("band", "bh"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sh1"), col("sh2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .withColumn("jac",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  val q32 = Q(
+    "q32_dedup_minhash",
+    (s, d) => minhashPairs(docs(s, d), 0.5),
+    None, // xxhash64 has no DuckDB mirror; recall spec-tested vs q31
+    "MinHash+LSH banded near-dup: 8 buckets/doc, exact-verify candidates")
+
+  /** SimHash candidate pairs: 64-bit simhash split into `64/chunkBits`
+    * chunks; docs sharing any chunk value at the same position become
+    * candidates (pigeonhole: hamming ≤ chunks−1 guarantees a shared
+    * chunk). Emits pairs with hamming ≤ maxHamming.
+    *
+    * chunkBits=8 (8 chunks, catches hamming ≤ 7) suits ≤1M docs; at
+    * larger scale use chunkBits=16 + maxHamming=3 so buckets stay
+    * selective (2^16 values per position), or multi-probe rotations.
+    */
+  def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 8): DataFrame = {
+    val nChunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val hashed = df.select(col("doc_id"), simhash64(words(col("text"))).as("sh"))
+    val chunks = hashed.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until nChunks).map(i =>
+        shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(mask)): _*))
+        .as(Seq("pos", "cv")))
+    chunks.toDF("d1", "sh1", "pos", "cv")
+      .join(chunks.toDF("d2", "sh2", "pos", "cv"), Seq("pos", "cv"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  val q33 = Q(
+    "q33_dedup_simhash",
+    (s, d) => simhashPairs(docs(s, d), maxHamming = 5),
+    None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
+    "SimHash near-dup: 8-bit chunk buckets, hamming<=5 (pigeonhole-complete)")
+
+  val all: Seq[Q] = Seq(q31, q32, q33)
+}
