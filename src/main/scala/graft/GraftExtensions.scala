@@ -1,0 +1,25 @@
+package graft
+
+import graft.expressions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering graft's native Catalyst expressions
+  * as SQL functions (install via
+  * `spark.sql.extensions=graft.GraftExtensions`, which
+  * `graft.util.configure` sets). Callable from SQL as
+  * `cosine_sim(a, b)` or from the DataFrame API via
+  * `graft.functions.cosineFast`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "cosine_sim expects exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Hierarchy,
     operators.Etl,
     operators.Text,
-    operators.Dedup)
+    operators.Dedup,
+    operators.Ann)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -37,6 +37,16 @@ package object functions {
     dot / (sqrt(norm2(a)) * sqrt(norm2(b)))
   }
 
+  /** Native codegen'd cosine similarity (see
+    * [[graft.expressions.CosineSimilarity]]): one primitive loop per
+    * row inside whole-stage codegen, vs the CodegenFallback lambda
+    * interpretation `cosine` pays. Requires `graft.GraftExtensions`
+    * (installed by `graft.util.configure`). Same numeric contract as
+    * `cosine`.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
   /** Sum of squares of an array column in double precision. */
   def norm2(a: Column): Column =
     fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.cosineFast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search and embedding-space dedup over
+  * the `embeddings` table (Array[Float] vectors).
+  *
+  * q34 is the exact brute-force baseline (oracle-verifiable, O(q·n));
+  * q35 is the scale path: random-hyperplane LSH — each vector lands in
+  * `tables` buckets, candidates come from bucket joins, and only
+  * candidates pay the exact cosine. q41 is exact all-pairs dedup at
+  * threshold — verifiable baseline whose scale path is the same LSH
+  * bucketing.
+  *
+  * All cosine scoring uses the native codegen'd CosineSimilarity
+  * expression (one primitive loop; stays in WholeStageCodegen).
+  */
+object Ann extends QueryPack {
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Deterministic random-hyperplane directions (fixed seed). */
+  private[graft] def planes(n: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(n)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  private def dotLit(v: Column, w: Array[Double]): Column =
+    aggregate(zip_with(v, lit(w), (x, wi) => x.cast("double") * wi),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, embedding, tbl, bucket): `tables` hash tables of
+    * `bits`-bit sign buckets each. Neighbors at angle θ share a given
+    * table's bucket with prob (1−θ/π)^bits; multiple tables trade
+    * candidate volume for recall. For n docs pick bits ≈ log2(n/target
+    * bucket size); 4 bits suits the test corpus, 16+ at 100 TB.
+    */
+  def lshBuckets(df: DataFrame, tables: Int, bits: Int, dim: Int = 64): DataFrame = {
+    val ps = planes(tables * bits, dim)
+    val bucketPerTable = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(dotLit(col("embedding"), ps(t * bits + b)) > 0, 1 << b).otherwise(0)
+      }.reduce(_ + _)
+    }
+    df.select(col("vec_id"), col("embedding"),
+      posexplode(array(bucketPerTable: _*)).as(Seq("tbl", "bucket")))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("rnk"), col("score"))
+  }
+
+  val q34 = Q(
+    "q34_ann_brute",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("score", cosineFast(col("qv"), col("cv")))
+      topK(scored, 5)
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10
+           |), c AS (
+           |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+           |), scored AS (
+           |  SELECT qid, cid,
+           |    list_dot_product(qv, cv) /
+           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+           |  FROM q JOIN c ON cid <> qid
+           |)
+           |SELECT qid, cid, CAST(rnk AS INT) AS rnk, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+           |WHERE rnk <= 5""".stripMargin),
+    "brute-force cosine top-5 ANN, queries broadcast over one corpus scan")
+
+  val q35 = Q(
+    "q35_ann_lsh",
+    (s, d) => {
+      val buckets = lshBuckets(emb(s, d), tables = 8, bits = 4)
+      val qb = buckets.where(col("vec_id") < 10)
+        .toDF("qid", "qv", "tbl", "bucket")
+      val cb = buckets.toDF("cid", "cv", "tbl", "bucket")
+      val cand = qb.join(cb, Seq("tbl", "bucket"))
+        .where(col("cid") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("cid"), col("cv"))
+        .dropDuplicates("qid", "cid")
+      topK(cand.withColumn("score", cosineFast(col("qv"), col("cv"))), 5)
+    },
+    None, // LSH candidate set has no SQL mirror; recall spec vs q34
+    "LSH ANN: 8 tables x 4-bit hyperplane-sign buckets, exact rerank of candidates")
+
+  val q41 = Q(
+    "q41_dedup_embed",
+    (s, d) => {
+      val a = emb(s, d).select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val b = emb(s, d).select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("score", cosineFast(col("e1"), col("e2")))
+        .where(col("score") >= 0.4)
+        .select(col("v1"), col("v2"), col("score"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |  list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.v, b.v) /
+           |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin),
+    "embedding-cosine near-dup pairs, exact all-pairs baseline (scale path: q35 LSH buckets)")
+
+  val all: Seq[Q] = Seq(q34, q35, q41)
+}
