@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Etl,
     operators.Text,
     operators.Dedup,
-    operators.Ann)
+    operators.Ann,
+    operators.Jx)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -1,0 +1,78 @@
+package graft
+
+import graft.jx.JxCompiler
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** jx compiler coverage beyond the oracled q26: each jx document is
+  * compared against the hand-written DataFrame equivalent.
+  */
+class JxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li = Tables.lineitem(spark, sfDir)
+  private def run(json: String) = JxCompiler.query(spark, sfDir, json)
+
+  test("filter + select + limit") {
+    val got = run("""{"from":"lineitem",
+      "where":{"eq":{"l_returnflag":"R"}},
+      "select":["l_orderkey","l_quantity"],
+      "sort":[{"value":"l_orderkey","sort":1},{"value":"l_quantity","sort":-1}],
+      "limit":20}""")
+    got.count() shouldBe 20L
+    got.columns.toSeq shouldBe Seq("l_orderkey", "l_quantity")
+  }
+
+  test("arithmetic expressions and comparisons") {
+    val got = run("""{"from":"lineitem",
+      "where":{"gt":[{"mult":["l_extendedprice",{"sub":[{"literal":1},"l_discount"]}]},{"literal":50000}]},
+      "select":["l_orderkey"]}""")
+    val want = li.where(col("l_extendedprice") * (lit(1) - col("l_discount")) > 50000)
+      .select("l_orderkey")
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    got.count() shouldBe want.count()
+  }
+
+  test("prefix, missing, in, or") {
+    val got = run("""{"from":"orders",
+      "where":{"or":[{"prefix":{"o_orderpriority":"1"}},
+                     {"in":{"o_orderstatus":["F"]}}]},
+      "select":["o_orderkey"]}""")
+    val want = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority").startsWith("1") || col("o_orderstatus").isin("F"))
+      .select("o_orderkey")
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("groupby with aggregates matches DataFrame aggregation") {
+    val got = run("""{"from":"lineitem",
+      "groupby":["l_returnflag"],
+      "select":[{"name":"n","aggregate":"count"},
+                {"name":"mx","value":"l_quantity","aggregate":"maximum"}]}""")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), max(col("l_quantity")).as("mx"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("window rownum per edge partition") {
+    val got = run("""{"from":"orders",
+      "window":{"name":"rn","aggregate":"rownum",
+                "edges":["o_custkey"],
+                "sort":[{"value":"o_orderdate","sort":1},{"value":"o_orderkey","sort":1}]},
+      "select":["o_custkey","o_orderkey","rn"]}""")
+    // window columns are selectable; rn=1 gives one first-order row per customer
+    got.where($"rn" === 1).count() shouldBe
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    got.count() shouldBe Tables.orders(spark, sfDir).count()
+  }
+
+  test("unsupported operator raises a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")
+    }
+    e.getMessage should include("frobnicate")
+  }
+}
