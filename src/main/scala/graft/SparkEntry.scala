@@ -16,7 +16,9 @@ object SparkEntry {
     operators.Text,
     operators.Dedup,
     operators.Ann,
-    operators.Jx)
+    operators.Jx,
+    operators.Multimodal,
+    streaming.StreamOps)
 
   private lazy val registry: Seq[Q] = {
     val qs = packs.flatMap(_.all)

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media record entering the decode stage: opaque binary payload +
+  * typed metadata (the schema a 100 TB multimodal lakehouse table
+  * carries: payload as parquet BINARY, metadata as plain columns so
+  * predicate pushdown can prune by format/dimensions WITHOUT touching
+  * payload bytes).
+  */
+case class MediaRecord(
+    doc_id: Long, format: String, width: Int, height: Int, payload: Array[Byte])
+
+/** Features produced by the (stubbed) decoder. */
+case class MediaFeatures(
+    doc_id: Long, format: String, width: Int, height: Int,
+    n_bytes: Long, luma: Double)
+
+/** Multimodal column handling (q40): image/audio payloads as opaque
+  * binary columns, decode/feature-extract as batched per-partition
+  * processing.
+  *
+  * The container has no image/audio codecs, so `decodeBatch` is a
+  * clearly-marked DETERMINISTIC STUB — but every piece of Spark
+  * plumbing around it is real and oracle-verified: the binary payload
+  * column, the typed metadata, the Dataset[T] encoder boundary, the
+  * mapPartitions batch loop (batch shape = what a vectorized decoder
+  * or GPU feature extractor needs), and the feature schema coming
+  * back out. Swapping the stub for a real codec changes no plumbing.
+  */
+object Multimodal extends QueryPack {
+
+  val batchSize = 64
+
+  /** Attach payload + metadata to documents: payload = UTF-8 bytes of
+    * the text standing in for media bytes; format/dims derived
+    * deterministically from doc_id.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("wav").as("format"),
+      (lit(32) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(32) + col("doc_id") % 48).cast("int").as("height"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: stands in for image decode / resize / frame sample.
+    * Deterministic fake features derived only from payload bytes and
+    * metadata, so the DuckDB oracle can verify the plumbing end to
+    * end. A real implementation would decode `b.payload` here.
+    */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val nBytes = r.payload.length.toLong // real byte work on the real payload
+      MediaFeatures(r.doc_id, r.format, r.width, r.height,
+        nBytes, (nBytes % 251) / 250.0)
+    }
+
+  /** The decode pipeline: typed Dataset boundary, then per-partition
+    * batched iteration (the Scala analogue of mapInPandas: the decoder
+    * sees fixed-size batches, not single rows, so vectorized / GPU
+    * decode amortizes).
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeBatch)
+    }
+  }
+
+  val q40 = Q(
+    "q40_multimodal",
+    (s, d) => decodeFeatures(mediaTable(s, d)).toDF(),
+    Some("""SELECT doc_id,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+           |       WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           |  CAST(32 + doc_id % 64 AS INT) AS width,
+           |  CAST(32 + doc_id % 48 AS INT) AS height,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  (octet_length(encode(text)) % 251) / 250.0 AS luma
+           |FROM documents""".stripMargin),
+    "multimodal binary columns + batched decode-stub over mapPartitions")
+
+  val all: Seq[Q] = Seq(q40)
+}
