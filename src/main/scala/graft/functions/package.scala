@@ -47,6 +47,10 @@ package object functions {
   def cosineFast(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Native codegen'd dot product (see [[graft.expressions.DotProduct]]). */
+  def dotFast(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** Sum of squares of an array column in double precision. */
   def norm2(a: Column): Column =
     fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))

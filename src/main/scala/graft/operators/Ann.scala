@@ -30,8 +30,7 @@ object Ann extends QueryPack {
   }
 
   private def dotLit(v: Column, w: Array[Double]): Column =
-    aggregate(zip_with(v, lit(w), (x, wi) => x.cast("double") * wi),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.dotFast(v, lit(w))
 
   /** (vec_id, embedding, tbl, bucket): `tables` hash tables of
     * `bits`-bit sign buckets each. Neighbors at angle θ share a given

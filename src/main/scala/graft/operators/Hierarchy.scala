@@ -48,11 +48,15 @@ object Hierarchy extends QueryPack {
     val hop = edgesDf
       .select(col("parent").as("src"), col("child").as("dst"))
       .localCheckpoint()
-    var acc = edgesDf
+    val first = edgesDf
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .withColumn("depth", lit(1))
       .localCheckpoint()
-    var frontier = acc
+    // Accumulate each level's (already checkpointed) frontier and union
+    // lazily — re-checkpointing the whole accumulator per iteration
+    // would copy O(depth × closure) rows; this copies each pair once.
+    var frontiers = List(first)
+    var frontier = first
     var n = frontier.count()
     while (n > 0) {
       val grown = frontier
@@ -61,12 +65,12 @@ object Hierarchy extends QueryPack {
           (frontier("depth") + 1).as("depth"))
         .distinct()
       frontier = grown
-        .join(acc, Seq("ancestor", "descendant"), "left_anti")
+        .join(frontiers.reduce(_ union _), Seq("ancestor", "descendant"), "left_anti")
         .localCheckpoint()
       n = frontier.count()
-      if (n > 0) acc = acc.union(frontier).localCheckpoint()
+      if (n > 0) frontiers ::= frontier
     }
-    acc
+    frontiers.reduce(_ union _)
   }
 
   /** Roots of an edge set: nodes that appear as a parent but never as

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import graft.util._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
@@ -341,20 +341,39 @@ object Relational extends QueryPack {
 
   val q18 = Q(
     "q18_percentile",
-    (s, d) =>
-      li(s, d)
-        .groupBy(col("l_returnflag"))
+    (s, d) => {
+      // Exact quantile_cont WITHOUT Spark's `percentile` aggregate,
+      // which buffers every group value on the merge side (executor
+      // OOM at 100 TB). Instead: rank rows within each group (a
+      // distributed sort shuffle), then one ordinary aggregation picks
+      // the two rows bracketing position (n-1)*p and interpolates —
+      // no per-group buffering anywhere. For pre-aggregated sketch
+      // needs use graft.functions.approxPercentile (t-digest).
+      val byVal = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val grp = Window.partitionBy(col("l_returnflag"))
+      val base = li(s, d)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(byVal) - 1)
+        .withColumn("n", count(lit(1)).over(grp))
+      def quantile(p: Double): Column = {
+        val pos = (col("n") - 1) * p
+        val lo = floor(pos)
+        val vl = max(when(col("rn") === lo, col("l_quantity")))
+        val vu = max(when(col("rn") === lo + 1, col("l_quantity")))
+        vl + max(pos - lo) * (coalesce(vu, vl) - vl)
+      }
+      base.groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-          count(lit(1)).as("n")),
+          round(quantile(0.5), 4).as("median_qty"),
+          round(quantile(0.9), 4).as("p90_qty"),
+          count(lit(1)).as("n"))
+    },
     Some("""SELECT l_returnflag,
            |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
            |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
            |  COUNT(*) AS n
            |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-    "exact percentile/median; at 100 TB switch to approx_percentile " +
-      "(t-digest sketch, mergeable map-side) — see graft.functions")
+    "exact quantile_cont via distributed rank+interpolate (no group buffering)")
 
   val q19 = Q(
     "q19_having",
