@@ -47,6 +47,7 @@ object Ann extends QueryPack {
     }
     df.select(col("vec_id"), col("embedding"),
       posexplode(array(bucketPerTable: _*)).as(Seq("tbl", "bucket")))
+      .localCheckpoint() // plane projections run once, not per join side
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {

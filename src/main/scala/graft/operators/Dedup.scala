@@ -30,7 +30,8 @@ object Dedup extends QueryPack {
     * |A∩B| = shared shingles, |A∪B| = nA + nB − |A∩B|.
     */
   def jaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSets(df)
+    // materialized once: reused by both join sides and the size agg
+    val sh = shingleSets(df).localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.toDF("d1", "shingle")
     val b = sh.toDF("d2", "shingle")
@@ -90,6 +91,7 @@ object Dedup extends QueryPack {
     }: _*)
     val buckets = sig.select(col("doc_id"), col("sh"),
       posexplode(bandHashes).as(Seq("band", "bh")))
+      .localCheckpoint() // signature pipeline runs once, not per join side
     val cand = buckets.toDF("d1", "sh1", "band", "bh")
       .join(buckets.toDF("d2", "sh2", "band", "bh"), Seq("band", "bh"))
       .where(col("d1") < col("d2"))
@@ -139,6 +141,7 @@ object Dedup extends QueryPack {
       posexplode(array((0 until nChunks).map(i =>
         shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("pos", "cv")))
+      .localCheckpoint() // vote aggregation runs once, not per join side
     chunks.toDF("d1", "sh1", "pos", "cv")
       .join(chunks.toDF("d2", "sh2", "pos", "cv"), Seq("pos", "cv"))
       .where(col("d1") < col("d2"))
