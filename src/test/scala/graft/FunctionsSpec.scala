@@ -1,0 +1,84 @@
+package graft
+
+import graft.Tables
+import graft.functions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The per-row column functions are public API; the operators use
+  * faster exploded-aggregation equivalents. These specs pin the two
+  * formulations to each other so the API can't silently drift.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).limit(200)
+
+  test("per-row simhash64 equals the exploded-aggregation simhash") {
+    val perRow = docs.select($"doc_id", simhash64(words($"text")).as("sh"))
+    val exploded = docs
+      .select($"doc_id", explode(words($"text")).as("t"))
+      .select($"doc_id", xxhash64($"t").as("h"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"h".bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+      .select($"doc_id",
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sh"))
+    perRow.except(exploded).count() shouldBe 0L
+    exploded.except(perRow).count() shouldBe 0L
+  }
+
+  test("per-row minhash equals the exploded min-aggregation") {
+    val seed = 7
+    val perRow = docs
+      .select($"doc_id", array_distinct(shingles(words($"text"), 3)).as("sh"))
+      .where(org.apache.spark.sql.functions.size($"sh") > 0)
+      .select($"doc_id", minhash($"sh", seed).as("m"))
+    val exploded = Dedup.shingleSets(docs)
+      .groupBy($"doc_id").agg(min(xxhash64(lit(seed), $"shingle")).as("m"))
+    perRow.except(exploded).count() shouldBe 0L
+    exploded.except(perRow).count() shouldBe 0L
+  }
+
+  test("fingerprint is stable for identical text and sensitive to word changes") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta theta")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    fps(1L) shouldBe fps(2L)
+    // doc 3 differs only in a trailing word; min-shingle may or may not
+    // move, but the short-doc fingerprint must still be defined
+    fps(3L) should not be null
+  }
+
+  test("fingerprint is null for docs with fewer than 5 words") {
+    val df = Seq((1L, "just four words here")).toDF("doc_id", "text")
+    df.select(fingerprint($"text")).head().isNullAt(0) shouldBe true
+  }
+
+  test("approx aggregates are close to exact on lineitem") {
+    val li = Tables.lineitem(spark, sfDir)
+    val (approxD, exactD) = li.agg(
+      graft.functions.approxCountDistinct($"l_partkey"),
+      countDistinct($"l_partkey"))
+      .as[(Long, Long)].head()
+    math.abs(approxD - exactD).toDouble / exactD should be < 0.1
+    val (approxP, exactP) = li.agg(
+      graft.functions.approxPercentile($"l_quantity", 0.5),
+      expr("percentile(l_quantity, 0.5)"))
+      .as[(Double, Double)].head()
+    math.abs(approxP - exactP) / exactP should be < 0.1
+  }
+
+  test("cosine (fold) and cosineFast (native) agree with norms") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = e.toDF("v1", "e1", "l1").join(e.toDF("v2", "e2", "l2"), $"v1" < $"v2")
+    pairs.select(
+      abs(cosine($"e1", $"e2") - cosineFast($"e1", $"e2")).as("d"))
+      .agg(max($"d")).head().getDouble(0) shouldBe 0.0
+  }
+}
