@@ -32,11 +32,21 @@ object Bench {
     } + "\""
     val times = mutable.LinkedHashMap.empty[String, Double]
     val errors = mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Dev filter: SPARK_GRAFT_ONLY=q20,q33 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Dev knob: SPARK_GRAFT_REPEAT=N runs each query N times and keeps
+    // the fastest — min over repeats suppresses JIT/GC noise when
+    // comparing plan variants. Driver runs with the default (1).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    selected.foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = (System.nanoTime() - t0) / 1e9
+        times(name) = (0 until repeat).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
