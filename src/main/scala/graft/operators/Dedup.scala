@@ -30,8 +30,14 @@ object Dedup extends QueryPack {
     * |A∩B| = shared shingles, |A∪B| = nA + nB − |A∩B|.
     */
   def jaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
-    // materialized once: reused by both join sides and the size agg
-    val sh = shingleSets(df).localCheckpoint()
+    // Join/shuffle on the 64-bit hash of the shingle, not the string:
+    // same co-occurrence counts (a cross-doc hash collision would need
+    // ~2^32 distinct shingles to become likely), but the self-join
+    // hashes/compares/ships 8-byte keys instead of ~20-char strings.
+    // Materialized once: reused by both join sides and the size agg.
+    val sh = shingleSets(df)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.toDF("d1", "shingle")
     val b = sh.toDF("d2", "shingle")
@@ -82,22 +88,35 @@ object Dedup extends QueryPack {
     // `transform` lambda formulation (graft.functions.minhash) which
     // is CodegenFallback and ~4x slower at sf0.1. collect_list carries
     // the shingle set along for the exact verification step.
+    // Hash each shingle STRING once; the k "permutations" re-hash the
+    // resulting 64-bit value with the slot index. Equivalent k-wise
+    // independence for LSH purposes, but string bytes are touched once
+    // instead of k times — the signature aggregate was the dominant
+    // stage before this (k× string re-hash per shingle occurrence).
     val shEx = shingleSets(df)
+      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h0"))
     val sig = shEx.groupBy(col("doc_id")).agg(
       collect_list(col("shingle")).as("sh"),
-      (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i")): _*)
+      (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i")): _*)
+      .localCheckpoint() // signature pipeline runs once, not per join side
     val bandHashes = array((0 until bands).map { bd =>
       xxhash64((lit(bd) +: (0 until rows).map(j => col(s"m${bd * rows + j}"))): _*)
     }: _*)
-    val buckets = sig.select(col("doc_id"), col("sh"),
-      posexplode(bandHashes).as(Seq("band", "bh")))
-      .localCheckpoint() // signature pipeline runs once, not per join side
-    val cand = buckets.toDF("d1", "sh1", "band", "bh")
-      .join(buckets.toDF("d2", "sh2", "band", "bh"), Seq("band", "bh"))
+    // Candidate generation and dedup carry ONLY (d1, d2): on clustered
+    // corpora the band join emits each hot pair once per agreeing band,
+    // and shuffling the shingle arrays through that dedup dominates the
+    // query. The arrays re-join after dedup from the 1-row-per-doc
+    // signature table (small side — AQE broadcasts it at this scale).
+    val buckets = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    val docSets = sig.select(col("doc_id"), col("sh"))
+    val cand = buckets.toDF("d1", "band", "bh")
+      .join(buckets.toDF("d2", "band", "bh"), Seq("band", "bh"))
       .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2"))
+      .select(col("d1"), col("d2"))
       .dropDuplicates("d1", "d2")
     cand
+      .join(docSets.toDF("d1", "sh1"), "d1")
+      .join(docSets.toDF("d2", "sh2"), "d2")
       .withColumn("jac",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
@@ -142,13 +161,19 @@ object Dedup extends QueryPack {
         shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("pos", "cv")))
       .localCheckpoint() // vote aggregation runs once, not per join side
+    // Filter BEFORE dedup: on clustered corpora (templated docs) the
+    // chunk join emits millions of candidate rows, and shuffling them
+    // all through dropDuplicates dominates the query. bit_count runs
+    // codegen'd on the join output, so only matching pairs — orders of
+    // magnitude fewer — reach the dedup shuffle. (hamming is a pure
+    // function of the pair, so filter∘dedup ≡ dedup∘filter.)
     chunks.toDF("d1", "sh1", "pos", "cv")
       .join(chunks.toDF("d2", "sh2", "pos", "cv"), Seq("pos", "cv"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
-      .dropDuplicates("d1", "d2")
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
   }
 
   val q33 = Q(
