@@ -57,14 +57,16 @@ object JxCompiler {
       case one => applyWindow(df, one)
     }
 
-    val groupFields = Seq("groupby", "edges").flatMap(k =>
-      if (q.has(k)) asList(q.get(k)).map(fieldName) else Nil)
+    val groupFields = if (q.has("groupby")) asList(q.get("groupby")).map(fieldName) else Nil
+    val edgeFields = if (q.has("edges")) asList(q.get("edges")).map(fieldName) else Nil
 
-    if (q.has("select") || groupFields.nonEmpty) {
+    if (q.has("select") || groupFields.nonEmpty || edgeFields.nonEmpty) {
       val sel = if (q.has("select")) asList(q.get("select")) else Nil
       val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
       val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
-      if (aggSel.nonEmpty || groupFields.nonEmpty) {
+      if (edgeFields.nonEmpty) {
+        df = edgeAggregate(df, edgeFields, aggSel)
+      } else if (aggSel.nonEmpty || groupFields.nonEmpty) {
         val aggs = aggSel.map(compileAggregate)
         val agged =
           if (groupFields.nonEmpty)
@@ -130,10 +132,43 @@ object JxCompiler {
     case other => throw new IllegalArgumentException(s"jx expression not supported: $other")
   }
 
+  /** jx `edges` semantics (vs `groupby`): the result is CELL-COMPLETE —
+    * one row per cell of the cross product of each edge's domain
+    * (default domain = the distinct values present in the filtered
+    * source), with count aggregates 0 and value aggregates NULL for
+    * cells no row landed in. groupby only emits populated cells.
+    *
+    * Plan shape: per-edge distinct (tiny dimension), cross-join of the
+    * domains (product of tiny dims — broadcast all the way), one
+    * grouped aggregate over the facts, then a left join of cells onto
+    * the aggregate. At scale the only wide stage is the fact aggregate.
+    */
+  private def edgeAggregate(df: DataFrame, edgeFields: Seq[String],
+      aggSel: Seq[JsonNode]): DataFrame = {
+    val (aggs, names, countNames) =
+      if (aggSel.nonEmpty)
+        (aggSel.map(compileAggregate), aggSel.map(aggName),
+          aggSel.filter(isCountAgg).map(aggName))
+      else (Seq(count(lit(1)).as("count")), Seq("count"), Seq("count"))
+    val agged = df.groupBy(edgeFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val cells = edgeFields.map(f => df.select(col(f)).distinct())
+      .reduce(_.crossJoin(_))
+    val outCols = edgeFields.map(col) ++ names.map { n =>
+      if (countNames.contains(n)) coalesce(col(n), lit(0L)).as(n) else col(n)
+    }
+    cells.join(agged, edgeFields, "left").select(outCols: _*)
+  }
+
+  private def isCountAgg(n: JsonNode): Boolean =
+    Seq("count", "cardinality").contains(n.get("aggregate").asText())
+
+  private def aggName(n: JsonNode): String =
+    if (n.has("name")) n.get("name").asText()
+    else if (n.has("value") && n.get("value").isTextual) n.get("value").asText()
+    else "count"
+
   private def compileAggregate(n: JsonNode): Column = {
-    val name = if (n.has("name")) n.get("name").asText()
-      else if (n.has("value") && n.get("value").isTextual) n.get("value").asText()
-      else "count"
+    val name = aggName(n)
     val value = if (n.has("value")) Some(compileExpr(n.get("value"))) else None
     val agg = n.get("aggregate").asText() match {
       case "count" => value.map(count).getOrElse(count(lit(1)))
@@ -169,7 +204,12 @@ object JxCompiler {
     val value = if (w.has("value")) Some(compileExpr(w.get("value"))) else None
     val agg = w.get("aggregate").asText() match {
       case "rownum" | "rank" => row_number()
-      case "sum" => sum(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      // Running sum through DECIMAL(18,4): window frames may be
+      // accumulated differently by different engines; decimal addition
+      // is exact either way (engine-wide policy, SURVEY.md §5).
+      case "sum" => sum(graft.util.dsumCast(value.get, 4))
+        .over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
       case "count" => count(value.getOrElse(lit(1))).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case "min" => min(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case "max" => max(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))

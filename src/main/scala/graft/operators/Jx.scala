@@ -42,5 +42,69 @@ object Jx extends QueryPack {
            |GROUP BY l_returnflag, l_linestatus""".stripMargin),
     "jx JSON query (where/groupby/select aggregates) through the compiler")
 
-  val all: Seq[Q] = Seq(q26)
+  /** jx `edges` are cell-complete pivot axes (unlike `groupby`): every
+    * (user, event_type) cell of the domain cross product appears, with
+    * count 0 / sum NULL for cells the filter left empty.
+    */
+  val q27Json: String =
+    """{
+      |  "from": "events",
+      |  "where": {"gte": {"value": 90}},
+      |  "edges": ["user_id", "event_type"],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "total", "value": "value", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q27 = Q(
+    "q27_jx_edges",
+    (s, d) => JxCompiler.query(s, d, q27Json),
+    Some("""WITH src AS (SELECT * FROM events WHERE value >= 90),
+           |cells AS (SELECT u.user_id, t.event_type
+           |          FROM (SELECT DISTINCT user_id FROM src) u
+           |          CROSS JOIN (SELECT DISTINCT event_type FROM src) t),
+           |g AS (SELECT user_id, event_type, COUNT(*) AS n,
+           |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |      FROM src GROUP BY 1, 2)
+           |SELECT c.user_id, c.event_type, COALESCE(g.n, 0) AS n, g.total
+           |FROM cells c LEFT JOIN g USING (user_id, event_type)""".stripMargin),
+    "jx edges pivot: cell-complete domain cross product w/ zero-filled counts")
+
+  /** jx window clauses: rownum ranking + running sum per edge
+    * partition, selected alongside plain columns.
+    */
+  val q28Json: String =
+    """{
+      |  "from": "lineitem",
+      |  "where": {"lt": {"l_suppkey": 20}},
+      |  "window": [
+      |    {"name": "rk", "aggregate": "rownum", "edges": ["l_suppkey"],
+      |     "sort": [{"value": "l_extendedprice", "sort": -1},
+      |              {"value": "l_orderkey", "sort": 1},
+      |              {"value": "l_linenumber", "sort": 1}]},
+      |    {"name": "run_qty", "value": "l_quantity", "aggregate": "sum",
+      |     "edges": ["l_suppkey"],
+      |     "sort": [{"value": "l_extendedprice", "sort": -1},
+      |              {"value": "l_orderkey", "sort": 1},
+      |              {"value": "l_linenumber", "sort": 1}]}
+      |  ],
+      |  "select": ["l_suppkey", "l_orderkey", "l_linenumber",
+      |             "l_extendedprice", "rk", "run_qty"]
+      |}""".stripMargin
+
+  val q28 = Q(
+    "q28_jx_window",
+    (s, d) => JxCompiler.query(s, d, q28Json),
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           |  CAST(ROW_NUMBER() OVER w AS INT) AS rk,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+           |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DOUBLE) AS run_qty
+           |FROM lineitem WHERE l_suppkey < 20
+           |WINDOW w AS (PARTITION BY l_suppkey
+           |             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)""".stripMargin),
+    "jx window: rownum + decimal-exact running sum per edge partition")
+
+  val all: Seq[Q] = Seq(q26, q27, q28)
 }

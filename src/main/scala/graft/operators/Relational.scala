@@ -392,6 +392,29 @@ object Relational extends QueryPack {
            |HAVING COUNT(*) >= 20""".stripMargin),
     "post-aggregation HAVING filter")
 
+  val q29 = Q(
+    "q29_rollup",
+    (s, d) =>
+      // jx edges with the ALL domain (subtotal + grand-total rows) —
+      // Spark's rollup is one Expand + one aggregate, so subtotals
+      // share the single shuffle with the leaf cells instead of a
+      // second pass over the data. NULL grouping keys are renamed to
+      // 'ALL' (the jx spelling); TPC-H flag columns are never null so
+      // the rename is unambiguous.
+      li(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("qty")),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+    "rollup subtotals + grand total (jx edges ALL domain) in one aggregate pass")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29)
 }

@@ -69,6 +69,31 @@ class JxSpec extends SparkSpec {
     got.count() shouldBe Tables.orders(spark, sfDir).count()
   }
 
+  test("edges are cell-complete: empty cells kept with count 0") {
+    val got = run("""{"from":"events",
+      "where":{"gte":{"value":90}},
+      "edges":["user_id","event_type"],
+      "select":[{"name":"n","aggregate":"count"}]}""")
+    val src = Tables.events(spark, sfDir).where($"value" >= 90)
+    val nUsers = src.select("user_id").distinct().count()
+    val nTypes = src.select("event_type").distinct().count()
+    got.count() shouldBe nUsers * nTypes // every cell, populated or not
+    val zeros = got.where($"n" === 0).count()
+    val populated = src.groupBy($"user_id", $"event_type").count().count()
+    zeros shouldBe nUsers * nTypes - populated
+    zeros should be > 0L // the filter must actually create empty cells
+  }
+
+  test("groupby (unlike edges) emits only populated cells") {
+    val got = run("""{"from":"events",
+      "where":{"gte":{"value":90}},
+      "groupby":["user_id","event_type"],
+      "select":[{"name":"n","aggregate":"count"}]}""")
+    val src = Tables.events(spark, sfDir).where($"value" >= 90)
+    got.count() shouldBe src.groupBy($"user_id", $"event_type").count().count()
+    got.where($"n" === 0).count() shouldBe 0L
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")
