@@ -100,6 +100,75 @@ object Ann extends QueryPack {
     None, // LSH candidate set has no SQL mirror; recall spec vs q34
     "LSH ANN: 8 tables x 4-bit hyperplane-sign buckets, exact rerank of candidates")
 
+  /** Spherical-k-means coarse quantizer for IVF: deterministic init
+    * (the `nc` lowest vec_ids), then `iters` Lloyd rounds. Each round
+    * is one fully distributed assign pass (broadcast-literal centroid
+    * scores, argmax via array_max over (score, id) structs) and one
+    * per-dimension mean aggregate. Only the centroid MODEL (nc × dim
+    * doubles) ever reaches the driver — that is a model parameter, the
+    * same object a trained IVF index ships to every executor; the data
+    * never collects.
+    */
+  private[graft] def ivfCentroids(df: DataFrame, nc: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = df.orderBy(col("vec_id")).limit(nc)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = assignClusters(df, cents)
+        .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: argmax cosine over broadcast-literal
+    * centroids, ties to the higher cluster id (array_max on
+    * (score, id) structs is lexicographic — deterministic).
+    */
+  private[graft] def assignClusters(df: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scored = array(cents.indices.map(i =>
+      struct(cosineFast(col("embedding"), lit(cents(i))).as("s"), lit(i).as("cl"))): _*)
+    df.select(col("vec_id"), col("embedding"), array_max(scored).getField("cl").as("cl"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest centroid lists per query,
+    * exact-rerank only those lists' vectors. Candidate volume is
+    * ~nprobe/nc of the corpus per query (vs all of it for q34), and
+    * the probe side joins on the cluster id — at 100 TB the assignment
+    * table is bucketed by `cl` so probes touch only matching buckets.
+    */
+  def ivfSearch(df: DataFrame, nc: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
+    val cents = ivfCentroids(df, nc, iters)
+    val assigned = assignClusters(df, cents)
+      .localCheckpoint() // assignment runs once: reused by query + candidate sides
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
+    val probes = q
+      .select(col("qid"), col("qv"), posexplode(array(cents.map(c =>
+        cosineFast(col("qv"), lit(c))): _*)).as(Seq("cl", "cs")))
+      .withColumn("pr", row_number().over(probeRank))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cl"))
+    val cand = probes
+      .join(assigned.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("cl")), "cl")
+      .where(col("cid") =!= col("qid"))
+    topK(cand.withColumn("score", cosineFast(col("qv"), col("cv"))), k)
+  }
+
+  val q43 = Q(
+    "q43_ann_ivf",
+    (s, d) => ivfSearch(emb(s, d), nc = 16, nprobe = 4, iters = 2, k = 5),
+    None, // probe set has no SQL mirror; recall spec vs q34
+    "IVF ANN: 16-list spherical k-means quantizer, 4-probe exact rerank")
+
   val q41 = Q(
     "q41_dedup_embed",
     (s, d) => {
@@ -119,5 +188,5 @@ object Ann extends QueryPack {
            |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin),
     "embedding-cosine near-dup pairs, exact all-pairs baseline (scale path: q35 LSH buckets)")
 
-  val all: Seq[Q] = Seq(q34, q35, q41)
+  val all: Seq[Q] = Seq(q34, q35, q41, q43)
 }

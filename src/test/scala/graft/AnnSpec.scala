@@ -32,6 +32,29 @@ class AnnSpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  test("IVF ANN recall@5 >= 0.5 vs brute force") {
+    val brute = Ann.q34.build(spark, sfDir)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val ivf = Ann.q43.build(spark, sfDir)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    recall should be >= 0.5
+  }
+
+  test("IVF probes a fraction of the corpus and clusters partition it") {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val cents = Ann.ivfCentroids(e, nc = 16, iters = 2)
+    cents.length shouldBe 16
+    val assigned = Ann.assignClusters(e, cents)
+    assigned.count() shouldBe n // every vector lands in exactly one list
+    assigned.select($"cl").distinct().count() should be > 1L
+    // 4 probes of 16 lists ≈ 25% of the corpus per query on average;
+    // require the candidate join stays under 80% of brute force
+    val cand = Ann.ivfSearch(e, nc = 16, nprobe = 4, iters = 2, k = n.toInt)
+    cand.count().toDouble should be < 0.8 * 10 * (n - 1)
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
