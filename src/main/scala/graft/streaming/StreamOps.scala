@@ -2,9 +2,25 @@ package graft.streaming
 
 import graft.{Q, QueryPack, Tables}
 import graft.util.dsum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, StructType}
+
+/** One event entering the streaming sessionizer. `ts` is the
+  * watermarked event-time column (it must survive into the Dataset for
+  * the event-time timeout to bind); `ts_us` is the same instant as
+  * exact epoch micros for gap arithmetic.
+  */
+case class SessionEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, ts_us: Long, value: Double)
+
+/** Open-session state kept per user between micro-batches. */
+case class OpenSession(start_us: Long, last_us: Long, n: Long, total: Double)
+
+/** A closed session emitted downstream. */
+case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
+    n_events: Long, duration_us: Long, total_value: Double)
 
 /** Structured Streaming operators. The transformation is defined ONCE
   * over an unbound DataFrame and applied identically to batch and
@@ -39,6 +55,70 @@ object StreamOps extends QueryPack {
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** Streaming gap-based sessionization — the stateful-stream form of
+    * the batch q24 operator, via flatMapGroupsWithState (Spark's
+    * custom-state primitive; gap sessions cannot be expressed as a
+    * fixed window aggregate).
+    *
+    * Semantics match q24: a session closes when the next event for the
+    * user is > `gapMinutes` after the previous one. Closed sessions
+    * emit immediately (Append mode); the open tail session per user
+    * stays in state and is flushed by an EVENT-TIME timeout once the
+    * watermark passes last_event + gap, so idle users' state is
+    * dropped, not accumulated — the property that bounds state size on
+    * an unbounded stream. Events inside a micro-batch are sorted by
+    * (ts, event_id) per user (deterministic tie-break, same as q24's
+    * window order); cross-batch disorder beyond the watermark delay is
+    * the stream's correctness contract, as for any event-time op.
+    */
+  def streamingSessionize(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def close(u: Long, s: OpenSession): SessionOut =
+      SessionOut(u, s.start_us, s.last_us, s.n, s.last_us - s.start_us, s.total)
+
+    def onGroup(user: Long, it: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = close(user, state.get)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+        val closed = Seq.newBuilder[SessionOut]
+        var cur = state.getOption
+        evs.foreach { e =>
+          cur match {
+            case Some(s) if e.ts_us - s.last_us > gapUs =>
+              closed += close(user, s)
+              cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+            case Some(s) =>
+              cur = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+            case None =>
+              cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // flush the open tail once the watermark passes its gap window
+          state.setTimeoutTimestamp(s.last_us / 1000 + gapMinutes * 60L * 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
   val q42 = Q(

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamOps
 import graft.Tables
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions.unix_micros
 import org.apache.spark.sql.streaming.Trigger
 
 /** The streaming side of q42: the same windowedCounts transformation
@@ -12,8 +13,8 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("streaming windowed counts equal batch windowed counts") {
-    // stage events parquet into a fresh source dir (file streams want a dir)
+  /** Stage events parquet into a fresh dir (file streams want a dir). */
+  private def stageEvents(): String = {
     val tmp = Files.createTempDirectory("graft-stream").toFile
     tmp.deleteOnExit()
     val src = Paths.get(sfDir, "events.parquet")
@@ -26,8 +27,16 @@ class StreamingSpec extends SparkSpec {
       Files.copy(src, Paths.get(tmp.getPath, "events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    tmp.getPath
+  }
 
-    val schema = spark.read.parquet(src.toString).schema
+  private def eventsSchema =
+    spark.read.parquet(Paths.get(sfDir, "events.parquet").toString).schema
+
+  test("streaming windowed counts equal batch windowed counts") {
+    val tmp = new java.io.File(stageEvents())
+    val src = Paths.get(sfDir, "events.parquet")
+    val schema = eventsSchema
     val stream = StreamOps.streamingWindowedCounts(
       StreamOps.readEventStream(spark, tmp.getPath, schema))
 
@@ -47,5 +56,53 @@ class StreamingSpec extends SparkSpec {
     streamed.count() shouldBe batch.count()
     streamed.except(batch).count() shouldBe 0L
     batch.except(streamed).count() shouldBe 0L
+  }
+
+  test("streaming sessionization matches batch gap sessions") {
+    val dir = stageEvents()
+    val stream = StreamOps.streamingSessionize(
+      StreamOps.readEventStream(spark, dir, eventsSchema))
+
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("q24_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val streamed = spark.table("q24_stream_test")
+      .as[graft.streaming.SessionOut].collect().toSet
+
+    // Expected sessions, computed independently in plain Scala with the
+    // identical (ts, event_id) order and double-accumulation sequence.
+    val gapUs = 30L * 60 * 1000000
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = evs.groupBy(_._1).flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, Double)]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._3 - cur.last._3 > gapUs) {
+          sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+        }
+        cur += e
+      }
+      if (cur.nonEmpty) sessions += cur.toSeq
+      sessions.map { s =>
+        graft.streaming.SessionOut(user, s.head._3, s.last._3, s.size,
+          s.last._3 - s.head._3, s.map(_._4).foldLeft(0.0)(_ + _))
+      }
+    }.toSet
+    val openTails = expected.groupBy(_.user_id)
+      .map { case (_, ss) => ss.maxBy(_.sess_start_us) }.toSet
+
+    // every streamed session must be a true session; all closed
+    // sessions must have been emitted; the open tails may or may not
+    // have flushed depending on whether a timeout batch ran.
+    (streamed -- expected) shouldBe empty
+    (expected -- openTails -- streamed) shouldBe empty
+    streamed.size should be >= (expected.size - openTails.size)
   }
 }
