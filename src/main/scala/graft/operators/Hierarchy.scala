@@ -79,6 +79,52 @@ object Hierarchy extends QueryPack {
     r
   }
 
+  /** Incrementally fold newly-arrived edges into an existing closure —
+    * the reference's actual ETL loop (hierarchy.py re-pulls only bugs
+    * modified since the last run and patches the stored hierarchy,
+    * never rebuilding the world).
+    *
+    * Semi-naive delta iteration: each round composes only the DELTA
+    * (pairs improved this round) with the big relation — Δ∘R, R∘Δ,
+    * Δ∘Δ — and keeps compositions that create a new pair or shorten an
+    * existing one. The full R∘R self-join never runs, so per-round
+    * cost scales with the change footprint: the delta side of every
+    * join is broadcast-sized for localized updates, while R is only
+    * probed on join keys. Terminates when a round yields no
+    * improvement; handles both new connectivity and min-depth
+    * shortening (a new shortcut edge lowers depths downstream of it).
+    * Edge DELETION invalidates stored pairs non-monotonically and
+    * needs a rebuild of the affected component — same as the
+    * reference, which re-closes from the modified bug set.
+    */
+  def incrementalClosure(existing: DataFrame, newEdges: DataFrame): DataFrame = {
+    val pairCols = Seq("ancestor", "descendant")
+    def compose(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("ancestor"), col("descendant").as("mid"), col("depth").as("d1"))
+        .join(r.select(col("ancestor").as("mid"), col("descendant"), col("depth").as("d2")), "mid")
+        .select(col("ancestor"), col("descendant"), (col("d1") + col("d2")).as("depth"))
+    /** candidate pairs that beat (or are absent from) the relation */
+    def improvements(cand: DataFrame, rel: DataFrame): DataFrame =
+      cand.groupBy(pairCols.map(col): _*).agg(min(col("depth")).as("depth"))
+        .join(rel.select(col("ancestor"), col("descendant"), col("depth").as("old")),
+          pairCols, "left")
+        .where(col("old").isNull || col("depth") < col("old"))
+        .select(col("ancestor"), col("descendant"), col("depth"))
+
+    var r = existing.select(col("ancestor"), col("descendant"), col("depth"))
+      .localCheckpoint()
+    var delta = improvements(
+      newEdges.select(col("parent").as("ancestor"), col("child").as("descendant"))
+        .withColumn("depth", lit(1)), r)
+      .localCheckpoint()
+    while (delta.count() > 0) {
+      r = r.join(delta, pairCols, "left_anti").union(delta).localCheckpoint()
+      val cand = compose(delta, r).union(compose(r, delta)).union(compose(delta, delta))
+      delta = improvements(cand, r).localCheckpoint()
+    }
+    r
+  }
+
   /** Roots of an edge set: nodes that appear as a parent but never as
     * a child (broadcastable — root sets are tiny by definition).
     */

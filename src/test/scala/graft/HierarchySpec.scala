@@ -33,6 +33,29 @@ class HierarchySpec extends SparkSpec {
     Hierarchy.roots(edges).as[Long].collect().toSet shouldBe Set(1L, 2L, 30L)
   }
 
+  test("incremental closure equals full recompute after edge additions") {
+    val base = Hierarchy.closure(edges)
+    // new edges: connect two components (30 under 2) AND add a
+    // shortcut that SHORTENS existing min-depths (13 -> 1 makes
+    // (1, 13) depth 1 instead of 3)
+    val added = Seq((30L, 2L), (13L, 1L)).toDF("child", "parent")
+    val incr = Hierarchy.incrementalClosure(base, added)
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Hierarchy.closure(edges.union(added))
+      .as[(Long, Long, Int)].collect().toSet
+    incr shouldBe full
+    incr should contain((2L, 31L, 2)) // cross-component reachability
+    incr should contain((1L, 13L, 1)) // shortened min-depth
+  }
+
+  test("incremental closure with no new edges is a no-op") {
+    val base = Hierarchy.closure(edges)
+    val incr = Hierarchy.incrementalClosure(base,
+      Seq.empty[(Long, Long)].toDF("child", "parent"))
+      .as[(Long, Long, Int)].collect().toSet
+    incr shouldBe base.as[(Long, Long, Int)].collect().toSet
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
