@@ -58,14 +58,14 @@ object JxCompiler {
     }
 
     val groupFields = if (q.has("groupby")) asList(q.get("groupby")).map(fieldName) else Nil
-    val edgeFields = if (q.has("edges")) asList(q.get("edges")).map(fieldName) else Nil
+    val edgeNodes = if (q.has("edges")) asList(q.get("edges")) else Nil
 
-    if (q.has("select") || groupFields.nonEmpty || edgeFields.nonEmpty) {
+    if (q.has("select") || groupFields.nonEmpty || edgeNodes.nonEmpty) {
       val sel = if (q.has("select")) asList(q.get("select")) else Nil
       val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
       val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
-      if (edgeFields.nonEmpty) {
-        df = edgeAggregate(df, edgeFields, aggSel)
+      if (edgeNodes.nonEmpty) {
+        df = edgeAggregate(df, edgeNodes, aggSel)
       } else if (aggSel.nonEmpty || groupFields.nonEmpty) {
         val aggs = aggSel.map(compileAggregate)
         val agged =
@@ -132,32 +132,67 @@ object JxCompiler {
     case other => throw new IllegalArgumentException(s"jx expression not supported: $other")
   }
 
-  /** jx `edges` semantics (vs `groupby`): the result is CELL-COMPLETE —
-    * one row per cell of the cross product of each edge's domain
-    * (default domain = the distinct values present in the filtered
-    * source), with count aggregates 0 and value aggregates NULL for
-    * cells no row landed in. groupby only emits populated cells.
-    *
-    * Plan shape: per-edge distinct (tiny dimension), cross-join of the
-    * domains (product of tiny dims — broadcast all the way), one
-    * grouped aggregate over the facts, then a left join of cells onto
-    * the aggregate. At scale the only wide stage is the fact aggregate.
+  /** One compiled pivot axis: the grouping expression, its name in the
+    * output, the domain (every cell the axis must emit), and an
+    * optional row filter (range domains drop out-of-range rows).
     */
-  private def edgeAggregate(df: DataFrame, edgeFields: Seq[String],
+  private case class Edge(name: String, expr: Column, domain: DataFrame,
+      rowFilter: Option[Column])
+
+  /** jx `edges` semantics (vs `groupby`): the result is CELL-COMPLETE —
+    * one row per cell of the cross product of each edge's domain, with
+    * count aggregates 0 and value aggregates NULL for cells no row
+    * landed in. groupby only emits populated cells.
+    *
+    * Domains: a bare field edge's default domain is the distinct
+    * values present in the filtered source; a range-domain edge
+    * (`{value, domain: {type: "range", min, max, interval}}`) buckets
+    * a numeric expression into fixed intervals labeled by their left
+    * endpoint, the domain is EVERY interval in [min, max) whether
+    * populated or not, and out-of-range rows are dropped.
+    *
+    * Plan shape: per-edge distinct or generated range (tiny
+    * dimensions), cross-join of the domains (broadcast all the way),
+    * one grouped aggregate over the facts, then a left join of cells
+    * onto the aggregate. At scale the only wide stage is the fact
+    * aggregate.
+    */
+  private def edgeAggregate(df: DataFrame, edgeNodes: Seq[JsonNode],
       aggSel: Seq[JsonNode]): DataFrame = {
+    val edges = edgeNodes.map(compileEdge(df, _))
     val (aggs, names, countNames) =
       if (aggSel.nonEmpty)
         (aggSel.map(compileAggregate), aggSel.map(aggName),
           aggSel.filter(isCountAgg).map(aggName))
       else (Seq(count(lit(1)).as("count")), Seq("count"), Seq("count"))
-    val agged = df.groupBy(edgeFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val cells = edgeFields.map(f => df.select(col(f)).distinct())
-      .reduce(_.crossJoin(_))
-    val outCols = edgeFields.map(col) ++ names.map { n =>
+    val filtered = edges.flatMap(_.rowFilter)
+      .foldLeft(df)((d, f) => d.where(f))
+    val keyed = edges.foldLeft(filtered)((d, e) => d.withColumn(e.name, e.expr))
+    val agged = keyed.groupBy(edges.map(e => col(e.name)): _*).agg(aggs.head, aggs.tail: _*)
+    val cells = edges.map(_.domain).reduce(_.crossJoin(_))
+    val outCols = edges.map(e => col(e.name)) ++ names.map { n =>
       if (countNames.contains(n)) coalesce(col(n), lit(0L)).as(n) else col(n)
     }
-    cells.join(agged, edgeFields, "left").select(outCols: _*)
+    cells.join(agged, edges.map(_.name), "left").select(outCols: _*)
   }
+
+  private def compileEdge(df: DataFrame, n: JsonNode): Edge =
+    if (!n.isTextual && n.has("domain") &&
+        req(n.get("domain"), "type").asText() == "range") {
+      val d = n.get("domain")
+      val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
+      val mn = req(d, "min").asLong()
+      val mx = req(d, "max").asLong()
+      val iv = req(d, "interval").asLong()
+      val v = compileExpr(req(n, "value"))
+      val bucket = floor((v - mn) / iv).cast("long") * iv + mn
+      val nCells = (mx - mn + iv - 1) / iv
+      val domain = df.sparkSession.range(nCells).select((col("id") * iv + mn).as(name))
+      Edge(name, bucket, domain, Some(v >= mn && v < mx))
+    } else {
+      val f = fieldName(n)
+      Edge(f, col(f), df.select(col(f)).distinct(), None)
+    }
 
   private def isCountAgg(n: JsonNode): Boolean =
     Seq("count", "cardinality").contains(n.get("aggregate").asText())

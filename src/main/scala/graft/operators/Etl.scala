@@ -142,5 +142,36 @@ object Etl extends QueryPack {
            |LEFT JOIN tp ON u.user_id = tp.user_id""".stripMargin),
     "ordered multi-stage funnel (view→click→purchase) via staged min-aggregation")
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25)
+  val q44 = Q(
+    "q44_json_props",
+    (s, d) =>
+      // Semi-structured extraction — the reference's records are ES
+      // JSON documents and jx reads nested fields as dot-paths; here a
+      // JSON string column is parsed in the scan projection
+      // (get_json_object is codegen'd; no UDF) and aggregated like any
+      // typed column. At 100 TB prefer parsing once into a struct
+      // column at ingest; this is the read-side-extraction form.
+      ev(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .where(col("k").isNotNull)
+        .withColumn("k_bucket", (expr("k div 10") * 10).cast("int"))
+        .groupBy(col("event_type"), col("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"),
+          max(col("k")).as("max_k")),
+    Some("""SELECT event_type,
+           |  CAST((CAST(json_extract_string(props, '$.k') AS INT) // 10) * 10 AS INT) AS k_bucket,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           |FROM events
+           |WHERE json_extract_string(props, '$.k') IS NOT NULL
+           |GROUP BY 1, 2""".stripMargin),
+    "JSON property extraction + bucketed aggregation (jx dot-path reads on ES docs)")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44)
 }

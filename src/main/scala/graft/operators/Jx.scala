@@ -106,5 +106,41 @@ object Jx extends QueryPack {
            |             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)""".stripMargin),
     "jx window: rownum + decimal-exact running sum per edge partition")
 
-  val all: Seq[Q] = Seq(q26, q27, q28)
+  /** jx range-domain edges: numeric histogram axes. Every 100k price
+    * interval in [0, 600k) is a cell whether populated or not,
+    * crossed with the order-status axis.
+    */
+  val q45Json: String =
+    """{
+      |  "from": "orders",
+      |  "edges": [
+      |    "o_orderstatus",
+      |    {"name": "price_bin", "value": "o_totalprice",
+      |     "domain": {"type": "range", "min": 0, "max": 600000, "interval": 100000}}
+      |  ],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "total", "value": "o_totalprice", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q45 = Q(
+    "q45_jx_range_edges",
+    (s, d) => JxCompiler.query(s, d, q45Json),
+    Some("""WITH src AS (SELECT * FROM orders
+           |            WHERE o_totalprice >= 0 AND o_totalprice < 600000),
+           |cells AS (SELECT s.o_orderstatus, b.price_bin
+           |          FROM (SELECT DISTINCT o_orderstatus FROM src) s
+           |          CROSS JOIN (SELECT i * 100000 AS price_bin
+           |                      FROM UNNEST(generate_series(0, 5)) t(i)) b),
+           |g AS (SELECT o_orderstatus,
+           |        CAST(FLOOR((o_totalprice - 0) / 100000) AS BIGINT) * 100000 + 0 AS price_bin,
+           |        COUNT(*) AS n,
+           |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |      FROM src GROUP BY 1, 2)
+           |SELECT c.o_orderstatus, c.price_bin, COALESCE(g.n, 0) AS n, g.total
+           |FROM cells c LEFT JOIN g USING (o_orderstatus, price_bin)""".stripMargin),
+    "jx range-domain edges: cell-complete numeric histogram x categorical axis")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45)
 }
