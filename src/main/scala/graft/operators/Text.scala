@@ -142,10 +142,26 @@ object Text extends QueryPack {
 
   val q39 = Q(
     "q39_fingerprint",
-    (s, d) =>
-      docs(s, d).select(
-        col("doc_id"),
-        fingerprint(col("text")).as("fp")),
+    (s, d) => {
+      // Same result as graft.functions.fingerprint (the scalar-column
+      // API), but built from exploded words + window leads: the HOF
+      // formulation (transform∘sequence∘slice∘array_join per row) is
+      // CodegenFallback-interpreted, while explode/lead/concat_ws/md5
+      // all stay inside whole-stage codegen. One window sort per doc
+      // replaces per-row array interpretation.
+      import org.apache.spark.sql.expressions.Window
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val sh = docs(s, d)
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"),
+            lead(col("w"), 1).over(byPos), lead(col("w"), 2).over(byPos),
+            lead(col("w"), 3).over(byPos), lead(col("w"), 4).over(byPos)).as("sh"),
+          lead(col("w"), 4).over(byPos).as("w4"))
+        .where(col("w4").isNotNull) // only complete 5-grams
+      val fps = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp"))
+      docs(s, d).select(col("doc_id")).join(fps, Seq("doc_id"), "left")
+    },
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), fps AS (
