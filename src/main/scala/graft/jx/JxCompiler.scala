@@ -126,6 +126,17 @@ object JxCompiler {
         case "sub" | "subtract" => arg.asScala.map(compileExpr).reduce(_ - _)
         case "mult" | "mul" => arg.asScala.map(compileExpr).reduce(_ * _)
         case "div" => arg.asScala.map(compileExpr).reduce(_ / _)
+        case "length" => length(compileExpr(arg))
+        case "lower" => lower(compileExpr(arg))
+        case "upper" => upper(compileExpr(arg))
+        case "left" => // {"left": {field: n}} — first n chars
+          val (f, v) = firstField(arg)
+          substring(col(f), 1, v.asInt())
+        case "coalesce" => coalesce(arg.asScala.toSeq.map(compileExpr): _*)
+        case "between" => // {"between": {field: [lo, hi]}} — inclusive
+          val (f, v) = firstField(arg)
+          val bounds = v.asScala.toSeq
+          col(f) >= lit(jvalue(bounds.head)) && col(f) <= lit(jvalue(bounds(1)))
         case "literal" => lit(jvalue(arg))
         case other => throw new IllegalArgumentException(s"jx operator not supported: $other")
       }

@@ -73,6 +73,47 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Frame sampling — the video-side plumbing: each media record
+    * expands to its sampled frame rows (explode of a per-record
+    * sequence, every downstream op fully distributed over frames, no
+    * driver involvement). Frame count derives from payload size;
+    * stride sampling keeps ≤ 8 frames per record the way a training
+    * pipeline caps frames per clip. The per-frame `luma` is the
+    * decode STUB (deterministic arithmetic standing in for a frame
+    * decoder) — swapping in a real codec changes only that
+    * expression, not the explode/metadata shape.
+    */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val nFrames = (length(col("payload")).cast("long") / 100L).cast("long") + 1
+    media
+      .withColumn("n_frames", nFrames)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          greatest(lit(1L), (col("n_frames") / maxFrames).cast("long")))))
+      .select(
+        col("doc_id"), col("format"), col("n_frames"), col("frame_idx"),
+        ((col("frame_idx") * 1000 + length(col("payload"))) % 251 / lit(250.0)).as("luma"))
+  }
+
+  val q46 = Q(
+    "q46_frame_sample",
+    (s, d) => sampleFrames(mediaTable(s, d)),
+    Some("""WITH media AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+           |         WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           |  FROM documents
+           |), framed AS (
+           |  SELECT doc_id, format, n_bytes // 100 + 1 AS n_frames FROM media
+           |)
+           |SELECT f.doc_id, f.format, f.n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+           |  (frame_idx * 1000 + m.n_bytes) % 251 / 250.0 AS luma
+           |FROM framed f JOIN media m USING (doc_id),
+           |  UNNEST(generate_series(0, n_frames - 1,
+           |    GREATEST(1, n_frames // 8))) t(frame_idx)""".stripMargin),
+    "video frame sampling: per-record stride-sampled frame explosion + decode stub")
+
   val q40 = Q(
     "q40_multimodal",
     (s, d) => decodeFeatures(mediaTable(s, d)).toDF(),
@@ -86,5 +127,5 @@ object Multimodal extends QueryPack {
            |FROM documents""".stripMargin),
     "multimodal binary columns + batched decode-stub over mapPartitions")
 
-  val all: Seq[Q] = Seq(q40)
+  val all: Seq[Q] = Seq(q40, q46)
 }

@@ -415,6 +415,25 @@ object Relational extends QueryPack {
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
     "rollup subtotals + grand total (jx edges ALL domain) in one aggregate pass")
 
+  val q47 = Q(
+    "q47_approx_stats",
+    (s, d) =>
+      // The 100 TB defaults for distinct counting and quantiles:
+      // HLL++ and t-digest sketches are MERGEABLE, so the shuffle
+      // carries a fixed-size sketch per group instead of raw values
+      // (exact countDistinct triggers an Expand; exact percentile
+      // buffers whole groups). No DuckDB mirror exists for either
+      // sketch — error bounds vs exact are spec-tested in
+      // FunctionsSpec ("approx aggregates are close to exact").
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.approxCountDistinct(col("l_partkey")).as("nd_parts"),
+          graft.functions.approxPercentile(col("l_quantity"), 0.5).as("p50_qty"),
+          count(lit(1)).as("n")),
+    None,
+    "mergeable sketch aggregates (HLL++ distinct, t-digest percentile)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47)
 }

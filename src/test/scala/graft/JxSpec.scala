@@ -94,6 +94,26 @@ class JxSpec extends SparkSpec {
     got.where($"n" === 0).count() shouldBe 0L
   }
 
+  test("scalar expression operators: length, lower, left, coalesce, between") {
+    val got = run("""{"from":"orders",
+      "where":{"and":[
+        {"between":{"o_totalprice":[1000, 200000]}},
+        {"eq":[{"left":{"o_orderpriority":1}},{"literal":"1"}]}]},
+      "select":["o_orderkey",
+        {"name":"pr_lower","value":{"lower":"o_orderpriority"}},
+        {"name":"len_pr","value":{"length":"o_orderpriority"}},
+        {"name":"c","value":{"coalesce":["o_orderstatus",{"literal":"?"}]}}]}""")
+    val want = Tables.orders(spark, sfDir)
+      .where($"o_totalprice".between(1000, 200000) &&
+        substring($"o_orderpriority", 1, 1) === "1")
+      .select($"o_orderkey", lower($"o_orderpriority").as("pr_lower"),
+        org.apache.spark.sql.functions.length($"o_orderpriority").as("len_pr"),
+        coalesce($"o_orderstatus", lit("?")).as("c"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    got.count() should be > 0L
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")
