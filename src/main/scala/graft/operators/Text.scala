@@ -173,5 +173,26 @@ object Text extends QueryPack {
            |FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id""".stripMargin),
     "document fingerprint: min-hash over word 5-gram shingles (winnowing-style)")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39)
+  val q48 = Q(
+    "q48_normalize",
+    (s, d) =>
+      // Canonicalization ahead of dedup/fingerprinting: lowercase,
+      // strip non-alphanumerics, collapse whitespace. Pure codegen'd
+      // string expressions in the scan projection — at 100 TB this is
+      // the map-side prep pass every near-dup pipeline runs first.
+      docs(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+          "\\s+", " ")).as("norm_text"))
+        .withColumn("norm_hash", md5(col("norm_text"))),
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           |       '\s+', ' ', 'g')) AS norm_text,
+           |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           |      '\s+', ' ', 'g'))) AS norm_hash
+           |FROM documents""".stripMargin),
+    "text canonicalization (lower/strip/collapse) + content hash, pre-dedup pass")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48)
 }
