@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Ann, Dedup, Relational}
+
+/** Plan-shape regression tests: the scale properties the Scaladoc
+  * promises (broadcasts, pushdown, top-k without global sort, bucketed
+  * candidate joins) asserted against the actual physical plans, so a
+  * refactor that silently degrades a plan fails CI, not a cluster run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: Q): String =
+    q.build(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (q03 part, q05 nation+region)") {
+    plan(Relational.q03) should include("BroadcastHashJoin")
+    plan(Relational.q05) should include("BroadcastHashJoin")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (q08)") {
+    val p = plan(Relational.q08)
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("selective scan pushes filters into the parquet scan (q06)") {
+    val p = plan(Relational.q06)
+    p should include("PushedFilters: [")
+    // at least one real pushed predicate, not just the bare header
+    p.split("PushedFilters: \\[")(1).takeWhile(_ != ']').trim should not be empty
+  }
+
+  test("projection pruning reaches the scan: q01 reads only needed columns") {
+    val p = plan(Relational.q01)
+    p should include("ReadSchema")
+    p should not include "l_shipdate" // never-used column stays unread
+  }
+
+  test("bucketed near-dup candidate joins never fall back to cartesian") {
+    Seq(Dedup.q31, Dedup.q32, Dedup.q33, Ann.q35).foreach { q =>
+      val p = plan(q)
+      withClue(s"${q.name}: ") {
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("whole-stage codegen covers the scan-side of text ops (q38)") {
+    // codegen'd spans print as "*(n) Op" in executedPlan.toString
+    plan(operators.Text.q38) should include("*(1)")
+  }
+}
