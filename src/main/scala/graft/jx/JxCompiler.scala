@@ -223,6 +223,13 @@ object JxCompiler {
       case "minimum" | "min" => min(value.get)
       case "maximum" | "max" => max(value.get)
       case "cardinality" => countDistinct(value.get)
+      // jx percentile/median: the mergeable t-digest sketch (exact
+      // percentile buffers whole groups — engine-wide policy, see
+      // q18/q47). Optional "percentile" parameter, default median.
+      case "median" => graft.functions.approxPercentile(value.get, 0.5)
+      case "percentile" =>
+        val p = if (n.has("percentile")) n.get("percentile").asDouble() else 0.5
+        graft.functions.approxPercentile(value.get, p)
       case other => throw new IllegalArgumentException(s"jx aggregate not supported: $other")
     }
     agg.as(name)

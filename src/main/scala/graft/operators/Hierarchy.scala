@@ -196,5 +196,53 @@ object Hierarchy extends QueryPack {
         |GROUP BY p.p_partkey""".stripMargin),
     "ancestors + root resolution per node (reference hierarchy.py roots)")
 
-  val all: Seq[Q] = Seq(q20, q21)
+  val q49 = Q(
+    "q49_hierarchy_lists",
+    (s, d) => {
+      // The reference's materialized record shape: one row per node
+      // with its full descendants and ancestors as ordered lists
+      // (hierarchy.py pushes exactly this to the destination index).
+      // Lists are emitted as sorted CSV strings — deterministic and
+      // comparable across engines.
+      val cl = closure(edges(s, d)).localCheckpoint()
+      val desc = cl.groupBy(col("ancestor").as("node"))
+        .agg(array_join(sort_array(collect_set(col("descendant"))), ",").as("descendants"),
+          count(lit(1)).as("n_desc"))
+      val anc = cl.groupBy(col("descendant").as("node"))
+        .agg(array_join(sort_array(collect_set(col("ancestor"))), ",").as("ancestors"),
+          count(lit(1)).as("n_anc"))
+      Tables.part(s, d).select(col("p_partkey").as("node"))
+        .join(desc, Seq("node"), "left")
+        .join(anc, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("descendants"), lit("")).as("descendants"),
+          coalesce(col("n_desc"), lit(0L)).as("n_desc"),
+          coalesce(col("ancestors"), lit("")).as("ancestors"),
+          coalesce(col("n_anc"), lit(0L)).as("n_anc"))
+    },
+    Some(oracleReach +
+      """, pairs AS (
+        |  SELECT ancestor, descendant FROM reach GROUP BY 1, 2
+        |), d AS (
+        |  SELECT ancestor AS node,
+        |    string_agg(CAST(descendant AS VARCHAR), ',' ORDER BY descendant) AS descendants,
+        |    COUNT(*) AS n_desc
+        |  FROM pairs GROUP BY 1
+        |), a AS (
+        |  SELECT descendant AS node,
+        |    string_agg(CAST(ancestor AS VARCHAR), ',' ORDER BY ancestor) AS ancestors,
+        |    COUNT(*) AS n_anc
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT p.p_partkey AS node,
+        |  COALESCE(d.descendants, '') AS descendants,
+        |  COALESCE(d.n_desc, 0) AS n_desc,
+        |  COALESCE(a.ancestors, '') AS ancestors,
+        |  COALESCE(a.n_anc, 0) AS n_anc
+        |FROM part p
+        |LEFT JOIN d ON d.node = p.p_partkey
+        |LEFT JOIN a ON a.node = p.p_partkey""".stripMargin),
+    "per-node descendants/ancestors lists (the reference's pushed record shape)")
+
+  val all: Seq[Q] = Seq(q20, q21, q49)
 }

@@ -121,6 +121,16 @@ object StreamOps extends QueryPack {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
+  /** Exactly-once ingest dedup: drops re-delivered events by id. State
+    * holds only ids inside the watermark horizon (dropDuplicates
+    * WITHIN watermark), so at-least-once sources (the reference's ES
+    * scroll re-reads on restart) upgrade to exactly-once without
+    * unbounded seen-set growth.
+    */
+  def streamingDedup(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   val q42 = Q(
     "q42_stream_window",
     (s, d) => windowedCounts(Tables.events(s, d)),

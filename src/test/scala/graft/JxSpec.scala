@@ -114,6 +114,17 @@ class JxSpec extends SparkSpec {
     got.count() should be > 0L
   }
 
+  test("percentile aggregates map to the mergeable sketch") {
+    val got = run("""{"from":"lineitem","groupby":["l_returnflag"],
+      "select":[{"name":"med","value":"l_quantity","aggregate":"median"},
+                {"name":"p90","value":"l_quantity","aggregate":"percentile","percentile":0.9}]}""")
+    val want = li.groupBy($"l_returnflag").agg(
+      percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("med"),
+      percentile_approx($"l_quantity", lit(0.9), lit(10000)).as("p90"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")

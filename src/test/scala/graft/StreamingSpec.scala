@@ -58,6 +58,30 @@ class StreamingSpec extends SparkSpec {
     batch.except(streamed).count() shouldBe 0L
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    // stage the events file TWICE — an at-least-once source redelivery
+    val dir = stageEvents()
+    val first = new java.io.File(dir).listFiles().head
+    Files.copy(first.toPath,
+      Paths.get(dir, "redelivered-" + first.getName),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = StreamOps.streamingDedup(
+      StreamOps.readEventStream(spark, dir, eventsSchema))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream_test")
+    val expect = Tables.events(spark, sfDir).select("event_id").distinct().count()
+    streamed.select("event_id").distinct().count() shouldBe expect
+    streamed.count() shouldBe expect // no duplicate rows survive
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
