@@ -56,27 +56,39 @@ object Hierarchy extends QueryPack {
     * never need revision and only the membership set can grow.)
     */
   def closure(edgesDf: DataFrame): DataFrame = {
-    var r = edgesDf
+    // Band refinement of plain doubling: a pair at min-depth
+    // m ∈ (2^i, 2^(i+1)] splits at the middle of its shortest path
+    // into two shortest sub-paths whose depths both lie in
+    // [2^(i-1), 2^i] — so round i+1 only needs to compose that DEPTH
+    // BAND with itself, and newly found pairs are exactly the
+    // (2^i, 2^(i+1)] stratum with exact depths. The accumulated
+    // relation is never re-aggregated (an anti-join discards
+    // rediscoveries); each piece is checkpointed once and the final
+    // closure is their union. Rounds: ⌈log2 D⌉; per-round cost is a
+    // band×band join + one anti-join probe of the accumulator.
+    val first = edgesDf
       .select(col("parent").as("ancestor"), col("child").as("descendant"))
       .withColumn("depth", lit(1))
       .localCheckpoint()
-    var n = r.count()
-    var converged = n == 0L
-    while (!converged) {
-      val left = r.select(col("ancestor"), col("descendant").as("mid"), col("depth").as("d1"))
-      val right = r.select(col("ancestor").as("mid"), col("descendant"), col("depth").as("d2"))
-      val doubled = left.join(right, "mid")
+    var pieces = List(first)
+    var bound = 1L // closure is complete for all depths ≤ bound
+    var fresh = first.count()
+    while (fresh > 0) {
+      val acc = pieces.reduce(_ union _)
+      val band = acc.where(col("depth") >= math.max(1L, bound / 2) && col("depth") <= bound)
+      val cand = band.select(col("ancestor"), col("descendant").as("mid"), col("depth").as("d1"))
+        .join(band.select(col("ancestor").as("mid"), col("descendant"), col("depth").as("d2")), "mid")
         .select(col("ancestor"), col("descendant"), (col("d1") + col("d2")).as("depth"))
-      val next = r.union(doubled)
         .groupBy(col("ancestor"), col("descendant"))
         .agg(min(col("depth")).as("depth"))
+      val newPairs = cand
+        .join(acc, Seq("ancestor", "descendant"), "left_anti")
         .localCheckpoint()
-      val m = next.count()
-      converged = m == n
-      n = m
-      r = next
+      fresh = newPairs.count()
+      if (fresh > 0) pieces ::= newPairs
+      bound *= 2
     }
-    r
+    pieces.reduce(_ union _)
   }
 
   /** Incrementally fold newly-arrived edges into an existing closure —
