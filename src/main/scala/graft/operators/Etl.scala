@@ -173,5 +173,61 @@ object Etl extends QueryPack {
            |GROUP BY 1, 2""".stripMargin),
     "JSON property extraction + bucketed aggregation (jx dot-path reads on ES docs)")
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44)
+  /** As-of join, composed from existing operators rather than a custom
+    * physical plan: tag both sides, union, and take the last
+    * non-null right-side value over a (key, time)-ordered window.
+    * One shuffle+sort total — no join, no per-row probe, no candidate
+    * explosion — which is exactly the plan you want at 100 TB (an
+    * actual join formulation degenerates to a range join). Right rows
+    * sort before left rows at equal timestamps, so the match is
+    * inclusive (right.ts <= left.ts), matching ASOF JOIN semantics.
+    */
+  def asofJoin(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+      key: String, ts: String, rightCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.withColumn("__tag", lit(0))
+    val unioned = l.columns.filterNot(r.columns.contains)
+      .foldLeft(r)((d, c) => d.withColumn(c, lit(null)))
+      .unionByName(rightCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null))))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .where(col("__tag") === 1)
+      .drop("__tag")
+  }
+
+  val q50 = Q(
+    "q50_asof_join",
+    (s, d) => {
+      val e = ev(s, d)
+      // one view per (user, ts): max event_id wins, so the as-of match
+      // at equal timestamps is deterministic on both engines
+      val views = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("v_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id"), col("view_id"), col("v_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      asofJoin(
+        purchases,
+        views.withColumnRenamed("v_ts", "ts"),
+        key = "user_id", ts = "ts", rightCols = Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("view_id"))
+    },
+    Some("""WITH views AS (
+           |  SELECT user_id, ts AS v_ts, MAX(event_id) AS view_id
+           |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+           |), purchases AS (
+           |  SELECT event_id, user_id, ts, value
+           |  FROM events WHERE event_type = 'purchase'
+           |)
+           |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_id
+           |FROM purchases p
+           |ASOF LEFT JOIN views v
+           |  ON p.user_id = v.user_id AND v.v_ts <= p.ts""".stripMargin),
+    "as-of join (latest prior view per purchase) via tagged union + window, one shuffle")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50)
 }
