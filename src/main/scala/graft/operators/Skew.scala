@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers.
+  *
+  * AQE's skew-join handling (on by default, see `graft.util.configure`)
+  * splits oversized sort-merge partitions at runtime, and Spark's
+  * partial aggregation absorbs group-by skew for mergeable aggregates.
+  * What neither covers is a shuffle join where one side's hot key
+  * floods a single reducer and the other side is too big to broadcast
+  * outright but small enough to replicate per salt — the classic
+  * salted join. This helper implements that pattern explicitly so
+  * pipelines can opt in deterministically rather than relying on
+  * runtime re-planning.
+  */
+object Skew {
+
+  /** Join `big` to `small` on `key`, spreading each hot key of `big`
+    * across `salts` reducers. `big` rows get a deterministic salt from
+    * their whole-row hash; `small` rows are replicated once per salt
+    * value. Result equals the plain inner join (spec-tested), cost is
+    * `salts`× the small side's shuffle volume.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -141,5 +141,40 @@ object StreamOps extends QueryPack {
            |FROM events GROUP BY 1, 2, 3""".stripMargin),
     "hour-windowed counts w/ watermark (batch-equivalent of the stream)")
 
-  val all: Seq[Q] = Seq(q42)
+  /** Gap sessions via Spark's NATIVE session_window (vs q24's manual
+    * lag+running-sum formulation): one aggregate, and the same
+    * expression works under readStream with a watermark (merging
+    * session state across micro-batches) — the built-in scale path
+    * for sessionization.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("total_value"))
+
+  val q51 = Q(
+    "q51_session_window",
+    (s, d) => sessionWindows(Tables.events(s, d)),
+    Some("""WITH flagged AS (
+           |  SELECT *, CASE WHEN prev_us IS NULL
+           |                   OR epoch_us(ts) - prev_us > 1800000000
+           |            THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT *, LAG(epoch_us(ts), 1) OVER
+           |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           |        FROM events)
+           |), sess AS (
+           |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, MIN(ts) AS sess_start,
+           |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM sess GROUP BY user_id, session_id""".stripMargin),
+    "gap sessions via native session_window (stream-capable built-in)")
+
+  val all: Seq[Q] = Seq(q42, q51)
 }
