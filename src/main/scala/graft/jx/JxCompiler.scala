@@ -45,10 +45,18 @@ object JxCompiler {
   def parse(json: String): JsonNode = mapper.readTree(json)
 
   /** Compile and run a jx query against the testdata tables in `dir`. */
-  def query(spark: SparkSession, dir: String, json: String): DataFrame = {
-    val q = parse(json)
-    val from = req(q, "from").asText()
-    var df = Tables.load(spark, dir, from)
+  def query(spark: SparkSession, dir: String, json: String): DataFrame =
+    compile(spark, dir, parse(json))
+
+  private def compile(spark: SparkSession, dir: String, q: JsonNode): DataFrame = {
+    // jx `from` is a table name or a nested query document (the
+    // reference pipelines queries: an inner aggregation feeding an
+    // outer filter/sort). Compilation recurses; Catalyst flattens the
+    // nesting into one plan, so there is no materialization boundary.
+    val fromNode = req(q, "from")
+    var df =
+      if (fromNode.isTextual) Tables.load(spark, dir, fromNode.asText())
+      else compile(spark, dir, fromNode)
 
     if (q.has("where")) df = df.where(compileExpr(q.get("where")))
 

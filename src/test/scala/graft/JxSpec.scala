@@ -125,6 +125,26 @@ class JxSpec extends SparkSpec {
     want.except(got).count() shouldBe 0L
   }
 
+  test("nested from: inner aggregation feeds outer filter and sort") {
+    val got = run("""{"from":
+        {"from":"lineitem",
+         "groupby":["l_returnflag","l_linestatus"],
+         "select":[{"name":"n","aggregate":"count"},
+                   {"name":"mx","value":"l_quantity","aggregate":"maximum"}]},
+      "where":{"gt":["n",{"literal":100}]},
+      "sort":[{"value":"n","sort":-1}],
+      "select":["l_returnflag","l_linestatus","n","mx"]}""")
+    val inner = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("mx"))
+    val want = inner.where($"n" > 100)
+      .select($"l_returnflag", $"l_linestatus", $"n", $"mx")
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    // outer sort applied: first row is the biggest group
+    got.head().getAs[Long]("n") shouldBe
+      want.orderBy($"n".desc).head().getAs[Long]("n")
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")

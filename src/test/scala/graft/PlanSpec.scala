@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join compiles to a window, not a join (q50)") {
+    val p = plan(operators.Etl.q50)
+    p should include("Window")
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("whole-stage codegen covers the scan-side of text ops (q38)") {
     // codegen'd spans print as "*(n) Op" in executedPlan.toString
     plan(operators.Text.q38) should include("*(1)")
