@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Etl,
     operators.Text,
     operators.Dedup,
+    operators.Cluster,
     operators.Ann,
     operators.Jx,
     operators.Multimodal,

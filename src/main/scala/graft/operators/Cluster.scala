@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup clustering: connected components over the near-duplicate
+  * pair graph — the step that turns q31-style PAIRS into dedup
+  * GROUPS (one keeper per component) in a training-data pipeline.
+  *
+  * Algorithm: alternating large-star / small-star (the MapReduce CC
+  * algorithm of Kiveris et al.), O(log² n) rounds in theory and a
+  * handful in practice. Each round is two grouped-min joins — fully
+  * distributed, no per-component state, no driver materialization —
+  * which is why it scales where label propagation (O(diameter)
+  * rounds) and closure-based labeling (quadratic blowup on dense
+  * components) do not.
+  */
+object Cluster extends QueryPack {
+
+  /** (node, component) for every node in `pairs` (columns d1, d2);
+    * component = min node id reachable via undirected pair edges.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // invariant: `edges` is symmetric (both directions present), so
+    // each star step sees every node's full neighborhood from the
+    // rows where it is the first column
+    var edges = symmetrize(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint()
+    var stats = edgeStats(edges)
+    var converged = false
+    while (!converged) {
+      val next = symmetrize(smallStar(symmetrize(largeStar(edges))))
+        .localCheckpoint()
+      val nextStats = edgeStats(next)
+      converged = nextStats == stats
+      stats = nextStats
+      edges = next
+    }
+    // stable star graphs: every edge points at its component root
+    val labeled = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("component"))
+    labeled.select(col("node"),
+      least(col("node"), col("component")).as("component"))
+  }
+
+  /** connect larger neighbors of each node to its minimum neighbor */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    edges.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** connect smaller-or-equal neighbors of each node to its minimum */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    edges.join(mins, "u")
+      .where(col("v") <= col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+  /** (edge count, order-independent content hash) — fixpoint test.
+    * Hashes sum through decimal so ANSI mode can't overflow.
+    */
+  private def edgeStats(edges: DataFrame): (Long, String) = {
+    val row = edges
+      .agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(30,0)")),
+          lit(0).cast("decimal(30,0)")))
+      .head()
+    (row.getLong(0), row.getDecimal(1).toString)
+  }
+
+  val q52 = Q(
+    "q52_dedup_clusters",
+    (s, d) =>
+      connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, d), 0.5).select(col("d1"), col("d2"))),
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT d1, d2
+           |  FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |), nodes AS (
+           |  SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs
+           |), und AS (
+           |  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs
+           |), reach AS (
+           |  SELECT n AS node, n AS r FROM nodes
+           |  UNION
+           |  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+           |)
+           |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin),
+    "near-dup clusters: connected components (large-star/small-star) over q31 pairs")
+
+  val all: Seq[Q] = Seq(q52)
+}
