@@ -194,5 +194,58 @@ object Text extends QueryPack {
            |FROM documents""".stripMargin),
     "text canonicalization (lower/strip/collapse) + content hash, pre-dedup pass")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48)
+  val q53 = Q(
+    "q53_split",
+    (s, d) =>
+      // Deterministic train/val/test assignment: multiplicative
+      // hashing on the stable doc id (Knuth's 2654435761), pure
+      // arithmetic so any engine reproduces the same split — no RNG,
+      // no row order dependence, stable under re-partitioning and
+      // incremental appends. 80/10/10.
+      docs(s, d).select(
+        col("doc_id"), col("source"),
+        (col("doc_id") * 2654435761L % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .drop("bucket"),
+    Some("""SELECT doc_id, source,
+           |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+           |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin),
+    "deterministic train/val/test split via multiplicative hashing, no RNG")
+
+  val q54 = Q(
+    "q54_corpus_stats",
+    (s, d) =>
+      // Corpus reporting: per-source doc/token/char totals + length
+      // distribution — the summary pass every dataset release runs.
+      // One aggregate over the scan; all expressions codegen'd.
+      docs(s, d)
+        .select(col("source"), col("n_chars"),
+          size(words(col("text"))).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1))).as("avg_tokens")),
+    Some("""WITH t AS (
+           |  SELECT source, n_chars,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+           |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+           |FROM t GROUP BY source""".stripMargin),
+    "per-source corpus statistics: doc/token/char totals + length distribution")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54)
 }

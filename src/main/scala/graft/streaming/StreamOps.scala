@@ -141,6 +141,34 @@ object StreamOps extends QueryPack {
            |FROM events GROUP BY 1, 2, 3""".stripMargin),
     "hour-windowed counts w/ watermark (batch-equivalent of the stream)")
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * views from the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can
+    * discard buffered rows once the watermark passes — state stays
+    * bounded on unbounded streams. Defined over plain DataFrames: the
+    * identical expression runs as a batch join (spec compares the two).
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+      col("ts").as("v_ts"))
+    val p = purchases.select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+      col("ts").as("p_ts"), col("value"))
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("p_ts"),
+        col("view_id"), col("v_ts"), col("value"))
+  }
+
+  /** Streaming variant: watermarks on both sides bound join state. */
+  def streamingViewPurchaseJoin(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    viewPurchaseJoin(
+      wm.where(col("event_type") === "view"),
+      wm.where(col("event_type") === "purchase"))
+  }
+
   /** Gap sessions via Spark's NATIVE session_window (vs q24's manual
     * lag+running-sum formulation): one aggregate, and the same
     * expression works under readStream with a watermark (merging

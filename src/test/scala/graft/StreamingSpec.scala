@@ -82,6 +82,29 @@ class StreamingSpec extends SparkSpec {
     streamed.count() shouldBe expect // no duplicate rows survive
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = stageEvents()
+    val stream = StreamOps.streamingViewPurchaseJoin(
+      StreamOps.readEventStream(spark, dir, eventsSchema))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("join_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val streamed = spark.table("join_stream_test")
+
+    val ev = Tables.events(spark, sfDir)
+    val batch = StreamOps.viewPurchaseJoin(
+      ev.where($"event_type" === "view"),
+      ev.where($"event_type" === "purchase"))
+
+    streamed.count() shouldBe batch.count()
+    streamed.except(batch).count() shouldBe 0L
+    batch.except(streamed).count() shouldBe 0L
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
