@@ -30,6 +30,9 @@ object Cluster extends QueryPack {
     var stats = edgeStats(edges)
     var converged = false
     while (!converged) {
+      // one dedup shuffle per star step: each step's output unions
+      // with its swap and dedups once, instead of distinct-ing inside
+      // the star AND in a separate symmetrize pass
       val next = symmetrize(smallStar(symmetrize(largeStar(edges))))
         .localCheckpoint()
       val nextStats = edgeStats(next)
@@ -43,7 +46,9 @@ object Cluster extends QueryPack {
       least(col("node"), col("component")).as("component"))
   }
 
-  /** connect larger neighbors of each node to its minimum neighbor */
+  /** connect larger neighbors of each node to its minimum neighbor
+    * (deduped by the following symmetrize, not here)
+    */
   private def largeStar(edges: DataFrame): DataFrame = {
     val mins = edges.groupBy(col("u"))
       .agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -52,10 +57,11 @@ object Cluster extends QueryPack {
       .select(col("v").as("u"), col("m").as("v"))
       .union(mins.select(col("u"), col("m").as("v")))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
-  /** connect smaller-or-equal neighbors of each node to its minimum */
+  /** connect smaller-or-equal neighbors of each node to its minimum
+    * (deduped by the following symmetrize, not here)
+    */
   private def smallStar(edges: DataFrame): DataFrame = {
     val mins = edges.groupBy(col("u"))
       .agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -64,7 +70,6 @@ object Cluster extends QueryPack {
       .select(col("v").as("u"), col("m").as("v"))
       .union(mins.select(col("u"), col("m").as("v")))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   private def symmetrize(edges: DataFrame): DataFrame =
