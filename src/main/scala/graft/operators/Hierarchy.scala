@@ -74,21 +74,29 @@ object Hierarchy extends QueryPack {
     var bound = 1L // closure is complete for all depths ≤ bound
     var fresh = first.count()
     while (fresh > 0) {
-      val acc = pieces.reduce(_ union _)
-      val band = acc.where(col("depth") >= math.max(1L, bound / 2) && col("depth") <= bound)
+      // No per-round anti-join against the accumulator (that reshuffles
+      // the whole relation every round): rounds emit their band
+      // compositions compacted to per-pair minima, rediscovered pairs
+      // ride along with non-minimal depths, and ONE final aggregate
+      // resolves exact minima. The loop ends when the depth band
+      // empties — one (trivial, empty-join) round after the deepest
+      // stratum, instead of a confirming round over the full relation.
+      val band = pieces.reduce(_ union _)
+        .where(col("depth") >= math.max(1L, bound / 2) && col("depth") <= bound)
       val cand = band.select(col("ancestor"), col("descendant").as("mid"), col("depth").as("d1"))
         .join(band.select(col("ancestor").as("mid"), col("descendant"), col("depth").as("d2")), "mid")
         .select(col("ancestor"), col("descendant"), (col("d1") + col("d2")).as("depth"))
+        .where(col("depth") <= bound * 2) // beyond-bound sums can't be minimal strata members
         .groupBy(col("ancestor"), col("descendant"))
         .agg(min(col("depth")).as("depth"))
-      val newPairs = cand
-        .join(acc, Seq("ancestor", "descendant"), "left_anti")
         .localCheckpoint()
-      fresh = newPairs.count()
-      if (fresh > 0) pieces ::= newPairs
+      fresh = cand.count()
+      if (fresh > 0) pieces ::= cand
       bound *= 2
     }
     pieces.reduce(_ union _)
+      .groupBy(col("ancestor"), col("descendant"))
+      .agg(min(col("depth")).as("depth"))
   }
 
   /** Incrementally fold newly-arrived edges into an existing closure —
