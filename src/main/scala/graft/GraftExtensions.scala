@@ -14,6 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Scale guardrail (opt-in per session): rewrite exact percentile
+    // aggregates to the mergeable t-digest sketch. See
+    // graft.plans.ApproxPercentileRewrite.
+    ext.injectOptimizerRule { session =>
+      graft.plans.ApproxPercentileRewrite(() =>
+        session.conf.get("spark.graft.approxPercentileRewrite", "false").toBoolean)
+    }
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
