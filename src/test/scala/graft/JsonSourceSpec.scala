@@ -33,6 +33,22 @@ class JsonSourceSpec extends SparkSpec {
       (3L, "open", None, None))
   }
 
+  test("corrupt lines surface as nulls, valid lines survive (permissive)") {
+    val dir = Files.createTempDirectory("graft-ndjson3").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "docs.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "v": 10}""")
+    w.println("""{"id": 2, "v": """) // truncated — a partial bulk write
+    w.println("""{"id": 3, "v": 30}""")
+    w.close()
+
+    val flat = JsonLinesSource.readFlat(spark, f.getPath)
+    // permissive mode: good rows intact, the broken row null-padded
+    flat.where($"id".isNotNull).count() shouldBe 2L
+    flat.count() shouldBe 3L
+  }
+
   test("flattened columns feed jx-style filters") {
     val dir = Files.createTempDirectory("graft-ndjson2").toFile
     dir.deleteOnExit()

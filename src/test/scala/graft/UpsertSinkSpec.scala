@@ -38,6 +38,50 @@ class UpsertSinkSpec extends SparkSpec {
       (1L, 1L, "a-v1"), (2L, 2L, "b-v2"), (3L, 2L, "c-v2"), (4L, 1L, "d-v1"))
   }
 
+  test("merge rewrites only the buckets containing updated keys") {
+    val dir = Files.createTempDirectory("graft-upsert3").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+
+    // spread keys across many buckets, then update ONE key
+    val push1 = (1L to 64L).map(i => (i, 1L, s"v1-$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(push1, path, Seq("id"), "rev", numBuckets = 16)
+
+    def bucketFiles(): Map[String, Long] = {
+      val files = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          files(f.getPath) = f.lastModified()
+      walk(new java.io.File(path))
+      files.toMap
+    }
+    val before = bucketFiles()
+
+    Thread.sleep(1100) // mtime granularity
+    ParquetUpsertSink.upsert(
+      Seq((7L, 2L, "v2-7")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev", numBuckets = 16)
+    val after = bucketFiles()
+
+    // the single updated key lives in one bucket: every OTHER bucket's
+    // files must be byte-identical (same path, same mtime)
+    val untouched = before.keys.filterNot(_.contains(bucketOf(7L, 16)))
+    untouched.foreach { f =>
+      withClue(s"$f was rewritten: ") { after(f) shouldBe before(f) }
+    }
+    // and the table contents are correct
+    ParquetUpsertSink.read(spark, path).where($"id" === 7L)
+      .as[(Long, Long, String)].collect().toSeq shouldBe Seq((7L, 2L, "v2-7"))
+  }
+
+  private def bucketOf(id: Long, n: Int): String = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val b = Seq(id).toDF("id")
+      .select(pmod(hash($"id"), lit(n)).cast("int")).head().getInt(0)
+    s"__bucket=$b"
+  }
+
   test("stale update loses to the already-stored newer revision") {
     val dir = Files.createTempDirectory("graft-upsert2").toFile
     dir.deleteOnExit()
