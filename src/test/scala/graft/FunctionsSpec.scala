@@ -42,6 +42,14 @@ class FunctionsSpec extends SparkSpec {
     exploded.except(perRow).count() shouldBe 0L
   }
 
+  test("q39's window-lead fingerprint equals the per-row fingerprint API") {
+    val viaQuery = graft.operators.Text.q39.build(spark, sfDir)
+    val viaApi = Tables.documents(spark, sfDir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+    viaQuery.except(viaApi).count() shouldBe 0L
+    viaApi.except(viaQuery).count() shouldBe 0L
+  }
+
   test("fingerprint is stable for identical text and sensitive to word changes") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),
