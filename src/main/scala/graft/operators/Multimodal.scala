@@ -127,5 +127,43 @@ object Multimodal extends QueryPack {
            |FROM documents""".stripMargin),
     "multimodal binary columns + batched decode-stub over mapPartitions")
 
-  val all: Seq[Q] = Seq(q40, q46)
+  /** Resize planning: compute aspect-preserving target geometry for
+    * every image (fit into maxW×maxH, never upscale). The geometry
+    * arithmetic is the real, oracle-verified part — the pixel
+    * resample itself is the decode stub's job (same boundary as q40:
+    * swapping in a real resampler changes no plumbing). Runs as pure
+    * scan-projection expressions; at 100 TB this pass also feeds
+    * partition-by-target-size batching for GPU decoders.
+    */
+  def resizePlan(media: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"),
+      lit(1.0))
+    media.select(
+      col("doc_id"), col("format"), col("width"), col("height"),
+      scale.as("scale"),
+      floor(col("width") * scale).cast("int").as("target_w"),
+      floor(col("height") * scale).cast("int").as("target_h"))
+  }
+
+  val q55 = Q(
+    "q55_resize",
+    (s, d) => resizePlan(mediaTable(s, d), maxW = 64, maxH = 48),
+    Some("""WITH media AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+           |         WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           |    CAST(32 + doc_id % 64 AS INT) AS width,
+           |    CAST(32 + doc_id % 48 AS INT) AS height
+           |  FROM documents
+           |)
+           |SELECT doc_id, format, width, height,
+           |  LEAST(64.0 / width, 48.0 / height, 1.0) AS scale,
+           |  CAST(FLOOR(width * LEAST(64.0 / width, 48.0 / height, 1.0)) AS INT) AS target_w,
+           |  CAST(FLOOR(height * LEAST(64.0 / width, 48.0 / height, 1.0)) AS INT) AS target_h
+           |FROM media""".stripMargin),
+    "aspect-preserving resize planning (fit-within, no upscale) as scan projections")
+
+  val all: Seq[Q] = Seq(q40, q46, q55)
 }
