@@ -127,6 +127,9 @@ object JxCompiler {
         case "prefix" =>
           val (f, v) = firstField(arg)
           col(f).startsWith(jvalue(v).toString)
+        case "find" | "contains" => // substring containment
+          val (f, v) = firstField(arg)
+          col(f).contains(jvalue(v).toString)
         case "regex" | "regexp" =>
           val (f, v) = firstField(arg)
           col(f).rlike(jvalue(v).toString)

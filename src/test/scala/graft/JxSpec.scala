@@ -145,6 +145,31 @@ class JxSpec extends SparkSpec {
       want.orderBy($"n".desc).head().getAs[Long]("n")
   }
 
+  test("find/contains filters on substring") {
+    val got = run("""{"from":"orders",
+      "where":{"find":{"o_orderpriority":"URGENT"}},
+      "select":["o_orderkey"]}""")
+    val want = Tables.orders(spark, sfDir)
+      .where($"o_orderpriority".contains("URGENT")).select("o_orderkey")
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    got.count() should be > 0L
+  }
+
+  test("all clauses together: where + edges + sort + limit") {
+    val got = run("""{"from":"events",
+      "where":{"gte":{"value":50}},
+      "edges":["event_type"],
+      "select":[{"name":"n","aggregate":"count"},
+                {"name":"total","value":"value","aggregate":"sum"}],
+      "sort":[{"value":"n","sort":-1}],
+      "limit":3}""")
+    got.count() shouldBe 3L
+    val ns = got.select($"n").as[Long].collect()
+    ns.toSeq shouldBe ns.sortBy(-_).toSeq // sorted desc
+    got.columns.toSeq shouldBe Seq("event_type", "n", "total")
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")
