@@ -73,7 +73,8 @@ object JxCompiler {
       val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
       val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
       if (edgeNodes.nonEmpty) {
-        df = edgeAggregate(df, edgeNodes, aggSel)
+        df = edgeAggregate(df, edgeNodes, aggSel,
+          plainSel.filterNot(_.asText() == "*"))
       } else if (aggSel.nonEmpty || groupFields.nonEmpty) {
         val aggs = aggSel.map(compileAggregate)
         val agged =
@@ -155,11 +156,12 @@ object JxCompiler {
   }
 
   /** One compiled pivot axis: the grouping expression, its name in the
-    * output, the domain (every cell the axis must emit), and an
-    * optional row filter (range domains drop out-of-range rows).
+    * output, the domain builder (every cell the axis must emit, given
+    * the filtered source), and an optional row filter (range domains
+    * drop out-of-range rows).
     */
-  private case class Edge(name: String, expr: Column, domain: DataFrame,
-      rowFilter: Option[Column])
+  private case class Edge(name: String, expr: Column,
+      domain: DataFrame => DataFrame, rowFilter: Option[Column])
 
   /** jx `edges` semantics (vs `groupby`): the result is CELL-COMPLETE —
     * one row per cell of the cross product of each edge's domain, with
@@ -180,18 +182,27 @@ object JxCompiler {
     * aggregate.
     */
   private def edgeAggregate(df: DataFrame, edgeNodes: Seq[JsonNode],
-      aggSel: Seq[JsonNode]): DataFrame = {
+      aggSel: Seq[JsonNode], plainSel: Seq[JsonNode]): DataFrame = {
+    // jx semantics: with edges, every select must be an aggregate (a
+    // plain field has no meaning in a pivot cell) — error loudly, the
+    // silent alternative returns a wrong-shaped result
+    require(plainSel.isEmpty,
+      s"jx edges query: non-aggregate select not allowed: " +
+        plainSel.map(_.toString).mkString(", "))
     val edges = edgeNodes.map(compileEdge(df, _))
     val (aggs, names, countNames) =
       if (aggSel.nonEmpty)
         (aggSel.map(compileAggregate), aggSel.map(aggName),
           aggSel.filter(isCountAgg).map(aggName))
       else (Seq(count(lit(1)).as("count")), Seq("count"), Seq("count"))
+    // range filters apply BEFORE categorical domains are sampled: the
+    // documented contract (and the oracle mirror) is "distinct values
+    // present in the FILTERED source"
     val filtered = edges.flatMap(_.rowFilter)
       .foldLeft(df)((d, f) => d.where(f))
     val keyed = edges.foldLeft(filtered)((d, e) => d.withColumn(e.name, e.expr))
     val agged = keyed.groupBy(edges.map(e => col(e.name)): _*).agg(aggs.head, aggs.tail: _*)
-    val cells = edges.map(_.domain).reduce(_.crossJoin(_))
+    val cells = edges.map(_.domain(filtered)).reduce(_.crossJoin(_))
     val outCols = edges.map(e => col(e.name)) ++ names.map { n =>
       if (countNames.contains(n)) coalesce(col(n), lit(0L)).as(n) else col(n)
     }
@@ -209,11 +220,12 @@ object JxCompiler {
       val v = compileExpr(req(n, "value"))
       val bucket = floor((v - mn) / iv).cast("long") * iv + mn
       val nCells = (mx - mn + iv - 1) / iv
-      val domain = df.sparkSession.range(nCells).select((col("id") * iv + mn).as(name))
-      Edge(name, bucket, domain, Some(v >= mn && v < mx))
+      Edge(name, bucket,
+        _ => df.sparkSession.range(nCells).select((col("id") * iv + mn).as(name)),
+        Some(v >= mn && v < mx))
     } else {
       val f = fieldName(n)
-      Edge(f, col(f), df.select(col(f)).distinct(), None)
+      Edge(f, col(f), filtered => filtered.select(col(f)).distinct(), None)
     }
 
   private def isCountAgg(n: JsonNode): Boolean =

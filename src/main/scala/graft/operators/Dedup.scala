@@ -20,26 +20,31 @@ object Dedup extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** (doc_id, shingle) exploded distinct word-3-gram sets.
+  /** (doc_id, shingle) — every complete word n-gram of each document,
+    * with duplicates (one row per occurrence).
     *
     * Built from exploded words + window leads rather than the
     * per-row HOF pipeline (transform∘slice∘array_join is
     * CodegenFallback-interpreted): explode/lead/concat_ws stay in
     * whole-stage codegen, at the cost of a per-doc window sort the
-    * downstream per-doc aggregations re-use anyway.
+    * downstream per-doc aggregations re-use anyway. Shared by the
+    * dedup family (3-grams) and fingerprinting (5-grams).
     */
-  def shingleSets(df: DataFrame): DataFrame = {
+  def ngrams(df: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))
     df.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"),
-        concat_ws(" ", col("w"),
-          lead(col("w"), 1).over(byPos), lead(col("w"), 2).over(byPos)).as("shingle"),
-        lead(col("w"), 2).over(byPos).as("w2"))
-      .where(col("w2").isNotNull) // only complete 3-grams
+        concat_ws(" ", col("w") +: leads: _*).as("shingle"),
+        leads.last.as("wlast"))
+      .where(col("wlast").isNotNull) // only complete n-grams
       .select(col("doc_id"), col("shingle"))
-      .dropDuplicates("doc_id", "shingle")
   }
+
+  /** (doc_id, shingle) exploded DISTINCT word-3-gram sets. */
+  def shingleSets(df: DataFrame): DataFrame =
+    ngrams(df, 3).dropDuplicates("doc_id", "shingle")
 
   /** Exact Jaccard over word-3-gram sets for all pairs sharing at least
     * one shingle, thresholded. Co-occurrence counting via shingle join:

@@ -157,7 +157,9 @@ object Etl extends QueryPack {
           get_json_object(col("props"), "$.k").cast("int").as("k"),
           col("value"))
         .where(col("k").isNotNull)
-        .withColumn("k_bucket", (expr("k div 10") * 10).cast("int"))
+        // FLOOR division (not Spark's truncate-toward-zero `div`) so
+        // negative k buckets identically to the oracle's `//`
+        .withColumn("k_bucket", (floor(col("k") / 10.0) * 10).cast("int"))
         .groupBy(col("event_type"), col("k_bucket"))
         .agg(
           count(lit(1)).as("n"),

@@ -144,22 +144,11 @@ object Text extends QueryPack {
     "q39_fingerprint",
     (s, d) => {
       // Same result as graft.functions.fingerprint (the scalar-column
-      // API), but built from exploded words + window leads: the HOF
-      // formulation (transform∘sequence∘slice∘array_join per row) is
-      // CodegenFallback-interpreted, while explode/lead/concat_ws/md5
-      // all stay inside whole-stage codegen. One window sort per doc
-      // replaces per-row array interpretation.
-      import org.apache.spark.sql.expressions.Window
-      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val sh = docs(s, d)
-        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-        .select(col("doc_id"),
-          concat_ws(" ", col("w"),
-            lead(col("w"), 1).over(byPos), lead(col("w"), 2).over(byPos),
-            lead(col("w"), 3).over(byPos), lead(col("w"), 4).over(byPos)).as("sh"),
-          lead(col("w"), 4).over(byPos).as("w4"))
-        .where(col("w4").isNotNull) // only complete 5-grams
-      val fps = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp"))
+      // API), but via the shared codegen n-gram pipeline
+      // (Dedup.ngrams) instead of the CodegenFallback-interpreted HOF
+      // formulation; min-of-md5 over complete 5-grams.
+      val fps = Dedup.ngrams(docs(s, d), 5)
+        .groupBy(col("doc_id")).agg(min(md5(col("shingle"))).as("fp"))
       docs(s, d).select(col("doc_id")).join(fps, Seq("doc_id"), "left")
     },
     Some("""WITH toks AS (
@@ -201,18 +190,20 @@ object Text extends QueryPack {
       // hashing on the stable doc id (Knuth's 2654435761), pure
       // arithmetic so any engine reproduces the same split — no RNG,
       // no row order dependence, stable under re-partitioning and
-      // incremental appends. 80/10/10.
+      // incremental appends. 80/10/10. The id reduces mod a prime
+      // FIRST so the product stays < 2^63 for any 64-bit id (ANSI
+      // mode throws on overflow rather than wrapping).
       docs(s, d).select(
         col("doc_id"), col("source"),
-        (col("doc_id") * 2654435761L % 100).as("bucket"))
+        (col("doc_id") % 100000007L * 2654435761L % 100).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
         .drop("bucket"),
     Some("""SELECT doc_id, source,
-           |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-           |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+           |  CASE WHEN doc_id % 100000007 * 2654435761 % 100 < 80 THEN 'train'
+           |       WHEN doc_id % 100000007 * 2654435761 % 100 < 90 THEN 'val'
            |       ELSE 'test' END AS split
            |FROM documents""".stripMargin),
     "deterministic train/val/test split via multiplicative hashing, no RNG")

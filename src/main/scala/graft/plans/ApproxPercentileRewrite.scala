@@ -24,9 +24,12 @@ case class ApproxPercentileRewrite(enabled: () => Boolean) extends Rule[LogicalP
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled()) plan
     else plan.transformAllExpressions {
+      // reverse=true (descending-order percentile) has no sketch
+      // equivalent without flipping p; leave those exact rather than
+      // silently answering the wrong quantile
       case ae @ AggregateExpression(
-          Percentile(child, percentage, frequency, _, _, _), _, _, _, _)
-          if frequency == Literal(1L) =>
+          Percentile(child, percentage, frequency, _, _, reverse), _, _, _, _)
+          if frequency == Literal(1L) && !reverse =>
         ae.copy(aggregateFunction = new ApproximatePercentile(
           child, percentage, Literal(accuracy)))
     }

@@ -31,13 +31,21 @@ object ParquetUpsertSink {
     * winning per key (ties broken by the remaining sort stability of
     * a single row_number pass — callers should make versions unique
     * per key, e.g. a revision counter or event timestamp).
+    *
+    * The bucket count is a TABLE property, not a call property: the
+    * first write records `numBuckets` in a `_graft_buckets` sidecar
+    * and every later merge uses the stored value — a mismatched
+    * caller value would route existing keys to different buckets,
+    * skip them during pruning, and silently duplicate keys.
     */
   def upsert(updates: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int = 64): Unit = {
     val spark = updates.sparkSession
-    val keyed = withBucket(updates, keyCols, numBuckets)
+    val exists = tableExists(spark, path)
+    val buckets = if (exists) readBucketCount(spark, path) else numBuckets
+    val keyed = withBucket(updates, keyCols, buckets)
     val merged =
-      if (!tableExists(spark, path)) dedupLatest(keyed, keyCols, versionCol)
+      if (!exists) dedupLatest(keyed, keyCols, versionCol)
       else {
         val touched = keyed.select(col(bucketCol)).distinct()
           .collect().map(_.getInt(0))
@@ -53,6 +61,25 @@ object ParquetUpsertSink {
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
+    if (!exists) writeBucketCount(spark, path, buckets)
+  }
+
+  private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+
+  private def writeBucketCount(spark: SparkSession, path: String, n: Int): Unit = {
+    val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath(path), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBucketCount(spark: SparkSession, path: String): Int = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path exists but has no _graft_buckets sidecar — not an upsert-sink table")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
   }
 
   /** Read the logical table back (bucket column dropped). */

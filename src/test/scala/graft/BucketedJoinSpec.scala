@@ -40,6 +40,7 @@ class BucketedJoinSpec extends SparkSpec {
         .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
       joined.except(plainRows).count() shouldBe 0L
+      plainRows.except(joined).count() shouldBe 0L
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")

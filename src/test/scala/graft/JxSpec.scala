@@ -170,6 +170,14 @@ class JxSpec extends SparkSpec {
     got.columns.toSeq shouldBe Seq("event_type", "n", "total")
   }
 
+  test("plain select with edges is rejected, not silently dropped") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"events","edges":["event_type"],
+        "select":["user_id",{"name":"n","aggregate":"count"}]}""")
+    }
+    e.getMessage should include("non-aggregate select")
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")

@@ -30,7 +30,9 @@ class UpsertSinkSpec extends SparkSpec {
       (2L, 0L, "b-v0"),  // stale revision: must lose to what's stored? no — loses to v2 in-batch
       (4L, 1L, "d-v1")   // new key
     ).toDF("id", "rev", "payload")
-    ParquetUpsertSink.upsert(push2, path, Seq("id"), "rev", numBuckets = 8)
+    // deliberately WRONG numBuckets: the table's stored bucket count
+    // (8, from push1) must win or keys silently duplicate
+    ParquetUpsertSink.upsert(push2, path, Seq("id"), "rev", numBuckets = 32)
 
     val got2 = ParquetUpsertSink.read(spark, path)
       .as[(Long, Long, String)].collect().toSet
