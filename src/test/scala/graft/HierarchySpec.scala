@@ -56,6 +56,21 @@ class HierarchySpec extends SparkSpec {
     incr shouldBe base.as[(Long, Long, Int)].collect().toSet
   }
 
+  test("deep-chain closure: exact pair count and depths at depth 512") {
+    // a 512-node chain has max path length 511 — per-level iteration
+    // would need 511 rounds; band doubling needs ~10. Exact closure of
+    // a chain: n*(n-1)/2 pairs, depth = distance.
+    val n = 512
+    val chain = spark.range(1, n)
+      .selectExpr("id as child", "id - 1 as parent")
+    val cl = Hierarchy.closure(chain)
+    cl.count() shouldBe n.toLong * (n - 1) / 2
+    cl.agg(org.apache.spark.sql.functions.max($"depth")).head().getInt(0) shouldBe n - 1
+    // spot-check: depth between two nodes is their distance
+    cl.where($"ancestor" === 0 && $"descendant" === 300)
+      .head().getInt(2) shouldBe 300
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
