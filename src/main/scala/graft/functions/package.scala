@@ -51,6 +51,14 @@ package object functions {
   def dotFast(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
+  /** Native mergeable SimHash aggregate over a column of 64-bit token
+    * hashes (see [[graft.expressions.SimHashAgg]]): one 256-byte vote
+    * buffer per group replaces 64 conditional-sum columns. Requires
+    * `graft.GraftExtensions` (installed by `graft.util.configure`).
+    */
+  def simhashAgg(tokenHash: Column): Column =
+    call_function("simhash_agg", tokenHash)
+
   /** Sum of squares of an array column in double precision. */
   def norm2(a: Column): Column =
     fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))

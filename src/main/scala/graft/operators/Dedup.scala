@@ -163,20 +163,16 @@ object Dedup extends QueryPack {
   def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 8): DataFrame = {
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
-    // Same algorithm as graft.functions.simhash64 but as an exploded-
-    // token aggregation: hash each token once (codegen'd), then 64
-    // conditional-sum vote columns in one group-by pass — vs 64
-    // interpreted `aggregate` lambdas per row (~10x faster at sf0.1).
-    val toks = df
+    // Same algorithm as graft.functions.simhash64, via the native
+    // mergeable SimHashAgg aggregate (one 256-byte vote buffer per
+    // group; see graft.expressions.SimHashAgg) — one expression where
+    // the composed formulation needs 64 conditional-sum columns.
+    // FunctionsSpec pins the three formulations to each other.
+    val hashed = df
       .select(col("doc_id"), explode(words(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = toks.groupBy(col("doc_id")).agg(
-      sum(when(col("h").bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
-      (1 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
-    val hashed = votes.select(col("doc_id"),
-      (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce((a, c) => a.bitwiseOR(c)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.simhashAgg(col("h")).as("sh"))
     val chunks = hashed.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nChunks).map(i =>
         shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(mask)): _*))

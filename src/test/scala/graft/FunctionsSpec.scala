@@ -30,6 +30,17 @@ class FunctionsSpec extends SparkSpec {
     exploded.except(perRow).count() shouldBe 0L
   }
 
+  test("native simhash_agg aggregate equals the per-row simhash64") {
+    val perRow = docs.select($"doc_id", simhash64(words($"text")).as("sh"))
+    val native = docs
+      .select($"doc_id", explode(words($"text")).as("t"))
+      .select($"doc_id", xxhash64($"t").as("h"))
+      .groupBy($"doc_id")
+      .agg(simhashAgg($"h").as("sh"))
+    perRow.except(native).count() shouldBe 0L
+    native.except(perRow).count() shouldBe 0L
+  }
+
   test("per-row minhash equals the exploded min-aggregation") {
     val seed = 7
     val perRow = docs
