@@ -3,6 +3,7 @@ package graft.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -26,11 +27,14 @@ case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+  // Long counters: a group may see more than 2^31 tokens at the
+  // scales this module targets; Int votes would wrap and flip sign
+  // bits silently. 512 bytes per group is still negligible.
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
-  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
@@ -43,13 +47,13 @@ case class SimHashAgg(
     buffer
   }
 
-  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
     while (i < 64) { b1(i) += b2(i); i += 1 }
     b1
   }
 
-  override def eval(buffer: Array[Int]): Any = {
+  override def eval(buffer: Array[Long]): Any = {
     var sh = 0L
     var b = 0
     while (b < 64) {
@@ -59,16 +63,22 @@ case class SimHashAgg(
     sh
   }
 
-  override def serialize(buffer: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(64 * 4)
-    buffer.foreach(bb.putInt)
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    buffer.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(64)(bb.getInt())
+    Array.fill(64)(bb.getLong())
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg expects a BIGINT token-hash column (e.g. xxhash64(token)), " +
+        s"got ${child.dataType.simpleString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

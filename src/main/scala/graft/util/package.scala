@@ -37,5 +37,12 @@ package object util {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
+      // Object-typed aggregates (SimHashAgg) plan as
+      // ObjectHashAggregate, whose map side falls back to SORT-based
+      // aggregation after this many distinct groups per task (default
+      // 128 — i.e. always, on real data). 512-byte buffers × 64k
+      // groups ≈ 32 MB per task: cheap insurance against sorting every
+      // exploded token row by group key.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 }
