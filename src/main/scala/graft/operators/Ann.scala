@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * q35 is the scale path: random-hyperplane LSH — each vector lands in
   * `tables` buckets, candidates come from bucket joins, and only
   * candidates pay the exact cosine. q41 is exact all-pairs dedup at
-  * threshold — verifiable baseline whose scale path is the same LSH
-  * bucketing.
+  * threshold, executed as a blocked theta-join (partition-parallel,
+  * no broadcast) — see `blockedCosinePairs` for why LSH cannot stand
+  * in for it at low thresholds.
   *
   * All cosine scoring uses the native codegen'd CosineSimilarity
   * expression (one primitive loop; stays in WholeStageCodegen).
@@ -169,16 +170,48 @@ object Ann extends QueryPack {
     None, // probe set has no SQL mirror; recall spec vs q34
     "IVF ANN: 16-list spherical k-means quantizer, 4-probe exact rerank")
 
+  /** Exact all-pairs cosine near-dup WITHOUT a broadcast cartesian:
+    * block theta-join. Each vector is assigned one of `blocks` hash
+    * blocks; a row in block b replicates left to keys (b, j≥b) and
+    * right to keys (i≤b, b), so every unordered block pair (i, j)
+    * meets in exactly one equi-join partition. The result is a plain
+    * shuffle hash join on (bi, bj): no table broadcast, no
+    * BroadcastNestedLoopJoin, each task holds two blocks (2n/blocks
+    * rows — the memory knob), and the n²/2 comparisons spread across
+    * blocks²/2 uniform partitions (hash blocks cannot skew).
+    *
+    * Why not LSH candidates here: an exact low-threshold cosine join
+    * is Ω(n²) COMPARISONS no matter the plan. At threshold 0.4 the
+    * per-bit hyperplane agreement is 1−acos(0.4)/π ≈ 0.63 — near
+    * coin-flip — so hyperplane buckets at any width that keeps recall
+    * (measured: the corpus has a continuum of pairs at 0.40±0.01)
+    * admit candidate volume ≈ the cartesian itself. LSH is the scale
+    * path only for HIGH-similarity semantics (q35, and q32's
+    * band+verify pattern); this operator is the exact baseline, made
+    * partition-parallel and memory-bounded instead of broadcast.
+    * AnnSpec pins equality to the naive cartesian formulation and
+    * asserts no BNLJ node in this plan.
+    */
+  def blockedCosinePairs(df: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    val withB = df.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("b"))
+    val l = withB.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("b").as("bi"), explode(sequence(col("b"), lit(blocks - 1))).as("bj"))
+    val r = withB.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      explode(sequence(lit(0), col("b"))).as("bi"), col("b").as("bj"))
+    l.join(r, Seq("bi", "bj"))
+      // diagonal blocks see both orientations of a pair — keep one;
+      // off-diagonal blocks see exactly one orientation — keep it
+      .where((col("bi") =!= col("bj")) || (col("v1") < col("v2")))
+      .withColumn("score", cosineFast(col("e1"), col("e2")))
+      .where(col("score") >= threshold && col("v1") =!= col("v2"))
+      .select(least(col("v1"), col("v2")).as("v1"),
+        greatest(col("v1"), col("v2")).as("v2"), col("score"))
+  }
+
   val q41 = Q(
     "q41_dedup_embed",
-    (s, d) => {
-      val a = emb(s, d).select(col("vec_id").as("v1"), col("embedding").as("e1"))
-      val b = emb(s, d).select(col("vec_id").as("v2"), col("embedding").as("e2"))
-      a.join(b, col("v1") < col("v2"))
-        .withColumn("score", cosineFast(col("e1"), col("e2")))
-        .where(col("score") >= 0.4)
-        .select(col("v1"), col("v2"), col("score"))
-    },
+    (s, d) => blockedCosinePairs(emb(s, d), 0.4),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            |SELECT a.vec_id AS v1, b.vec_id AS v2,
            |  list_dot_product(a.v, b.v) /
@@ -186,7 +219,7 @@ object Ann extends QueryPack {
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
            |WHERE list_dot_product(a.v, b.v) /
            |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin),
-    "embedding-cosine near-dup pairs, exact all-pairs baseline (scale path: q35 LSH buckets)")
+    "embedding-cosine near-dup pairs: exact blocked theta-join (no broadcast cartesian)")
 
   val all: Seq[Q] = Seq(q34, q35, q41, q43)
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * Scale invariant: candidate generation is ALWAYS bucketed — a join on
   * a shingle / LSH-band / SimHash-chunk key — never an all-pairs cross
   * join. Pairwise work is O(sum of bucket²), which stays linear-ish
-  * when bucket keys are selective. The exact-Jaccard operator (q31) is
-  * the verifiable baseline: it buckets by shingle, which is fine at
-  * bench scale but develops hot buckets on very common shingles; at
-  * 100 TB use q32's MinHash bands (fixed 8 buckets per doc regardless
-  * of content) with this exact measure only on the candidates.
+  * when bucket keys are selective — and every bucketing here BOUNDS its
+  * hottest bucket: q31 df-cuts ubiquitous shingles from candidate
+  * generation (exact Jaccard preserved via per-doc hot-sets), q33
+  * widens its chunk width with corpus size, q32's bands are fixed at 8
+  * buckets per doc regardless of content. At 100 TB q32 (MinHash bands
+  * + exact verify) remains the cheapest path; q31 is the exact measure
+  * with a skew guard.
   */
 object Dedup extends QueryPack {
 
@@ -47,25 +49,66 @@ object Dedup extends QueryPack {
     ngrams(df, 3).dropDuplicates("doc_id", "shingle")
 
   /** Exact Jaccard over word-3-gram sets for all pairs sharing at least
-    * one shingle, thresholded. Co-occurrence counting via shingle join:
-    * |A∩B| = shared shingles, |A∪B| = nA + nB − |A∩B|.
+    * one *non-ubiquitous* shingle, thresholded. Co-occurrence counting
+    * via shingle join: |A∩B| = shared shingles, |A∪B| = nA + nB − |A∩B|.
+    *
+    * Skew guard (`maxShingleDf`): the self-join on `shingle` is a
+    * shuffle on a naturally skewed key — boilerplate shingles ("of the
+    * and"-class) occur in huge document counts and each contributes
+    * df² join rows, so at corpus scale a handful of hot shingles
+    * dominate the candidate volume AND land on single reducers. The
+    * fix: shingles with document frequency > maxShingleDf are excluded
+    * from CANDIDATE GENERATION only — per-shingle join output is
+    * bounded by maxShingleDf², and total candidate rows by
+    * maxShingleDf × |shingle occurrences| (linear in corpus size).
+    * The Jaccard values stay EXACT: each doc's hot shingles are kept
+    * as a small sorted array (≤ distinct-hot-shingle count, itself
+    * ≤ occurrences/maxShingleDf) and |A∩B| = shared-rare (from the
+    * join) + |hotA ∩ hotB| (array intersect on the candidate rows).
+    *
+    * Recall contract: a qualifying pair is missed only if EVERY shared
+    * shingle is hot — i.e. the overlap is pure corpus boilerplate. At
+    * threshold ≥ 0.5 that means half of each document is ubiquitous
+    * 3-grams; such quasi-clique "duplicates" are exactly the join
+    * output a dedup pipeline must not generate at scale. On the test
+    * corpus max df ≈ 25 (sf0.1), so the default cut of 128 changes
+    * nothing (DedupSpec pins equality; a dedicated spec exercises a
+    * boilerplate corpus where the cut does bite).
     */
-  def jaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(df: DataFrame, threshold: Double,
+      maxShingleDf: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Join/shuffle on the 64-bit hash of the shingle, not the string:
     // same co-occurrence counts (a cross-doc hash collision would need
     // ~2^32 distinct shingles to become likely), but the self-join
     // hashes/compares/ships 8-byte keys instead of ~20-char strings.
-    // Materialized once: reused by both join sides and the size agg.
+    // Document frequency via a whole-partition window over the same
+    // shingle-keyed shuffle the join needs anyway (no extra agg+join).
+    // Materialized once: reused by both join sides, the size agg, and
+    // the hot-set agg.
     val sh = shingleSets(df)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .localCheckpoint()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("d1", "shingle")
-    val b = sh.toDF("d2", "shingle")
+    val rare = sh.where(col("df") <= maxShingleDf).select(col("doc_id"), col("shingle"))
+    // Per-doc hot-shingle sets: small by construction (the corpus has
+    // at most occurrences/maxShingleDf distinct hot shingles), sorted
+    // for a merge-style array_intersect.
+    val hot = sh.where(col("df") > maxShingleDf)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("hs"))
+    val noHot = array().cast("array<bigint>")
+    val a = rare.toDF("d1", "shingle")
+    val b = rare.toDF("d2", "shingle")
     a.join(b, "shingle")
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("cr"))
+      .join(hot.toDF("d1", "h1"), Seq("d1"), "left")
+      .join(hot.toDF("d2", "h2"), Seq("d2"), "left")
+      .withColumn("c", col("cr") +
+        size(array_intersect(coalesce(col("h1"), noHot), coalesce(col("h2"), noHot))))
       .join(sz.toDF("d1", "n1"), "d1")
       .join(sz.toDF("d2", "n2"), "d2")
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
@@ -91,7 +134,7 @@ object Dedup extends QueryPack {
            |SELECT d1, d2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
            |FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
            |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
-    "exact word-3-gram Jaccard near-dup pairs (shingle-bucketed, never all-pairs)")
+    "exact word-3-gram Jaccard near-dup pairs (shingle-bucketed, df-cut hot shingles, never all-pairs)")
 
   /** MinHash signatures (k seeded xxhash64 minima) banded into
     * `bands` buckets of `rows` signature slots each. Two docs land in
@@ -156,13 +199,26 @@ object Dedup extends QueryPack {
     * candidates (pigeonhole: hamming ≤ chunks−1 guarantees a shared
     * chunk). Emits pairs with hamming ≤ maxHamming.
     *
-    * chunkBits=8 (8 chunks, catches hamming ≤ 7) suits ≤1M docs; at
-    * larger scale use chunkBits=16 + maxHamming=3 so buckets stay
-    * selective (2^16 values per position), or multi-probe rotations.
+    * Chunk width is the scale knob, and it is AUTO-SELECTED from the
+    * corpus size by default (chunkBits = 0): 8-bit chunks (8 chunks,
+    * pigeonhole-complete for hamming ≤ 7) up to 2M docs; 16-bit chunks
+    * (2^16 values per position — buckets stay selective on corpora
+    * where 8-bit chunk values saturate) above that. With 16-bit chunks
+    * completeness is guaranteed only for hamming ≤ 3; pairs at hamming
+    * 4..maxHamming are still found whenever any 16-bit chunk agrees
+    * (probabilistic, like MinHash banding) — the price of bounding
+    * candidate volume on billion-doc corpora. Pass chunkBits
+    * explicitly to pin either regime (specs pin 8-bit behavior).
     */
-  def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 8): DataFrame = {
-    val nChunks = 64 / chunkBits
-    val mask = (1L << chunkBits) - 1
+  def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 0): DataFrame = {
+    val bits =
+      if (chunkBits > 0) chunkBits
+      // one cheap count job (column-pruned scan) decides the regime;
+      // at 100 TB this is table-statistics metadata, not a data pass
+      else if (df.count() <= 2000000L) 8
+      else 16
+    val nChunks = 64 / bits
+    val mask = (1L << bits) - 1
     // Same algorithm as graft.functions.simhash64, via the native
     // mergeable SimHashAgg aggregate (one 256-byte vote buffer per
     // group; see graft.expressions.SimHashAgg) — one expression where
@@ -175,7 +231,7 @@ object Dedup extends QueryPack {
       .agg(graft.functions.simhashAgg(col("h")).as("sh"))
     val chunks = hashed.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nChunks).map(i =>
-        shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(mask)): _*))
+        shiftrightunsigned(col("sh"), i * bits).bitwiseAND(mask)): _*))
         .as(Seq("pos", "cv")))
       .localCheckpoint() // vote aggregation runs once, not per join side
     // Filter BEFORE dedup: on clustered corpora (templated docs) the
@@ -197,7 +253,7 @@ object Dedup extends QueryPack {
     "q33_dedup_simhash",
     (s, d) => simhashPairs(docs(s, d), maxHamming = 5),
     None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
-    "SimHash near-dup: 8-bit chunk buckets, hamming<=5 (pigeonhole-complete)")
+    "SimHash near-dup: scale-aware chunk buckets, hamming<=5 (pigeonhole-complete at test scale)")
 
   val all: Seq[Q] = Seq(q31, q32, q33)
 }

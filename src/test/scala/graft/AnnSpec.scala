@@ -55,6 +55,22 @@ class AnnSpec extends SparkSpec {
     cand.count().toDouble should be < 0.8 * 10 * (n - 1)
   }
 
+  test("blocked cosine pairs: equals the naive cartesian, exactly once, no BNLJ") {
+    val e = Tables.embeddings(spark, sfDir)
+    val blocked = Ann.blockedCosinePairs(e, 0.4, blocks = 7) // odd count: exercise diagonal + off-diagonal
+    // no broadcast cartesian in the executed plan
+    val plan = blocked.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val rows = blocked.select($"v1", $"v2").as[(Long, Long)].collect()
+    rows.length shouldBe rows.toSet.size // block-pair coverage emits each pair exactly once
+    val naive = e.toDF("v1", "e1", "l1").join(e.toDF("v2", "e2", "l2"), $"v1" < $"v2")
+      .withColumn("score", cosineFast($"e1", $"e2"))
+      .where($"score" >= 0.4)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    rows.toSet shouldBe naive
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)

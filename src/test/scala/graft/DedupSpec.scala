@@ -41,4 +41,62 @@ class DedupSpec extends SparkSpec {
     val recall = pairs.intersect(exactPairs).size.toDouble / exactPairs.size
     recall should be >= 0.6
   }
+
+  test("simhash explicit chunkBits matches the auto-selected regime at test scale") {
+    // auto (count <= 2M) must pick 8-bit chunks — identical pairs
+    val auto = Dedup.simhashPairs(documents, maxHamming = 5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val pinned = Dedup.simhashPairs(documents, maxHamming = 5, chunkBits = 8)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    auto shouldBe pinned
+  }
+
+  test("df-cut leaves jaccard pairs unchanged on the test corpus") {
+    val cut = Dedup.jaccardPairs(documents, 0.5) // default maxShingleDf = 128
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSet
+    val uncut = Dedup.jaccardPairs(documents, 0.5, maxShingleDf = Int.MaxValue)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSet
+    cut shouldBe uncut
+  }
+
+  /** A corpus where the df-cut BITES: every doc opens with the same
+    * boilerplate sentence (shingle df = corpus size), near-dup pairs
+    * share rare content shingles too. The cut must (a) keep the pair
+    * set AND the exact Jaccard values (hot-set accounting), (b) shrink
+    * hot-bucket candidate volume by orders of magnitude.
+    */
+  test("df-cut on a boilerplate corpus: exact values preserved, candidate volume bounded") {
+    val boiler = "terms of service apply to all users of this site without exception"
+    val docs = (0 until 200).map { i =>
+      // pairs (2k, 2k+1) share their content tail => near-dups
+      val content = (0 until 12).map(j => s"w${(i / 2) * 100 + j}").mkString(" ")
+      (i.toLong, s"$boiler $content")
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val cut = Dedup.jaccardPairs(df, 0.5, maxShingleDf = 8)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSet
+    val uncut = Dedup.jaccardPairs(df, 0.5, maxShingleDf = Int.MaxValue)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSet
+    uncut.size shouldBe 100 // one pair per content template
+    cut shouldBe uncut // exact Jaccard incl. hot shingles, via hot-sets
+    // candidate volume: sum over shingles of C(df,2), rare vs all
+    val dfc = Dedup.shingleSets(df).groupBy($"shingle").count()
+      .select($"count").as[Long].collect()
+    val all = dfc.map(c => c * (c - 1) / 2).sum
+    val rare = dfc.filter(_ <= 8).map(c => c * (c - 1) / 2).sum
+    all.toDouble / rare.toDouble should be > 50.0 // the join the cut avoided
+  }
+
+  test("df-cut recall contract: a pair sharing ONLY hot shingles is dropped by design") {
+    val boiler = "terms of service apply to all users of this site without exception"
+    // 50 docs that are pure boilerplate (all-hot shingles, all mutual
+    // near-dups) + 50 docs of unique content
+    val docs = (0 until 50).map(i => (i.toLong, boiler)) ++
+      (50 until 100).map(i => (i.toLong, (0 until 12).map(j => s"w${i * 100 + j}").mkString(" ")))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val uncut = Dedup.jaccardPairs(df, 0.5, maxShingleDf = Int.MaxValue).count()
+    val cut = Dedup.jaccardPairs(df, 0.5, maxShingleDf = 8).count()
+    uncut shouldBe 50L * 49 / 2 // the boilerplate quasi-clique
+    cut shouldBe 0L // exactly the quadratic output the cut refuses to emit
+  }
 }
