@@ -20,6 +20,15 @@ object Cluster extends QueryPack {
 
   /** (node, component) for every node in `pairs` (columns d1, d2);
     * component = min node id reachable via undirected pair edges.
+    *
+    * The loop runs under AQE deliberately: each round's grouped-min
+    * joins are planned per-stage against the MEASURED size of the
+    * contracting edge set — tiny tail rounds get broadcast joins and
+    * coalesced shuffles, big early rounds get skew splitting on hot
+    * component roots. (Measured: forcing AQE off for the tail rounds
+    * doubles the query — the static planner sees LogicalRDD default
+    * stats for the checkpointed edges and falls back to 32-partition
+    * sort-merge joins.)
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // invariant: `edges` is symmetric (both directions present), so
@@ -30,10 +39,12 @@ object Cluster extends QueryPack {
     var stats = edgeStats(edges)
     var converged = false
     while (!converged) {
-      // one dedup shuffle per star step: each step's output unions
-      // with its swap and dedups once, instead of distinct-ing inside
-      // the star AND in a separate symmetrize pass
-      val next = symmetrize(smallStar(symmetrize(largeStar(edges))))
+      // three shuffles per round: large-star window, small-star
+      // window, one round-boundary dedup. The mid-round mirror skips
+      // its dedup — a star step's per-node min is unaffected by
+      // duplicate edges, so multiplicity only costs bounded row growth
+      // (≤8× within a round), never correctness.
+      val next = symmetrize(smallStar(mirror(largeStar(edges))))
         .localCheckpoint()
       val nextStats = edgeStats(next)
       converged = nextStats == stats
@@ -46,34 +57,38 @@ object Cluster extends QueryPack {
       least(col("node"), col("component")).as("component"))
   }
 
-  /** connect larger neighbors of each node to its minimum neighbor
-    * (deduped by the following symmetrize, not here)
+  /** connect larger neighbors of each node to its minimum neighbor */
+  private def largeStar(edges: DataFrame): DataFrame =
+    starStep(edges, keepLarger = true)
+
+  /** connect smaller-or-equal neighbors of each node to its minimum */
+  private def smallStar(edges: DataFrame): DataFrame =
+    starStep(edges, keepLarger = false)
+
+  /** One star step in ONE shuffle: the per-node neighborhood minimum
+    * comes from a whole-partition window over u (streaming min — no
+    * per-group buffering) instead of a groupBy + join back, which
+    * costs an aggregate shuffle PLUS a join (a broadcast build per
+    * round under AQE). The (u → m) self rows are emitted from every
+    * edge row rather than once per node — duplicates are swept by the
+    * round-boundary dedup, which runs anyway.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy(col("u"))
-      .agg(least(min(col("v")), first(col("u"))).as("m"))
-    edges.join(mins, "u")
-      .where(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
+  private def starStep(edges: DataFrame, keepLarger: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withM = edges.withColumn("m",
+      least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+    val kept = if (keepLarger) col("v") > col("u") else col("v") <= col("u")
+    withM.where(kept).select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
       .where(col("u") =!= col("v"))
   }
 
-  /** connect smaller-or-equal neighbors of each node to its minimum
-    * (deduped by the following symmetrize, not here)
-    */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy(col("u"))
-      .agg(least(min(col("v")), first(col("u"))).as("m"))
-    edges.join(mins, "u")
-      .where(col("v") <= col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
-      .where(col("u") =!= col("v"))
-  }
+  /** both directions of every edge, as a multiset (no dedup). */
+  private def mirror(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("v").as("u"), col("u").as("v")))
 
   private def symmetrize(edges: DataFrame): DataFrame =
-    edges.union(edges.select(col("v").as("u"), col("u").as("v"))).distinct()
+    mirror(edges).distinct()
 
   /** (edge count, order-independent content hash) — fixpoint test.
     * Hashes sum through decimal so ANSI mode can't overflow.

@@ -147,14 +147,17 @@ object Etl extends QueryPack {
     (s, d) =>
       // Semi-structured extraction — the reference's records are ES
       // JSON documents and jx reads nested fields as dot-paths; here a
-      // JSON string column is parsed in the scan projection
-      // (get_json_object is codegen'd; no UDF) and aggregated like any
-      // typed column. At 100 TB prefer parsing once into a struct
-      // column at ingest; this is the read-side-extraction form.
+      // JSON string column is parsed ONCE per row into a typed struct
+      // (from_json with an explicit schema — Jackson runs a single
+      // pass, vs one parse per get_json_object path) in the scan
+      // projection, then aggregated like any typed column. At 100 TB
+      // prefer materializing the struct at ingest; this is the
+      // read-side-extraction form of the same plan.
       ev(s, d)
         .select(
           col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"),
           col("value"))
         .where(col("k").isNotNull)
         // FLOOR division (not Spark's truncate-toward-zero `div`) so
