@@ -26,9 +26,12 @@ import scala.jdk.CollectionConverters._
   *
   * Supported subset (the operators the reference's own hierarchy/push
   * queries use, plus arithmetic):
+  *  - from: table name; dotted leaf path into nested documents
+  *    ("orders.lines" explodes the inner array, one row per inner
+  *    document, leaf fields dot-named); or a nested query document
   *  - where: and, or, not, eq, ne, gt, gte, lt, lte, in, missing,
-  *    exists, prefix, regex; nested arithmetic add/sub/mult/div;
-  *    literal
+  *    exists, prefix, regex; nested arithmetic add/sub/mult/div,
+  *    mod, floor; when/then/else and case conditionals; literal
   *  - select: "*", "field", {name, value, aggregate} with aggregate in
   *    count, sum, average, minimum, maximum, cardinality, and
   *    value-less count
@@ -37,6 +40,9 @@ import scala.jdk.CollectionConverters._
   *  - window: {name, value, aggregate, edges, sort} with aggregate in
   *    sum, count, min, max, rownum
   *  - sort: field or {value, sort: 1|-1}; limit: int
+  *  - format: "list" (default, flat rows), "table" (header + data
+  *    arrays), "cube" (edge domain arrays + per-aggregate nested
+  *    data arrays)
   */
 object JxCompiler {
 
@@ -46,17 +52,27 @@ object JxCompiler {
 
   /** Compile and run a jx query against the testdata tables in `dir`. */
   def query(spark: SparkSession, dir: String, json: String): DataFrame =
-    compile(spark, dir, parse(json))
+    compile(spark, dir, parse(json), Map.empty)
 
-  private def compile(spark: SparkSession, dir: String, q: JsonNode): DataFrame = {
-    // jx `from` is a table name or a nested query document (the
-    // reference pipelines queries: an inner aggregation feeding an
-    // outer filter/sort). Compilation recurses; Catalyst flattens the
-    // nesting into one plan, so there is no materialization boundary.
+  /** Like `query`, with extra named DataFrames visible to `from` —
+    * the route for querying nested documents built in-plan (and for
+    * NDJSON reads via [[graft.sources.JsonLinesSource]]).
+    */
+  def queryOn(spark: SparkSession, dir: String, json: String,
+      tables: Map[String, DataFrame]): DataFrame =
+    compile(spark, dir, parse(json), tables)
+
+  private def compile(spark: SparkSession, dir: String, q: JsonNode,
+      tables: Map[String, DataFrame]): DataFrame = {
+    // jx `from` is a table name, a dotted path to nested inner
+    // documents, or a nested query document (the reference pipelines
+    // queries: an inner aggregation feeding an outer filter/sort).
+    // Compilation recurses; Catalyst flattens the nesting into one
+    // plan, so there is no materialization boundary.
     val fromNode = req(q, "from")
     var df =
-      if (fromNode.isTextual) Tables.load(spark, dir, fromNode.asText())
-      else compile(spark, dir, fromNode)
+      if (fromNode.isTextual) resolveFrom(spark, dir, fromNode.asText(), tables)
+      else compile(spark, dir, fromNode, tables)
 
     if (q.has("where")) df = df.where(compileExpr(q.get("where")))
 
@@ -67,10 +83,10 @@ object JxCompiler {
 
     val groupFields = if (q.has("groupby")) asList(q.get("groupby")).map(fieldName) else Nil
     val edgeNodes = if (q.has("edges")) asList(q.get("edges")) else Nil
+    val sel = if (q.has("select")) asList(q.get("select")) else Nil
+    val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
 
     if (q.has("select") || groupFields.nonEmpty || edgeNodes.nonEmpty) {
-      val sel = if (q.has("select")) asList(q.get("select")) else Nil
-      val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
       val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
       if (edgeNodes.nonEmpty) {
         df = edgeAggregate(df, edgeNodes, aggSel,
@@ -79,7 +95,7 @@ object JxCompiler {
         val aggs = aggSel.map(compileAggregate)
         val agged =
           if (groupFields.nonEmpty)
-            df.groupBy(groupFields.map(col): _*)
+            df.groupBy(groupFields.map(fcol): _*)
               .agg(aggs.headOption.getOrElse(count(lit(1)).as("count")), aggs.drop(1): _*)
           else df.agg(aggs.head, aggs.tail: _*)
         df = agged
@@ -90,7 +106,7 @@ object JxCompiler {
 
     if (q.has("sort")) {
       val orders = asList(q.get("sort")).map {
-        case s if s.isTextual => col(s.asText()).asc
+        case s if s.isTextual => fcol(s.asText()).asc
         case o =>
           val c = compileExpr(req(o, "value"))
           if (o.has("sort") && o.get("sort").asInt() < 0) c.desc else c.asc
@@ -99,15 +115,132 @@ object JxCompiler {
     }
 
     if (q.has("limit")) df = df.limit(q.get("limit").asInt())
-    df
+
+    q.path("format").asText("list") match {
+      case "list" => df // flat rows — the default (and Spark-native) shape
+      case "table" => toTable(df)
+      case "cube" =>
+        require(edgeNodes.nonEmpty, "jx cube format requires edges")
+        val aggNames = if (aggSel.nonEmpty) aggSel.map(aggName) else Seq("count")
+        toCube(df, edgeNodes.map(edgeName), aggNames)
+      case other => throw new IllegalArgumentException(s"jx format not supported: $other")
+    }
   }
+
+  /** `from` resolution: an exact table (or injected frame) name, else
+    * a dotted leaf path into nested documents — the first segment
+    * names the table, each further segment descends: a struct column
+    * flattens in place, an array of inner documents EXPLODES (one
+    * result row per inner document — jx's nested-document query),
+    * with leaf fields dot-named `<path>.<field>` and parent columns
+    * retained. Explosion is a narrow transformation: no shuffle, rows
+    * fan out within their partition, so a 100 TB parent scan streams.
+    */
+  private def resolveFrom(spark: SparkSession, dir: String, path: String,
+      tables: Map[String, DataFrame]): DataFrame = {
+    def table(n: String): DataFrame =
+      tables.getOrElse(n, Tables.load(spark, dir, n))
+    if (tables.contains(path) || !path.contains(".")) table(path)
+    else {
+      val segs = path.split("\\.").toSeq
+      var df = table(segs.head)
+      var prefix = ""
+      segs.tail.foreach { seg =>
+        val full = prefix + seg
+        df = explodeInto(df, full)
+        prefix = full + "."
+      }
+      df
+    }
+  }
+
+  /** One descent step of a nested-document `from` path. */
+  private def explodeInto(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val field = df.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"jx from: no column '$name' (have: ${df.columns.mkString(", ")})"))
+    val others = df.columns.filterNot(_ == name).map(c => col(s"`$c`"))
+    field.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val ex = df.select(others :+ explode(col(s"`$name`")).as("__jx_inner"): _*)
+        ex.select(others ++ st.fields.map(f =>
+          col("__jx_inner").getField(f.name).as(s"$name.${f.name}")): _*)
+      case ArrayType(_, _) =>
+        df.select(others :+ explode(col(s"`$name`")).as(name): _*)
+      case st: StructType =>
+        df.select(others ++ st.fields.map(f =>
+          col(s"`$name`").getField(f.name).as(s"$name.${f.name}")): _*)
+      case other => throw new IllegalArgumentException(
+        s"jx from: '$name' is not a nested document (got $other)")
+    }
+  }
+
+  /** jx `format: "table"`: one row holding the column header and the
+    * canonically-sorted, stringified data rows — the reference's
+    * transport shape for query results. A final-mile format: the
+    * whole result lands in one row, so use it on aggregated results,
+    * not raw scans (same contract as the reference's HTTP responses).
+    */
+  private def toTable(df: DataFrame): DataFrame = {
+    val header = array(df.columns.map(lit): _*).as("header")
+    val rowArr = array(df.columns.map(c => col(s"`$c`").cast("string")): _*)
+    df.select(rowArr.as("r"))
+      .agg(sort_array(collect_list(col("r"))).as("data"))
+      .select(header, col("data"))
+  }
+
+  /** jx `format: "cube"`: per edge a sorted domain array, per
+    * aggregate a nested data array (dimension order = edge order,
+    * innermost = last edge), cells aligned with the domain arrays —
+    * the shape MoDevETL's dashboards consume. Assembled entirely with
+    * distributed aggregates (collect_list of (key, value) structs,
+    * sorted, then projected), never a driver-side pivot; like
+    * `toTable` it is a final-mile delivery format.
+    */
+  private def toCube(df: DataFrame, edges: Seq[String], aggs: Seq[String]): DataFrame = {
+    var d = df
+    for (e <- edges.reverse) {
+      val groupCols = edges.takeWhile(_ != e).map(c => col(s"`$c`"))
+      // struct sort is lexicographic and (group, edge-value) is unique
+      // after aggregation, so the pack order is the domain order; null
+      // cell values survive inside the struct (collect_list would drop
+      // bare nulls and misalign cells against the domain)
+      val packs = aggs.map { a =>
+        transform(
+          sort_array(collect_list(struct(col(s"`$e`").as("k"), col(s"`$a`").as("v")))),
+          s => s.getField("v")).as(a)
+      }
+      d = if (groupCols.nonEmpty) d.groupBy(groupCols: _*).agg(packs.head, packs.tail: _*)
+      else d.agg(packs.head, packs.tail: _*)
+    }
+    val domains = edges.map(e =>
+      df.agg(sort_array(collect_set(col(s"`$e`"))).as(s"domain_$e")))
+    domains.reduce(_.crossJoin(_)).crossJoin(d)
+  }
+
+  private def edgeName(n: JsonNode): String =
+    if (!n.isTextual && n.has("name")) n.get("name").asText() else fieldName(n)
+
+  /** Field reference: names containing dots target the flattened
+    * dot-named columns the record bridge produces (backquoted so the
+    * analyzer does not re-parse them as struct paths).
+    */
+  private def fcol(name: String): Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
 
   /** jx expression → Catalyst Column. */
   def compileExpr(n: JsonNode): Column = n match {
-    case t if t.isTextual => col(t.asText())
+    case t if t.isTextual => fcol(t.asText())
     case v if v.isNumber => lit(v.numberValue())
     case b if b.isBoolean => lit(b.asBoolean())
     case nl if nl.isNull => lit(null)
+    // {"when": cond, "then": a, "else": b} — the one multi-key
+    // expression object in jx; then/else optional (missing → null)
+    case o if o.isObject && o.has("when") =>
+      val thenC = if (o.has("then")) compileExpr(o.get("then")) else lit(null)
+      val elseC = if (o.has("else")) compileExpr(o.get("else")) else lit(null)
+      when(compileExpr(o.get("when")), thenC).otherwise(elseC)
     case o if o.isObject =>
       val (op, arg) = single(o)
       op match {
@@ -122,33 +255,56 @@ object JxCompiler {
         case "lte" => fieldCompares(arg, _ <= _)
         case "in" =>
           val (f, vs) = firstField(arg)
-          col(f).isin(vs.asScala.toSeq.map(jvalue): _*)
-        case "missing" => col(arg.asText()).isNull
-        case "exists" => col(arg.asText()).isNotNull
+          fcol(f).isin(vs.asScala.toSeq.map(jvalue): _*)
+        case "missing" => fcol(arg.asText()).isNull
+        case "exists" => fcol(arg.asText()).isNotNull
         case "prefix" =>
           val (f, v) = firstField(arg)
-          col(f).startsWith(jvalue(v).toString)
+          fcol(f).startsWith(jvalue(v).toString)
         case "find" | "contains" => // substring containment
           val (f, v) = firstField(arg)
-          col(f).contains(jvalue(v).toString)
+          fcol(f).contains(jvalue(v).toString)
         case "regex" | "regexp" =>
           val (f, v) = firstField(arg)
-          col(f).rlike(jvalue(v).toString)
+          fcol(f).rlike(jvalue(v).toString)
         case "add" => arg.asScala.map(compileExpr).reduce(_ + _)
         case "sub" | "subtract" => arg.asScala.map(compileExpr).reduce(_ - _)
         case "mult" | "mul" => arg.asScala.map(compileExpr).reduce(_ * _)
         case "div" => arg.asScala.map(compileExpr).reduce(_ / _)
+        // jx mod is python %: pmod matches it for the (positive
+        // modulus) cases jx queries use; Spark's % truncates by sign
+        case "mod" =>
+          val es = arg.asScala.toSeq.map(compileExpr)
+          pmod(es.head, es(1))
+        // {"floor": v} → floor(v); {"floor": [v, interval]} → greatest
+        // multiple of interval <= v (pyLibrary floor(value, mod))
+        case "floor" =>
+          if (arg.isArray) {
+            val es = arg.asScala.toSeq.map(compileExpr)
+            floor(es.head / es(1)) * es(1)
+          } else floor(compileExpr(arg))
+        // {"case": [{when,then}..., default?]} — first matching clause
+        case "case" =>
+          val clauses = arg.asScala.toSeq
+          require(clauses.nonEmpty, "jx case: empty clause list")
+          val (whens, default) =
+            if (clauses.last.isObject && clauses.last.has("when"))
+              (clauses, lit(null))
+            else (clauses.dropRight(1), compileExpr(clauses.last))
+          whens.foldRight(default) { (c, acc) =>
+            when(compileExpr(req(c, "when")), compileExpr(req(c, "then"))).otherwise(acc)
+          }
         case "length" => length(compileExpr(arg))
         case "lower" => lower(compileExpr(arg))
         case "upper" => upper(compileExpr(arg))
         case "left" => // {"left": {field: n}} — first n chars
           val (f, v) = firstField(arg)
-          substring(col(f), 1, v.asInt())
+          substring(fcol(f), 1, v.asInt())
         case "coalesce" => coalesce(arg.asScala.toSeq.map(compileExpr): _*)
         case "between" => // {"between": {field: [lo, hi]}} — inclusive
           val (f, v) = firstField(arg)
           val bounds = v.asScala.toSeq
-          col(f) >= lit(jvalue(bounds.head)) && col(f) <= lit(jvalue(bounds(1)))
+          fcol(f) >= lit(jvalue(bounds.head)) && fcol(f) <= lit(jvalue(bounds(1)))
         case "literal" => lit(jvalue(arg))
         case other => throw new IllegalArgumentException(s"jx operator not supported: $other")
       }
@@ -201,10 +357,10 @@ object JxCompiler {
     val filtered = edges.flatMap(_.rowFilter)
       .foldLeft(df)((d, f) => d.where(f))
     val keyed = edges.foldLeft(filtered)((d, e) => d.withColumn(e.name, e.expr))
-    val agged = keyed.groupBy(edges.map(e => col(e.name)): _*).agg(aggs.head, aggs.tail: _*)
+    val agged = keyed.groupBy(edges.map(e => fcol(e.name)): _*).agg(aggs.head, aggs.tail: _*)
     val cells = edges.map(_.domain(filtered)).reduce(_.crossJoin(_))
-    val outCols = edges.map(e => col(e.name)) ++ names.map { n =>
-      if (countNames.contains(n)) coalesce(col(n), lit(0L)).as(n) else col(n)
+    val outCols = edges.map(e => fcol(e.name)) ++ names.map { n =>
+      if (countNames.contains(n)) coalesce(fcol(n), lit(0L)).as(n) else fcol(n)
     }
     cells.join(agged, edges.map(_.name), "left").select(outCols: _*)
   }
@@ -225,7 +381,7 @@ object JxCompiler {
         Some(v >= mn && v < mx))
     } else {
       val f = fieldName(n)
-      Edge(f, col(f), filtered => filtered.select(col(f)).distinct(), None)
+      Edge(f, fcol(f), filtered => filtered.select(fcol(f)).distinct(), None)
     }
 
   private def isCountAgg(n: JsonNode): Boolean =
@@ -259,7 +415,7 @@ object JxCompiler {
   }
 
   private def compileSelect(n: JsonNode): Column = n match {
-    case t if t.isTextual => col(t.asText())
+    case t if t.isTextual => fcol(t.asText())
     case o if o.isObject =>
       val c = compileExpr(req(o, "value"))
       if (o.has("name")) c.as(o.get("name").asText()) else c
@@ -268,9 +424,9 @@ object JxCompiler {
 
   private def applyWindow(df: DataFrame, w: JsonNode): DataFrame = {
     val name = req(w, "name").asText()
-    val parts = if (w.has("edges")) asList(w.get("edges")).map(n => col(fieldName(n))) else Nil
+    val parts = if (w.has("edges")) asList(w.get("edges")).map(n => fcol(fieldName(n))) else Nil
     val sorts = if (w.has("sort")) asList(w.get("sort")).map {
-      case s if s.isTextual => col(s.asText()).asc
+      case s if s.isTextual => fcol(s.asText()).asc
       case o =>
         val c = compileExpr(req(o, "value"))
         if (o.has("sort") && o.get("sort").asInt() < 0) c.desc else c.asc
@@ -308,18 +464,27 @@ object JxCompiler {
       cmp(es.head, es(1))
     } else {
       arg.properties().asScala.map { e =>
-        cmp(col(e.getKey), lit(jvalue(e.getValue)))
+        cmp(fcol(e.getKey), lit(jvalue(e.getValue)))
       }.reduce(_ && _)
     }
 
+  /** {field: spec} operator argument — exactly one property, loudly. */
   private def firstField(o: JsonNode): (String, JsonNode) = {
-    val e = o.properties().asScala.head
-    (e.getKey, e.getValue)
+    val props = o.properties().asScala.toSeq
+    require(props.size == 1,
+      s"jx operator argument must have exactly one field, got: ${props.map(_.getKey).mkString(", ")}")
+    (props.head.getKey, props.head.getValue)
   }
 
+  /** {op: arg} operator object — exactly one property, loudly (a
+    * second property is a typo the first-property read would silently
+    * swallow; when/then/else objects are matched before this).
+    */
   private def single(o: JsonNode): (String, JsonNode) = {
-    val e = o.properties().asScala.head
-    (e.getKey, e.getValue)
+    val props = o.properties().asScala.toSeq
+    require(props.size == 1,
+      s"jx operator object must have exactly one property, got: ${props.map(_.getKey).mkString(", ")}")
+    (props.head.getKey, props.head.getValue)
   }
 
   private def jvalue(n: JsonNode): Any =

@@ -142,5 +142,64 @@ object Jx extends QueryPack {
            |FROM cells c LEFT JOIN g USING (o_orderstatus, price_bin)""".stripMargin),
     "jx range-domain edges: cell-complete numeric histogram x categorical axis")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45)
+  /** jx nested-document `from`: the reference's records are nested ES
+    * documents and jx queries inner arrays by leaf path ("bug.
+    * attachments"-style). The testdata is flat parquet, so the nested
+    * shape is built in-plan (orders with their line items as an inner
+    * document array) and handed to the compiler as a named frame; the
+    * oracle is the equivalent flat join — which is exactly the point:
+    * explode(inner docs) ≡ the join the nesting denormalized away.
+    */
+  val q56Json: String =
+    """{
+      |  "from": "bugs.lines",
+      |  "where": {"gte": {"lines.l_quantity": 45}},
+      |  "select": ["o_orderkey", "o_orderstatus", "lines.l_linenumber",
+      |             "lines.l_quantity", "lines.l_extendedprice"]
+      |}""".stripMargin
+
+  val q56 = Q(
+    "q56_jx_nested_from",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val nested = graft.Tables.orders(s, d)
+        .join(graft.Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(collect_list(struct(
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))).as("lines"))
+      JxCompiler.queryOn(s, d, q56Json, Map("bugs" -> nested))
+    },
+    Some("""SELECT o.o_orderkey, o.o_orderstatus,
+           |  l.l_linenumber AS "lines.l_linenumber",
+           |  l.l_quantity AS "lines.l_quantity",
+           |  l.l_extendedprice AS "lines.l_extendedprice"
+           |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           |WHERE l.l_quantity >= 45""".stripMargin),
+    "jx nested-document from: leaf-path explode of inner document arrays")
+
+  /** jx `format: "cube"` — q27's pivot, delivered as the cube shape
+    * (domain arrays + per-aggregate nested data arrays) MoDevETL's
+    * dashboards consume. Rows-only in the gate (nested-array formats
+    * have no stable SQL mirror); JxSpec pins every cell against the
+    * oracled flat form.
+    */
+  val q57Json: String =
+    """{
+      |  "from": "events",
+      |  "where": {"gte": {"value": 90}},
+      |  "edges": ["user_id", "event_type"],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "total", "value": "value", "aggregate": "sum"}
+      |  ],
+      |  "format": "cube"
+      |}""".stripMargin
+
+  val q57 = Q(
+    "q57_jx_format_cube",
+    (s, d) => JxCompiler.query(s, d, q57Json),
+    None, // cube shape has no SQL mirror; JxSpec pins cells vs flat q27
+    "jx cube format: edge domain arrays + aligned nested data arrays")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57)
 }

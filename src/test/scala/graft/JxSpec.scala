@@ -184,4 +184,146 @@ class JxSpec extends SparkSpec {
     }
     e.getMessage should include("frobnicate")
   }
+
+  test("multi-key operator object is rejected, not first-property-read") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"lineitem","where":{"eq":{"l_returnflag":"R"},"typo":1},"select":["l_orderkey"]}""")
+    }
+    e.getMessage should include("exactly one property")
+    val e2 = intercept[IllegalArgumentException] {
+      run("""{"from":"orders","where":{"prefix":{"o_orderpriority":"1","o_comment":"x"}},"select":["o_orderkey"]}""")
+    }
+    e2.getMessage should include("exactly one field")
+  }
+
+  test("when/then/else and case conditionals") {
+    val got = run("""{"from":"lineitem",
+      "select":["l_orderkey",
+        {"name":"big","value":{"when":{"gte":{"l_quantity":25}},"then":{"literal":"big"},"else":{"literal":"small"}}},
+        {"name":"band","value":{"case":[
+          {"when":{"lt":{"l_quantity":10}},"then":{"literal":"low"}},
+          {"when":{"lt":{"l_quantity":40}},"then":{"literal":"mid"}},
+          {"literal":"high"}]}}]}""")
+    val want = li.select($"l_orderkey",
+      when($"l_quantity" >= 25, "big").otherwise("small").as("big"),
+      when($"l_quantity" < 10, "low")
+        .when($"l_quantity" < 40, "mid").otherwise("high").as("band"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("case without default yields null for unmatched rows") {
+    val got = run("""{"from":"lineitem",
+      "select":[{"name":"only_low","value":{"case":[
+        {"when":{"lt":{"l_quantity":5}},"then":{"literal":"low"}}]}}]}""")
+    got.where($"only_low".isNull).count() shouldBe
+      li.where($"l_quantity" >= 5).count()
+  }
+
+  test("mod and floor expressions (python semantics)") {
+    val got = run("""{"from":"lineitem",
+      "select":["l_orderkey","l_linenumber",
+        {"name":"m","value":{"mod":["l_partkey",{"literal":7}]}},
+        {"name":"f","value":{"floor":{"div":["l_extendedprice",{"literal":1000}]}}},
+        {"name":"fi","value":{"floor":["l_extendedprice",{"literal":500}]}}]}""")
+    val want = li.select($"l_orderkey", $"l_linenumber",
+      pmod($"l_partkey", lit(7)).as("m"),
+      floor($"l_extendedprice" / 1000).as("f"),
+      (floor($"l_extendedprice" / 500) * 500).as("fi"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("nested-document from: leaf-path explode matches the flat join") {
+    import org.apache.spark.sql.functions.{collect_list, struct}
+    val o = Tables.orders(spark, sfDir)
+    val nested = o.join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderstatus")
+      .agg(collect_list(struct($"l_linenumber", $"l_quantity")).as("lines"))
+    val got = JxCompiler.queryOn(spark, sfDir, """{
+      "from":"bugs.lines",
+      "where":{"gte":{"lines.l_quantity":45}},
+      "select":["o_orderkey","lines.l_linenumber","lines.l_quantity"]}""",
+      Map("bugs" -> nested))
+    val want = o.join(li, $"o_orderkey" === $"l_orderkey")
+      .where($"l_quantity" >= 45)
+      .select($"o_orderkey", $"l_linenumber".as("lines.l_linenumber"),
+        $"l_quantity".as("lines.l_quantity"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    got.count() should be > 0L
+  }
+
+  test("nested-document from: struct descent then array explode, aggregated") {
+    import org.apache.spark.sql.functions.{collect_list, struct}
+    // two levels: a struct wrapper holding an inner document array
+    val nested = li.groupBy($"l_orderkey")
+      .agg(struct($"l_orderkey".as("id"),
+        collect_list(struct($"l_quantity")).as("items")).as("doc"))
+      .select($"doc")
+    val got = JxCompiler.queryOn(spark, sfDir, """{
+      "from":"t.doc.items",
+      "groupby":["doc.id"],
+      "select":[{"name":"n","aggregate":"count"},
+                {"name":"qty","value":"doc.items.l_quantity","aggregate":"sum"}]}""",
+      Map("t" -> nested))
+    val want = li.groupBy($"l_orderkey".as("doc.id"))
+      .agg(count(lit(1)).as("n"), util.dsum($"l_quantity", 4).as("qty"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("from a non-nested column errors loudly") {
+    val e = intercept[IllegalArgumentException] {
+      JxCompiler.query(spark, sfDir, """{"from":"orders.o_totalprice","select":["o_orderkey"]}""")
+    }
+    e.getMessage should include("not a nested document")
+    val e2 = intercept[IllegalArgumentException] {
+      JxCompiler.query(spark, sfDir, """{"from":"orders.nope","select":["o_orderkey"]}""")
+    }
+    e2.getMessage should include("no column")
+  }
+
+  test("format table: header + canonically sorted stringified rows") {
+    val got = run("""{"from":"events",
+      "where":{"gte":{"value":90}},
+      "groupby":["event_type"],
+      "select":[{"name":"n","aggregate":"count"}],
+      "format":"table"}""").collect()
+    got.length shouldBe 1
+    val header = got(0).getSeq[String](0)
+    header shouldBe Seq("event_type", "n")
+    val flat = run("""{"from":"events",
+      "where":{"gte":{"value":90}},
+      "groupby":["event_type"],
+      "select":[{"name":"n","aggregate":"count"}]}""")
+      .collect().map(r => Seq(r.get(0).toString, r.get(1).toString))
+    got(0).getSeq[Seq[String]](1).toSet shouldBe flat.map(_.toSeq).toSet
+  }
+
+  test("format cube: domains and data arrays align with the flat cell-complete form") {
+    val cube = run(graft.operators.Jx.q57Json).collect()
+    cube.length shouldBe 1
+    val row = cube(0)
+    val users = row.getSeq[Long](row.fieldIndex("domain_user_id"))
+    val types = row.getSeq[String](row.fieldIndex("domain_event_type"))
+    val nMat = row.getSeq[Seq[Long]](row.fieldIndex("n"))
+    // Any, not Double: empty cells are null and must stay null
+    val totalMat = row.getSeq[Seq[Any]](row.fieldIndex("total"))
+    users shouldBe users.sorted
+    types shouldBe types.sorted
+    nMat.length shouldBe users.length
+    nMat.head.length shouldBe types.length
+    // every cell equals the flat (oracled q27-shaped) result
+    val flat = run(graft.operators.Jx.q57Json.replace(""",
+      |  "format": "cube"""".stripMargin, "")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Any]("total"))).toMap
+    flat.size shouldBe users.length * types.length
+    for (i <- users.indices; j <- types.indices) {
+      val (fn, ft) = flat((users(i), types(j)))
+      nMat(i)(j) shouldBe fn
+      totalMat(i)(j) shouldBe ft
+    }
+  }
 }
