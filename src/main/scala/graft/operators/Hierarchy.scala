@@ -225,12 +225,10 @@ object Hierarchy extends QueryPack {
       // Lists are emitted as sorted CSV strings — deterministic and
       // comparable across engines.
       val cl = closure(edges(s, d)).localCheckpoint()
-      val desc = cl.groupBy(col("ancestor").as("node"))
-        .agg(array_join(sort_array(collect_set(col("descendant"))), ",").as("descendants"),
-          count(lit(1)).as("n_desc"))
-      val anc = cl.groupBy(col("descendant").as("node"))
-        .agg(array_join(sort_array(collect_set(col("ancestor"))), ",").as("ancestors"),
-          count(lit(1)).as("n_anc"))
+      val desc = cappedCsvList(cl, "ancestor", "descendant")
+        .toDF("node", "descendants", "n_desc")
+      val anc = cappedCsvList(cl, "descendant", "ancestor")
+        .toDF("node", "ancestors", "n_anc")
       Tables.part(s, d).select(col("p_partkey").as("node"))
         .join(desc, Seq("node"), "left")
         .join(anc, Seq("node"), "left")
@@ -263,6 +261,34 @@ object Hierarchy extends QueryPack {
         |LEFT JOIN d ON d.node = p.p_partkey
         |LEFT JOIN a ON a.node = p.p_partkey""".stripMargin),
     "per-node descendants/ancestors lists (the reference's pushed record shape)")
+
+  /** (node, csv-list, exact count) per `grp` value: the first `cap`
+    * members in ascending order, as a sorted CSV string.
+    *
+    * The cap is the OOM guard for the materialized record shape: a
+    * 100 TB hierarchy's root row would otherwise hold its entire
+    * component in one aggregation buffer / one row. Members are
+    * ranked by a streaming window row_number (sorting spills; nothing
+    * buffers per group) and only rank ≤ cap reaches collect_list, so
+    * the per-group buffer is bounded by the cap REGARDLESS of
+    * component size, while the count stays exact. Contract: the list
+    * holds the `cap` smallest member ids (the reference pushes
+    * sorted lists, so a truncated prefix is a well-defined document);
+    * `n_desc`/`n_anc` report the true totals, so consumers can detect
+    * truncation by n > cap. The default keeps every test-scale list
+    * complete (HierarchySpec exercises a graph where the cap bites).
+    */
+  private[graft] def cappedCsvList(cl: DataFrame, grp: String, member: String,
+      cap: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grp)).orderBy(col(member))
+    cl.withColumn("__rk", row_number().over(w))
+      .groupBy(col(grp).as("node"))
+      .agg(
+        array_join(sort_array(collect_list(when(col("__rk") <= cap, col(member)))), ",")
+          .as("list"),
+        count(lit(1)).as("n"))
+  }
 
   val all: Seq[Q] = Seq(q20, q21, q49)
 }

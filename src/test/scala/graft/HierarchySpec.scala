@@ -71,6 +71,28 @@ class HierarchySpec extends SparkSpec {
       .head().getInt(2) shouldBe 300
   }
 
+  test("capped list materialization: bounded list, exact count, sorted prefix") {
+    // a wide star (root 0 over 500 children) THROUGH a deep chain
+    // (500 -> 501 -> ... -> 540): the root's descendant set far
+    // exceeds the cap; every list must hold the cap smallest ids in
+    // order while counts stay exact
+    val wide = (1L to 500L).map(c => (c, 0L))
+    val chain = (500L until 540L).map(i => (i + 1, i))
+    val cl = Hierarchy.closure((wide ++ chain).toDF("child", "parent"))
+    val capped = Hierarchy.cappedCsvList(cl, "ancestor", "descendant", cap = 64)
+      .where($"node" === 0L).head()
+    val trueDesc = cl.where($"ancestor" === 0L).count()
+    trueDesc shouldBe 540L // all wide children + the chain tail
+    capped.getAs[Long]("n") shouldBe trueDesc // count exact past the cap
+    val list = capped.getAs[String]("list").split(",").map(_.toLong)
+    list.length shouldBe 64 // bounded by the cap, not the component
+    list.toSeq shouldBe (1L to 64L) // the cap smallest, ascending
+    // default cap leaves test-scale lists untouched (q49's oracle shape)
+    val full = Hierarchy.cappedCsvList(cl, "ancestor", "descendant")
+      .where($"node" === 0L).head()
+    full.getAs[String]("list").split(",").length shouldBe 540
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
