@@ -136,6 +136,82 @@ object Dedup extends QueryPack {
            |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
     "exact word-3-gram Jaccard near-dup pairs (shingle-bucketed, df-cut hot shingles, never all-pairs)")
 
+  /** Cross-corpus near-duplicate audit — train/test CONTAMINATION
+    * detection, the pre-training hygiene pass: every (train, eval)
+    * pair whose word-3-gram Jaccard meets the threshold, i.e. eval
+    * documents leaked (verbatim or lightly edited) into the training
+    * corpus. Same skew-guarded candidate machinery as `jaccardPairs`
+    * (df-cut hot shingles computed over BOTH corpora, exact Jaccard
+    * via rare-join counts + per-doc hot-set intersections), but the
+    * candidate join is train-side × eval-side — never within a
+    * corpus — so candidate volume is bounded by the CROSS overlap,
+    * which for a clean pipeline is near zero.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, threshold: Double,
+      maxShingleDf: Int = 128): DataFrame = {
+    def hashed(df: DataFrame) = shingleSets(df)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val shT = hashed(train).localCheckpoint()
+    val shE = hashed(eval).localCheckpoint()
+    // hotness is a GLOBAL property: a boilerplate shingle is hot no
+    // matter which corpus each occurrence lives in
+    val hot = shT.select(col("shingle")).union(shE.select(col("shingle")))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    // USING joins put the join column first in their output, so name
+    // columns explicitly rather than positionally
+    def rare(sh: DataFrame, id: String) = sh.join(hot, Seq("shingle"), "left_anti")
+      .select(col("doc_id").as(id), col("shingle"))
+    def hotSet(sh: DataFrame) = sh.join(hot, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("shingle"))).as("hs"))
+    val szT = shT.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val szE = shE.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val noHot = array().cast("array<bigint>")
+    rare(shT, "train_id")
+      .join(rare(shE, "eval_id"), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("cr"))
+      .join(hotSet(shT).toDF("train_id", "h1"), Seq("train_id"), "left")
+      .join(hotSet(shE).toDF("eval_id", "h2"), Seq("eval_id"), "left")
+      .withColumn("c", col("cr") +
+        size(array_intersect(coalesce(col("h1"), noHot), coalesce(col("h2"), noHot))))
+      .join(szT.toDF("train_id", "n1"), "train_id")
+      .join(szE.toDF("eval_id", "n2"), "eval_id")
+      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .where(col("jac") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("jac"))
+  }
+
+  val q58 = Q(
+    "q58_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // the split a real pipeline supplies as two tables: sources
+      // src0..src9 are "train", src10+ are "eval"
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      contaminationPairs(
+        docs.where(srcNum < 10), docs.where(srcNum >= 10), 0.5)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+           |         string_split_regex(trim(text), '\s+') w
+           |  FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, sn, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.sn < 10 AND b.sn >= 10 GROUP BY 1, 2
+           |)
+           |SELECT train_id, eval_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+           |FROM co JOIN sz sa ON sa.doc_id = train_id JOIN sz sb ON sb.doc_id = eval_id
+           |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+    "train/test contamination: cross-corpus near-dup audit (df-cut, exact Jaccard)")
+
   /** MinHash signatures (k seeded xxhash64 minima) banded into
     * `bands` buckets of `rows` signature slots each. Two docs land in
     * the same bucket for band i iff their signatures agree on all of
@@ -255,5 +331,5 @@ object Dedup extends QueryPack {
     None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
     "SimHash near-dup: scale-aware chunk buckets, hamming<=5 (pigeonhole-complete at test scale)")
 
-  val all: Seq[Q] = Seq(q31, q32, q33)
+  val all: Seq[Q] = Seq(q31, q32, q33, q58)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import graft.functions.{fingerprint, words}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: exact dedup,
@@ -238,5 +238,51 @@ object Text extends QueryPack {
            |FROM t GROUP BY source""".stripMargin),
     "per-source corpus statistics: doc/token/char totals + length distribution")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54)
+  /** Token-budget stratified sampling — the mixture-building pass of a
+    * training-data pipeline: from each source (stratum), take
+    * documents in a deterministic pseudo-random priority order until
+    * the stratum's token budget is filled, so no source dominates the
+    * mixture. Priority is q53's multiplicative hash (no RNG: stable
+    * under re-partitioning, appends, and engine changes); admission is
+    * a per-source running token sum (streaming window, spill-safe —
+    * nothing buffers per group), keeping every document whose
+    * cumulative sum STARTS under the budget (so the budget may
+    * overshoot by at most one document, never undershoot).
+    * One shuffle total. At 100 TB, budgets per stratum are plan
+    * literals (or a broadcast dim) and this is the same single-window
+    * plan.
+    */
+  def tokenBudgetSample(docsDf: DataFrame, tokensPerSource: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = col("doc_id") % 100000007L * 2654435761L % 4294967296L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDf
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"), pri.as("pri"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") - col("n_tok") < tokensPerSource)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+  }
+
+  val q59 = Q(
+    "q59_token_sample",
+    (s, d) => tokenBudgetSample(docs(s, d), 500L),
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+           |    doc_id % 100000007 * 2654435761 % 4294967296 AS pri
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, source, n_tok,
+           |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           |  FROM t
+           |)
+           |SELECT doc_id, source, n_tok, cum_tok FROM c
+           |WHERE cum_tok - n_tok < 500""".stripMargin),
+    "token-budget stratified sample: per-source deterministic-priority fill")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59)
 }

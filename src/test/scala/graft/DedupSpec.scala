@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Dedup
 import graft.Tables
+import org.apache.spark.sql.functions.substring
 
 /** The rows-only near-dup operators (q32 MinHash, q33 SimHash) are
   * DEFINED by these specs: their correctness signal is recall against
@@ -85,6 +86,24 @@ class DedupSpec extends SparkSpec {
     val all = dfc.map(c => c * (c - 1) / 2).sum
     val rare = dfc.filter(_ <= 8).map(c => c * (c - 1) / 2).sum
     all.toDouble / rare.toDouble should be > 50.0 // the join the cut avoided
+  }
+
+  test("contamination pairs = exact cross-split jaccard pairs, and nothing within a split") {
+    val srcNum = substring($"source", 4, 10).cast("int")
+    val train = documents.where(srcNum < 10)
+    val eval = documents.where(srcNum >= 10)
+    val got = Dedup.contaminationPairs(train, eval, 0.5)
+      .select($"train_id", $"eval_id").as[(Long, Long)].collect().toSet
+    // ground truth: q31's oracled pairs, restricted to cross-split
+    val trainIds = train.select($"doc_id").as[Long].collect().toSet
+    val evalIds = eval.select($"doc_id").as[Long].collect().toSet
+    val want = exactPairs.flatMap { case (a, b) =>
+      if (trainIds(a) && evalIds(b)) Some((a, b))
+      else if (trainIds(b) && evalIds(a)) Some((b, a))
+      else None
+    }
+    got shouldBe want
+    got.size should be > 0
   }
 
   test("df-cut recall contract: a pair sharing ONLY hot shingles is dropped by design") {

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Text
+import org.apache.spark.sql.functions._
+
+/** Token-budget stratified sampling (q59): per-source budget fill in
+  * deterministic priority order — the mixture-balancing contract.
+  */
+class SampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val documents = Tables.documents(spark, sfDir)
+
+  test("every source fills its budget with at most one-document overshoot") {
+    val budget = 500L
+    val sample = Text.tokenBudgetSample(documents, budget)
+      .select($"source", $"n_tok", $"cum_tok").collect()
+    val bySource = sample.groupBy(_.getString(0))
+    bySource.foreach { case (_, rows) =>
+      val maxCum = rows.map(_.getLong(2)).max
+      val lastTok = rows.maxBy(_.getLong(2)).getLong(1)
+      // admission rule: the last doc STARTED under budget
+      (maxCum - lastTok) should be < budget
+    }
+    // sources with more than `budget` tokens available must fill it
+    val totals = documents
+      .select($"source", org.apache.spark.sql.functions.size(graft.functions.words($"text")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      if (totals(src) >= budget) rows.map(_.getLong(2)).max should be >= budget
+    }
+  }
+
+  test("sample is deterministic and independent of partitioning") {
+    val a = Text.tokenBudgetSample(documents, 500L)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Text.tokenBudgetSample(documents.repartition(13), 500L)
+      .select($"doc_id").as[Long].collect().toSet
+    a shouldBe b
+  }
+
+  test("a tiny budget keeps exactly one document per source") {
+    val one = Text.tokenBudgetSample(documents, 1L)
+    val perSrc = one.groupBy($"source").count().select($"count").as[Long].collect()
+    all(perSrc) shouldBe 1L // first doc always admitted (cum - n_tok = 0 < 1)
+  }
+}
