@@ -44,6 +44,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus contamination join is bucketed, never cartesian (q58)") {
+    val p = plan(Dedup.q58)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("blocked embed dedup is an equi-join on block pairs (q41)") {
+    val p = plan(Ann.q41)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("token-budget sample is one window pass, no join (q59)") {
+    val p = plan(operators.Text.q59)
+    p should include("Window")
+    p should not include "Join"
+  }
+
   test("as-of join compiles to a window, not a join (q50)") {
     val p = plan(operators.Etl.q50)
     p should include("Window")
