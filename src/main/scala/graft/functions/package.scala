@@ -69,6 +69,16 @@ package object functions {
   /** Word tokens: split on runs of whitespace. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Multiplicative split/priority hash on a stable numeric id
+    * (Knuth's 2654435761), the id reduced mod a prime FIRST so the
+    * product stays < 2^63 for any 64-bit id (ANSI mode throws on
+    * overflow rather than wrapping). Deterministic: no RNG, stable
+    * under re-partitioning and incremental appends. Shared by the
+    * train/val/test split (q53) and token-budget sampling (q59);
+    * mirror in oracle SQL as `id % 100000007 * 2654435761`.
+    */
+  def splitHash(id: Column): Column = id % 100000007L * 2654435761L
+
   /** Word n-gram shingles joined with single spaces; empty array when
     * the document has fewer than `n` words.
     */

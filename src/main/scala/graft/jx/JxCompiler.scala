@@ -199,7 +199,11 @@ object JxCompiler {
     * `toTable` it is a final-mile delivery format.
     */
   private def toCube(df: DataFrame, edges: Seq[String], aggs: Seq[String]): DataFrame = {
-    var d = df
+    // materialize the flat cube once: the pack chain and every domain
+    // aggregate consume it (without this the whole fact aggregate +
+    // cells join would re-execute once per consumer)
+    val flat = df.localCheckpoint()
+    var d = flat
     for (e <- edges.reverse) {
       val groupCols = edges.takeWhile(_ != e).map(c => col(s"`$c`"))
       // struct sort is lexicographic and (group, edge-value) is unique
@@ -214,8 +218,13 @@ object JxCompiler {
       d = if (groupCols.nonEmpty) d.groupBy(groupCols: _*).agg(packs.head, packs.tail: _*)
       else d.agg(packs.head, packs.tail: _*)
     }
+    // domain arrays via struct-WRAPPED collect_set: a bare collect_set
+    // drops a NULL domain value while the packs keep its cell,
+    // shifting every later cell by one — the struct wrapper keeps the
+    // null key and sorts it first, exactly matching the pack order
     val domains = edges.map(e =>
-      df.agg(sort_array(collect_set(col(s"`$e`"))).as(s"domain_$e")))
+      flat.agg(transform(sort_array(collect_set(struct(col(s"`$e`").as("k")))),
+        s => s.getField("k")).as(s"domain_$e")))
     domains.reduce(_.crossJoin(_)).crossJoin(d)
   }
 
@@ -380,8 +389,11 @@ object JxCompiler {
         _ => df.sparkSession.range(nCells).select((col("id") * iv + mn).as(name)),
         Some(v >= mn && v < mx))
     } else {
+      // honor an explicit edge name on categorical edges too (range
+      // edges already do) — edgeName/format code addresses edges by it
       val f = fieldName(n)
-      Edge(f, fcol(f), filtered => filtered.select(fcol(f)).distinct(), None)
+      val name = if (!n.isTextual && n.has("name")) n.get("name").asText() else f
+      Edge(name, fcol(f), filtered => filtered.select(fcol(f).as(name)).distinct(), None)
     }
 
   private def isCountAgg(n: JsonNode): Boolean =

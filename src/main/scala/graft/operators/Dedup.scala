@@ -74,28 +74,42 @@ object Dedup extends QueryPack {
     * corpus max df ≈ 25 (sf0.1), so the default cut of 128 changes
     * nothing (DedupSpec pins equality; a dedicated spec exercises a
     * boilerplate corpus where the cut does bite).
+    *
+    * Oracle note: the DuckDB mirror computes the UNCUT measure. If a
+    * future, larger gate corpus pushes common-shingle df past the
+    * cut, the correctness gate fails LOUDLY on this query — the fix
+    * is raising maxShingleDf (the oracle-equivalence knob), not the
+    * pair math.
     */
   def jaccardPairs(df: DataFrame, threshold: Double,
       maxShingleDf: Int = 128): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Join/shuffle on the 64-bit hash of the shingle, not the string:
     // same co-occurrence counts (a cross-doc hash collision would need
     // ~2^32 distinct shingles to become likely), but the self-join
     // hashes/compares/ships 8-byte keys instead of ~20-char strings.
-    // Document frequency via a whole-partition window over the same
-    // shingle-keyed shuffle the join needs anyway (no extra agg+join).
     // Materialized once: reused by both join sides, the size agg, and
     // the hot-set agg.
     val sh = shingleSets(df)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .localCheckpoint()
+    // Document frequency via groupBy (map-side partial aggregation:
+    // reducers see near-1 row per shingle, so the df computation
+    // CANNOT itself skew on the hot key — a whole-partition window
+    // here would buffer every occurrence of the hottest shingle in
+    // one task, recreating the exact straggler the cut removes). The
+    // hot-key list is tiny by construction (≤ occurrences/maxDf
+    // distinct values), so both derived joins broadcast it: no
+    // shingle-keyed shuffle of `sh` happens before the cut.
+    val hotKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .select(col("shingle"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.where(col("df") <= maxShingleDf).select(col("doc_id"), col("shingle"))
-    // Per-doc hot-shingle sets: small by construction (the corpus has
-    // at most occurrences/maxShingleDf distinct hot shingles), sorted
-    // for a merge-style array_intersect.
-    val hot = sh.where(col("df") > maxShingleDf)
+    // USING joins put the join column first — rename explicitly
+    val rare = sh.join(hotKeys, Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
+    // Per-doc hot-shingle sets: small by construction, sorted for a
+    // merge-style array_intersect.
+    val hot = sh.join(hotKeys, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("shingle"))).as("hs"))
     val noHot = array().cast("array<bigint>")

@@ -18,19 +18,25 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Join `big` to `small` on `key`, spreading each hot key of `big`
-    * across `salts` reducers. `big` rows are salted round-robin by
-    * row position (monotonically_increasing_id mod salts) — NOT by a
-    * row-content hash, which would send *identical duplicate rows* on
-    * the hot key to a single salt, exactly the one skew shape a
-    * content hash cannot fix. The salt only routes rows (the join key
-    * is unchanged), so any salt assignment yields the same result as
-    * the plain inner join (spec-tested); task retries may re-salt
-    * rows differently, which is harmless for the same reason. Cost is
-    * `salts`× the small side's shuffle volume.
+    * across `salts` reducers. `big` rows get a DETERMINISTIC salt
+    * from their whole-row hash; `small` rows are replicated once per
+    * salt value. Result equals the plain inner join (spec-tested),
+    * cost is `salts`× the small side's shuffle volume.
+    *
+    * Why not a positional salt (monotonically_increasing_id % salts):
+    * a nondeterministic salt is WRONG under partial stage retry —
+    * when a lost map task recomputes, rows can land on different
+    * salts than the copies some reducers already fetched, silently
+    * duplicating or dropping join rows (the SPARK-23207 class of
+    * bug). Determinism costs one documented limitation: byte-
+    * identical duplicate rows on the hot key share a salt. If that is
+    * your actual skew shape, dedup-with-count first (identical rows
+    * are one logical row × multiplicity) — spreading them is a
+    * counting problem, not a routing problem.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

@@ -187,15 +187,12 @@ object Text extends QueryPack {
     "q53_split",
     (s, d) =>
       // Deterministic train/val/test assignment: multiplicative
-      // hashing on the stable doc id (Knuth's 2654435761), pure
-      // arithmetic so any engine reproduces the same split — no RNG,
-      // no row order dependence, stable under re-partitioning and
-      // incremental appends. 80/10/10. The id reduces mod a prime
-      // FIRST so the product stays < 2^63 for any 64-bit id (ANSI
-      // mode throws on overflow rather than wrapping).
+      // hashing on the stable doc id (graft.functions.splitHash —
+      // see its doc for the determinism + ANSI-overflow contract).
+      // 80/10/10.
       docs(s, d).select(
         col("doc_id"), col("source"),
-        (col("doc_id") % 100000007L * 2654435761L % 100).as("bucket"))
+        (graft.functions.splitHash(col("doc_id")) % 100).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
@@ -254,7 +251,7 @@ object Text extends QueryPack {
     */
   def tokenBudgetSample(docsDf: DataFrame, tokensPerSource: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pri = col("doc_id") % 100000007L * 2654435761L % 4294967296L
+    val pri = graft.functions.splitHash(col("doc_id")) % 4294967296L
     val w = Window.partitionBy(col("source"))
       .orderBy(col("pri").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -12,67 +12,94 @@ import org.apache.spark.sql.types.{NumericType, TimestampType}
   * `_graft_buckets` pattern): table-level state lives WITH the data,
   * never in caller code.
   *
-  * Two-phase contract, exactly extract.py's: `extractSince` filters
-  * the source by the stored watermark (everything on first run);
-  * the caller processes/pushes the batch and only then calls
-  * `commit`, which advances the bookmark to the batch's max. A crash
-  * between the two re-extracts the same window on the next run —
-  * at-least-once delivery, which is what the reference's keyed
-  * destination push (latest-revision-wins, `ParquetUpsertSink`)
-  * makes idempotent.
+  * Two-phase contract, exactly extract.py's: `extractSince` SNAPSHOTS
+  * the source's current high watermark and returns the batch bounded
+  * to (stored, snapshot] plus the snapshot value; the caller
+  * processes/pushes the batch and only then calls `commit`, which
+  * writes the snapshot — a pure metadata write, no re-scan. Bounding
+  * the window above is what makes the two phases race-free: rows
+  * arriving AFTER the snapshot are excluded from this batch by the
+  * filter itself, so they can never be skipped by a watermark they
+  * did not get to influence. A crash between the phases re-extracts
+  * the same window next run — at-least-once delivery, which the
+  * keyed destination push (latest-revision-wins,
+  * `ParquetUpsertSink`) makes idempotent. Late data BELOW the stored
+  * watermark is invisible to any high-watermark scheme (same as the
+  * reference); route late-arriving facts through the upsert sink.
   *
-  * Scale notes: the watermark filter is a plain column comparison
-  * against a literal (never a function of the column), so it reaches
-  * the parquet scan as a pushed predicate — a resumed run over a
+  * Scale notes: both watermark filters are plain column comparisons
+  * against literals (never a function of the column), so they reach
+  * the parquet scan as pushed predicates — a resumed run over a
   * 100 TB source reads only row groups whose stats overlap the new
-  * window. `commit`'s max is a one-scalar aggregate of the batch
-  * (bookmark state, not data, reaches the driver).
+  * window. The snapshot is a one-scalar aggregate (bookmark state,
+  * not data, reaches the driver).
   */
 object ExtractBookmark {
 
-  /** Rows of `src` strictly newer than the stored bookmark; all rows
-    * when no bookmark exists yet. `wmCol` may be a timestamp
-    * (bookmarked at exact microsecond precision) or any numeric.
+  /** One bounded extract window: the rows to process and the
+    * watermark to `commit` once they are durably processed.
     */
-  def extractSince(src: DataFrame, wmCol: String, bookmarkPath: String): DataFrame =
-    read(src.sparkSession, bookmarkPath) match {
-      case None => src
-      case Some(wm) => src.where(col(wmCol) > wmLiteral(src, wmCol, wm))
-    }
+  final case class Extract(batch: DataFrame, watermark: Option[Long])
 
-  /** Advance the bookmark to `batch`'s max watermark (no-op on an
-    * empty batch). Call AFTER the batch is durably processed.
-    * Returns the committed watermark, if any.
+  /** Rows of `src` strictly newer than the stored bookmark, bounded
+    * above by the source's CURRENT max (snapshotted now, so later
+    * arrivals cannot race the commit); all rows up to the snapshot on
+    * the first run. `wmCol` may be a timestamp (bookmarked at exact
+    * microsecond precision) or any numeric.
     */
-  def commit(batch: DataFrame, wmCol: String, bookmarkPath: String): Option[Long] = {
-    val mx = batch.agg(max(wmLong(batch, wmCol))).head()
-    if (mx.isNullAt(0)) read(batch.sparkSession, bookmarkPath)
-    else {
-      write(batch.sparkSession, bookmarkPath, mx.getLong(0))
-      Some(mx.getLong(0))
-    }
+  def extractSince(src: DataFrame, wmCol: String, bookmarkPath: String): Extract = {
+    val stored = read(src.sparkSession, bookmarkPath)
+    val hiRow = src.agg(max(wmLong(src, wmCol))).head()
+    val hi = if (hiRow.isNullAt(0)) None else Some(hiRow.getLong(0))
+    val lo = stored.map(wm => col(wmCol) > wmLiteral(src, wmCol, wm))
+    val up = hi.map(h => col(wmCol) <= wmLiteral(src, wmCol, h))
+    val batch = (lo.toSeq ++ up.toSeq).foldLeft(src)((d, f) => d.where(f))
+    // an empty source (or one that regressed below the bookmark)
+    // keeps the stored watermark: commit never moves backwards
+    Extract(batch, (hi.toSeq ++ stored.toSeq).maxOption)
   }
 
-  /** The stored watermark (epoch micros for timestamps), if present. */
+  /** Durably record the extract's watermark. Call AFTER the batch is
+    * processed — pure metadata write (atomic rename-swap), no data
+    * re-scan. Returns the committed watermark, if any.
+    */
+  def commit(e: Extract, bookmarkPath: String): Option[Long] = {
+    e.watermark.foreach(write(e.batch.sparkSession, bookmarkPath, _))
+    e.watermark
+  }
+
+  /** The stored watermark (epoch micros for timestamps), if present.
+    * A truncated/corrupt sidecar (crash mid-write on a store without
+    * atomic rename) fails LOUDLY rather than silently re-extracting
+    * the world — operator intervention is the safe default once the
+    * sidecar's integrity is in question.
+    */
   def read(spark: SparkSession, bookmarkPath: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(body.toLongOption.getOrElse(throw new IllegalStateException(
+        s"corrupt bookmark sidecar at $bookmarkPath: '$body' — delete it to force a full re-extract")))
     }
   }
 
   private def write(spark: SparkSession, bookmarkPath: String, wm: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
+    val tmp = new org.apache.hadoop.fs.Path(bookmarkPath + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // production note: a rename-swap (write tmp, rename over) makes
-    // this atomic on HDFS/objectstores; create-overwrite suffices for
-    // the single-writer extract.py cadence being mirrored
-    val out = fs.create(p, true)
+    // write-then-rename: the visible sidecar is always a complete
+    // value (rename is atomic on HDFS/local; object stores with
+    // non-atomic rename surface a corrupt value as a LOUD read error)
+    val out = fs.create(tmp, true)
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit bookmark at $bookmarkPath")
   }
 
   /** Watermark column as a comparable long (micros for timestamps). */

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Persisted extract bookmark: the reference's extract.py stores the
   * last-run watermark and resumes from it across process runs — a
-  * second run must extract ONLY rows newer than the first run's max.
+  * second run must extract ONLY rows newer than the first run's max,
+  * and rows arriving between processing and commit must not be
+  * skipped (the snapshot-bounded window contract).
   */
 class BookmarkSpec extends SparkSpec {
   import spark.implicits._
@@ -16,46 +18,70 @@ class BookmarkSpec extends SparkSpec {
   test("first run extracts everything; second run only newer rows") {
     val bm = tmp()
     val run1 = Tables.events(spark, sfDir) // real ns-normalized timestamps
-    val batch1 = ExtractBookmark.extractSince(run1, "ts", bm)
-    batch1.count() shouldBe run1.count() // no bookmark yet → full extract
-    val wm1 = ExtractBookmark.commit(batch1, "ts", bm)
-    wm1 shouldBe defined
+    val e1 = ExtractBookmark.extractSince(run1, "ts", bm)
+    e1.batch.count() shouldBe run1.count() // no bookmark yet → full extract
+    ExtractBookmark.commit(e1, bm) shouldBe defined
 
     // source grows: everything again, plus strictly newer rows
     val newer = run1.orderBy($"ts".desc).limit(10)
       .withColumn("ts", $"ts" + expr("INTERVAL 1 DAY"))
       .withColumn("event_id", $"event_id" + 1000000)
     val run2src = run1.unionByName(newer)
-    val batch2 = ExtractBookmark.extractSince(run2src, "ts", bm)
-    batch2.count() shouldBe 10L // exactly the appended rows
-    batch2.select("event_id").as[Long].collect().toSet shouldBe
+    val e2 = ExtractBookmark.extractSince(run2src, "ts", bm)
+    e2.batch.count() shouldBe 10L // exactly the appended rows
+    e2.batch.select("event_id").as[Long].collect().toSet shouldBe
       newer.select("event_id").as[Long].collect().toSet
 
-    val wm2 = ExtractBookmark.commit(batch2, "ts", bm)
-    wm2.get should be > wm1.get
+    val wm2 = ExtractBookmark.commit(e2, bm)
+    wm2.get should be > ExtractBookmark.read(spark, bm).get - 1 // persisted
     // third run over an unchanged source extracts nothing
-    ExtractBookmark.extractSince(run2src, "ts", bm).count() shouldBe 0L
+    ExtractBookmark.extractSince(run2src, "ts", bm).batch.count() shouldBe 0L
+  }
+
+  test("rows arriving between extract and commit are never skipped (snapshot bound)") {
+    val bm = tmp()
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm-grow").toString
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val e = ExtractBookmark.extractSince(src, "v", bm)
+    e.batch.count() shouldBe 2L
+    // source grows AFTER the snapshot, BEFORE commit — the classic race
+    Seq((3L, 300L)).toDF("id", "v").write.mode("append").parquet(dir)
+    ExtractBookmark.commit(e, bm) shouldBe Some(200L) // snapshot, not live max
+    // next run picks up the late row — nothing lost
+    val e2 = ExtractBookmark.extractSince(spark.read.parquet(dir), "v", bm)
+    e2.batch.select($"id").as[Long].collect().toSeq shouldBe Seq(3L)
   }
 
   test("empty batch commit keeps the bookmark (no regress, no clear)") {
     val bm = tmp()
     val src = Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
-    ExtractBookmark.commit(ExtractBookmark.extractSince(src, "v", bm), "v", bm) shouldBe Some(200L)
-    val empty = ExtractBookmark.extractSince(src, "v", bm)
-    empty.count() shouldBe 0L
-    ExtractBookmark.commit(empty, "v", bm) shouldBe Some(200L) // unchanged
+    ExtractBookmark.commit(ExtractBookmark.extractSince(src, "v", bm), bm) shouldBe Some(200L)
+    val e = ExtractBookmark.extractSince(src, "v", bm)
+    e.batch.count() shouldBe 0L
+    ExtractBookmark.commit(e, bm) shouldBe Some(200L) // unchanged
     ExtractBookmark.read(spark, bm) shouldBe Some(200L)
   }
 
   test("numeric watermark columns work and the filter is strict >") {
     val bm = tmp()
     val src = Seq((1L, 5L), (2L, 7L), (3L, 7L)).toDF("id", "v")
-    ExtractBookmark.commit(src, "v", bm) shouldBe Some(7L)
+    ExtractBookmark.commit(ExtractBookmark.extractSince(src, "v", bm), bm) shouldBe Some(7L)
     // ties with the stored watermark are NOT re-extracted
-    ExtractBookmark.extractSince(src, "v", bm).count() shouldBe 0L
+    ExtractBookmark.extractSince(src, "v", bm).batch.count() shouldBe 0L
     val grown = src.union(Seq((4L, 8L)).toDF("id", "v"))
-    ExtractBookmark.extractSince(grown, "v", bm).as[(Long, Long)].collect().toSeq shouldBe
-      Seq((4L, 8L))
+    ExtractBookmark.extractSince(grown, "v", bm).batch
+      .as[(Long, Long)].collect().toSeq shouldBe Seq((4L, 8L))
+  }
+
+  test("corrupt sidecar fails loudly instead of silently re-extracting the world") {
+    val bm = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm), "garbage")
+    val e = intercept[IllegalStateException] {
+      ExtractBookmark.read(spark, bm)
+    }
+    e.getMessage should include("corrupt bookmark sidecar")
   }
 
   test("timestamp watermark filter is pushed down to the parquet scan") {
@@ -66,8 +92,15 @@ class BookmarkSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm-pq").toString
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
     val src = spark.read.parquet(dir)
-    ExtractBookmark.commit(src, "ts", bm)
-    val resumed = ExtractBookmark.extractSince(src, "ts", bm)
+    // bookmark a MID-range watermark (older half), so the resumed
+    // window (wm, hi] is non-degenerate — with wm == hi the optimizer
+    // (correctly) folds the contradiction to an empty relation and
+    // there is no scan left to inspect
+    val n = src.count()
+    val older = src.orderBy($"ts").limit((n / 2).toInt)
+    ExtractBookmark.commit(ExtractBookmark.extractSince(older, "ts", bm), bm)
+    val resumed = ExtractBookmark.extractSince(src, "ts", bm).batch
+    resumed.count() should be > 0L
     val scan = resumed.queryExecution.executedPlan.toString
     // the comparison must reach the scan as a pushed predicate — the
     // resume-at-scale contract (only new row groups are read)

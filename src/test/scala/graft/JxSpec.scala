@@ -301,6 +301,37 @@ class JxSpec extends SparkSpec {
     got(0).getSeq[Seq[String]](1).toSet shouldBe flat.map(_.toSeq).toSet
   }
 
+  test("cube format keeps null edge values aligned between domain and data arrays") {
+    val src = Seq((Option("a"), 1L), (Option.empty[String], 2L),
+      (Option("b"), 3L), (Option.empty[String], 4L)).toDF("k", "v")
+    val got = JxCompiler.queryOn(spark, sfDir, """{
+      "from":"t","edges":["k"],
+      "select":[{"name":"n","aggregate":"count"}],
+      "format":"cube"}""", Map("t" -> src)).collect()
+    got.length shouldBe 1
+    val dom = got(0).getSeq[String](got(0).fieldIndex("domain_k"))
+    val n = got(0).getSeq[Long](got(0).fieldIndex("n"))
+    dom.length shouldBe 3 // null, "a", "b" — null kept in the domain
+    n.length shouldBe dom.length // aligned, not shifted
+    dom.head shouldBe null // null sorts first, matching the pack order
+    n(dom.indexOf("a")) shouldBe 1L
+    n(dom.indexOf("b")) shouldBe 1L
+  }
+
+  test("named categorical edge works end-to-end, including cube format") {
+    val got = run("""{"from":"events",
+      "where":{"gte":{"value":90}},
+      "edges":[{"name":"et","value":"event_type"}],
+      "select":[{"name":"n","aggregate":"count"}],
+      "format":"cube"}""").collect()
+    got.length shouldBe 1
+    val dom = got(0).getSeq[String](got(0).fieldIndex("domain_et"))
+    dom.toSet shouldBe Tables.events(spark, sfDir).where($"value" >= 90)
+      .select($"event_type").distinct().as[String].collect().toSet
+    got(0).getSeq[Long](got(0).fieldIndex("n")).sum shouldBe
+      Tables.events(spark, sfDir).where($"value" >= 90).count()
+  }
+
   test("format cube: domains and data arrays align with the flat cell-complete form") {
     val cube = run(graft.operators.Jx.q57Json).collect()
     cube.length shouldBe 1
