@@ -134,5 +134,71 @@ object Cluster extends QueryPack {
            |SELECT node, MIN(r) AS component FROM reach GROUP BY node""".stripMargin),
     "near-dup clusters: connected components (large-star/small-star) over q31 pairs")
 
-  val all: Seq[Q] = Seq(q52)
+  /** Keeper selection — the resolution step that completes the dedup
+    * story (pairs → clusters → one KEPT document per cluster): per
+    * component, keep the longest document (n_chars, ties to the
+    * smallest doc_id — deterministic on both engines) and report the
+    * cluster size. One window shuffle over the component labels; the
+    * payload join is narrow (doc_id → n_chars only).
+    */
+  def keepers(components: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = components
+      .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("node").asc)
+    sized.withColumn("rk", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(
+        min(when(col("rk") === 1, col("node"))).as("keeper_id"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  val q61 = Q(
+    "q61_dedup_keepers",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      keepers(
+        connectedComponents(
+          Dedup.jaccardPairs(docs, 0.5).select(col("d1"), col("d2"))),
+        docs)
+    },
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT d1, d2
+           |  FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |), nodes AS (
+           |  SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs
+           |), und AS (
+           |  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs
+           |), reach AS (
+           |  SELECT n AS node, n AS r FROM nodes
+           |  UNION
+           |  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+           |), comp AS (
+           |  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+           |), sized AS (
+           |  SELECT c.component, c.node, d.n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY c.component
+           |      ORDER BY d.n_chars DESC, c.node ASC) AS rk
+           |  FROM comp c JOIN documents d ON d.doc_id = c.node
+           |)
+           |SELECT component, MIN(CASE WHEN rk = 1 THEN node END) AS keeper_id,
+           |  COUNT(*) AS n_members, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM sized GROUP BY component""".stripMargin),
+    "dedup resolution: per-cluster keeper (longest doc, deterministic ties) + cluster size")
+
+  val all: Seq[Q] = Seq(q52, q61)
 }

@@ -281,5 +281,63 @@ object Text extends QueryPack {
            |WHERE cum_tok - n_tok < 500""".stripMargin),
     "token-budget stratified sample: per-source deterministic-priority fill")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59)
+  /** Repetition metrics — the Gopher/C4-style quality filters that
+    * catch degenerate generated/boilerplate text: duplicate-3-gram
+    * ratio (1 − distinct/total) and the most-common-word fraction.
+    * Two exploded aggregations (map-side partial; the per-doc
+    * distinct is a single-distinct aggregate, no Expand), joined back
+    * so short documents (< 3 words → no 3-grams) keep a row. Ratios
+    * are one exact-integer division, bit-equal across engines.
+    */
+  val q60 = Q(
+    "q60_repetition",
+    (s, d) => {
+      val grams = Dedup.ngrams(docs(s, d), 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("shingle")).as("n_distinct"))
+      val wordStats = docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      docs(s, d).select(col("doc_id"))
+        .join(grams, Seq("doc_id"), "left")
+        .join(wordStats, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          when(col("n_grams") > 0,
+            (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+            .as("dup_gram_ratio"),
+          (col("mx").cast("double") / col("tot")).as("top_word_ratio"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), g AS (
+           |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), gs AS (
+           |  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT sh) AS n_distinct
+           |  FROM g GROUP BY 1
+           |), wc AS (
+           |  SELECT doc_id, t AS wd, COUNT(*) AS c
+           |  FROM toks, UNNEST(w) u(t) GROUP BY 1, 2
+           |), ws AS (
+           |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM wc GROUP BY 1
+           |)
+           |SELECT d.doc_id,
+           |  COALESCE(gs.n_grams, 0) AS n_grams,
+           |  COALESCE(gs.n_distinct, 0) AS n_distinct,
+           |  CASE WHEN gs.n_grams > 0
+           |       THEN CAST(gs.n_grams - gs.n_distinct AS DOUBLE) / gs.n_grams
+           |  END AS dup_gram_ratio,
+           |  CAST(ws.mx AS DOUBLE) / ws.tot AS top_word_ratio
+           |FROM documents d
+           |LEFT JOIN gs ON gs.doc_id = d.doc_id
+           |LEFT JOIN ws ON ws.doc_id = d.doc_id""".stripMargin),
+    "repetition quality metrics: duplicate-3-gram ratio + top-word fraction (Gopher/C4 filters)")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60)
 }
