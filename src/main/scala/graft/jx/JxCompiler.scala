@@ -86,6 +86,12 @@ object JxCompiler {
     val sel = if (q.has("select")) asList(q.get("select")) else Nil
     val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
 
+    // groupby emits populated cells, edges the full domain cross
+    // product — one query mixing them has no defined cell set; error
+    // loudly instead of silently preferring one
+    require(groupFields.isEmpty || edgeNodes.isEmpty,
+      "jx query: groupby and edges are mutually exclusive (edges ARE the grouping axes)")
+
     if (q.has("select") || groupFields.nonEmpty || edgeNodes.nonEmpty) {
       val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
       if (edgeNodes.nonEmpty) {
@@ -407,7 +413,10 @@ object JxCompiler {
   private def compileAggregate(n: JsonNode): Column = {
     val name = aggName(n)
     val value = if (n.has("value")) Some(compileExpr(n.get("value"))) else None
-    val agg = n.get("aggregate").asText() match {
+    val aggKind = req(n, "aggregate").asText()
+    require(value.nonEmpty || aggKind == "count",
+      s"jx aggregate '$aggKind' requires a value (only count may omit it)")
+    val agg = aggKind match {
       case "count" => value.map(count).getOrElse(count(lit(1)))
       case "sum" => dsum(value.get, 4)
       case "average" | "avg" => dsum(value.get, 4) / count(value.get)
@@ -446,12 +455,14 @@ object JxCompiler {
     var spec: WindowSpec = Window.partitionBy(parts: _*)
     if (sorts.nonEmpty) spec = spec.orderBy(sorts: _*)
     val value = if (w.has("value")) Some(compileExpr(w.get("value"))) else None
-    val agg = w.get("aggregate").asText() match {
+    val agg = req(w, "aggregate").asText() match {
       case "rownum" | "rank" => row_number()
       // Running sum through DECIMAL(18,4): window frames may be
       // accumulated differently by different engines; decimal addition
       // is exact either way (engine-wide policy, SURVEY.md §5).
-      case "sum" => sum(graft.util.dsumCast(value.get, 4))
+      case "sum" =>
+        require(value.nonEmpty, "jx window aggregate 'sum' requires a value")
+        sum(graft.util.dsumCast(value.get, 4))
         .over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("double")
       case "count" => count(value.getOrElse(lit(1))).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -459,7 +470,7 @@ object JxCompiler {
       case "max" => max(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case other => throw new IllegalArgumentException(s"jx window aggregate not supported: $other")
     }
-    val column = w.get("aggregate").asText() match {
+    val column = req(w, "aggregate").asText() match {
       case "rownum" | "rank" => row_number().over(spec)
       case _ => agg
     }

@@ -178,6 +178,22 @@ class JxSpec extends SparkSpec {
     e.getMessage should include("non-aggregate select")
   }
 
+  test("groupby mixed with edges is rejected, not silently resolved") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"events","groupby":["user_id"],"edges":["event_type"],
+        "select":[{"name":"n","aggregate":"count"}]}""")
+    }
+    e.getMessage should include("mutually exclusive")
+  }
+
+  test("value-less non-count aggregates error loudly") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"lineitem","groupby":["l_returnflag"],
+        "select":[{"name":"s","aggregate":"sum"}]}""")
+    }
+    e.getMessage should include("requires a value")
+  }
+
   test("unsupported operator raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"lineitem","where":{"frobnicate":{"x":1}},"select":["l_orderkey"]}""")
