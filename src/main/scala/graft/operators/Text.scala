@@ -240,16 +240,58 @@ object Text extends QueryPack {
     * documents in a deterministic pseudo-random priority order until
     * the stratum's token budget is filled, so no source dominates the
     * mixture. Priority is q53's multiplicative hash (no RNG: stable
-    * under re-partitioning, appends, and engine changes); admission is
-    * a per-source running token sum (streaming window, spill-safe —
-    * nothing buffers per group), keeping every document whose
-    * cumulative sum STARTS under the budget (so the budget may
-    * overshoot by at most one document, never undershoot).
-    * One shuffle total. At 100 TB, budgets per stratum are plan
-    * literals (or a broadcast dim) and this is the same single-window
-    * plan.
+    * under re-partitioning, appends, and engine changes); admission
+    * keeps every document whose cumulative token sum STARTS under the
+    * budget (so the budget may overshoot by at most one document,
+    * never undershoot).
+    *
+    * Scale shape — distributed take-while. A naive per-source running
+    * window sorts the WHOLE stratum in one task (a billion-doc source
+    * = one straggler). Instead the priority space is range-bucketed
+    * (order-preserving: every doc in bucket i precedes bucket i+1,
+    * and priority ties share a bucket), per-bucket token totals are
+    * prefix-summed per source (≤ `buckets` rows per source — a tiny
+    * window), and then:
+    *   - buckets whose running START is already ≥ budget are pruned
+    *     BEFORE any per-doc sort (the bulk of a big stratum),
+    *   - surviving buckets sort only their own 1/buckets slice, with
+    *     the bucket's base offset added to the in-bucket running sum —
+    *     reproducing the exact global cumulative sum.
+    * Output is identical to the single-window formulation
+    * (spec-pinned); the largest sort partition shrinks `buckets`-fold.
     */
-  def tokenBudgetSample(docsDf: DataFrame, tokensPerSource: Long): DataFrame = {
+  def tokenBudgetSample(docsDf: DataFrame, tokensPerSource: Long,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = 4294967296L / buckets
+    val base = docsDf
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"),
+        (graft.functions.splitHash(col("doc_id")) % 4294967296L).as("pri"))
+      .withColumn("bkt", floor(col("pri") / width).cast("int"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = base.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("bbase", sum(col("btok")).over(wB) - col("btok"))
+      .select(col("source"), col("bkt"), col("bbase"))
+    val wD = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(prefixes, Seq("source", "bkt"))
+      .where(col("bbase") < tokensPerSource) // prune dead buckets pre-sort
+      .withColumn("cum_tok", col("bbase") + sum(col("n_tok")).over(wD))
+      .where(col("cum_tok") - col("n_tok") < tokensPerSource)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+  }
+
+  /** The single-window formulation of `tokenBudgetSample` — the
+    * readable spec of the semantics, used only to pin the bucketed
+    * implementation's output (one whole-stratum sort per source; do
+    * not use on large strata).
+    */
+  private[graft] def tokenBudgetSampleSingleSort(
+      docsDf: DataFrame, tokensPerSource: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pri = graft.functions.splitHash(col("doc_id")) % 4294967296L
     val w = Window.partitionBy(col("source"))

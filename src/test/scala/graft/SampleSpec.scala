@@ -32,6 +32,16 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed take-while equals the single-window formulation at several budgets") {
+    for (budget <- Seq(1L, 137L, 500L, 100000L)) {
+      val bucketed = Text.tokenBudgetSample(documents, budget, buckets = 8)
+        .collect().map(_.toSeq).toSet
+      val single = Text.tokenBudgetSampleSingleSort(documents, budget)
+        .collect().map(_.toSeq).toSet
+      withClue(s"budget=$budget: ") { bucketed shouldBe single }
+    }
+  }
+
   test("sample is deterministic and independent of partitioning") {
     val a = Text.tokenBudgetSample(documents, 500L)
       .select($"doc_id").as[Long].collect().toSet
