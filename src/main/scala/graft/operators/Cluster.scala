@@ -138,21 +138,24 @@ object Cluster extends QueryPack {
     * story (pairs → clusters → one KEPT document per cluster): per
     * component, keep the longest document (n_chars, ties to the
     * smallest doc_id — deterministic on both engines) and report the
-    * cluster size. One window shuffle over the component labels; the
+    * cluster size. Argmax via lexicographic struct max — a pure
+    * aggregation (map-side partial, mergeable), NOT a window rank: a
+    * boilerplate mega-cluster would otherwise funnel its whole
+    * membership through one sort partition just to pick row 1. The
     * payload join is narrow (doc_id → n_chars only).
     */
   def keepers(components: DataFrame, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sized = components
+    components
       .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("n_chars").desc, col("node").asc)
-    sized.withColumn("rk", row_number().over(w))
       .groupBy(col("component"))
       .agg(
-        min(when(col("rk") === 1, col("node"))).as("keeper_id"),
+        // max by (n_chars asc-first then NEGATED node): the struct max
+        // is the longest doc, ties resolved to the SMALLEST node id
+        max(struct(col("n_chars"), (-col("node")).as("nn"))).as("top"),
         count(lit(1)).as("n_members"),
         sum(col("n_chars")).as("total_chars"))
+      .select(col("component"), (-col("top.nn")).as("keeper_id"),
+        col("n_members"), col("total_chars"))
   }
 
   val q61 = Q(
