@@ -455,14 +455,15 @@ object JxCompiler {
     var spec: WindowSpec = Window.partitionBy(parts: _*)
     if (sorts.nonEmpty) spec = spec.orderBy(sorts: _*)
     val value = if (w.has("value")) Some(compileExpr(w.get("value"))) else None
-    val agg = req(w, "aggregate").asText() match {
+    val aggKind = req(w, "aggregate").asText()
+    require(value.nonEmpty || Seq("rownum", "rank", "count").contains(aggKind),
+      s"jx window aggregate '$aggKind' requires a value")
+    val agg = aggKind match {
       case "rownum" | "rank" => row_number()
       // Running sum through DECIMAL(18,4): window frames may be
       // accumulated differently by different engines; decimal addition
       // is exact either way (engine-wide policy, SURVEY.md §5).
-      case "sum" =>
-        require(value.nonEmpty, "jx window aggregate 'sum' requires a value")
-        sum(graft.util.dsumCast(value.get, 4))
+      case "sum" => sum(graft.util.dsumCast(value.get, 4))
         .over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("double")
       case "count" => count(value.getOrElse(lit(1))).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -470,7 +471,7 @@ object JxCompiler {
       case "max" => max(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case other => throw new IllegalArgumentException(s"jx window aggregate not supported: $other")
     }
-    val column = req(w, "aggregate").asText() match {
+    val column = aggKind match {
       case "rownum" | "rank" => row_number().over(spec)
       case _ => agg
     }

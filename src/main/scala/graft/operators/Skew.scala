@@ -35,8 +35,18 @@ object Skew {
     * counting problem, not a routing problem.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
+    // xxhash64 rejects MapType (anywhere in a column's type) — salt
+    // from the hashable columns only; the join key is always hashable
+    // (it just shuffled), so the fallback set is never empty
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(saltCols.toSeq: _*)), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

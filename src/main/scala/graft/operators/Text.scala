@@ -269,6 +269,9 @@ object Text extends QueryPack {
         size(words(col("text"))).cast("long").as("n_tok"),
         (graft.functions.splitHash(col("doc_id")) % 4294967296L).as("pri"))
       .withColumn("bkt", floor(col("pri") / width).cast("int"))
+      // materialized once: the tokenization scan feeds both the
+      // bucket-totals aggregate and the join's probe side
+      .localCheckpoint()
     val wB = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prefixes = base.groupBy(col("source"), col("bkt"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, TimestampType}
+import org.apache.spark.sql.types.TimestampType
 
 /** Durable high-watermark bookmark for incremental extract — the
   * reference's `extract.py` persists the last-run watermark and
@@ -42,19 +42,31 @@ object ExtractBookmark {
   final case class Extract(batch: DataFrame, watermark: Option[Long])
 
   /** Rows of `src` strictly newer than the stored bookmark, bounded
-    * above by the source's CURRENT max (snapshotted now, so later
+    * above by the new window's max (snapshotted now, so later
     * arrivals cannot race the commit); all rows up to the snapshot on
     * the first run. `wmCol` may be a timestamp (bookmarked at exact
-    * microsecond precision) or any numeric.
+    * microsecond precision) or an INTEGRAL numeric — fractional
+    * watermark types are rejected: the bookmark stores a long, and a
+    * truncated fractional max would bound the window BELOW real rows,
+    * silently losing them forever.
+    *
+    * The snapshot max is computed over the already-filtered new
+    * window, not the whole source — on a resumed run the aggregate's
+    * scan carries the same pushed watermark predicate as the batch,
+    * so both touch only row groups whose stats overlap the new
+    * window (the 100 TB resume contract; spec-asserted).
     */
   def extractSince(src: DataFrame, wmCol: String, bookmarkPath: String): Extract = {
     val stored = read(src.sparkSession, bookmarkPath)
-    val hiRow = src.agg(max(wmLong(src, wmCol))).head()
+    val windowed = stored
+      .map(wm => src.where(col(wmCol) > wmLiteral(src, wmCol, wm)))
+      .getOrElse(src)
+    val hiRow = windowed.agg(max(wmLong(src, wmCol))).head()
     val hi = if (hiRow.isNullAt(0)) None else Some(hiRow.getLong(0))
-    val lo = stored.map(wm => col(wmCol) > wmLiteral(src, wmCol, wm))
-    val up = hi.map(h => col(wmCol) <= wmLiteral(src, wmCol, h))
-    val batch = (lo.toSeq ++ up.toSeq).foldLeft(src)((d, f) => d.where(f))
-    // an empty source (or one that regressed below the bookmark)
+    val batch = hi
+      .map(h => windowed.where(col(wmCol) <= wmLiteral(src, wmCol, h)))
+      .getOrElse(windowed)
+    // an empty window (or a source that regressed below the bookmark)
     // keeps the stored watermark: commit never moves backwards
     Extract(batch, (hi.toSeq ++ stored.toSeq).maxOption)
   }
@@ -92,23 +104,33 @@ object ExtractBookmark {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
     val tmp = new org.apache.hadoop.fs.Path(bookmarkPath + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // write-then-rename: the visible sidecar is always a complete
-    // value (rename is atomic on HDFS/local; object stores with
-    // non-atomic rename surface a corrupt value as a LOUD read error)
+    // write-then-OVERWRITE-rename: the visible sidecar is always a
+    // complete value and there is no delete-then-rename window in
+    // which a crash leaves NO sidecar (which would silently trigger a
+    // full re-extract — worse than failing loudly). Object stores
+    // with non-atomic rename surface a corrupt value as a LOUD read
+    // error instead.
     val out = fs.create(tmp, true)
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"could not commit bookmark at $bookmarkPath")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
   }
 
   /** Watermark column as a comparable long (micros for timestamps). */
   private def wmLong(df: DataFrame, wmCol: String): Column =
     df.schema(wmCol).dataType match {
       case TimestampType => unix_micros(col(wmCol))
-      case _: NumericType => col(wmCol).cast("long")
+      case dt if integral(dt) => col(wmCol).cast("long")
       case other => throw new IllegalArgumentException(
-        s"bookmark column '$wmCol' must be timestamp or numeric, got $other")
+        s"bookmark column '$wmCol' must be timestamp or integral (a truncated " +
+          s"fractional watermark would silently lose rows), got $other")
     }
 
   /** The stored watermark as a literal of the column's own type, so
@@ -118,8 +140,9 @@ object ExtractBookmark {
   private def wmLiteral(df: DataFrame, wmCol: String, wm: Long): Column =
     df.schema(wmCol).dataType match {
       case TimestampType => timestamp_micros(lit(wm))
-      case dt: NumericType => lit(wm).cast(dt)
+      case dt if integral(dt) => lit(wm).cast(dt)
       case other => throw new IllegalArgumentException(
-        s"bookmark column '$wmCol' must be timestamp or numeric, got $other")
+        s"bookmark column '$wmCol' must be timestamp or integral (a truncated " +
+          s"fractional watermark would silently lose rows), got $other")
     }
 }

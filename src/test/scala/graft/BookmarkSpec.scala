@@ -20,7 +20,8 @@ class BookmarkSpec extends SparkSpec {
     val run1 = Tables.events(spark, sfDir) // real ns-normalized timestamps
     val e1 = ExtractBookmark.extractSince(run1, "ts", bm)
     e1.batch.count() shouldBe run1.count() // no bookmark yet → full extract
-    ExtractBookmark.commit(e1, bm) shouldBe defined
+    val wm1 = ExtractBookmark.commit(e1, bm)
+    wm1 shouldBe defined
 
     // source grows: everything again, plus strictly newer rows
     val newer = run1.orderBy($"ts".desc).limit(10)
@@ -33,7 +34,8 @@ class BookmarkSpec extends SparkSpec {
       newer.select("event_id").as[Long].collect().toSet
 
     val wm2 = ExtractBookmark.commit(e2, bm)
-    wm2.get should be > ExtractBookmark.read(spark, bm).get - 1 // persisted
+    wm2.get should be > wm1.get // the watermark actually advanced
+    ExtractBookmark.read(spark, bm) shouldBe wm2 // and was persisted
     // third run over an unchanged source extracts nothing
     ExtractBookmark.extractSince(run2src, "ts", bm).batch.count() shouldBe 0L
   }
@@ -73,6 +75,15 @@ class BookmarkSpec extends SparkSpec {
     val grown = src.union(Seq((4L, 8L)).toDF("id", "v"))
     ExtractBookmark.extractSince(grown, "v", bm).batch
       .as[(Long, Long)].collect().toSeq shouldBe Seq((4L, 8L))
+  }
+
+  test("fractional watermark columns are rejected (truncation would lose rows)") {
+    val bm = tmp()
+    val src = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      ExtractBookmark.extractSince(src, "v", bm)
+    }
+    e.getMessage should include("integral")
   }
 
   test("corrupt sidecar fails loudly instead of silently re-extracting the world") {
