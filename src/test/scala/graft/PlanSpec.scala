@@ -56,10 +56,15 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
-  test("token-budget sample is one window pass, no join (q59)") {
+  test("token-budget sample: windowed take-while, prefix table broadcast (q59)") {
     val p = plan(operators.Text.q59)
     p should include("Window")
-    p should not include "Join"
+    // the bucket-prefix side is tiny and must broadcast — a shuffle
+    // join here would mean the per-doc side shuffles twice
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
   }
 
   test("as-of join compiles to a window, not a join (q50)") {
