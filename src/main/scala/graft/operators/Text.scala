@@ -384,5 +384,55 @@ object Text extends QueryPack {
            |LEFT JOIN ws ON ws.doc_id = d.doc_id""".stripMargin),
     "repetition quality metrics: duplicate-3-gram ratio + top-word fraction (Gopher/C4 filters)")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60)
+  /** Per-source length-band outlier filter — the p5–p95 gate a corpus
+    * release runs to drop truncated fragments and concatenation
+    * monsters. Thresholds are EXACT per-source quantiles via the
+    * engine's rank+interpolate pattern (q18: distributed sort, no
+    * per-group buffering), broadcast back onto the scan as a tiny
+    * per-source dim. The exact form is the oracle-verifiable
+    * baseline; at 100 TB compute the thresholds with
+    * `graft.functions.approxPercentile` (mergeable t-digest, no
+    * per-source sort) — the filter join is identical either way.
+    */
+  val q62 = Q(
+    "q62_length_filter",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("double").as("n_tok"))
+      val byVal = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+      val bySrc = Window.partitionBy(col("source"))
+      val ranked = base
+        .withColumn("rn", row_number().over(byVal) - 1)
+        .withColumn("n", count(lit(1)).over(bySrc))
+      def quantile(p: Double): Column = {
+        val pos = (col("n") - 1) * p
+        val lo = floor(pos)
+        val vl = max(when(col("rn") === lo, col("n_tok")))
+        val vu = max(when(col("rn") === lo + 1, col("n_tok")))
+        vl + max(pos - lo) * (coalesce(vu, vl) - vl)
+      }
+      val thresholds = ranked.groupBy(col("source"))
+        .agg(quantile(0.05).as("lo_tok"), quantile(0.95).as("hi_tok"))
+      base.join(broadcast(thresholds), "source")
+        .where(col("n_tok") >= col("lo_tok") && col("n_tok") <= col("hi_tok"))
+        .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),
+          round(col("lo_tok"), 4).as("lo_tok"), round(col("hi_tok"), 4).as("hi_tok"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok
+           |  FROM documents
+           |), thr AS (
+           |  SELECT source, quantile_cont(n_tok, 0.05) AS lo_tok,
+           |         quantile_cont(n_tok, 0.95) AS hi_tok
+           |  FROM t GROUP BY source
+           |)
+           |SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok,
+           |  ROUND(thr.lo_tok, 4) AS lo_tok, ROUND(thr.hi_tok, 4) AS hi_tok
+           |FROM t JOIN thr USING (source)
+           |WHERE t.n_tok >= thr.lo_tok AND t.n_tok <= thr.hi_tok""".stripMargin),
+    "length-band outlier filter: exact per-source p5-p95 gate (rank+interpolate thresholds)")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62)
 }
