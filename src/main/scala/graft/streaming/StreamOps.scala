@@ -204,5 +204,31 @@ object StreamOps extends QueryPack {
            |FROM sess GROUP BY user_id, session_id""".stripMargin),
     "gap sessions via native session_window (stream-capable built-in)")
 
+  /** Streaming ingest into the keyed upsert sink — the reference's
+    * push loop (`push_to_es.py`) as a stream: every micro-batch goes
+    * through the SAME latest-revision-wins merge the batch push uses
+    * ([[graft.sources.ParquetUpsertSink.upsert]]). Because the merge
+    * is associative and idempotent per key (latest version wins,
+    * provided versions are unique per key — the sink's documented
+    * contract), micro-batch boundaries and at-least-once redelivery
+    * cannot change the final table: it always equals one batch upsert
+    * of the whole input. Exactly-once-EFFECTIVE ingest on an
+    * at-least-once transport, spec-verified against the batch result
+    * under multi-batch + redelivered input.
+    *
+    * Returns the configured writer; the caller sets trigger /
+    * checkpoint and starts it.
+    */
+  def streamingUpsertIngest(stream: DataFrame, path: String,
+      keyCols: Seq[String], versionCol: String, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      graft.sources.ParquetUpsertSink.upsert(
+        batch.toDF(), path, keyCols, versionCol, numBuckets)
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   val all: Seq[Q] = Seq(q42, q51)
 }

@@ -105,6 +105,40 @@ class StreamingSpec extends SparkSpec {
     batch.except(streamed).count() shouldBe 0L
   }
 
+  test("streaming upsert ingest equals one batch upsert, across micro-batches + redelivery") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // stage the events as FOUR files so AvailableNow + maxFilesPerTrigger=1
+    // processes four micro-batches, plus a fifth file REDELIVERING 100
+    // rows verbatim (at-least-once transport)
+    val dir = Files.createTempDirectory("graft-ingest-src").toString
+    Tables.events(spark, sfDir).repartition(4).write.mode("append").parquet(dir)
+    Tables.events(spark, sfDir).limit(100).write.mode("append").parquet(dir)
+    val table = Files.createTempDirectory("graft-ingest-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-ingest-ck").toString
+
+    // staged files hold the NORMALIZED events (ts already timestamp),
+    // so the stream schema comes from the staged files, not the raw
+    // nanosecond source schema
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val query = StreamOps
+      .streamingUpsertIngest(stream, table, keyCols = Seq("user_id"), versionCol = "event_id")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    // one batch upsert of the whole input = latest event_id per user
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val want = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    got shouldBe want
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
