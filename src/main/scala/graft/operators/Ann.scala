@@ -209,6 +209,48 @@ object Ann extends QueryPack {
         greatest(col("v1"), col("v2")).as("v2"), col("score"))
   }
 
+  /** Cross-corpus variant of the blocked theta-join: every (a, b)
+    * pair with a ∈ `a`, b ∈ `b` and cosine ≥ threshold — the
+    * embedding-side contamination audit (did eval vectors leak into
+    * the training corpus, verbatim or re-embedded near-verbatim),
+    * q58's semantic counterpart. Same block mechanics as
+    * `blockedCosinePairs` minus the diagonal bookkeeping: sides are
+    * distinct, so every (block_i, block_j) cell meets exactly once as
+    * a plain equi-join partition — no broadcast, memory-bounded
+    * tasks, uniform hash blocks.
+    */
+  def crossCosinePairs(a: DataFrame, b: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val l = a.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bi"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("bj"))
+    val r = b.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("bi"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bj"))
+    l.join(r, Seq("bi", "bj"))
+      .withColumn("score", cosineFast(col("ea"), col("eb")))
+      .where(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
+  val q63 = Q(
+    "q63_embed_contamination",
+    (s, d) => {
+      val e = emb(s, d)
+      // the split a real pipeline supplies as two tables: even ids
+      // "train", odd ids "eval"
+      crossCosinePairs(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1), 0.4)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |  list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+           |FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+           |WHERE list_dot_product(a.v, b.v) /
+           |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin),
+    "embedding-space contamination: cross-corpus cosine pairs via blocked theta-join")
+
   val q41 = Q(
     "q41_dedup_embed",
     (s, d) => blockedCosinePairs(emb(s, d), 0.4),
@@ -221,5 +263,5 @@ object Ann extends QueryPack {
            |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin),
     "embedding-cosine near-dup pairs: exact blocked theta-join (no broadcast cartesian)")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43)
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63)
 }

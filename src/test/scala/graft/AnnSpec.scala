@@ -71,6 +71,23 @@ class AnnSpec extends SparkSpec {
     rows.toSet shouldBe naive
   }
 
+  test("cross-corpus blocked cosine pairs: equals the naive cross join, exactly once, no BNLJ") {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.where($"vec_id" % 2 === 0)
+    val b = e.where($"vec_id" % 2 === 1)
+    val blocked = Ann.crossCosinePairs(a, b, 0.4, blocks = 5)
+    val plan = blocked.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val rows = blocked.select($"a_id", $"b_id").as[(Long, Long)].collect()
+    rows.length shouldBe rows.toSet.size // every cell meets exactly once
+    val naive = a.toDF("a_id", "ea", "l1").join(b.toDF("b_id", "eb", "l2"))
+      .withColumn("score", cosineFast($"ea", $"eb"))
+      .where($"score" >= 0.4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    rows.toSet shouldBe naive
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
