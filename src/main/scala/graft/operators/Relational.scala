@@ -355,17 +355,10 @@ object Relational extends QueryPack {
         .select(col("l_returnflag"), col("l_quantity"))
         .withColumn("rn", row_number().over(byVal) - 1)
         .withColumn("n", count(lit(1)).over(grp))
-      def quantile(p: Double): Column = {
-        val pos = (col("n") - 1) * p
-        val lo = floor(pos)
-        val vl = max(when(col("rn") === lo, col("l_quantity")))
-        val vu = max(when(col("rn") === lo + 1, col("l_quantity")))
-        vl + max(pos - lo) * (coalesce(vu, vl) - vl)
-      }
       base.groupBy(col("l_returnflag"))
         .agg(
-          round(quantile(0.5), 4).as("median_qty"),
-          round(quantile(0.9), 4).as("p90_qty"),
+          round(graft.util.quantileCont(col("l_quantity"), 0.5), 4).as("median_qty"),
+          round(graft.util.quantileCont(col("l_quantity"), 0.9), 4).as("p90_qty"),
           count(lit(1)).as("n"))
     },
     Some("""SELECT l_returnflag,

@@ -269,9 +269,11 @@ object Text extends QueryPack {
         size(words(col("text"))).cast("long").as("n_tok"),
         (graft.functions.splitHash(col("doc_id")) % 4294967296L).as("pri"))
       .withColumn("bkt", floor(col("pri") / width).cast("int"))
-      // materialized once: the tokenization scan feeds both the
-      // bucket-totals aggregate and the join's probe side
-      .localCheckpoint()
+    // deliberately NOT checkpointed: the tokenization pass runs twice
+    // (bucket totals + probe side), but building the plan stays lazy,
+    // and the result recomputes under executor loss instead of dying
+    // with pinned checkpoint blocks; callers reusing `base` hot can
+    // persist it themselves
     val wB = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prefixes = base.groupBy(col("source"), col("bkt"))
@@ -281,7 +283,9 @@ object Text extends QueryPack {
     val wD = Window.partitionBy(col("source"), col("bkt"))
       .orderBy(col("pri").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(prefixes, Seq("source", "bkt"))
+    // prefix table is <= buckets rows per source — pin the broadcast
+    // rather than trusting stats propagation (PlanSpec asserts it)
+    base.join(broadcast(prefixes), Seq("source", "bkt"))
       .where(col("bbase") < tokensPerSource) // prune dead buckets pre-sort
       .withColumn("cum_tok", col("bbase") + sum(col("n_tok")).over(wD))
       .where(col("cum_tok") - col("n_tok") < tokensPerSource)
@@ -405,15 +409,9 @@ object Text extends QueryPack {
       val ranked = base
         .withColumn("rn", row_number().over(byVal) - 1)
         .withColumn("n", count(lit(1)).over(bySrc))
-      def quantile(p: Double): Column = {
-        val pos = (col("n") - 1) * p
-        val lo = floor(pos)
-        val vl = max(when(col("rn") === lo, col("n_tok")))
-        val vu = max(when(col("rn") === lo + 1, col("n_tok")))
-        vl + max(pos - lo) * (coalesce(vu, vl) - vl)
-      }
       val thresholds = ranked.groupBy(col("source"))
-        .agg(quantile(0.05).as("lo_tok"), quantile(0.95).as("hi_tok"))
+        .agg(graft.util.quantileCont(col("n_tok"), 0.05).as("lo_tok"),
+          graft.util.quantileCont(col("n_tok"), 0.95).as("hi_tok"))
       base.join(broadcast(thresholds), "source")
         .where(col("n_tok") >= col("lo_tok") && col("n_tok") <= col("hi_tok"))
         .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),

@@ -89,37 +89,50 @@ object ExtractBookmark {
   def read(spark: SparkSession, bookmarkPath: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+    // crash recovery: the writer completes the tmp file BEFORE
+    // touching the visible sidecar, so if the sidecar is missing but
+    // a tmp exists, a crash hit the delete→rename window — the tmp
+    // holds the committed value. (A crash mid-tmp-write leaves the
+    // previous sidecar in place, so the partial tmp is never read.)
+    val target =
+      if (fs.exists(p)) Some(p)
+      else if (fs.exists(tmpPath(bookmarkPath))) Some(tmpPath(bookmarkPath))
+      else None
+    target.map { t =>
+      val in = fs.open(t)
       val body =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      Some(body.toLongOption.getOrElse(throw new IllegalStateException(
-        s"corrupt bookmark sidecar at $bookmarkPath: '$body' — delete it to force a full re-extract")))
+      body.toLongOption.getOrElse(throw new IllegalStateException(
+        s"corrupt bookmark sidecar at $t: '$body' — delete it to force a full re-extract"))
     }
   }
 
+  private def tmpPath(bookmarkPath: String) =
+    new org.apache.hadoop.fs.Path(bookmarkPath + ".tmp")
+
   private def write(spark: SparkSession, bookmarkPath: String, wm: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
-    val tmp = new org.apache.hadoop.fs.Path(bookmarkPath + ".tmp")
+    val tmp = tmpPath(bookmarkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // write-then-OVERWRITE-rename: the visible sidecar is always a
-    // complete value and there is no delete-then-rename window in
-    // which a crash leaves NO sidecar (which would silently trigger a
-    // full re-extract — worse than failing loudly). Object stores
-    // with non-atomic rename surface a corrupt value as a LOUD read
-    // error instead.
+    // tmp-first protocol with READ-side recovery (plain FileSystem
+    // API — portable to any connector, unlike FileContext overwrite
+    // rename): every crash point leaves either the old sidecar, or a
+    // complete tmp that read() recovers, or the new sidecar. No
+    // window loses the bookmark silently.
     val out = fs.create(tmp, true)
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit bookmark at $bookmarkPath")
   }
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    // scale-0 decimals (JDBC NUMBER(p,0) ids/epochs) are exact
+    // integrals — casting to long loses nothing
+    case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 => true
     case _ => false
   }
 

@@ -30,6 +30,22 @@ package object util {
   def dsumCast(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(18, scale))
 
+  /** Exact quantile_cont as an ordinary AGGREGATE over rank-prepped
+    * rows — the engine's distributed percentile pattern (q18/q62):
+    * rows carry `rn` (0-based rank of `value` within the group, from
+    * a row_number window) and `n` (group size, from a count window);
+    * this aggregate picks the two rows bracketing position (n-1)*p
+    * and interpolates. No per-group value buffering anywhere — the
+    * scale-safe replacement for Spark's exact `percentile`.
+    */
+  def quantileCont(value: Column, p: Double): Column = {
+    val pos = (col("n") - 1) * p
+    val lo = floor(pos)
+    val vl = max(when(col("rn") === lo, value))
+    val vu = max(when(col("rn") === lo + 1, value))
+    vl + max(pos - lo) * (coalesce(vu, vl) - vl)
+  }
+
   /** Standard session builder config shared by Verify / Bench / specs. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
