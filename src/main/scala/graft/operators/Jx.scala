@@ -195,11 +195,50 @@ object Jx extends QueryPack {
       |  "format": "cube"
       |}""".stripMargin
 
+  /** Gate entry: the raw cube's array columns serialized through
+    * `to_json` so the harness (pandas sort + hash over cell values)
+    * gets stable sortable strings — nested numpy arrays are unhashable
+    * and crashed the r4 gate. The library API is unchanged:
+    * `JxCompiler.query(.., q57Json)` still returns the raw nested
+    * cube; JxSpec keeps pinning its cells. The float aggregate is
+    * stringified through DECIMAL(18,4) on BOTH sides (engine-wide
+    * policy, SURVEY.md §5): decimal→string is deterministic text,
+    * where double→JSON shortest-round-trip formatting is an
+    * engine-specific choice that could hash-mismatch.
+    */
   val q57 = Q(
     "q57_jx_format_cube",
-    (s, d) => JxCompiler.query(s, d, q57Json),
-    None, // cube shape has no SQL mirror; JxSpec pins cells vs flat q27
-    "jx cube format: edge domain arrays + aligned nested data arrays")
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      JxCompiler.query(s, d, q57Json).select(
+        to_json(col("domain_user_id")).as("domain_user_id"),
+        to_json(col("domain_event_type")).as("domain_event_type"),
+        to_json(col("n")).as("n"),
+        to_json(expr(
+          "transform(total, r -> transform(r, x -> cast(cast(x as decimal(18,4)) as string)))"))
+          .as("total"))
+    },
+    Some("""WITH src AS (SELECT user_id, event_type, value FROM events WHERE value >= 90),
+           |u AS (SELECT DISTINCT user_id FROM src),
+           |t AS (SELECT DISTINCT event_type FROM src),
+           |g AS (SELECT user_id, event_type, COUNT(*) AS n,
+           |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |      FROM src GROUP BY 1, 2),
+           |j AS (SELECT u.user_id, t.event_type, COALESCE(g.n, 0) AS n,
+           |             CAST(CAST(g.total AS DECIMAL(18,4)) AS VARCHAR) AS total
+           |      FROM u CROSS JOIN t
+           |      LEFT JOIN g ON g.user_id = u.user_id AND g.event_type = t.event_type),
+           |r AS (SELECT user_id,
+           |             list(n ORDER BY event_type) AS n_row,
+           |             list(total ORDER BY event_type) AS t_row
+           |      FROM j GROUP BY user_id)
+           |SELECT
+           |  CAST(to_json((SELECT list(user_id ORDER BY user_id) FROM u)) AS VARCHAR) AS domain_user_id,
+           |  CAST(to_json((SELECT list(event_type ORDER BY event_type) FROM t)) AS VARCHAR) AS domain_event_type,
+           |  CAST(to_json(list(n_row ORDER BY user_id)) AS VARCHAR) AS n,
+           |  CAST(to_json(list(t_row ORDER BY user_id)) AS VARCHAR) AS total
+           |FROM r""".stripMargin),
+    "jx cube format: edge domain arrays + aligned nested data arrays (gate: to_json)")
 
   val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57)
 }
