@@ -344,22 +344,21 @@ object Relational extends QueryPack {
     (s, d) => {
       // Exact quantile_cont WITHOUT Spark's `percentile` aggregate,
       // which buffers every group value on the merge side (executor
-      // OOM at 100 TB). Instead: rank rows within each group (a
-      // distributed sort shuffle), then one ordinary aggregation picks
-      // the two rows bracketing position (n-1)*p and interpolates —
-      // no per-group buffering anywhere. For pre-aggregated sketch
-      // needs use graft.functions.approxPercentile (t-digest).
-      val byVal = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      val grp = Window.partitionBy(col("l_returnflag"))
-      val base = li(s, d)
-        .select(col("l_returnflag"), col("l_quantity"))
-        .withColumn("rn", row_number().over(byVal) - 1)
-        .withColumn("n", count(lit(1)).over(grp))
-      base.groupBy(col("l_returnflag"))
+      // OOM at 100 TB), and WITHOUT a per-group window sort (which
+      // funnels each group through ONE task — 3 return flags = 3
+      // stragglers at 100 TB). graft.util.rankPrep compresses to
+      // distinct (group, value) rows with distributed rank ranges;
+      // one ordinary aggregation then brackets position (n-1)*p and
+      // interpolates. For pre-aggregated sketch needs use
+      // graft.functions.approxPercentile (t-digest).
+      val prep = graft.util.rankPrep(
+        li(s, d).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+      prep.groupBy(col("l_returnflag"))
         .agg(
           round(graft.util.quantileCont(col("l_quantity"), 0.5), 4).as("median_qty"),
           round(graft.util.quantileCont(col("l_quantity"), 0.9), 4).as("p90_qty"),
-          count(lit(1)).as("n"))
+          max(col("n")).as("n"))
     },
     Some("""SELECT l_returnflag,
            |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

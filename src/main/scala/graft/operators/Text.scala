@@ -391,25 +391,22 @@ object Text extends QueryPack {
   /** Per-source length-band outlier filter — the p5–p95 gate a corpus
     * release runs to drop truncated fragments and concatenation
     * monsters. Thresholds are EXACT per-source quantiles via the
-    * engine's rank+interpolate pattern (q18: distributed sort, no
-    * per-group buffering), broadcast back onto the scan as a tiny
-    * per-source dim. The exact form is the oracle-verifiable
-    * baseline; at 100 TB compute the thresholds with
-    * `graft.functions.approxPercentile` (mergeable t-digest, no
-    * per-source sort) — the filter join is identical either way.
+    * engine's distributed rank pattern (graft.util.rankPrep: value
+    * compression + bucketed rank ranges — no per-group buffering AND
+    * no single-task-per-group sort), broadcast back onto the scan as
+    * a tiny per-source dim. The exact form is the oracle-verifiable
+    * baseline; at 100 TB `graft.functions.approxPercentile`
+    * (mergeable t-digest) is the even cheaper alternative — the
+    * filter join is identical either way.
     */
   val q62 = Q(
     "q62_length_filter",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val base = docs(s, d).select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("double").as("n_tok"))
-      val byVal = Window.partitionBy(col("source")).orderBy(col("n_tok"))
-      val bySrc = Window.partitionBy(col("source"))
-      val ranked = base
-        .withColumn("rn", row_number().over(byVal) - 1)
-        .withColumn("n", count(lit(1)).over(bySrc))
-      val thresholds = ranked.groupBy(col("source"))
+      val prep = graft.util.rankPrep(
+        base.select(col("source"), col("n_tok")), "source", "n_tok")
+      val thresholds = prep.groupBy(col("source"))
         .agg(graft.util.quantileCont(col("n_tok"), 0.05).as("lo_tok"),
           graft.util.quantileCont(col("n_tok"), 0.95).as("hi_tok"))
       base.join(broadcast(thresholds), "source")

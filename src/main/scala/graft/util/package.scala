@@ -30,19 +30,70 @@ package object util {
   def dsumCast(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(18, scale))
 
-  /** Exact quantile_cont as an ordinary AGGREGATE over rank-prepped
-    * rows — the engine's distributed percentile pattern (q18/q62):
-    * rows carry `rn` (0-based rank of `value` within the group, from
-    * a row_number window) and `n` (group size, from a count window);
-    * this aggregate picks the two rows bracketing position (n-1)*p
-    * and interpolates. No per-group value buffering anywhere — the
-    * scale-safe replacement for Spark's exact `percentile`.
+  /** Distributed rank prep for exact per-group quantiles (q18/q62):
+    * one compressed row per distinct (group, value) carrying the
+    * 0-based rank range it covers — `lo_rn`..`hi_rn` — and the group
+    * size `n`. NO single task ever sorts a whole group (r4's verdict
+    * on the old `Window.partitionBy(group).orderBy(value)` prep: with
+    * 3–20 groups a 100 TB table funnels through 3–20 external sorts).
+    *
+    * Shape — every stage distributed and DETERMINISTIC on recompute
+    * (the frame is consumed twice; sampling-based bucketing like
+    * repartitionByRange could disagree between instantiations):
+    *  1. compress: groupBy(group, value).count — map-side partial, the
+    *     shuffle carries distinct values, not rows;
+    *  2. bucket: monotone linear split of [min, max] into `buckets`
+    *     ranges (min/max are order-independent aggregates; value skew
+    *     only affects balance, never correctness — adversarial
+    *     distributions degrade toward per-group sorting of DISTINCT
+    *     values, already compressed);
+    *  3. local rank: cumulative counts per (group, bucket) — a window
+    *     whose partitions hold one bucket's distinct values;
+    *  4. offsets: per-(group, bucket) totals (≤ groups × buckets rows)
+    *     cumsum'd and broadcast back; global rank = offset + local.
+    */
+  def rankPrep(df: DataFrame, group: String, value: String,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = df.where(col(value).isNotNull)
+      .groupBy(col(group), col(value)).agg(count(lit(1)).as("_cnt"))
+    val mm = comp.agg(min(col(value)).cast(DoubleType).as("_mn"),
+      max(col(value)).cast(DoubleType).as("_mx"))
+    val vd = col(value).cast(DoubleType)
+    val span = col("_mx") - col("_mn")
+    val bkt = when(span <= 0, lit(0)).otherwise(
+      least(lit(buckets - 1), floor((vd - col("_mn")) / (span / buckets)))).cast("int")
+    val bounded = comp.crossJoin(broadcast(mm)).withColumn("_bkt", bkt)
+    val wLoc = Window.partitionBy(col(group), col("_bkt")).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col(group)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = bounded.groupBy(col(group), col("_bkt")).agg(sum(col("_cnt")).as("_btot"))
+      .withColumn("_bbase", sum(col("_btot")).over(wOff) - col("_btot"))
+      .withColumn("n", sum(col("_btot")).over(Window.partitionBy(col(group))))
+      .select(col(group), col("_bkt"), col("_bbase"), col("n"))
+    bounded
+      .withColumn("_cum", sum(col("_cnt")).over(wLoc))
+      .join(broadcast(off), Seq(group, "_bkt"))
+      .select(col(group), col(value),
+        (col("_bbase") + col("_cum") - col("_cnt")).as("lo_rn"),
+        (col("_bbase") + col("_cum") - 1).as("hi_rn"),
+        col("n"))
+  }
+
+  /** Exact quantile_cont as an ordinary AGGREGATE over `rankPrep`
+    * rows: picks the compressed rows whose rank range covers position
+    * (n-1)*p (and the next rank) and interpolates. No per-group value
+    * buffering anywhere — the scale-safe replacement for Spark's
+    * exact `percentile` (which buffers whole groups on the merge
+    * side). Nulls are excluded by rankPrep, matching SQL
+    * quantile_cont.
     */
   def quantileCont(value: Column, p: Double): Column = {
     val pos = (col("n") - 1) * p
     val lo = floor(pos)
-    val vl = max(when(col("rn") === lo, value))
-    val vu = max(when(col("rn") === lo + 1, value))
+    val vl = max(when(col("lo_rn") <= lo && lo <= col("hi_rn"), value))
+    val vu = max(when(col("lo_rn") <= lo + 1 && lo + 1 <= col("hi_rn"), value))
     vl + max(pos - lo) * (coalesce(vu, vl) - vl)
   }
 

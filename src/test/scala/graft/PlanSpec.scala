@@ -79,4 +79,26 @@ class PlanSpec extends SparkSpec {
     // codegen'd spans print as "*(n) Op" in executedPlan.toString
     plan(operators.Text.q38) should include("*(1)")
   }
+
+  test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
+    // r4 verdict: Window.partitionBy(group).orderBy(value) over the
+    // scan routes every row of a group through ONE task — with 3–20
+    // groups, a 100 TB table funnels through 3–20 external sorts.
+    // rankPrep compresses to distinct values first, so every Window
+    // in these plans must sit above an Aggregate (compressed data),
+    // never directly over scan rows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq(Relational.q18, operators.Text.q62).foreach { q =>
+      val lp = q.build(spark, sfDir).queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      withClue(s"${q.name}: expected rankPrep windows in the plan: ") {
+        windows should not be empty
+      }
+      windows.foreach { w =>
+        withClue(s"${q.name}: window over un-aggregated rows (single-task-per-group sort): ") {
+          w.child.collectFirst { case a: Aggregate => a } should not be empty
+        }
+      }
+    }
+  }
 }
