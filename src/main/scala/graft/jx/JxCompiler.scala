@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
   *    count, sum, average, minimum, maximum, cardinality, and
   *    value-less count
   *  - groupby / edges: field list (edges = jx's pivot axes; default
-  *    domains map to plain grouping)
+  *    domains map to plain grouping; range domains = numeric
+  *    histograms; time domains = calendar day/week/month histograms)
   *  - window: {name, value, aggregate, edges, sort} with aggregate in
   *    sum, count, min, max, rownum
   *  - sort: field or {value, sort: 1|-1}; limit: int
@@ -50,20 +51,30 @@ object JxCompiler {
 
   def parse(json: String): JsonNode = mapper.readTree(json)
 
-  /** Compile and run a jx query against the testdata tables in `dir`. */
-  def query(spark: SparkSession, dir: String, json: String): DataFrame =
-    compile(spark, dir, parse(json), Map.empty)
+  /** Compile and run a jx query against the testdata tables in `dir`.
+    *
+    * `lenient = true` restores the reference's missing-field
+    * semantics: jx treats an unknown field as `missing` (null) rather
+    * than erroring, so filters on it match nothing, `missing` matches
+    * everything, selects emit a null column and groupbys one null
+    * group. Strict (analyzer error) stays the default — silent nulls
+    * hide typos, so leniency is an explicit opt-in for porting
+    * reference queries verbatim.
+    */
+  def query(spark: SparkSession, dir: String, json: String,
+      lenient: Boolean = false): DataFrame =
+    compile(spark, dir, parse(json), Map.empty, lenient)
 
   /** Like `query`, with extra named DataFrames visible to `from` —
     * the route for querying nested documents built in-plan (and for
     * NDJSON reads via [[graft.sources.JsonLinesSource]]).
     */
   def queryOn(spark: SparkSession, dir: String, json: String,
-      tables: Map[String, DataFrame]): DataFrame =
-    compile(spark, dir, parse(json), tables)
+      tables: Map[String, DataFrame], lenient: Boolean = false): DataFrame =
+    compile(spark, dir, parse(json), tables, lenient)
 
   private def compile(spark: SparkSession, dir: String, q: JsonNode,
-      tables: Map[String, DataFrame]): DataFrame = {
+      tables: Map[String, DataFrame], lenient: Boolean = false): DataFrame = {
     // jx `from` is a table name, a dotted path to nested inner
     // documents, or a nested query document (the reference pipelines
     // queries: an inner aggregation feeding an outer filter/sort).
@@ -72,7 +83,17 @@ object JxCompiler {
     val fromNode = req(q, "from")
     var df =
       if (fromNode.isTextual) resolveFrom(spark, dir, fromNode.asText(), tables)
-      else compile(spark, dir, fromNode, tables)
+      else compile(spark, dir, fromNode, tables, lenient)
+
+    if (lenient) {
+      // reference semantics: an unresolved field IS the missing value.
+      // Inject absent referenced fields as typed null columns BEFORE
+      // compilation so every clause sees them; names the query itself
+      // defines (select/window/aggregate outputs) resolve against the
+      // query output, not the source, and are never injected.
+      val absent = referencedFields(q) -- df.columns -- definedNames(q)
+      df = absent.foldLeft(df)((d, f) => d.withColumn(f, lit(null).cast("string")))
+    }
 
     if (q.has("where")) df = df.where(compileExpr(q.get("where")))
 
@@ -382,6 +403,31 @@ object JxCompiler {
 
   private def compileEdge(df: DataFrame, n: JsonNode): Edge =
     if (!n.isTextual && n.has("domain") &&
+        req(n.get("domain"), "type").asText() == "time") {
+      // jx time domain — the reference's dashboard axis (pyLibrary jx
+      // date-histogram edges): calendar buckets labeled by their start
+      // instant, the domain is EVERY interval start in [floor(min),
+      // max) whether populated or not, out-of-range rows are dropped
+      // (same contract as the range domain). Buckets are CALENDAR-
+      // aligned (date_trunc: weeks start Monday, months on the 1st),
+      // so an unaligned `min` falls inside its enclosing bucket.
+      val d = n.get("domain")
+      val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
+      val iv = req(d, "interval").asText()
+      require(Seq("day", "week", "month").contains(iv),
+        s"jx time domain interval not supported: $iv (want day|week|month)")
+      val mn = to_timestamp(lit(req(d, "min").asText()))
+      val mx = to_timestamp(lit(req(d, "max").asText()))
+      val v = compileExpr(req(n, "value"))
+      Edge(name, date_trunc(iv, v),
+        // cell dimension generated in-plan (one row -> explode), tiny
+        // and broadcastable like the range domain's spark.range
+        _ => df.sparkSession.range(1)
+          .select(explode(sequence(date_trunc(iv, mn), mx,
+            expr(s"interval 1 $iv"))).as(name))
+          .where(col(name) < mx),
+        Some(v >= mn && v < mx))
+    } else if (!n.isTextual && n.has("domain") &&
         req(n.get("domain"), "type").asText() == "range") {
       val d = n.get("domain")
       val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
@@ -509,6 +555,70 @@ object JxCompiler {
     require(props.size == 1,
       s"jx operator object must have exactly one property, got: ${props.map(_.getKey).mkString(", ")}")
     (props.head.getKey, props.head.getValue)
+  }
+
+  /** Every source field a query document references — the lenient
+    * mode's injection set. Mirrors compileExpr's grammar (keep the two
+    * in sync when adding operators): textual nodes in expression
+    * position are fields; object keys of comparison/`firstField`
+    * operators are fields; literals and operator names are not.
+    */
+  private[jx] def referencedFields(q: JsonNode): Set[String] = {
+    def expr(n: JsonNode): Set[String] = n match {
+      case t if t.isTextual => Set(t.asText())
+      case o if o.isObject && o.has("when") =>
+        expr(o.get("when")) ++
+          (if (o.has("then")) expr(o.get("then")) else Set.empty) ++
+          (if (o.has("else")) expr(o.get("else")) else Set.empty)
+      case o if o.isObject =>
+        val (op, arg) = single(o)
+        op match {
+          case "literal" => Set.empty
+          case "missing" | "exists" => Set(arg.asText())
+          case "eq" | "ne" | "neq" | "gt" | "gte" | "lt" | "lte" =>
+            if (arg.isArray) arg.asScala.flatMap(expr).toSet
+            else arg.properties().asScala.map(_.getKey).toSet
+          case "in" | "prefix" | "find" | "contains" | "regex" | "regexp" |
+               "left" | "between" => Set(firstField(arg)._1)
+          case "case" => arg.asScala.flatMap(expr).toSet
+          case _ => // and/or/not/arithmetic/string/coalesce: args are exprs
+            if (arg.isArray) arg.asScala.flatMap(expr).toSet else expr(arg)
+        }
+      case _ => Set.empty // numbers, booleans, nulls
+    }
+    def selOrField(n: JsonNode): Set[String] = n match {
+      case t if t.isTextual => if (t.asText() == "*") Set.empty else Set(t.asText())
+      case o if o.isObject && o.has("value") => expr(o.get("value"))
+      case _ => Set.empty
+    }
+    def sortFields(n: JsonNode): Set[String] = asList(n).flatMap {
+      case s if s.isTextual => Set(s.asText())
+      case o if o.has("value") => expr(o.get("value"))
+      case _ => Set.empty[String]
+    }.toSet
+    (if (q.has("where")) expr(q.get("where")) else Set.empty[String]) ++
+      (if (q.has("select")) asList(q.get("select")).flatMap(selOrField) else Nil) ++
+      (if (q.has("groupby")) asList(q.get("groupby")).flatMap(selOrField) else Nil) ++
+      (if (q.has("edges")) asList(q.get("edges")).flatMap(selOrField) else Nil) ++
+      (if (q.has("sort")) sortFields(q.get("sort")) else Set.empty[String]) ++
+      (if (q.has("window")) asList(q.get("window")).flatMap { w =>
+        (if (w.has("value")) expr(w.get("value")) else Set.empty[String]) ++
+          (if (w.has("edges")) asList(w.get("edges")).map(fieldName) else Nil) ++
+          (if (w.has("sort")) sortFields(w.get("sort")) else Set.empty[String])
+      } else Nil)
+  }
+
+  /** Output names the query itself defines (select/window/aggregate
+    * names) — these resolve against the query result, never injected.
+    */
+  private[jx] def definedNames(q: JsonNode): Set[String] = {
+    val sel = if (q.has("select")) asList(q.get("select")) else Nil
+    val win = if (q.has("window")) asList(q.get("window")) else Nil
+    val edg = if (q.has("edges")) asList(q.get("edges")) else Nil
+    sel.collect { case o if o.isObject && o.has("name") => o.get("name").asText() }.toSet ++
+      sel.collect { case o if o.isObject && o.has("aggregate") => aggName(o) } ++
+      win.collect { case w if w.has("name") => w.get("name").asText() } ++
+      edg.collect { case e if !e.isTextual && e.has("name") => e.get("name").asText() }
   }
 
   private def jvalue(n: JsonNode): Any =

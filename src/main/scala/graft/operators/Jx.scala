@@ -195,6 +195,47 @@ object Jx extends QueryPack {
       |  "format": "cube"
       |}""".stripMargin
 
+  /** jx time-domain edges — the reference's dashboard axis (MoDevETL's
+    * own dashboards bucket bug counts by time; pyLibrary jx domains
+    * include `time`). Week buckets over `events.ts` crossed with the
+    * event-type axis, cell-complete: the last domain week (Feb 5) has
+    * no events, so its cells appear zero-filled; rows outside
+    * [min, max) are dropped.
+    */
+  val q64Json: String =
+    """{
+      |  "from": "events",
+      |  "edges": [
+      |    {"name": "wk", "value": "ts",
+      |     "domain": {"type": "time", "min": "2024-01-01 00:00:00",
+      |                "max": "2024-02-12 00:00:00", "interval": "week"}},
+      |    "event_type"
+      |  ],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "total", "value": "value", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q64 = Q(
+    "q64_jx_time_edges",
+    (s, d) => JxCompiler.query(s, d, q64Json),
+    Some("""WITH src AS (SELECT * FROM events
+           |             WHERE ts >= TIMESTAMP '2024-01-01'
+           |               AND ts < TIMESTAMP '2024-02-12'),
+           |wks AS (SELECT unnest(generate_series(
+           |          date_trunc('week', TIMESTAMP '2024-01-01'),
+           |          TIMESTAMP '2024-02-12', INTERVAL 1 WEEK)) AS wk),
+           |cells AS (SELECT w.wk, t.event_type
+           |          FROM (SELECT wk FROM wks WHERE wk < TIMESTAMP '2024-02-12') w
+           |          CROSS JOIN (SELECT DISTINCT event_type FROM src) t),
+           |g AS (SELECT date_trunc('week', ts) AS wk, event_type, COUNT(*) AS n,
+           |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |      FROM src GROUP BY 1, 2)
+           |SELECT c.wk, c.event_type, COALESCE(g.n, 0) AS n, g.total
+           |FROM cells c LEFT JOIN g USING (wk, event_type)""".stripMargin),
+    "jx time-domain edges: cell-complete calendar week histogram x categorical axis")
+
   /** Gate entry: the raw cube's array columns serialized through
     * `to_json` so the harness (pandas sort + hash over cell values)
     * gets stable sortable strings — nested numpy arrays are unhashable
@@ -240,5 +281,5 @@ object Jx extends QueryPack {
            |FROM r""".stripMargin),
     "jx cube format: edge domain arrays + aligned nested data arrays (gate: to_json)")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57)
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64)
 }

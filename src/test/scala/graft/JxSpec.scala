@@ -84,6 +84,85 @@ class JxSpec extends SparkSpec {
     zeros should be > 0L // the filter must actually create empty cells
   }
 
+  test("time-domain edges: calendar buckets, empty cells emitted, out-of-range dropped") {
+    // events span Jan 2024 only: Dec 2023 and Feb 2024 are empty
+    // months that must still appear as zero-filled cells
+    val got = run("""{"from":"events",
+      "edges":[{"name":"mo","value":"ts",
+        "domain":{"type":"time","min":"2023-12-01 00:00:00",
+                  "max":"2024-03-01 00:00:00","interval":"month"}}],
+      "select":[{"name":"n","aggregate":"count"}]}""").orderBy("mo").collect()
+    got.length shouldBe 3
+    got.map(_.getTimestamp(0).toString.take(10)) shouldBe
+      Array("2023-12-01", "2024-01-01", "2024-02-01")
+    got(0).getLong(1) shouldBe 0L
+    got(2).getLong(1) shouldBe 0L
+    val inRange = Tables.events(spark, sfDir)
+      .where(col("ts") >= "2023-12-01" && col("ts") < "2024-03-01").count()
+    got.map(_.getLong(1)).sum shouldBe inRange
+  }
+
+  test("time-domain edges: unaligned min floors to its calendar bucket, rows before min drop") {
+    val got = run("""{"from":"events",
+      "edges":[{"name":"wk","value":"ts",
+        "domain":{"type":"time","min":"2024-01-03 00:00:00",
+                  "max":"2024-01-15 00:00:00","interval":"week"}}],
+      "select":[{"name":"n","aggregate":"count"}]}""").orderBy("wk").collect()
+    // Wed Jan 3 floors to Mon Jan 1; max Jan 15 (a week start) excluded
+    got.map(_.getTimestamp(0).toString.take(10)) shouldBe
+      Array("2024-01-01", "2024-01-08")
+    val ev = Tables.events(spark, sfDir)
+    got(0).getLong(1) shouldBe
+      ev.where(col("ts") >= "2024-01-03" && col("ts") < "2024-01-08").count()
+    got(1).getLong(1) shouldBe
+      ev.where(col("ts") >= "2024-01-08" && col("ts") < "2024-01-15").count()
+  }
+
+  test("time-domain edges: unsupported interval errors loudly") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"events",
+        "edges":[{"name":"h","value":"ts",
+          "domain":{"type":"time","min":"2024-01-01 00:00:00",
+                    "max":"2024-01-02 00:00:00","interval":"fortnight"}}],
+        "select":[{"name":"n","aggregate":"count"}]}""").collect()
+    }
+    e.getMessage should include("interval")
+  }
+
+  test("lenient mode: unknown fields are `missing`, strict mode errors") {
+    def runL(json: String) = JxCompiler.query(spark, sfDir, json, lenient = true)
+    // strict default: analyzer error on the unknown field
+    intercept[Exception] {
+      run("""{"from":"orders","where":{"eq":{"no_such_col":5}},
+        "select":["o_orderkey"]}""").collect()
+    }
+    // filter on a missing field matches nothing (pyLibrary: missing
+    // compares as missing -> false)
+    runL("""{"from":"orders","where":{"eq":{"no_such_col":5}},
+      "select":["o_orderkey"]}""").count() shouldBe 0L
+    // `missing` on it matches everything
+    val total = Tables.orders(spark, sfDir).count()
+    runL("""{"from":"orders","where":{"missing":"no_such_col"},
+      "select":["o_orderkey"]}""").count() shouldBe total
+    // select emits a null column
+    val sel = runL("""{"from":"orders","select":["o_orderkey","no_such_col"],
+      "limit":3}""").collect()
+    sel.foreach(r => assert(r.isNullAt(1)))
+    // groupby collapses to one null group with the full count
+    val grp = runL("""{"from":"orders","groupby":["no_such_col"],
+      "select":[{"name":"n","aggregate":"count"}]}""").collect()
+    grp.length shouldBe 1
+    grp(0).isNullAt(0) shouldBe true
+    grp(0).getLong(1) shouldBe total
+    // names the query defines (aggregate outputs) are not injected:
+    // sorting by the aggregate name still works leniently
+    val sorted = runL("""{"from":"orders","groupby":["o_orderstatus"],
+      "select":[{"name":"n","aggregate":"count"}],
+      "sort":[{"value":"n","sort":-1}]}""").collect()
+    sorted.map(_.getLong(1)).toSeq shouldBe
+      sorted.map(_.getLong(1)).sortBy(-_).toSeq
+  }
+
   test("groupby (unlike edges) emits only populated cells") {
     val got = run("""{"from":"events",
       "where":{"gte":{"value":90}},
