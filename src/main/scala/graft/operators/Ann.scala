@@ -192,9 +192,41 @@ object Ann extends QueryPack {
     * AnnSpec pins equality to the naive cartesian formulation and
     * asserts no BNLJ node in this plan.
     */
-  def blockedCosinePairs(df: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
-    val withB = df.select(col("vec_id"), col("embedding"),
-      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("b"))
+  /** Guardrail for the exact quadratic audits (q41/q63): the work is
+    * Ω(n²) comparisons BY CONTRACT, so an unbounded corpus must be a
+    * deliberate choice, not an accident. The check is lazy and
+    * in-plan (no eager count() at build time): a one-row count frame
+    * broadcast-EQUI-joined on a constant key (never a BNLJ — PlanSpec
+    * forbids one in these plans), consumed by assert_true inside a
+    * filter, so the job fails fast at execution when the input
+    * exceeds `maxRows`. Cost when within bounds: one broadcast of one
+    * row + a long comparison per pre-explosion row — invisible next
+    * to the pairwise join. `maxRows = 0` disables the guard
+    * (explicit unbounded opt-in).
+    */
+  private def guardQuadratic(df: DataFrame, maxRows: Long, op: String): DataFrame =
+    if (maxRows <= 0) df
+    else {
+      // constant-but-NON-FOLDABLE join key (always 0, derived from a
+      // column): a literal key folds to `1=1` and degrades the guard
+      // join to the very BroadcastNestedLoopJoin these plans forbid
+      val zero = pmod(xxhash64(col(df.columns.head)), lit(1)).cast("int")
+      val n = df.agg(max(zero).as("_gq_k"), count(lit(1)).as("_gq_n"))
+      df.withColumn("_gq_k", zero)
+        .join(broadcast(n), "_gq_k")
+        .where(assert_true(col("_gq_n") <= maxRows, concat(
+          lit(s"$op is an exact O(n^2) audit; input has "), col("_gq_n"),
+          lit(s" rows > maxRows=$maxRows. Use the banded/LSH scale path " +
+            "(q32_dedup_minhash / q35_ann_lsh / q43_ann_ivf), raise maxRows, " +
+            "or pass maxRows=0 to run unbounded deliberately."))).isNull)
+        .drop("_gq_k", "_gq_n")
+    }
+
+  def blockedCosinePairs(df: DataFrame, threshold: Double, blocks: Int = 16,
+      maxRows: Long = 1000000L): DataFrame = {
+    val withB = guardQuadratic(df, maxRows, "blockedCosinePairs")
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("b"))
     val l = withB.select(col("vec_id").as("v1"), col("embedding").as("e1"),
       col("b").as("bi"), explode(sequence(col("b"), lit(blocks - 1))).as("bj"))
     val r = withB.select(col("vec_id").as("v2"), col("embedding").as("e2"),
@@ -220,11 +252,13 @@ object Ann extends QueryPack {
     * tasks, uniform hash blocks.
     */
   def crossCosinePairs(a: DataFrame, b: DataFrame, threshold: Double,
-      blocks: Int = 16): DataFrame = {
-    val l = a.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      blocks: Int = 16, maxRows: Long = 1000000L): DataFrame = {
+    val (ga, gb) = (guardQuadratic(a, maxRows, "crossCosinePairs"),
+      guardQuadratic(b, maxRows, "crossCosinePairs"))
+    val l = ga.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bi"),
       explode(sequence(lit(0), lit(blocks - 1))).as("bj"))
-    val r = b.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+    val r = gb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
       explode(sequence(lit(0), lit(blocks - 1))).as("bi"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bj"))
     l.join(r, Seq("bi", "bj"))

@@ -88,6 +88,27 @@ class AnnSpec extends SparkSpec {
     rows.toSet shouldBe naive
   }
 
+  test("quadratic audits refuse an over-bound corpus; maxRows=0 overrides") {
+    val e = Tables.embeddings(spark, sfDir)
+    // build succeeds (lazy guard — no eager count at build time);
+    // execution fails fast with a message pointing at the scale path
+    val guarded = Ann.blockedCosinePairs(e, 0.4, maxRows = 3)
+    val err = intercept[Exception] { guarded.collect() }
+    err.getMessage should include("maxRows=3")
+    err.getMessage should include("q32_dedup_minhash")
+    val errX = intercept[Exception] {
+      Ann.crossCosinePairs(e.where($"vec_id" % 2 === 0),
+        e.where($"vec_id" % 2 === 1), 0.4, maxRows = 3).collect()
+    }
+    errX.getMessage should include("maxRows=3")
+    // explicit unbounded opt-in runs, and matches the default-guard result
+    val unguarded = Ann.blockedCosinePairs(e, 0.4, maxRows = 0)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val default = Ann.blockedCosinePairs(e, 0.4)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    unguarded shouldBe default
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
