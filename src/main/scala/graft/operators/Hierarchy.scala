@@ -113,9 +113,10 @@ object Hierarchy extends QueryPack {
     * probed on join keys. Terminates when a round yields no
     * improvement; handles both new connectivity and min-depth
     * shortening (a new shortcut edge lowers depths downstream of it).
-    * Edge DELETION invalidates stored pairs non-monotonically and
-    * needs a rebuild of the affected component — same as the
-    * reference, which re-closes from the modified bug set.
+    * Edge DELETION invalidates stored pairs non-monotonically —
+    * handled by [[incrementalClosureDelete]], which re-closes only
+    * the affected subgraph (the reference's re-close-from-the-
+    * modified-set loop).
     */
   def incrementalClosure(existing: DataFrame, newEdges: DataFrame): DataFrame = {
     val pairCols = Seq("ancestor", "descendant")
@@ -143,6 +144,57 @@ object Hierarchy extends QueryPack {
       delta = improvements(cand, r).localCheckpoint()
     }
     r
+  }
+
+  /** Fold edge DELETIONS into a stored closure without rebuilding the
+    * world — the reference's re-close-from-the-modified-set loop
+    * (hierarchy.py patches the stored hierarchy from the changed bug
+    * set; deletions re-close the touched region).
+    *
+    * Deletion is non-monotonic (a stored pair's shortest path may have
+    * used a removed edge), so the patch is: isolate, then re-close.
+    *
+    *  - `affected` = the deleted edges' parents plus every stored
+    *    ANCESTOR of them: any path through a deleted edge (c, p)
+    *    starts at p or an ancestor of p, so a stored pair whose
+    *    ancestor is NOT in this set cannot have used a deleted edge —
+    *    its depth is still exact and it is kept verbatim (no
+    *    recompute, no reshuffle beyond the anti-join probe).
+    *  - the re-close SCOPE is the affected nodes plus their OLD
+    *    descendants (old reachability over-approximates new: deletion
+    *    only shrinks reach), restricted to the surviving edges whose
+    *    parent lies in scope. `closure` on that subgraph is exact for
+    *    every affected ancestor; pairs it finds for unaffected
+    *    ancestors inside the scope are already kept, so the re-closed
+    *    half is filtered to affected ancestors before the union.
+    *
+    * Cost scales with the deletion footprint (the affected region's
+    * subgraph), not the stored closure: for localized deletions the
+    * affected/scope dims are broadcast-sized probes of the big
+    * relation. Worst case (deleting a root-adjacent edge of one huge
+    * component) degrades to re-closing that component — exactly the
+    * reference's behavior.
+    */
+  def incrementalClosureDelete(existing: DataFrame, remainingEdges: DataFrame,
+      removedEdges: DataFrame): DataFrame = {
+    val delParents = removedEdges.select(col("parent").as("node")).distinct()
+    val affected = delParents.union(
+        existing.join(delParents, existing("descendant") === delParents("node"))
+          .select(col("ancestor").as("node")))
+      .distinct()
+      .localCheckpoint() // consumed by three joins; tiny vs the closure
+    val keep = existing
+      .join(affected, existing("ancestor") === affected("node"), "left_anti")
+    val scope = affected.union(
+        existing.join(affected, existing("ancestor") === affected("node"))
+          .select(col("descendant").as("node")))
+      .distinct()
+    val subEdges = remainingEdges
+      .join(scope, remainingEdges("parent") === scope("node"), "left_semi")
+    val reclosed = closure(subEdges)
+    reclosed
+      .join(affected, reclosed("ancestor") === affected("node"), "left_semi")
+      .union(keep.select(col("ancestor"), col("descendant"), col("depth")))
   }
 
   /** Roots of an edge set: nodes that appear as a parent but never as

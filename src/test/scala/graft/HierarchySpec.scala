@@ -56,6 +56,32 @@ class HierarchySpec extends SparkSpec {
     incr shouldBe base.as[(Long, Long, Int)].collect().toSet
   }
 
+  test("incremental closure under edge deletion equals full recompute") {
+    val shortcut = Seq((13L, 1L)).toDF("child", "parent")
+    val base = Hierarchy.closure(edges.union(shortcut))
+    // delete: the shortcut (min-depth LENGTHENS back to 3), one diamond
+    // arm (10 loses its subtree), and an entire tiny component's edge
+    val removed = Seq((13L, 1L), (12L, 10L), (31L, 30L)).toDF("child", "parent")
+    val remaining = Seq((10L, 1L), (11L, 1L), (12L, 11L), (13L, 12L), (20L, 2L))
+      .toDF("child", "parent")
+    val incr = Hierarchy.incrementalClosureDelete(base, remaining, removed)
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Hierarchy.closure(remaining).as[(Long, Long, Int)].collect().toSet
+    incr shouldBe full
+    incr should contain((1L, 13L, 3)) // shortcut removal restores depth 3
+    incr.map(p => (p._1, p._2)) should not contain ((10L, 12L)) // diamond arm gone
+    incr.exists(t => t._1 == 30L || t._2 == 31L) shouldBe false // component emptied
+    incr should contain((2L, 20L, 1)) // untouched component kept verbatim
+  }
+
+  test("incremental closure deletion with nothing removed is a no-op") {
+    val base = Hierarchy.closure(edges)
+    val incr = Hierarchy.incrementalClosureDelete(base, edges,
+      Seq.empty[(Long, Long)].toDF("child", "parent"))
+      .as[(Long, Long, Int)].collect().toSet
+    incr shouldBe base.as[(Long, Long, Int)].collect().toSet
+  }
+
   test("deep-chain closure: exact pair count and depths at depth 512") {
     // a 512-node chain has max path length 511 — per-level iteration
     // would need 511 rounds; band doubling needs ~10. Exact closure of
