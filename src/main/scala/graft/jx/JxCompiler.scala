@@ -208,6 +208,16 @@ object JxCompiler {
     * transport shape for query results. A final-mile format: the
     * whole result lands in one row, so use it on aggregated results,
     * not raw scans (same contract as the reference's HTTP responses).
+    *
+    * DOCUMENTED DIVERGENCE from the reference's table transport: jx
+    * preserves native JSON cell types and the query's row order; this
+    * engine stringifies every cell and canonically sorts rows. The
+    * trade is deliberate — a distributed engine has no inherent row
+    * order (unsorted jx results are observation order), and canonical
+    * strings make the format deterministic and hash-comparable across
+    * engines. Consumers porting reference dashboards that rely on
+    * native cell types or sort-clause row order should consume the
+    * default `list` format (which honors `sort`) instead.
     */
   private def toTable(df: DataFrame): DataFrame = {
     val header = array(df.columns.map(lit): _*).as("header")

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryPack {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** (doc_id, shingle) — every complete word n-gram of each document,
@@ -300,13 +302,26 @@ object Dedup extends QueryPack {
     * candidate volume on billion-doc corpora. Pass chunkBits
     * explicitly to pin either regime (specs pin 8-bit behavior).
     */
-  def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 0): DataFrame = {
+  def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 0,
+      nDocs: Long = -1L): DataFrame = {
     val bits =
       if (chunkBits > 0) chunkBits
-      // one cheap count job (column-pruned scan) decides the regime;
-      // at 100 TB this is table-statistics metadata, not a data pass
-      else if (df.count() <= 2000000L) 8
-      else 16
+      else {
+        // Regime from a caller-supplied count when available (table
+        // statistics or a prior pipeline stage) — df.count() here is
+        // an EAGER action at plan-build time that recomputes whatever
+        // feeds `df`, so callers who already hold a count should pass
+        // `nDocs` (or pin `chunkBits`).
+        val n = if (nDocs >= 0L) nDocs else df.count()
+        if (n <= 2000000L) 8
+        else {
+          log.warn(s"simhashPairs auto-selected 16-bit chunks for $n docs: " +
+            s"pigeonhole completeness now covers hamming <= 3 only; pairs at " +
+            s"hamming 4..$maxHamming are found probabilistically (any-chunk " +
+            "agreement). Pass chunkBits=8 to pin the complete regime.")
+          16
+        }
+      }
     val nChunks = 64 / bits
     val mask = (1L << bits) - 1
     // Same algorithm as graft.functions.simhash64, via the native

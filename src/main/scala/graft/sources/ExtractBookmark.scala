@@ -89,20 +89,13 @@ object ExtractBookmark {
   def read(spark: SparkSession, bookmarkPath: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: the writer completes the tmp file BEFORE
-    // touching the visible sidecar, so if the sidecar is missing but
-    // a tmp exists, a crash hit the delete→rename window — the tmp
-    // holds the committed value. (A crash mid-tmp-write leaves the
-    // previous sidecar in place, so the partial tmp is never read.)
+    promoteTmp(fs, p, tmpPath(bookmarkPath))
     val target =
       if (fs.exists(p)) Some(p)
       else if (fs.exists(tmpPath(bookmarkPath))) Some(tmpPath(bookmarkPath))
       else None
     target.map { t =>
-      val in = fs.open(t)
-      val body =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
+      val body = readBody(fs, t)
       body.toLongOption.getOrElse(throw new IllegalStateException(
         s"corrupt bookmark sidecar at $t: '$body' — delete it to force a full re-extract"))
     }
@@ -111,15 +104,39 @@ object ExtractBookmark {
   private def tmpPath(bookmarkPath: String) =
     new org.apache.hadoop.fs.Path(bookmarkPath + ".tmp")
 
+  private def readBody(fs: org.apache.hadoop.fs.FileSystem,
+      t: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(t)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Finish a commit interrupted in the delete→rename window: a
+    * missing sidecar next to a COMPLETE (parseable) tmp means the tmp
+    * is the only copy of a committed watermark — rename it into place
+    * so a later commit's tmp overwrite can never clobber it. (r4
+    * advice: with read-side-only recovery, crash in delete→rename
+    * followed by a crash mid-NEXT-tmp-write lost the bookmark — safe
+    * but a forced full re-extract.) A partial tmp stays put for
+    * read() to reject loudly.
+    */
+  private def promoteTmp(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(p) && fs.exists(tmp) && readBody(fs, tmp).toLongOption.isDefined) {
+      if (!fs.rename(tmp, p))
+        throw new IllegalStateException(s"could not recover bookmark at $p")
+    }
+
   private def write(spark: SparkSession, bookmarkPath: String, wm: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(bookmarkPath)
     val tmp = tmpPath(bookmarkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // tmp-first protocol with READ-side recovery (plain FileSystem
+    // tmp-first protocol with recovery on BOTH sides (plain FileSystem
     // API — portable to any connector, unlike FileContext overwrite
     // rename): every crash point leaves either the old sidecar, or a
-    // complete tmp that read() recovers, or the new sidecar. No
-    // window loses the bookmark silently.
+    // complete tmp that read()/write() first promote to the sidecar,
+    // or the new sidecar. No crash sequence loses the bookmark.
+    promoteTmp(fs, p, tmp)
     val out = fs.create(tmp, true)
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)

@@ -95,6 +95,24 @@ class BookmarkSpec extends SparkSpec {
     e.getMessage should include("corrupt bookmark sidecar")
   }
 
+  test("interrupted commit (sidecar deleted, complete tmp) is promoted on read") {
+    val bm = tmp()
+    // simulate a crash in the delete→rename window: no sidecar, the
+    // committed value lives only in the completed tmp
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm + ".tmp"), "12345")
+    ExtractBookmark.read(spark, bm) shouldBe Some(12345L)
+    // read() must FINISH the commit, not just return the value —
+    // otherwise the next commit's tmp overwrite can clobber the only
+    // copy (r4 advice: second crash mid-tmp-write lost the bookmark)
+    java.nio.file.Files.exists(java.nio.file.Paths.get(bm)) shouldBe true
+    java.nio.file.Files.exists(java.nio.file.Paths.get(bm + ".tmp")) shouldBe false
+    // a PARTIAL tmp with no sidecar still fails loudly, never promoted
+    val bm2 = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm2 + ".tmp"), "12x45")
+    intercept[IllegalStateException] { ExtractBookmark.read(spark, bm2) }
+    java.nio.file.Files.exists(java.nio.file.Paths.get(bm2)) shouldBe false
+  }
+
   test("timestamp watermark filter is pushed down to the parquet scan") {
     val bm = tmp()
     // a native timestamp parquet column (the driver's events.ts is

@@ -60,6 +60,26 @@ class DedupSpec extends SparkSpec {
     cut shouldBe uncut
   }
 
+  test("GATE corpus max shingle df stays under the q31/q58/q61 df-cut (oracle coupling)") {
+    // The q31/q58/q61 DuckDB oracles compute the UNCUT measure while
+    // the implementation df-cuts candidate generation at
+    // maxShingleDf = 128. Jaccard VALUES are exact either way (hot-set
+    // accounting); what the cut can drop is a pair whose EVERY shared
+    // shingle is hot — impossible while the gate corpus's max df stays
+    // under the cut. This pins that coupling explicitly (r4 advice):
+    // if a future driver corpus pushes boilerplate df past 128, this
+    // fails with the knob to turn instead of an opaque gate mismatch.
+    val gateDocs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val maxDf = Dedup.shingleSets(gateDocs)
+      .groupBy($"shingle").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).head().getLong(0)
+    withClue("max shingle document-frequency on the sf0.01 gate corpus " +
+      "must stay <= the jaccardPairs maxShingleDf default (128), or the " +
+      "uncut DuckDB oracles can diverge from the df-cut implementation: ") {
+      maxDf should be <= 128L
+    }
+  }
+
   /** A corpus where the df-cut BITES: every doc opens with the same
     * boilerplate sentence (shingle df = corpus size), near-dup pairs
     * share rare content shingles too. The cut must (a) keep the pair
