@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Hierarchy,
     operators.Etl,
     operators.Text,
+    operators.Pack,
     operators.Dedup,
     operators.Cluster,
     operators.Ann,

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.words
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators — the last mile of an LLM data
+  * pipeline: packing documents into fixed-token training sequences,
+  * scrubbing PII spans, and computing per-source mixture weights.
+  * (Beyond the reference's surface, like the rest of the LLM-pipeline
+  * family; reference analogue: MoDevETL's push loop assembles keyed
+  * batches for the destination index, push_to_es.py.)
+  */
+object Pack extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Deterministic shuffle priority — q53/q59's multiplicative hash:
+    * stable under re-partitioning, appends, and engine changes.
+    */
+  private val pri = (col("doc_id") % 100000007L * 2654435761L % 4294967296L).as("pri")
+
+  /** Sequence packing: concatenate each source's documents, in
+    * deterministic pseudo-random order, into back-to-back `seqLen`-
+    * token training sequences (GPT-style concat-then-chunk: documents
+    * may straddle a boundary; `seq_id`/`seq_off` locate each doc's
+    * start). The running token sum uses the SAME bucketed shape as
+    * q59's take-while (range-bucket the priority space, per-bucket
+    * totals prefix-summed — a tiny window — then in-bucket running
+    * sums offset by the bucket base): no single task ever sorts a
+    * whole source, and the largest sort partition shrinks
+    * buckets-fold. Unlike q59 nothing prunes — every document packs.
+    */
+  def packSequences(docsDf: DataFrame, seqLen: Long,
+      buckets: Int = 64): DataFrame = {
+    val width = 4294967296L / buckets
+    val base = docsDf
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"), pri)
+      .withColumn("bkt", floor(col("pri") / width).cast("int"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = base.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("bbase", sum(col("btok")).over(wB) - col("btok"))
+      .select(col("source"), col("bkt"), col("bbase"))
+    val wD = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(prefixes), Seq("source", "bkt"))
+      .withColumn("start", col("bbase") + sum(col("n_tok")).over(wD) - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        floor(col("start") / seqLen).cast("long").as("seq_id"),
+        (col("start") % seqLen).as("seq_off"))
+  }
+
+  val q65 = Q(
+    "q65_seq_pack",
+    (s, d) => packSequences(docs(s, d), 512L),
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+           |    doc_id % 100000007 * 2654435761 % 4294967296 AS pri
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, source, n_tok,
+           |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS strt
+           |  FROM t
+           |)
+           |SELECT doc_id, source, n_tok,
+           |  strt // 512 AS seq_id,
+           |  strt % 512 AS seq_off
+           |FROM c""".stripMargin),
+    "sequence packing: deterministic-shuffle concat into 512-token training rows (bucketed prefix sums)")
+
+  /** PII / URL scrubbing — the redaction pass a corpus release runs
+    * before training: emails, URLs and long digit runs are replaced
+    * with typed placeholder tokens, with exact per-kind match counts
+    * kept for audit. Pure codegen'd regexp expressions (no UDFs); at
+    * 100 TB this is a narrow map over the scan, no shuffle at all.
+    * The word-soup test corpus contains no organic PII, so the gate
+    * query plants one deterministic span of each kind per document
+    * in-plan (mirrored verbatim in the oracle) — the transforms are
+    * verified live, not vacuously.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val digitsRe = "[0-9]{7,}"
+
+  def scrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(emailRe)))
+      .withColumn("n_url", regexp_count(t, lit(urlRe)))
+      .withColumn("n_num", regexp_count(t, lit(digitsRe)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          digitsRe, "<NUM>"))
+  }
+
+  val q66 = Q(
+    "q66_pii_scrub",
+    (s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via "),
+          lit("https://example.org/d/"), col("doc_id"),
+          lit(" ref "), lpad(col("doc_id").cast("string"), 9, "0")).as("text"))
+      scrub(planted).select(col("doc_id"), col("text"),
+        col("n_email"), col("n_url"), col("n_num"))
+    },
+    Some(s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com via ' ||
+           |    'https://example.org/d/' || doc_id || ' ref ' ||
+           |    lpad(CAST(doc_id AS VARCHAR), 9, '0') AS text
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$emailRe', '<EMAIL>', 'g'),
+           |    '$urlRe', '<URL>', 'g'),
+           |    '$digitsRe', '<NUM>', 'g') AS text,
+           |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$urlRe')) AS INT) AS n_url,
+           |  CAST(len(regexp_extract_all(text, '$digitsRe')) AS INT) AS n_num
+           |FROM planted""".stripMargin),
+    "PII/URL scrubbing: typed placeholder redaction + exact audit counts (codegen regexp, no shuffle)")
+
+  /** Per-source mixture weights: the sampling rate each source needs
+    * so the sampled corpus hits a TARGET token share per source —
+    * uniform target here (total/|sources|), capped at 1 (a source
+    * cannot be upsampled by dropping). Two tiny aggregates + one
+    * cross join of a 1-row frame; the weights are the broadcast input
+    * a 100 TB sampling pass (q53-style hash gate per doc) consumes.
+    */
+  def mixtureWeights(docsDf: DataFrame): DataFrame = {
+    val perSource = docsDf.groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("src_tok"))
+    val totals = perSource.agg(
+      sum(col("src_tok")).as("tot_tok"),
+      count(lit(1)).as("n_src"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("src_tok"),
+        round(least(lit(1.0),
+          (col("tot_tok").cast("double") / col("n_src")) / col("src_tok")), 6)
+          .as("weight"))
+  }
+
+  val q67 = Q(
+    "q67_mix_weights",
+    (s, d) => mixtureWeights(docs(s, d)),
+    Some("""WITH per_src AS (
+           |  SELECT source,
+           |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS src_tok
+           |  FROM documents GROUP BY source
+           |), tot AS (
+           |  SELECT CAST(SUM(src_tok) AS BIGINT) AS tot_tok, COUNT(*) AS n_src FROM per_src
+           |)
+           |SELECT source, src_tok,
+           |  ROUND(LEAST(1.0, (CAST(tot_tok AS DOUBLE) / n_src) / src_tok), 6) AS weight
+           |FROM per_src CROSS JOIN tot""".stripMargin),
+    "per-source mixture weights: sampling rates to hit a uniform token share (broadcast dim for the sample gate)")
+
+  val all: Seq[Q] = Seq(q65, q66, q67)
+}

@@ -80,6 +80,20 @@ class PlanSpec extends SparkSpec {
     plan(operators.Text.q38) should include("*(1)")
   }
 
+  test("sequence packing: bucketed prefix sums broadcast, never a whole-source sort (q65)") {
+    val p = plan(operators.Pack.q65)
+    p should include("Window")
+    p should include("BroadcastHashJoin") // the per-bucket prefix dim
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("PII scrub is a narrow map over the scan: no exchange at all (q66)") {
+    val p = plan(operators.Pack.q66)
+    p should not include "Exchange"
+    p should include("*(1)") // whole-stage codegen covers the regexps
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
