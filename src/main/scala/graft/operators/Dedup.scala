@@ -228,6 +228,49 @@ object Dedup extends QueryPack {
            |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
     "train/test contamination: cross-corpus near-dup audit (df-cut, exact Jaccard)")
 
+  /** Decontamination — the ACTION the q58 audit feeds: drop every
+    * train document near-duplicating any eval document, returning the
+    * clean train corpus. One anti-join against the (tiny) contaminated
+    * id set; all the scale machinery lives in `contaminationPairs`.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, threshold: Double,
+      maxShingleDf: Int = 128): DataFrame =
+    train.join(
+      contaminationPairs(train, eval, threshold, maxShingleDf)
+        .select(col("train_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  val q68 = Q(
+    "q68_decontaminate",
+    (s, d) => {
+      val docsDf = Tables.documents(s, d)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      decontaminate(docsDf.where(srcNum < 10), docsDf.where(srcNum >= 10), 0.5)
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+           |         string_split_regex(trim(text), '\s+') w
+           |  FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, sn, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.sn < 10 AND b.sn >= 10 GROUP BY 1, 2
+           |), bad AS (
+           |  SELECT DISTINCT train_id FROM co
+           |  JOIN sz sa ON sa.doc_id = train_id JOIN sz sb ON sb.doc_id = eval_id
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |)
+           |SELECT doc_id, source FROM documents
+           |WHERE CAST(substr(source, 4) AS INT) < 10
+           |  AND doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin),
+    "decontaminated train corpus: q58's audit applied as an anti-join")
+
   /** MinHash signatures (k seeded xxhash64 minima) banded into
     * `bands` buckets of `rows` signature slots each. Two docs land in
     * the same bucket for band i iff their signatures agree on all of
@@ -360,5 +403,5 @@ object Dedup extends QueryPack {
     None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
     "SimHash near-dup: scale-aware chunk buckets, hamming<=5 (pigeonhole-complete at test scale)")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58)
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68)
 }

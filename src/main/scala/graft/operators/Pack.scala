@@ -167,5 +167,54 @@ object Pack extends QueryPack {
            |FROM per_src CROSS JOIN tot""".stripMargin),
     "per-source mixture weights: sampling rates to hit a uniform token share (broadcast dim for the sample gate)")
 
-  val all: Seq[Q] = Seq(q65, q66, q67)
+  /** Overlapping token-window chunking — the RAG/context-window prep
+    * that splits long documents into `chunkLen`-token windows every
+    * `stride` tokens (the final window may be short; every token is
+    * covered; chunks overlap by chunkLen − stride). One narrow map +
+    * explode: the token array is materialized ONCE per document before
+    * the chunk-index explosion, so tokenization is not re-paid per
+    * chunk, and no shuffle happens at all — a 100 TB corpus chunks at
+    * scan speed. `slice` on the pre-split array is interpreted
+    * (CodegenFallback), but runs once per emitted chunk on an
+    * already-tokenized array — the explode dominates, not the lambda.
+    */
+  def chunkDocs(docsDf: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunkLen,
+      s"chunk stride must be in (0, chunkLen]: stride=$stride chunkLen=$chunkLen")
+    val w = words(col("text"))
+    docsDf
+      .select(col("doc_id"), w.as("w"), size(w).as("n_tok"))
+      .select(col("doc_id"), col("w"), col("n_tok"),
+        // one chunk per stride step while the window START < n_tok;
+        // equivalently ceil((n_tok - chunkLen)/stride) + 1 full-ish
+        // windows, floored at 1 so every doc emits at least one
+        explode(sequence(lit(0),
+          greatest(lit(0), ceil((col("n_tok") - chunkLen).cast("double") / stride).cast("int"))))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(chunkLen), col("n_tok") - col("chunk_id") * stride).as("tok_len"),
+        concat_ws(" ", slice(col("w"), col("chunk_id") * stride + 1, lit(chunkLen))).as("chunk"))
+  }
+
+  val q69 = Q(
+    "q69_chunk",
+    (s, d) => chunkDocs(docs(s, d), chunkLen = 32, stride = 24),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+           |         len(string_split_regex(trim(text), '\s+')) AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, w, n_tok, unnest(generate_series(0,
+           |    GREATEST(0, CAST(ceil((n_tok - 32) / 24.0) AS INT)))) AS chunk_id
+           |  FROM t
+           |)
+           |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           |  CAST(chunk_id * 24 AS INT) AS tok_start,
+           |  CAST(LEAST(32, n_tok - chunk_id * 24) AS INT) AS tok_len,
+           |  array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk
+           |FROM c""".stripMargin),
+    "overlapping token-window chunking: 32-token windows every 24 (RAG/context prep, no shuffle)")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q69)
 }
