@@ -438,6 +438,22 @@ object JxCompiler {
           .where(col(name) < mx),
         Some(v >= mn && v < mx))
     } else if (!n.isTextual && n.has("domain") &&
+        req(n.get("domain"), "type").asText() == "set") {
+      // jx set domain: an EXPLICIT partition whitelist — the cell set
+      // is exactly the listed values (a listed-but-absent value still
+      // emits zero-filled cells), rows with unlisted values are
+      // dropped (pyLibrary routes them to the domain's `missing`
+      // partition, which its dashboards omit — same visible result).
+      val d = n.get("domain")
+      val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
+      val parts = req(d, "partitions").asScala.toSeq.map(jvalue)
+      require(parts.nonEmpty, "jx set domain: empty partitions list")
+      val v = compileExpr(req(n, "value"))
+      Edge(name, v,
+        _ => df.sparkSession.range(1)
+          .select(explode(array(parts.map(lit): _*)).as(name)),
+        Some(v.isin(parts: _*)))
+    } else if (!n.isTextual && n.has("domain") &&
         req(n.get("domain"), "type").asText() == "range") {
       val d = n.get("domain")
       val name = if (n.has("name")) n.get("name").asText() else fieldName(n)

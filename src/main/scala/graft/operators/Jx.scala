@@ -236,6 +236,36 @@ object Jx extends QueryPack {
            |FROM cells c LEFT JOIN g USING (wk, event_type)""".stripMargin),
     "jx time-domain edges: cell-complete calendar week histogram x categorical axis")
 
+  /** jx set-domain edges: an explicit partition whitelist — the axis
+    * a dashboard pins to known categories. 'purchase'/'view' are
+    * real event types; 'refund' is listed but absent, so its cells
+    * appear zero-filled; the other event types' rows are dropped.
+    */
+  val q70Json: String =
+    """{
+      |  "from": "events",
+      |  "edges": [
+      |    {"name": "et", "value": "event_type",
+      |     "domain": {"type": "set", "partitions": ["purchase", "view", "refund"]}}
+      |  ],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "total", "value": "value", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q70 = Q(
+    "q70_jx_set_edges",
+    (s, d) => JxCompiler.query(s, d, q70Json),
+    Some("""WITH cells AS (SELECT * FROM (VALUES ('purchase'), ('view'), ('refund')) c(et)),
+           |g AS (SELECT event_type AS et, COUNT(*) AS n,
+           |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |      FROM events WHERE event_type IN ('purchase', 'view', 'refund')
+           |      GROUP BY 1)
+           |SELECT c.et, COALESCE(g.n, 0) AS n, g.total
+           |FROM cells c LEFT JOIN g USING (et)""".stripMargin),
+    "jx set-domain edges: explicit partition whitelist, absent values zero-filled")
+
   /** Gate entry: the raw cube's array columns serialized through
     * `to_json` so the harness (pandas sort + hash over cell values)
     * gets stable sortable strings — nested numpy arrays are unhashable
@@ -281,5 +311,5 @@ object Jx extends QueryPack {
            |FROM r""".stripMargin),
     "jx cube format: edge domain arrays + aligned nested data arrays (gate: to_json)")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64)
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70)
 }
