@@ -403,5 +403,75 @@ object Dedup extends QueryPack {
     None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
     "SimHash near-dup: scale-aware chunk buckets, hamming<=5 (pigeonhole-complete at test scale)")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68)
+  /** Passage-level exact dedup (RefinedWeb/MassiveText-style): each
+    * document is cut into non-overlapping `passageLen`-token passages
+    * (Pack.chunkDocs with stride = length), every repeated passage
+    * keeps only its globally FIRST occurrence — min (doc_id, position)
+    * — and each document is re-assembled from its surviving passages
+    * in order. Unlike whole-doc dedup (q30) this removes boilerplate
+    * repeated ACROSS otherwise-distinct documents.
+    *
+    * Scale shape: the keeper per passage is a mergeable min-struct
+    * aggregate (map-side partial absorbs the hot-passage skew the
+    * templated corpus maximizes), then one hash join back on the
+    * passage string — each passage row matches exactly one keeper row,
+    * so join output is linear in corpus passages. A window
+    * `partitionBy(chunk)` would buffer the hottest passage's every
+    * occurrence in one task; the groupBy+join shape never does.
+    * Re-assembly is one per-doc aggregate; collect_list(when(keep,..))
+    * drops the nulls of dropped passages, so fully-deduped documents
+    * still emit a row (empty clean_text) without a second join.
+    */
+  def passageDedup(df: DataFrame, passageLen: Int = 16): DataFrame = {
+    val chunks = Pack.chunkDocs(df, passageLen, passageLen)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+    val keepers = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      .select(col("chunk"),
+        col("k.doc_id").as("k_doc"), col("k.chunk_id").as("k_chunk"))
+    chunks.join(keepers, Seq("chunk"))
+      .withColumn("keep",
+        col("doc_id") === col("k_doc") && col("chunk_id") === col("k_chunk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        // sort_array orders by struct fields in order => by chunk_id;
+        // array_join is interpreted but runs once per doc on the final
+        // tiny aggregate, not in the per-passage hot path.
+        array_join(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("chunk_id"), col("chunk"))))).getField("chunk"),
+          " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  val q71 = Q(
+    "q71_dedup_passage",
+    (s, d) => passageDedup(docs(s, d), passageLen = 16),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+           |         len(string_split_regex(trim(text), '\s+')) AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, w, n_tok, unnest(generate_series(0,
+           |    GREATEST(0, CAST(ceil((n_tok - 16) / 16.0) AS INT)))) AS chunk_id
+           |  FROM t
+           |), p AS (
+           |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           |    array_to_string(w[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk
+           |  FROM c
+           |), k AS (
+           |  SELECT doc_id, chunk_id, chunk,
+           |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+           |  FROM p
+           |)
+           |SELECT doc_id,
+           |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+           |    ORDER BY chunk_id), '') AS clean_text,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+           |FROM k GROUP BY doc_id""".stripMargin),
+    "passage-level exact dedup: 16-token passages, global first-occurrence keeper, reassembled clean text")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71)
 }

@@ -216,5 +216,46 @@ object Pack extends QueryPack {
            |FROM c""".stripMargin),
     "overlapping token-window chunking: 32-token windows every 24 (RAG/context prep, no shuffle)")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q69)
+  /** Apply the q67 mixture weights as an actual sampling pass: each
+    * document is kept iff its deterministic gate hash (q53's
+    * multiplicative hash, distinct salt so the sample is independent
+    * of the split/packing order) falls under its source's admission
+    * rate. The weights frame is tiny (one row per source) and
+    * explicitly broadcast, so the whole pass is a narrow broadcast
+    * join + filter over the scan — no shuffle of the corpus at any
+    * scale, and the expected kept-token share per source is uniform.
+    * Deterministic: re-running on an appended corpus keeps exactly
+    * the previously-kept documents whose sources' rates didn't move.
+    */
+  def applyMixture(docsDf: DataFrame): DataFrame = {
+    val w = mixtureWeights(docsDf).select(col("source"), col("weight"))
+    val gate =
+      (col("doc_id") + 7919L) % 100000007L * 2654435761L % 4294967296L
+    docsDf.select(col("doc_id"), col("source"))
+      .join(broadcast(w), Seq("source"))
+      .where(gate < col("weight") * lit(4294967296L))
+      .select(col("doc_id"), col("source"))
+  }
+
+  val q73 = Q(
+    "q73_mix_sample",
+    (s, d) => applyMixture(docs(s, d)),
+    Some("""WITH per_src AS (
+           |  SELECT source,
+           |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS src_tok
+           |  FROM documents GROUP BY source
+           |), tot AS (
+           |  SELECT CAST(SUM(src_tok) AS BIGINT) AS tot_tok, COUNT(*) AS n_src FROM per_src
+           |), w AS (
+           |  SELECT source,
+           |    ROUND(LEAST(1.0, (CAST(tot_tok AS DOUBLE) / n_src) / src_tok), 6) AS weight
+           |  FROM per_src CROSS JOIN tot
+           |)
+           |SELECT d.doc_id, d.source
+           |FROM documents d JOIN w USING (source)
+           |WHERE (d.doc_id + 7919) % 100000007 * 2654435761 % 4294967296
+           |      < w.weight * 4294967296""".stripMargin),
+    "mixture sampling: q67's per-source rates applied via deterministic hash gate (broadcast dim, no corpus shuffle)")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73)
 }

@@ -429,5 +429,48 @@ object Text extends QueryPack {
            |WHERE t.n_tok >= thr.lo_tok AND t.n_tok <= thr.hi_tok""".stripMargin),
     "length-band outlier filter: exact per-source p5-p95 gate (rank+interpolate thresholds)")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62)
+  /** Corpus-frequency quality score — the unigram-LM fluency proxy
+    * (CCNet ranks documents by LM score; the shape here is identical
+    * with corpus term frequency standing in for the trained model):
+    * per document, the count and mean corpus frequency of its tokens.
+    * Low mean_wf = rare/degenerate vocabulary; high = boilerplate-
+    * common. A true log-prob variant is the same plan with
+    * `log(wf/total)` in the sum — integer frequencies are used for the
+    * gate because cross-engine `ln` is not bit-reproducible (the gate
+    * hashes doubles bit-exact), and the single final division is.
+    *
+    * Scale shape: term frequencies are a map-side-partial groupBy (the
+    * Zipf head is absorbed before the shuffle); the token→frequency
+    * join is a hash join whose output is linear (each token row meets
+    * exactly one dim row) with AQE skew-split handling the hot-word
+    * partitions; then one partial-aggregated per-doc rollup. At 100 TB
+    * the frequency dim exceeds broadcast size — the plan stays valid
+    * as a plain shuffle join; for the Zipf head a broadcast top-K
+    * hot-word split (q31's df-cut trick) halves the shuffled volume.
+    */
+  val q72 = Q(
+    "q72_unigram_score",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val wf = toks.groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      toks.join(wf, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("wf")).as("sum_wf"))
+        .withColumn("mean_wf", col("sum_wf").cast("double") / col("n_tok"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS w
+           |  FROM documents
+           |), wf AS (
+           |  SELECT w, COUNT(*) AS wf FROM toks GROUP BY w
+           |)
+           |SELECT doc_id, COUNT(*) AS n_tok,
+           |  CAST(SUM(wf) AS BIGINT) AS sum_wf,
+           |  CAST(SUM(wf) AS DOUBLE) / COUNT(*) AS mean_wf
+           |FROM toks JOIN wf USING (w) GROUP BY doc_id""".stripMargin),
+    "unigram corpus-frequency score: mean token frequency per doc (CCNet-style LM-score proxy)")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62, q72)
 }

@@ -138,4 +138,25 @@ class DedupSpec extends SparkSpec {
     uncut shouldBe 50L * 49 / 2 // the boilerplate quasi-clique
     cut shouldBe 0L // exactly the quadratic output the cut refuses to emit
   }
+
+  test("passage dedup: global first occurrence wins, order preserved, full-dup doc emits empty") {
+    val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"
+    val C = "c1 c2 c3 c4"; val D = "d1 d2 d3 d4"; val E = "e1 e2 e3 e4"
+    val df = spark.createDataFrame(Seq(
+      (0L, s"$A $B"),      // defines A and B
+      (1L, s"$A $C"),      // A already owned by doc 0 → only C survives
+      (2L, s"$B $A"),      // both owned by doc 0 → fully deduped
+      (3L, s"$A $A tail"), // in-doc repeat: both copies owned by doc 0
+      (4L, s"$D $A $E")    // kept passages straddle a dropped middle
+    )).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, passageLen = 4)
+      .select($"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out(0L) shouldBe ((s"$A $B", 2L, 0L))
+    out(1L) shouldBe ((C, 1L, 1L))
+    out(2L) shouldBe (("", 0L, 2L)) // still emits a row, empty text
+    out(3L) shouldBe (("tail", 1L, 2L)) // short final passage survives
+    out(4L) shouldBe ((s"$D $E", 2L, 1L)) // order kept across the gap
+  }
 }

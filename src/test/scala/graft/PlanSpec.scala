@@ -94,6 +94,23 @@ class PlanSpec extends SparkSpec {
     p should include("*(1)") // whole-stage codegen covers the regexps
   }
 
+  test("passage dedup: keeper is an aggregate+join, never a per-passage window (q71)") {
+    // Window.partitionBy(chunk) would buffer every occurrence of the
+    // hottest passage in one task; the groupBy+join shape must hold.
+    val p = plan(Dedup.q71)
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("HashAggregate") // partial keeper agg absorbs skew
+  }
+
+  test("mixture sampling: weights broadcast, corpus never shuffles (q73)") {
+    val p = plan(operators.Pack.q73)
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
