@@ -472,5 +472,91 @@ object Text extends QueryPack {
            |FROM toks JOIN wf USING (w) GROUP BY doc_id""".stripMargin),
     "unigram corpus-frequency score: mean token frequency per doc (CCNet-style LM-score proxy)")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62, q72)
+  /** Composite quality gate — the Gopher/C4 rule set as one keep/drop
+    * verdict per document with NAMED reasons (the operator a corpus
+    * release actually runs; q37/q60 expose the underlying metrics):
+    * word-count band, mean-word-length band, top-word fraction,
+    * duplicate-3-gram fraction, minimum stopword evidence. Reasons
+    * join into one comma-separated string in fixed rule order
+    * (concat_ws drops the null non-firings on both engines) so the
+    * gate output stays scalar-typed for the driver compare.
+    *
+    * Scale shape: two exploded partial aggregates (per-doc word
+    * counts, per-doc 3-gram distinct counts — both map-side combined)
+    * joined back to a narrow scan projection; every ratio is a single
+    * division of integer aggregates, so thresholds compare bit-
+    * identically across engines. Thresholds are Gopher-ish, tuned so
+    * the templated corpus exercises both verdicts.
+    */
+  def qualityGate(df: DataFrame): DataFrame = {
+    val base = df.select(col("doc_id"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nchars"))
+    val wordStats = df
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
+        sum(when(col("w").isin(stops: _*), col("c")).otherwise(0L)).as("n_stop"))
+    val grams = Dedup.ngrams(df, 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("shingle")).as("n_distinct"))
+    val awl = col("nchars").cast("double") / col("tot")
+    val topw = col("mx").cast("double") / col("tot")
+    val dup3 = (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")
+    base
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
+      .withColumn("drop_reasons", concat_ws(",",
+        when(col("tot") < 30 || col("tot") > 10000, "word_count"),
+        when(awl < 3.0 || awl > 12.0, "word_len"),
+        when(topw > 0.20, "top_word"),
+        when(col("n_grams") > 0 && dup3 > 0.30, "dup_3gram"),
+        when(col("n_stop") < 2, "no_stopwords")))
+      .select(col("doc_id"), col("tot").as("n_words"),
+        (col("drop_reasons") === "").as("keep"), col("drop_reasons"))
+  }
+
+  val q74 = Q(
+    "q74_quality_gate",
+    (s, d) => qualityGate(docs(s, d)),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents
+           |), wc AS (
+           |  SELECT doc_id, t AS wd, COUNT(*) AS c
+           |  FROM toks, UNNEST(w) u(t) GROUP BY 1, 2
+           |), ws AS (
+           |  SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot,
+           |    CAST(SUM(CASE WHEN wd IN ('the','a','of','and','is','in','to','it')
+           |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM wc GROUP BY 1
+           |), g AS (
+           |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), gs AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct
+           |  FROM g GROUP BY 1
+           |), r AS (
+           |  SELECT t.doc_id, ws.tot,
+           |    concat_ws(',',
+           |      CASE WHEN ws.tot < 30 OR ws.tot > 10000 THEN 'word_count' END,
+           |      CASE WHEN CAST(length(regexp_replace(t.text, '\s', '', 'g')) AS DOUBLE) / ws.tot < 3.0
+           |             OR CAST(length(regexp_replace(t.text, '\s', '', 'g')) AS DOUBLE) / ws.tot > 12.0
+           |           THEN 'word_len' END,
+           |      CASE WHEN CAST(ws.mx AS DOUBLE) / ws.tot > 0.20 THEN 'top_word' END,
+           |      CASE WHEN gs.n_grams > 0
+           |             AND CAST(gs.n_grams - gs.n_distinct AS DOUBLE) / gs.n_grams > 0.30
+           |           THEN 'dup_3gram' END,
+           |      CASE WHEN ws.n_stop < 2 THEN 'no_stopwords' END) AS drop_reasons
+           |  FROM toks t
+           |  LEFT JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN gs ON gs.doc_id = t.doc_id
+           |)
+           |SELECT doc_id, tot AS n_words, drop_reasons = '' AS keep, drop_reasons
+           |FROM r""".stripMargin),
+    "composite quality gate: Gopher/C4 rules -> keep/drop verdict with named reasons")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62, q72, q74)
 }

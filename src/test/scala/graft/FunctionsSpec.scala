@@ -100,4 +100,31 @@ class FunctionsSpec extends SparkSpec {
       abs(cosine($"e1", $"e2") - cosineFast($"e1", $"e2")).as("d"))
       .agg(max($"d")).head().getDouble(0) shouldBe 0.0
   }
+
+  test("quality gate fires every rule, reasons in fixed order (q74)") {
+    // The gate corpus never trips dup_3gram or word_len (templated
+    // docs have healthy shapes); pin those rules on crafted docs so
+    // every branch has a correctness signal, not just the hot ones.
+    // 34 distinct words incl. 7 stopwords: every rule passes
+    val good = ("the alpha of beta and gamma is delta in epsilon to zeta it " +
+      "eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega blue red green").trim
+    // the,of + gram*42: hot word + collapsed 3-gram set, healthy rest
+    val repet = ("the of gram gram " + "gram " * 40).trim
+    // two stopwords + 38 copies of a 25-char word: avg len 23.9
+    val longw = ("the of " + "pneumonoultramicroscopics " * 38).trim
+    // 40 distinct mid-length words, zero stopwords: only that rule
+    val nostop = (0 until 40).map(i => s"word$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, good), (2L, repet), (3L, longw), (4L, nostop)
+    )).toDF("doc_id", "text")
+    val out = graft.operators.Text.qualityGate(docs)
+      .select($"doc_id", $"keep", $"drop_reasons")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out(1L) shouldBe ((true, ""))
+    out(2L) shouldBe ((false, "top_word,dup_3gram"))
+    out(3L) shouldBe ((false, "word_len,top_word,dup_3gram"))
+    out(4L) shouldBe ((false, "no_stopwords"))
+  }
 }
