@@ -279,39 +279,100 @@ object Dedup extends QueryPack {
     * shingle sets, so output precision is exact; only recall is
     * probabilistic (spec-tested against q31).
     */
-  def minhashPairs(df: DataFrame, threshold: Double,
-      k: Int = 32, bands: Int = 8): DataFrame = {
+  /** MinHash signatures + LSH band hashes, one compact row per doc:
+    * (doc_id, sh: array&lt;string&gt; — the shingle set for exact verify,
+    * bh: array&lt;long&gt; — `bands` band hashes). This is the table a
+    * production pipeline PERSISTS between runs: the nightly delta path
+    * (`minhashDeltaPairs`) re-hashes only new documents and band-joins
+    * them against these stored rows, never re-shingling the corpus.
+    *
+    * Signature via exploded shingles + k min-aggregates in ONE
+    * group-by pass: xxhash64/min are codegen'd, vs the per-row
+    * `transform` lambda formulation (graft.functions.minhash) which
+    * is CodegenFallback and ~4x slower at sf0.1.
+    * Hash each shingle STRING once; the k "permutations" re-hash the
+    * resulting 64-bit value with the slot index. Equivalent k-wise
+    * independence for LSH purposes, but string bytes are touched once
+    * instead of k times — the signature aggregate was the dominant
+    * stage before this (k× string re-hash per shingle occurrence).
+    * Fully deterministic (seeded xxhash64, no RNG): signatures
+    * computed in different runs/partitionings are identical, which is
+    * what makes the incremental path sound.
+    */
+  def minhashSignatures(df: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"bands must divide k: k=$k bands=$bands")
     val rows = k / bands
-    // Signature via exploded shingles + k min-aggregates in ONE
-    // group-by pass: xxhash64/min are codegen'd, vs the per-row
-    // `transform` lambda formulation (graft.functions.minhash) which
-    // is CodegenFallback and ~4x slower at sf0.1. collect_list carries
-    // the shingle set along for the exact verification step.
-    // Hash each shingle STRING once; the k "permutations" re-hash the
-    // resulting 64-bit value with the slot index. Equivalent k-wise
-    // independence for LSH purposes, but string bytes are touched once
-    // instead of k times — the signature aggregate was the dominant
-    // stage before this (k× string re-hash per shingle occurrence).
     val shEx = shingleSets(df)
       .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("h0"))
-    val sig = shEx.groupBy(col("doc_id")).agg(
-      collect_list(col("shingle")).as("sh"),
-      (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i")): _*)
-      .localCheckpoint() // signature pipeline runs once, not per join side
     val bandHashes = array((0 until bands).map { bd =>
       xxhash64((lit(bd) +: (0 until rows).map(j => col(s"m${bd * rows + j}"))): _*)
     }: _*)
+    shEx.groupBy(col("doc_id")).agg(
+      collect_list(col("shingle")).as("sh"),
+      (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i")): _*)
+      .select(col("doc_id"), col("sh"), bandHashes.as("bh"))
+  }
+
+  def minhashPairs(df: DataFrame, threshold: Double,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = minhashSignatures(df, k, bands)
+      .localCheckpoint() // signature pipeline runs once, not per join side
     // Candidate generation and dedup carry ONLY (d1, d2): on clustered
     // corpora the band join emits each hot pair once per agreeing band,
     // and shuffling the shingle arrays through that dedup dominates the
     // query. The arrays re-join after dedup from the 1-row-per-doc
     // signature table (small side — AQE broadcasts it at this scale).
-    val buckets = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    val buckets = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
     val docSets = sig.select(col("doc_id"), col("sh"))
     val cand = buckets.toDF("d1", "band", "bh")
       .join(buckets.toDF("d2", "band", "bh"), Seq("band", "bh"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .join(docSets.toDF("d1", "sh1"), "d1")
+      .join(docSets.toDF("d2", "sh2"), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .where(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** Incremental (nightly-delta) near-dup detection: all MinHash+LSH
+    * pairs that TOUCH a new batch — delta×corpus and delta×delta —
+    * given the corpus's PERSISTED signature table
+    * (`minhashSignatures` output read back from parquet). Only the
+    * delta is shingled and hashed; the corpus contributes its stored
+    * (sh, bh) rows. Because the signature pipeline is deterministic,
+    * the result equals a full `minhashPairs` run over corpus∪delta
+    * restricted to pairs with a delta member (DedupSpec pins this).
+    *
+    * Scale shape: the band join is keyed on (band, band-hash) — the
+    * corpus bucket table shuffles once by that key (or sits
+    * pre-bucketed on it in storage); the delta side is tiny and AQE
+    * broadcasts it. Per-band fan-out is bounded by bucket occupancy
+    * exactly as in q32; candidates are narrowed to (d1, d2) before
+    * dedup; exact Jaccard verify joins shingle sets back from the
+    * stored rows. A daily 0.1% delta therefore costs ~0.1% of the
+    * full-run band join, not a corpus re-scan.
+    */
+  def minhashDeltaPairs(corpusSigs: DataFrame, delta: DataFrame,
+      threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+    val sigD = minhashSignatures(delta, k, bands)
+      .localCheckpoint() // delta hashed once, reused on both join sides
+    val all = corpusSigs.select(col("doc_id"), col("sh"), col("bh"))
+      .union(sigD)
+    val bucketsAll = all.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
+    val bucketsD = sigD.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
+    val docSets = all.select(col("doc_id"), col("sh"))
+    val cand = bucketsD.toDF("da", "band", "bh")
+      .join(bucketsAll.toDF("db", "band", "bh"), Seq("band", "bh"))
+      .where(col("da") =!= col("db"))
+      // delta-delta pairs arrive in both orientations; canonicalize
+      // before the narrow dedup so each survives once, as in q32
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
       .dropDuplicates("d1", "d2")
     cand
       .join(docSets.toDF("d1", "sh1"), "d1")

@@ -139,6 +139,24 @@ class DedupSpec extends SparkSpec {
     cut shouldBe 0L // exactly the quadratic output the cut refuses to emit
   }
 
+  test("incremental minhash: delta-vs-stored-sigs pairs ≡ full-run pairs touching the delta") {
+    // Simulate the nightly path: 80% of the corpus has persisted
+    // signatures; the 20% delta is hashed fresh and joined against
+    // them. Determinism of the signature pipeline makes the result
+    // equal a full recompute restricted to delta-touching pairs.
+    val delta = documents.where($"doc_id" % 5 === 0)
+    val corpus = documents.where($"doc_id" % 5 =!= 0)
+    val storedSigs = Dedup.minhashSignatures(corpus).localCheckpoint()
+    val inc = Dedup.minhashDeltaPairs(storedSigs, delta, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val deltaIds = delta.select($"doc_id").as[Long].collect().toSet
+    val fullTouching = Dedup.minhashPairs(documents, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    inc shouldBe fullTouching
+    inc.size should be > 0
+  }
+
   test("passage dedup: global first occurrence wins, order preserved, full-dup doc emits empty") {
     val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"
     val C = "c1 c2 c3 c4"; val D = "d1 d2 d3 d4"; val E = "e1 e2 e3 e4"
