@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables}
-import graft.functions.cosineFast
+import graft.functions.{cosineFast, dotFast}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -297,5 +297,64 @@ object Ann extends QueryPack {
            |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin),
     "embedding-cosine near-dup pairs: exact blocked theta-join (no broadcast cartesian)")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63)
+  /** Per-group embedding diversity WITHOUT the pairwise join: for
+    * unit vectors u_i, Σ_{i≠j} cos(u_i, u_j) = ‖Σu‖² − n, so the mean
+    * pairwise cosine of a group is (‖Σu‖² − n) / (n(n−1)) — an exact
+    * O(n·d) aggregate for an Ω(n²·d) quantity. This is the corpus-
+    * curation "how redundant is this source/cluster" measure that
+    * q41's exact pairwise audit cannot run at 100 TB; this one is a
+    * single scan + two tiny aggregates at any scale (and the same
+    * identity scores diversity of a candidate MIXTURE before training
+    * on it).
+    *
+    * Determinism contract: per-element normalization x/‖v‖ reuses the
+    * sequential-double dot product (bit-identical to the oracle's
+    * list_dot_product — the q34/q41 contract); cross-row per-dimension
+    * sums and the final sum over dimensions pass through
+    * DECIMAL(38,12) so they are order-independent; the two closing
+    * arithmetic ops are single double expressions. Groups of one have
+    * no pairs and are excluded (n > 1).
+    */
+  def embedDiversity(df: DataFrame, groupCol: String = "label"): DataFrame = {
+    val g = col(groupCol)
+    val unit = df.select(g, sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(g, col("pos"),
+        (col("x").cast("double") / col("nrm")).cast("decimal(38,12)").as("ux"))
+    val dimSums = unit.groupBy(g, col("pos"))
+      .agg(sum(col("ux")).cast("double").as("sd"))
+    val sumsq = dimSums.groupBy(g)
+      .agg(sum((col("sd") * col("sd")).cast("decimal(38,12)")).cast("double").as("sumsq"))
+    val counts = df.groupBy(g).agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    sumsq.join(counts, groupCol)
+      .where(col("n") > 1)
+      .select(g, col("n"),
+        ((col("sumsq") - nD) / (nD * (nD - lit(1.0)))).as("mean_pair_cos"))
+  }
+
+  val q75 = Q(
+    "q75_embed_diversity",
+    (s, d) => embedDiversity(emb(s, d)),
+    Some("""WITH e AS (
+           |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+           |), n AS (
+           |  SELECT label, COUNT(*) AS n FROM e GROUP BY label
+           |), u AS (
+           |  SELECT label, i,
+           |    CAST(CAST(v[i] AS DOUBLE) / sqrt(list_dot_product(v, v)) AS DECIMAL(38,12)) AS ux
+           |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+           |), s AS (
+           |  SELECT label, i, CAST(SUM(ux) AS DOUBLE) AS sd FROM u GROUP BY 1, 2
+           |), ss AS (
+           |  SELECT label, CAST(SUM(CAST(sd * sd AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+           |  FROM s GROUP BY 1
+           |)
+           |SELECT n.label, n.n,
+           |  (ss.sumsq - CAST(n.n AS DOUBLE)) /
+           |    (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)) AS mean_pair_cos
+           |FROM ss JOIN n USING (label) WHERE n.n > 1""".stripMargin),
+    "per-group embedding diversity: exact mean pairwise cosine via the centroid-norm identity, O(n*d) not O(n^2)")
+
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75)
 }

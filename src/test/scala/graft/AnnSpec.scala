@@ -109,6 +109,22 @@ class AnnSpec extends SparkSpec {
     unguarded shouldBe default
   }
 
+  test("embed diversity identity equals the brute-force pairwise mean (q75)") {
+    // (‖Σu‖² − n) / (n(n−1)) for unit u must equal the literal mean
+    // over all ordered pairs — the O(n·d) aggregate is EXACT, not an
+    // estimate. Compare per label against the naive cosine mean.
+    val e = Tables.embeddings(spark, sfDir)
+    val fast = Ann.embedDiversity(e)
+      .select($"label", $"mean_pair_cos").as[(Int, Double)].collect().toMap
+    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
+    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
+    val brute = a.join(b, Seq("label")).where($"v1" < $"v2")
+      .groupBy($"label").agg(avg(cosineFast($"e1", $"e2")).as("m"))
+      .select($"label", $"m").as[(Int, Double)].collect().toMap
+    fast.keySet shouldBe brute.keySet
+    fast.foreach { case (l, v) => v shouldBe brute(l) +- 1e-9 }
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
