@@ -257,5 +257,62 @@ object Pack extends QueryPack {
            |      < w.weight * 4294967296""".stripMargin),
     "mixture sampling: q67's per-source rates applied via deterministic hash gate (broadcast dim, no corpus shuffle)")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73)
+  /** Per-key top-K cap as a salted TWO-PHASE rank, for provenance
+    * caps ("at most K documents per domain", C4-style) where a hot
+    * key can hold millions of rows: a single
+    * `row_number over (partition by key)` funnels every row of the
+    * hottest key through one sort task. Phase 1 ranks within
+    * (key, salt-of-tiebreaker) — the hot key spreads over `salts`
+    * tasks and each emits at most k rows; phase 2 ranks the ≤ k·salts
+    * survivors per key, a bounded partition by construction. Output
+    * is IDENTICAL to the single-window formulation (spec-pinned):
+    * every member of a key's global top-k is also in its salt's
+    * top-k, and both phases order by the same deterministic
+    * (priority, tiebreaker). The salt is a content hash of the
+    * tiebreaker — deterministic under retries (no rand/row-id).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, priCol: String,
+      tieCol: String, k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0: k=$k salts=$salts")
+    val salt = pmod(xxhash64(col(tieCol)), lit(salts))
+    val w1 = Window.partitionBy(col(keyCol), salt)
+      .orderBy(col(priCol).asc, col(tieCol).asc)
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col(priCol).asc, col(tieCol).asc)
+    df.withColumn("_rk", row_number().over(w1)).where(col("_rk") <= k)
+      .withColumn("_rk", row_number().over(w2)).where(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** The gate corpus has no provenance URLs, so the query plants a
+    * deterministic domain per document (37 domains ≈ 13 docs each at
+    * sf0.01, mirrored verbatim in the oracle) and caps each domain at
+    * 8 — both keep-all and cut domains are exercised. Priority is the
+    * q73 gate hash with a distinct salt so capping is independent of
+    * sampling/split order.
+    */
+  val q76 = Q(
+    "q76_domain_cap",
+    (s, d) => {
+      val withDom = docs(s, d).select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 37).cast("string"),
+          lit(".example.com")).as("domain"),
+        ((col("doc_id") + 104729L) % 100000007L * 2654435761L % 4294967296L).as("pri"))
+      capPerKey(withDom, "domain", "pri", "doc_id", k = 8)
+        .select(col("doc_id"), col("domain"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    'd' || (doc_id % 37) || '.example.com' AS domain,
+           |    (doc_id + 104729) % 100000007 * 2654435761 % 4294967296 AS pri
+           |  FROM documents
+           |)
+           |SELECT doc_id, domain FROM (
+           |  SELECT doc_id, domain,
+           |    row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id) AS rn
+           |  FROM d)
+           |WHERE rn <= 8""".stripMargin),
+    "per-domain document cap: salted two-phase top-K (hot domains never sort in one task)")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73, q76)
 }

@@ -50,6 +50,25 @@ class SampleSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("salted two-phase per-key cap equals the single whole-key window (q76)") {
+    // Crafted skew: one hot key with 300 rows, two small keys — the
+    // shape where the single-window formulation funnels the hot key
+    // through one task. The two-phase result must be IDENTICAL.
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 300).map(i => (i.toLong, "hot")) ++
+      (300 until 310).map(i => (i.toLong, "warm")) ++
+      (310 until 313).map(i => (i.toLong, "cold"))
+    val df = spark.createDataFrame(rows).toDF("id", "k")
+      .withColumn("pri", pmod(xxhash64(col("id"), lit(7)), lit(1000)))
+    val twoPhase = graft.operators.Pack.capPerKey(df, "k", "pri", "id", k = 5, salts = 8)
+      .select($"id").as[Long].collect().toSet
+    val single = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"k").orderBy($"pri".asc, $"id".asc)))
+      .where($"rn" <= 5).select($"id").as[Long].collect().toSet
+    twoPhase shouldBe single
+    twoPhase.size shouldBe 5 + 5 + 3 // cold keeps all 3
+  }
+
   test("a tiny budget keeps exactly one document per source") {
     val one = Text.tokenBudgetSample(documents, 1L)
     val perSrc = one.groupBy($"source").count().select($"count").as[Long].collect()
