@@ -158,6 +158,26 @@ object Cluster extends QueryPack {
         col("n_members"), col("total_chars"))
   }
 
+  /** One-call corpus dedup — the composition a pipeline actually
+    * runs: MinHash+LSH near-dup pairs → connected components → one
+    * keeper per cluster (longest doc, deterministic ties) → the
+    * cleaned corpus (docs minus non-keeper cluster members).
+    * Singleton docs (no near-dup) pass through untouched. Each stage
+    * is the already-verified operator (q32, q52, q61); this is the
+    * glue, kept in the library so callers don't re-derive the
+    * anti-join orientation. The final anti-join is on doc_id — a
+    * narrow key join against a table no larger than the pair set.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashPairs(docs, threshold)
+    val comps = connectedComponents(pairs)
+    val keep = keepers(comps, docs)
+    val losers = comps.join(keep, "component")
+      .where(col("node") =!= col("keeper_id"))
+      .select(col("node").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   val q61 = Q(
     "q61_dedup_keepers",
     (s, d) => {

@@ -25,6 +25,22 @@ class ClusterSpec extends SparkSpec {
       (20L, 20L), (21L, 20L))
   }
 
+  test("dedupCorpus keeps exactly singletons plus one keeper per cluster") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val cleaned = Cluster.dedupCorpus(docs, 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // ground truth from the verified stages run independently
+    val pairs = graft.operators.Dedup.minhashPairs(docs, 0.5)
+    val comps = Cluster.connectedComponents(pairs)
+    val keeperIds = Cluster.keepers(comps, docs)
+      .select($"keeper_id").as[Long].collect().toSet
+    val clustered = comps.select($"node").as[Long].collect().toSet
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    cleaned shouldBe (allIds -- clustered) ++ keeperIds
+    (cleaned.size < allIds.size) shouldBe true // some dups actually fell
+  }
+
   test("a long chain converges (log rounds, not diameter rounds)") {
     val n = 64
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
