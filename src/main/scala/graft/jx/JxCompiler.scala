@@ -454,6 +454,35 @@ object JxCompiler {
           .select(explode(array(parts.map(lit): _*)).as(name)),
         Some(v.isin(parts: _*)))
     } else if (!n.isTextual && n.has("domain") &&
+        req(n.get("domain"), "type").asText() == "duration") {
+      // jx duration domain: elapsed-time histogram axis — a range
+      // domain measured in SECONDS whose interval may be a
+      // calendar-free unit name (second|minute|hour|day are fixed
+      // second widths; week/month are calendar concepts and belong to
+      // the time domain). Bucket label = bucket start in seconds,
+      // domain cell-complete in [min, max), out-of-range rows dropped
+      // — same contract as range/time.
+      val d = n.get("domain")
+      val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
+      val units = Map("second" -> 1L, "minute" -> 60L,
+        "hour" -> 3600L, "day" -> 86400L)
+      val ivNode = req(d, "interval")
+      val iv =
+        if (ivNode.isTextual)
+          units.getOrElse(ivNode.asText(), throw new IllegalArgumentException(
+            s"jx duration domain interval not supported: ${ivNode.asText()} " +
+              "(want second|minute|hour|day or a number of seconds)"))
+        else ivNode.asLong()
+      require(iv > 0, "jx duration domain: interval must be positive")
+      val mn = req(d, "min").asLong()
+      val mx = req(d, "max").asLong()
+      val v = compileExpr(req(n, "value"))
+      val bucket = floor((v - mn) / iv).cast("long") * iv + mn
+      val nCells = (mx - mn + iv - 1) / iv
+      Edge(name, bucket,
+        _ => df.sparkSession.range(nCells).select((col("id") * iv + mn).as(name)),
+        Some(v >= mn && v < mx))
+    } else if (!n.isTextual && n.has("domain") &&
         req(n.get("domain"), "type").asText() == "range") {
       val d = n.get("domain")
       val name = if (n.has("name")) n.get("name").asText() else fieldName(n)

@@ -311,5 +311,37 @@ object Jx extends QueryPack {
            |FROM r""".stripMargin),
     "jx cube format: edge domain arrays + aligned nested data arrays (gate: to_json)")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70)
+  /** Duration axis over an in-plan elapsed-time expression (`value`
+    * scaled to seconds): cell-complete minute buckets in [0, 3600),
+    * rows past the hour dropped — most of the corpus, so both empty
+    * cells and the range filter are exercised.
+    */
+  val q77Json: String =
+    """{
+      |  "from": "events",
+      |  "edges": [
+      |    {"name": "db", "value": {"mult": ["value", 60]},
+      |     "domain": {"type": "duration", "min": 0, "max": 3600,
+      |                "interval": "minute"}}
+      |  ],
+      |  "select": [{"name": "n", "aggregate": "count"}]
+      |}""".stripMargin
+
+  val q77 = Q(
+    "q77_jx_duration_edges",
+    (s, d) => JxCompiler.query(s, d, q77Json),
+    Some("""WITH src AS (
+           |  SELECT value * 60 AS dur FROM events
+           |  WHERE value * 60 >= 0 AND value * 60 < 3600
+           |), cells AS (
+           |  SELECT unnest(generate_series(0, 3599, 60)) AS db
+           |), g AS (
+           |  SELECT CAST(floor(dur / 60) AS BIGINT) * 60 AS db, COUNT(*) AS n
+           |  FROM src GROUP BY 1
+           |)
+           |SELECT c.db, COALESCE(g.n, 0) AS n
+           |FROM cells c LEFT JOIN g USING (db)""".stripMargin),
+    "jx duration-domain edges: cell-complete minute-bucket histogram, out-of-range rows dropped")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77)
 }

@@ -118,6 +118,35 @@ class JxSpec extends SparkSpec {
       ev.where(col("ts") >= "2024-01-08" && col("ts") < "2024-01-15").count()
   }
 
+  test("duration-domain edges: unit and numeric intervals agree, cells complete, out-of-range dropped") {
+    val unit = run("""{"from":"events",
+      "edges":[{"name":"db","value":{"mult":["value",60]},
+        "domain":{"type":"duration","min":0,"max":600,"interval":"minute"}}],
+      "select":[{"name":"n","aggregate":"count"}]}""").orderBy("db").collect()
+    val numeric = run("""{"from":"events",
+      "edges":[{"name":"db","value":{"mult":["value",60]},
+        "domain":{"type":"duration","min":0,"max":600,"interval":60}}],
+      "select":[{"name":"n","aggregate":"count"}]}""").orderBy("db").collect()
+    unit.map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      numeric.map(r => (r.getLong(0), r.getLong(1)))
+    unit.length shouldBe 10 // cell-complete: every minute start in [0, 600)
+    unit.map(_.getLong(0)) shouldBe (0L until 600L by 60L).toArray
+    val inRange = Tables.events(spark, sfDir)
+      .where(col("value") * 60 >= 0 && col("value") * 60 < 600).count()
+    unit.map(_.getLong(1)).sum shouldBe inRange
+    inRange should be > 0L // the filter is doing real work, not vacuous
+  }
+
+  test("duration-domain edges: calendar unit (week) rejected — that's the time domain's job") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"events",
+        "edges":[{"name":"db","value":"value",
+          "domain":{"type":"duration","min":0,"max":600,"interval":"week"}}],
+        "select":[{"name":"n","aggregate":"count"}]}""").collect()
+    }
+    e.getMessage should include("duration domain interval not supported")
+  }
+
   test("time-domain edges: unsupported interval errors loudly") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"events",
