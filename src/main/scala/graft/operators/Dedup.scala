@@ -358,11 +358,20 @@ object Dedup extends QueryPack {
     * full-run band join, not a corpus re-scan.
     */
   def minhashDeltaPairs(corpusSigs: DataFrame, delta: DataFrame,
-      threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
-    val sigD = minhashSignatures(delta, k, bands)
-      .localCheckpoint() // delta hashed once, reused on both join sides
+      threshold: Double, k: Int = 32, bands: Int = 8): DataFrame =
+    minhashDeltaPairsFromSigs(corpusSigs,
+      // delta hashed once, reused on both join sides
+      minhashSignatures(delta, k, bands).localCheckpoint(), threshold)
+
+  /** The band-join core of the incremental path, taking the delta's
+    * signatures directly — for callers that also persist them (the
+    * streaming ingest dedup hashes each micro-batch exactly once and
+    * reuses the rows here and in the signature-store upsert).
+    */
+  def minhashDeltaPairsFromSigs(corpusSigs: DataFrame, sigD: DataFrame,
+      threshold: Double): DataFrame = {
     val all = corpusSigs.select(col("doc_id"), col("sh"), col("bh"))
-      .union(sigD)
+      .union(sigD.select(col("doc_id"), col("sh"), col("bh")))
     val bucketsAll = all.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
     val bucketsD = sigD.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
     val docSets = all.select(col("doc_id"), col("sh"))

@@ -97,7 +97,7 @@ object ParquetUpsertSink {
       .drop("__rn")
   }
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty

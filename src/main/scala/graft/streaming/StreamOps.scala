@@ -230,5 +230,68 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** Streaming ingest NEAR-dedup: each micro-batch of documents
+    * (doc_id, text, ...) is deduped against the persisted MinHash
+    * signature store AND itself before admission — the production
+    * pattern where a corpus grows continuously and near-duplicates of
+    * anything already admitted must never land. Per batch: hash the
+    * batch once (`Dedup.minhashSignatures`), band-join it against the
+    * stored signatures (`minhashDeltaPairsFromSigs` — the corpus is
+    * never re-hashed), then admit a document unless it near-dups a
+    * STORED document or a SMALLER-ID batch document; admitted docs and
+    * their signatures upsert into their keyed stores.
+    *
+    * The admission rule is the greedy pairwise one (not connected-
+    * component keeper selection): deterministic, one pass, and
+    * anchored to already-admitted docs — a chain a~b~c admits its
+    * locally-minimal members. Exactly-once effect on an
+    * at-least-once transport: verdicts depend only on (id order,
+    * stored neighbors), redelivered documents re-derive the same
+    * verdict — an admitted doc's only new stored neighbors are
+    * non-near-dups, a rejected doc's rejecting neighbor is stored —
+    * and both stores are keyed upserts, so rewrites are no-ops.
+    * Crash between the two upserts recovers on redelivery for the
+    * same reason, whichever write landed first.
+    */
+  def streamingNearDedupIngest(stream: DataFrame, docsPath: String,
+      sigsPath: String, threshold: Double, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val s = batch.sparkSession
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      if (docs.head(1).nonEmpty) {
+        val sigD = graft.operators.Dedup.minhashSignatures(docs).localCheckpoint()
+        val stored =
+          if (graft.sources.ParquetUpsertSink.tableExists(s, sigsPath))
+            graft.sources.ParquetUpsertSink.read(s, sigsPath)
+          else sigD.limit(0)
+        val pairs = graft.operators.Dedup
+          .minhashDeltaPairsFromSigs(stored, sigD, threshold)
+          .localCheckpoint() // pair set is small; verdicts reuse it twice
+        // pairs are canonical (d1 < d2) and always touch the batch:
+        // drop d2 when it is a batch doc (its neighbor d1 — stored or
+        // batch — has the smaller id), and drop d1 when d2 is stored
+        // (a batch doc near-dupping an admitted doc of larger id)
+        val storedIds = stored.select(col("doc_id"))
+        val drops = pairs.select(col("d2").as("doc_id"))
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .union(pairs.join(storedIds.toDF("d2"), Seq("d2"), "left_semi")
+            .select(col("d1").as("doc_id")))
+          .distinct()
+        val kept = docs.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
+        graft.sources.ParquetUpsertSink.upsert(
+          kept.withColumn("_rev", lit(0L)), docsPath,
+          Seq("doc_id"), "_rev", numBuckets)
+        graft.sources.ParquetUpsertSink.upsert(
+          sigD.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .withColumn("_rev", lit(0L)),
+          sigsPath, Seq("doc_id"), "_rev", numBuckets)
+      }
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   val all: Seq[Q] = Seq(q42, q51)
 }

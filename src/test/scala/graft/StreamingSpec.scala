@@ -186,4 +186,46 @@ class StreamingSpec extends SparkSpec {
     (expected -- openTails -- streamed) shouldBe empty
     streamed.size should be >= (expected.size - openTails.size)
   }
+
+  test("streaming near-dedup ingest: stored docs win, in-batch dups collapse, redelivery is a no-op") {
+    import org.apache.spark.sql.functions.col
+    def text(tag: Int) = (0 until 20).map(j => s"t${tag}w$j").mkString(" ")
+    // batch 1: doc 2 duplicates doc 1; doc 3 distinct
+    val b1 = Seq((1L, text(1)), (2L, text(1)), (3L, text(3)))
+    // batch 2: doc 4 duplicates STORED doc 1; doc 6 duplicates
+    // in-batch doc 5 (admitted: {5})
+    val b2 = Seq((4L, text(1)), (5L, text(5)), (6L, text(5)))
+    val srcDir = Files.createTempDirectory("graft-neardedup-src").toString
+    val docsPath = Files.createTempDirectory("graft-neardedup-docs").toString + "/docs"
+    val sigsPath = Files.createTempDirectory("graft-neardedup-sigs").toString + "/sigs"
+    def stage(rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runStream(): Unit = {
+      val ckpt = Files.createTempDirectory("graft-neardedup-ck").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = StreamOps
+        .streamingNearDedupIngest(stream, docsPath, sigsPath, threshold = 0.5)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    stage(b1); stage(b2)
+    runStream()
+    def storedDocIds = graft.sources.ParquetUpsertSink.read(spark, docsPath)
+      .select(col("doc_id")).as[Long].collect().toSet
+    def storedSigIds = graft.sources.ParquetUpsertSink.read(spark, sigsPath)
+      .select(col("doc_id")).as[Long].collect().toSet
+    storedDocIds shouldBe Set(1L, 3L, 5L)
+    storedSigIds shouldBe Set(1L, 3L, 5L)
+    // at-least-once transport: redeliver batch 1 verbatim (fresh
+    // checkpoint = the stream reprocesses everything) — same stores
+    stage(b1)
+    runStream()
+    storedDocIds shouldBe Set(1L, 3L, 5L)
+    storedSigIds shouldBe Set(1L, 3L, 5L)
+  }
 }
