@@ -309,22 +309,31 @@ object Ann extends QueryPack {
     *
     * Determinism contract: per-element normalization x/‖v‖ reuses the
     * sequential-double dot product (bit-identical to the oracle's
-    * list_dot_product — the q34/q41 contract); cross-row per-dimension
-    * sums and the final sum over dimensions pass through
-    * DECIMAL(38,12) so they are order-independent; the two closing
-    * arithmetic ops are single double expressions. Groups of one have
-    * no pairs and are excluded (n > 1).
+    * list_dot_product — the q34/q41 contract), so every ux double is
+    * bit-identical across engines. Cross-row sums are made order-
+    * independent by FIXED-POINT QUANTIZATION — floor(ux·1e9) summed
+    * as integers — not a decimal cast: casting a double to DECIMAL
+    * rounds to nearest, and the engines disagree on ties (observed at
+    * sf0.1: one element in ~320k flipped the 12th decimal, shifting
+    * the group mean by 2·s_d·1e-12/(n(n−1)) ≈ 8e-17 — a gate FAIL at
+    * bit-exact compare), while floor of a bit-identical double has no
+    * tie to disagree on. The measure is therefore "exact under a
+    * deterministic 1e-9 per-element quantization": error ≤ n·1e-9 per
+    * dimension sum, ≪ 1e-6 on the final mean (AnnSpec bounds it
+    * against the true brute-force mean). Groups of one have no pairs
+    * and are excluded (n > 1).
     */
   def embedDiversity(df: DataFrame, groupCol: String = "label"): DataFrame = {
     val g = col(groupCol)
+    val Q = 1e9
     val unit = df.select(g, sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"),
       posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(g, col("pos"),
-        (col("x").cast("double") / col("nrm")).cast("decimal(38,12)").as("ux"))
+        floor(col("x").cast("double") / col("nrm") * Q).as("uq"))
     val dimSums = unit.groupBy(g, col("pos"))
-      .agg(sum(col("ux")).cast("double").as("sd"))
+      .agg((sum(col("uq")).cast("double") / Q).as("sd"))
     val sumsq = dimSums.groupBy(g)
-      .agg(sum((col("sd") * col("sd")).cast("decimal(38,12)")).cast("double").as("sumsq"))
+      .agg((sum(floor(col("sd") * col("sd") * Q)).cast("double") / Q).as("sumsq"))
     val counts = df.groupBy(g).agg(count(lit(1)).as("n"))
     val nD = col("n").cast("double")
     sumsq.join(counts, groupCol)
@@ -342,12 +351,13 @@ object Ann extends QueryPack {
            |  SELECT label, COUNT(*) AS n FROM e GROUP BY label
            |), u AS (
            |  SELECT label, i,
-           |    CAST(CAST(v[i] AS DOUBLE) / sqrt(list_dot_product(v, v)) AS DECIMAL(38,12)) AS ux
+           |    CAST(floor(CAST(v[i] AS DOUBLE) / sqrt(list_dot_product(v, v)) * 1e9) AS BIGINT) AS uq
            |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
            |), s AS (
-           |  SELECT label, i, CAST(SUM(ux) AS DOUBLE) AS sd FROM u GROUP BY 1, 2
+           |  SELECT label, i, CAST(SUM(uq) AS DOUBLE) / 1e9 AS sd FROM u GROUP BY 1, 2
            |), ss AS (
-           |  SELECT label, CAST(SUM(CAST(sd * sd AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+           |  SELECT label,
+           |    CAST(SUM(CAST(floor(sd * sd * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sumsq
            |  FROM s GROUP BY 1
            |)
            |SELECT n.label, n.n,

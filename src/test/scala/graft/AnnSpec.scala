@@ -111,8 +111,9 @@ class AnnSpec extends SparkSpec {
 
   test("embed diversity identity equals the brute-force pairwise mean (q75)") {
     // (‖Σu‖² − n) / (n(n−1)) for unit u must equal the literal mean
-    // over all ordered pairs — the O(n·d) aggregate is EXACT, not an
-    // estimate. Compare per label against the naive cosine mean.
+    // over all ordered pairs up to the deterministic 1e-9 per-element
+    // quantization (error ≤ ~2·|s_d|·n·1e-9·d / (n(n−1)) ≪ 1e-6).
+    // Compare per label against the naive cosine mean.
     val e = Tables.embeddings(spark, sfDir)
     val fast = Ann.embedDiversity(e)
       .select($"label", $"mean_pair_cos").as[(Int, Double)].collect().toMap
@@ -122,7 +123,7 @@ class AnnSpec extends SparkSpec {
       .groupBy($"label").agg(avg(cosineFast($"e1", $"e2")).as("m"))
       .select($"label", $"m").as[(Int, Double)].collect().toMap
     fast.keySet shouldBe brute.keySet
-    fast.foreach { case (l, v) => v shouldBe brute(l) +- 1e-9 }
+    fast.foreach { case (l, v) => v shouldBe brute(l) +- 1e-6 }
   }
 
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
