@@ -229,8 +229,10 @@ object Pack extends QueryPack {
     */
   def applyMixture(docsDf: DataFrame): DataFrame = {
     val w = mixtureWeights(docsDf).select(col("source"), col("weight"))
+    // id reduced mod the prime BEFORE the salt add (splitHash's rule):
+    // (id + salt) first would overflow ANSI-fatally near Long.MaxValue
     val gate =
-      (col("doc_id") + 7919L) % 100000007L * 2654435761L % 4294967296L
+      (col("doc_id") % 100000007L + 7919L) % 100000007L * 2654435761L % 4294967296L
     docsDf.select(col("doc_id"), col("source"))
       .join(broadcast(w), Seq("source"))
       .where(gate < col("weight") * lit(4294967296L))
@@ -253,7 +255,7 @@ object Pack extends QueryPack {
            |)
            |SELECT d.doc_id, d.source
            |FROM documents d JOIN w USING (source)
-           |WHERE (d.doc_id + 7919) % 100000007 * 2654435761 % 4294967296
+           |WHERE (d.doc_id % 100000007 + 7919) % 100000007 * 2654435761 % 4294967296
            |      < w.weight * 4294967296""".stripMargin),
     "mixture sampling: q67's per-source rates applied via deterministic hash gate (broadcast dim, no corpus shuffle)")
 
@@ -297,14 +299,15 @@ object Pack extends QueryPack {
       val withDom = docs(s, d).select(col("doc_id"),
         concat(lit("d"), (col("doc_id") % 37).cast("string"),
           lit(".example.com")).as("domain"),
-        ((col("doc_id") + 104729L) % 100000007L * 2654435761L % 4294967296L).as("pri"))
+        // same overflow-safe salt ordering as applyMixture's gate
+        ((col("doc_id") % 100000007L + 104729L) % 100000007L * 2654435761L % 4294967296L).as("pri"))
       capPerKey(withDom, "domain", "pri", "doc_id", k = 8)
         .select(col("doc_id"), col("domain"))
     },
     Some("""WITH d AS (
            |  SELECT doc_id,
            |    'd' || (doc_id % 37) || '.example.com' AS domain,
-           |    (doc_id + 104729) % 100000007 * 2654435761 % 4294967296 AS pri
+           |    (doc_id % 100000007 + 104729) % 100000007 * 2654435761 % 4294967296 AS pri
            |  FROM documents
            |)
            |SELECT doc_id, domain FROM (
