@@ -276,6 +276,8 @@ object Pack extends QueryPack {
   def capPerKey(df: DataFrame, keyCol: String, priCol: String,
       tieCol: String, k: Int, salts: Int = 16): DataFrame = {
     require(k > 0 && salts > 0, s"need k > 0 and salts > 0: k=$k salts=$salts")
+    require(!df.columns.contains("_rk"),
+      "capPerKey uses a scratch column named _rk; rename the input's _rk column first")
     val salt = pmod(xxhash64(col(tieCol)), lit(salts))
     val w1 = Window.partitionBy(col(keyCol), salt)
       .orderBy(col(priCol).asc, col(tieCol).asc)

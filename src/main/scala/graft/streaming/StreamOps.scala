@@ -259,6 +259,9 @@ object StreamOps extends QueryPack {
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      require(!docs.columns.contains("_rev"),
+        "streamingNearDedupIngest uses a scratch version column named _rev; " +
+          "rename the stream's _rev column first")
       if (docs.head(1).nonEmpty) {
         val sigD = graft.operators.Dedup.minhashSignatures(docs).localCheckpoint()
         val stored =
