@@ -558,5 +558,77 @@ object Text extends QueryPack {
            |FROM r""".stripMargin),
     "composite quality gate: Gopher/C4 rules -> keep/drop verdict with named reasons")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62, q72, q74)
+  /** Per-source corpus report card — the summary a pipeline publishes
+    * after the quality gate runs: document counts, keep rate, and a
+    * histogram of drop reasons per source. Reasons are counted via
+    * array_contains over the split reason string (exact token match —
+    * substring matching would confuse word_count/word_len), all as
+    * codegen'd conditional sums in ONE aggregate over the gate
+    * output; keep_rate is a single integer division. At 100 TB this
+    * is a 20-row result off a map-side-partial rollup.
+    */
+  val q78 = Q(
+    "q78_source_report",
+    (s, d) => {
+      val gated = qualityGate(docs(s, d))
+      val withSrc = docs(s, d).select(col("doc_id"), col("source"))
+        .join(gated, "doc_id")
+      def cnt(r: String) =
+        sum(when(array_contains(split(col("drop_reasons"), ","), r), 1L)
+          .otherwise(0L)).as(s"n_$r")
+      withSrc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("keep_rate"),
+        cnt("word_count"), cnt("word_len"), cnt("top_word"),
+        cnt("dup_3gram"), cnt("no_stopwords"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, text,
+           |    string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents
+           |), wc AS (
+           |  SELECT doc_id, t AS wd, COUNT(*) AS c
+           |  FROM toks, UNNEST(w) u(t) GROUP BY 1, 2
+           |), ws AS (
+           |  SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot,
+           |    CAST(SUM(CASE WHEN wd IN ('the','a','of','and','is','in','to','it')
+           |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM wc GROUP BY 1
+           |), g AS (
+           |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), gs AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct
+           |  FROM g GROUP BY 1
+           |), r AS (
+           |  SELECT t.doc_id, t.source,
+           |    string_split(concat_ws(',',
+           |      CASE WHEN ws.tot < 30 OR ws.tot > 10000 THEN 'word_count' END,
+           |      CASE WHEN CAST(length(regexp_replace(t.text, '\s', '', 'g')) AS DOUBLE) / ws.tot < 3.0
+           |             OR CAST(length(regexp_replace(t.text, '\s', '', 'g')) AS DOUBLE) / ws.tot > 12.0
+           |           THEN 'word_len' END,
+           |      CASE WHEN CAST(ws.mx AS DOUBLE) / ws.tot > 0.20 THEN 'top_word' END,
+           |      CASE WHEN gs.n_grams > 0
+           |             AND CAST(gs.n_grams - gs.n_distinct AS DOUBLE) / gs.n_grams > 0.30
+           |           THEN 'dup_3gram' END,
+           |      CASE WHEN ws.n_stop < 2 THEN 'no_stopwords' END), ',') AS reasons
+           |  FROM toks t
+           |  LEFT JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN gs ON gs.doc_id = t.doc_id
+           |)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN reasons = [''] THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST(SUM(CASE WHEN reasons = [''] THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate,
+           |  CAST(SUM(CASE WHEN list_contains(reasons, 'word_count') THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+           |  CAST(SUM(CASE WHEN list_contains(reasons, 'word_len') THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len,
+           |  CAST(SUM(CASE WHEN list_contains(reasons, 'top_word') THEN 1 ELSE 0 END) AS BIGINT) AS n_top_word,
+           |  CAST(SUM(CASE WHEN list_contains(reasons, 'dup_3gram') THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_3gram,
+           |  CAST(SUM(CASE WHEN list_contains(reasons, 'no_stopwords') THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stopwords
+           |FROM r GROUP BY source""".stripMargin),
+    "per-source quality report: keep rate + drop-reason histogram off the q74 gate")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62, q72, q74, q78)
 }
