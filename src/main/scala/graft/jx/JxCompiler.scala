@@ -408,7 +408,21 @@ object JxCompiler {
     val outCols = edges.map(e => fcol(e.name)) ++ names.map { n =>
       if (countNames.contains(n)) coalesce(fcol(n), lit(0L)).as(n) else fcol(n)
     }
-    cells.join(agged, edges.map(_.name), "left").select(outCols: _*)
+    // NULL-SAFE cell join (jx allowNulls semantics): a categorical
+    // domain sampled from the source can contain null (rows with a
+    // missing edge value form their own partition, and pyLibrary
+    // shows it). A plain equi-join drops exactly that group — its
+    // aggregate row exists but null never matches the null cell — so
+    // the counts would silently vanish. The aggregate's key columns
+    // are renamed before the join (cells and agged descend from the
+    // same plan; same-name columns would be ambiguous).
+    val aggedR = edges.zipWithIndex.foldLeft(agged) { case (d, (e, i)) =>
+      d.withColumnRenamed(e.name, s"__jxk$i")
+    }
+    val cond = edges.zipWithIndex
+      .map { case (e, i) => fcol(e.name) <=> col(s"__jxk$i") }
+      .reduce(_ && _)
+    cells.join(aggedR, cond, "left").select(outCols: _*)
   }
 
   private def compileEdge(df: DataFrame, n: JsonNode): Edge =

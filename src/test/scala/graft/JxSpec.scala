@@ -137,6 +137,21 @@ class JxSpec extends SparkSpec {
     inRange should be > 0L // the filter is doing real work, not vacuous
   }
 
+  test("edges with null values: the null partition keeps its counts (allowNulls semantics)") {
+    // pyLibrary jx shows a null partition for rows missing the edge
+    // value; a null-unsafe cell join would emit the null cell with
+    // count 0 and silently drop the aggregate row. Pin the counts.
+    val df = spark.createDataFrame(Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None), (5L, Some("b"))
+    ).map { case (i, v) => (i, v.orNull) }).toDF("id", "cat")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","edges":["cat"],
+         "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    got shouldBe Map(Some("a") -> 2L, Some("b") -> 1L, None -> 2L)
+  }
+
   test("duration-domain edges: calendar unit (week) rejected — that's the time domain's job") {
     val e = intercept[IllegalArgumentException] {
       run("""{"from":"events",
