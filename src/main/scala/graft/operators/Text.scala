@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables}
-import graft.functions.{fingerprint, words}
+import graft.functions.{fingerprint, shingles, words}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -488,6 +488,22 @@ object Text extends QueryPack {
     * identically across engines. Thresholds are Gopher-ish, tuned so
     * the templated corpus exercises both verdicts.
     */
+  /** The five gate rules as one reason-string expression, shared by
+    * both formulations so their thresholds cannot drift.
+    */
+  private def gateReasons(tot: Column, nchars: Column, mx: Column,
+      nGrams: Column, nDistinct: Column, nStop: Column): Column = {
+    val awl = nchars.cast("double") / tot
+    val topw = mx.cast("double") / tot
+    val dup3 = (nGrams - nDistinct).cast("double") / nGrams
+    concat_ws(",",
+      when(tot < 30 || tot > 10000, "word_count"),
+      when(awl < 3.0 || awl > 12.0, "word_len"),
+      when(topw > 0.20, "top_word"),
+      when(nGrams > 0 && dup3 > 0.30, "dup_3gram"),
+      when(nStop < 2, "no_stopwords"))
+  }
+
   def qualityGate(df: DataFrame): DataFrame = {
     val base = df.select(col("doc_id"),
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nchars"))
@@ -501,19 +517,41 @@ object Text extends QueryPack {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("shingle")).as("n_distinct"))
-    val awl = col("nchars").cast("double") / col("tot")
-    val topw = col("mx").cast("double") / col("tot")
-    val dup3 = (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")
     base
       .join(wordStats, Seq("doc_id"), "left")
       .join(grams, Seq("doc_id"), "left")
-      .withColumn("drop_reasons", concat_ws(",",
-        when(col("tot") < 30 || col("tot") > 10000, "word_count"),
-        when(awl < 3.0 || awl > 12.0, "word_len"),
-        when(topw > 0.20, "top_word"),
-        when(col("n_grams") > 0 && dup3 > 0.30, "dup_3gram"),
-        when(col("n_stop") < 2, "no_stopwords")))
+      .withColumn("drop_reasons", gateReasons(col("tot"), col("nchars"),
+        col("mx"), col("n_grams"), col("n_distinct"), col("n_stop")))
       .select(col("doc_id"), col("tot").as("n_words"),
+        (col("drop_reasons") === "").as("keep"), col("drop_reasons"))
+  }
+
+  /** Per-ROW formulation of the q74 gate: the same five verdicts
+    * computed from each document's token array with array expressions
+    * only — no explode, no groupBy, no join — so it is STATELESS and
+    * runs unchanged inside a streaming `select` (no watermark, no
+    * state store, per-record latency). The array lambdas are
+    * interpreted (CodegenFallback, O(distinct·n) per row for the
+    * top-word count), so the aggregate formulation stays the choice
+    * for full-corpus batch scans; this one is for streams and
+    * map-only contexts. FunctionsSpec pins row ≡ aggregate verdicts
+    * on the whole corpus.
+    */
+  def qualityGateRow(df: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val grams = shingles(ws, 3)
+    val wordCounts =
+      transform(array_distinct(ws), w => size(filter(ws, x => x === w)))
+    df.select(col("*"),
+      size(ws).cast("long").as("_tot"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("_nchars"),
+      array_max(wordCounts).cast("long").as("_mx"),
+      size(grams).cast("long").as("_ng"),
+      size(array_distinct(grams)).cast("long").as("_nd"),
+      size(filter(ws, x => x.isin(stops: _*))).cast("long").as("_nstop"))
+      .withColumn("drop_reasons", gateReasons(col("_tot"), col("_nchars"),
+        col("_mx"), col("_ng"), col("_nd"), col("_nstop")))
+      .select(col("doc_id"), col("_tot").as("n_words"),
         (col("drop_reasons") === "").as("keep"), col("drop_reasons"))
   }
 

@@ -127,4 +127,17 @@ class FunctionsSpec extends SparkSpec {
     out(3L) shouldBe ((false, "word_len,top_word,dup_3gram"))
     out(4L) shouldBe ((false, "no_stopwords"))
   }
+
+  test("per-row quality gate equals the aggregate formulation on the whole corpus") {
+    // qualityGateRow is the stateless streaming-capable variant; its
+    // verdicts must be IDENTICAL to the batch aggregate's, doc by doc
+    val docs = Tables.documents(spark, sfDir)
+    val agg = graft.operators.Text.qualityGate(docs)
+      .select($"doc_id", $"n_words", $"keep", $"drop_reasons")
+      .as[(Long, Long, Boolean, String)].collect().toSet
+    val row = graft.operators.Text.qualityGateRow(docs)
+      .select($"doc_id", $"n_words", $"keep", $"drop_reasons")
+      .as[(Long, Long, Boolean, String)].collect().toSet
+    row shouldBe agg
+  }
 }

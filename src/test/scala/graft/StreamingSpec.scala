@@ -187,6 +187,29 @@ class StreamingSpec extends SparkSpec {
     streamed.size should be >= (expected.size - openTails.size)
   }
 
+  test("per-row quality gate runs statelessly in a stream and equals batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-gate-src").toString
+    Tables.documents(spark, sfDir).repartition(2)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.operators.Text.qualityGateRow(stream)
+      .writeStream.format("memory").queryName("gate_stream_test")
+      .outputMode("append") // stateless select: append needs no watermark
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("gate_stream_test")
+      .select(col("doc_id"), col("keep"), col("drop_reasons"))
+      .as[(Long, Boolean, String)].collect().toSet
+    val batch = graft.operators.Text.qualityGate(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("keep"), col("drop_reasons"))
+      .as[(Long, Boolean, String)].collect().toSet
+    streamed shouldBe batch
+  }
+
   test("streaming near-dedup ingest: stored docs win, in-batch dups collapse, redelivery is a no-op") {
     import org.apache.spark.sql.functions.col
     def text(tag: Int) = (0 until 20).map(j => s"t${tag}w$j").mkString(" ")
