@@ -319,5 +319,35 @@ object Pack extends QueryPack {
            |WHERE rn <= 8""".stripMargin),
     "per-domain document cap: salted two-phase top-K (hot domains never sort in one task)")
 
+  /** The whole pre-training data-prep recipe as ONE composed call —
+    * the LLM-side analogue of `sources.EtlPipeline.run` (which
+    * composes the reference's extract→patch→push loop): quality gate
+    * → near-dedup (pairs→components→keepers) → optional per-source
+    * cap → mixture sampling → sequence packing. Every stage is the
+    * already-verified operator; this is the glue, kept in the library
+    * so the recipe order (cheap map-side gate FIRST, so dedup's
+    * candidate generation never pays for junk documents) is the
+    * default a user gets. Returns the packed training rows
+    * (doc_id, source, n_tok, seq_id, seq_off) joined back to text.
+    * Fully deterministic: every stage keys off content/id hashes.
+    */
+  def preparePretrainingCorpus(docsDf: DataFrame, threshold: Double = 0.5,
+      seqLen: Long = 512L, maxDocsPerSource: Int = 0): DataFrame = {
+    val gated = docsDf.join(
+      Text.qualityGate(docsDf).where(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val deduped = Cluster.dedupCorpus(gated, threshold)
+    val capped =
+      if (maxDocsPerSource <= 0) deduped
+      else capPerKey(
+        deduped.withColumn("_pri",
+          (col("doc_id") % 100000007L + 104729L) % 100000007L * 2654435761L % 4294967296L),
+        "source", "_pri", "doc_id", maxDocsPerSource).drop("_pri")
+    val sampled = capped.join(
+      applyMixture(capped).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    packSequences(sampled, seqLen)
+      .join(docsDf.select(col("doc_id"), col("text")), "doc_id")
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q69, q73, q76)
 }

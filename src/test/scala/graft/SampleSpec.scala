@@ -69,6 +69,34 @@ class SampleSpec extends SparkSpec {
     twoPhase.size shouldBe 5 + 5 + 3 // cold keeps all 3
   }
 
+  test("preparePretrainingCorpus equals the hand-composed stages and is deterministic") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val got = graft.operators.Pack.preparePretrainingCorpus(docs, 0.5, 128L)
+    val rows = got.select($"doc_id", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long)].collect().toSet
+    // hand-compose the same stages
+    val gated = docs.join(graft.operators.Text.qualityGate(docs)
+      .where($"keep").select($"doc_id"), Seq("doc_id"), "left_semi")
+    val deduped = graft.operators.Cluster.dedupCorpus(gated, 0.5)
+    val sampled = deduped.join(graft.operators.Pack.applyMixture(deduped)
+      .select($"doc_id"), Seq("doc_id"), "left_semi")
+    val want = graft.operators.Pack.packSequences(sampled, 128L)
+      .select($"doc_id", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long)].collect().toSet
+    rows shouldBe want
+    rows.size should be > 0
+    // deterministic end to end
+    graft.operators.Pack.preparePretrainingCorpus(docs, 0.5, 128L)
+      .select($"doc_id", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long)].collect().toSet shouldBe rows
+    // the funnel only narrows: packed docs ⊆ sampled ⊆ deduped ⊆ gated
+    val packedIds = rows.map(_._1)
+    val sampledIds = sampled.select($"doc_id").as[Long].collect().toSet
+    val gatedIds = gated.select($"doc_id").as[Long].collect().toSet
+    packedIds shouldBe sampledIds // packing drops nothing
+    assert(sampledIds.subsetOf(gatedIds))
+  }
+
   test("a tiny budget keeps exactly one document per source") {
     val one = Text.tokenBudgetSample(documents, 1L)
     val perSrc = one.groupBy($"source").count().select($"count").as[Long].collect()
