@@ -79,4 +79,37 @@ class EtlPipelineSpec extends SparkSpec {
     EtlPipeline.readClosure(spark, dest)
       .as[(Long, Long, Int)].collect().toSet shouldBe settled
   }
+
+  test("the loop as a stream: micro-batched edges converge to the batch closure, redelivery no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir()
+    val srcDir = s"$base/src"
+    val dest = s"$base/closure"
+    // two micro-batches: the chain grows, then an edge SHORTENS a path
+    val b1 = Seq((10L, 1L), (11L, 1L), (12L, 10L)).toDF("child", "parent")
+    val b2 = Seq((12L, 1L), (13L, 12L)).toDF("child", "parent")
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    def runStream(): Unit = {
+      val ckpt = tmpDir()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EtlPipeline.runStream(stream, dest, numBuckets = 4)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runStream()
+    val want = Hierarchy.closure(b1.union(b2))
+      .as[(Long, Long, Int)].collect().toSet
+    EtlPipeline.readClosure(spark, dest)
+      .as[(Long, Long, Int)].collect().toSet shouldBe want
+    // redeliver everything (fresh checkpoint): stored closure already
+    // has every pair at its best depth — the stream is a no-op
+    runStream()
+    EtlPipeline.readClosure(spark, dest)
+      .as[(Long, Long, Int)].collect().toSet shouldBe want
+  }
 }
