@@ -73,7 +73,17 @@ object Hierarchy extends QueryPack {
     var pieces = List(first)
     var bound = 1L // closure is complete for all depths ≤ bound
     var fresh = first.count()
-    while (fresh > 0) {
+    // Termination on CYCLIC input: a cycle has walks at every length,
+    // so the depth bands never empty and `fresh > 0` alone would loop
+    // forever (bug graphs are supposed to be DAGs, but the engine must
+    // not hang on malformed input). No shortest path exceeds the edge
+    // count, so once `bound` covers it every stratum is already found
+    // and the final min-aggregate is the correct closure — including
+    // (x, x) self-pairs at the cycle length, the transitive-closure
+    // semantics for cyclic graphs. Adds ZERO work on DAGs (the band
+    // empties first); worst case ⌈log2 edges⌉ rounds on cycles.
+    val cap = fresh
+    while (fresh > 0 && bound < cap) {
       // No per-round anti-join against the accumulator (that reshuffles
       // the whole relation every round): rounds emit their band
       // compositions compacted to per-pair minima, rediscovered pairs

@@ -119,6 +119,29 @@ class HierarchySpec extends SparkSpec {
     full.getAs[String]("list").split(",").length shouldBe 540
   }
 
+  test("closure terminates on cyclic input with correct min depths incl. self-pairs") {
+    // bug graphs should be DAGs, but the engine must not hang on a
+    // malformed one: 3-cycle 1→2→3→1 plus a tail 3→4
+    val cyclic = Seq((2L, 1L), (3L, 2L), (1L, 3L), (4L, 3L))
+      .toDF("child", "parent")
+    val cl = Hierarchy.closure(cyclic).as[(Long, Long, Int)].collect().toSet
+    cl shouldBe Set(
+      (1L, 2L, 1), (2L, 3L, 1), (3L, 1L, 1), // the cycle's arcs
+      (1L, 3L, 2), (2L, 1L, 2), (3L, 2L, 2), // the long ways round
+      (1L, 1L, 3), (2L, 2L, 3), (3L, 3L, 3), // self-reachability = cycle length
+      (3L, 4L, 1), (2L, 4L, 2), (1L, 4L, 3)) // the tail
+  }
+
+  test("incremental closure terminates when a new edge closes a cycle") {
+    val chain = Seq((2L, 1L), (3L, 2L)).toDF("child", "parent")
+    val loopEdge = Seq((1L, 3L)).toDF("child", "parent")
+    val inc = Hierarchy.incrementalClosure(Hierarchy.closure(chain), loopEdge)
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Hierarchy.closure(chain.union(loopEdge))
+      .as[(Long, Long, Int)].collect().toSet
+    inc shouldBe full
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
