@@ -111,6 +111,24 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("unigram score, quality gate, source report: hash joins only (q72, q74, q78)") {
+    Seq(operators.Text.q72, operators.Text.q74, operators.Text.q78).foreach { q =>
+      val p = plan(q)
+      withClue(s"${q.name}: ") {
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoopJoin"
+        p should include("HashAggregate") // map-side partial aggregation
+      }
+    }
+  }
+
+  test("embed diversity: two aggregates over one scan, no join of the corpus (q75)") {
+    val p = plan(operators.Ann.q75)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SortMergeJoin" // the n-per-label join broadcasts
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
