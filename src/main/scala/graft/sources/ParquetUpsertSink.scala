@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * before the overwrite commits. A production deployment would stage
   * to a new directory or use a transactional table format; the merge
   * mechanics (bucketing, pruning, latest-wins) are identical.
+  *
+  * SINGLE WRITER per table: a merge is a non-atomic read-modify-write
+  * of the touched buckets, so concurrent upserts into the same path
+  * can lose updates. Structured Streaming satisfies this per query
+  * (foreachBatch batches are serial) — the streaming writers
+  * ([[graft.streaming.StreamOps.streamingUpsertIngest]],
+  * streamingNearDedupIngest, [[EtlPipeline.runStream]]) are safe as
+  * ONE query per store; do not point two queries at one table.
   */
 object ParquetUpsertSink {
 
