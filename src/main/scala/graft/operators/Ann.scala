@@ -366,5 +366,33 @@ object Ann extends QueryPack {
            |FROM ss JOIN n USING (label) WHERE n.n > 1""".stripMargin),
     "per-group embedding diversity: exact mean pairwise cosine via the centroid-norm identity, O(n*d) not O(n^2)")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75)
+  /** K-means topic assignment over embeddings — the clustering itself
+    * as a product operator (q43 uses the same trainer internally as an
+    * index): every vector labeled with its nearest spherical-k-means
+    * centroid. This is the topic-bucketing pass a mixture designer
+    * runs before balancing (cluster sizes = topic shares; feed the
+    * assignments to q75's diversity measure or q76's caps with
+    * `cluster` as the key).
+    *
+    * Scale shape: training touches the driver only for the centroid
+    * MODEL (nc × dim doubles — the same object any trained index
+    * ships); each Lloyd round and the final assignment are one fully
+    * distributed scan with broadcast-literal centroids, argmax via
+    * lexicographic array_max over (score, id) structs — deterministic,
+    * including ties. No SQL oracle (a trained model has no DuckDB
+    * mirror); AnnSpec pins determinism and the nearest-centroid
+    * property against a brute-force re-score.
+    */
+  def embedClusters(df: DataFrame, nc: Int, iters: Int): DataFrame = {
+    val cents = ivfCentroids(df, nc, iters)
+    assignClusters(df, cents).select(col("vec_id"), col("cl").as("cluster"))
+  }
+
+  val q81 = Q(
+    "q81_embed_cluster",
+    (s, d) => embedClusters(emb(s, d), nc = 8, iters = 3),
+    None, // trained-model assignment has no SQL mirror; AnnSpec pins the properties
+    "k-means topic assignment: deterministic trainer, broadcast-model argmax assign, one scan")
+
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81)
 }

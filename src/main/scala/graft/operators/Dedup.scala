@@ -543,5 +543,60 @@ object Dedup extends QueryPack {
            |FROM k GROUP BY doc_id""".stripMargin),
     "passage-level exact dedup: 16-token passages, global first-occurrence keeper, reassembled clean text")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71)
+  /** Cross-source duplication matrix — WHERE the near-duplicates come
+    * from: q31's exact near-dup pairs rolled up by (source, source).
+    * The diagonal counts within-source redundancy (scraper re-crawls);
+    * off-diagonal cells expose source pairs that mirror each other
+    * (the classic CommonCrawl-vs-curated-dump overlap) — the evidence
+    * a mixture designer uses to decide which source to down-weight
+    * BEFORE q73's sampling pass runs. Source pairs are unordered
+    * (least/greatest) so each cell appears once.
+    *
+    * Scale shape: the pair list is tiny relative to the corpus (it is
+    * the dedup output), and each side joins doc_id→source by plain
+    * hash join; the final rollup is at most |sources|² rows off a
+    * map-side partial. All the heavy lifting is q31's skew-guarded
+    * candidate machinery, reused as-is.
+    */
+  def dupMatrix(docsDf: DataFrame, threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(docsDf, threshold)
+    val src = docsDf.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("d1", "s1"), "d1")
+      .join(src.toDF("d2", "s2"), "d2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q80 = Q(
+    "q80_dup_matrix",
+    (s, d) => dupMatrix(docs(s, d), 0.5),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT d1, d2
+           |  FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |)
+           |SELECT least(da.source, db.source) AS src_a,
+           |  greatest(da.source, db.source) AS src_b,
+           |  COUNT(*) AS n_pairs
+           |FROM pairs
+           |JOIN documents da ON da.doc_id = d1
+           |JOIN documents db ON db.doc_id = d2
+           |GROUP BY 1, 2""".stripMargin),
+    "cross-source duplication matrix: q31 near-dup pairs rolled up by unordered source pair")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80)
 }

@@ -668,5 +668,121 @@ object Text extends QueryPack {
            |FROM r GROUP BY source""".stripMargin),
     "per-source quality report: keep rate + drop-reason histogram off the q74 gate")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62, q72, q74, q78)
+  /** Per-document TF-IDF keywords — the corpus-curation "what is this
+    * document about" pass (topic tagging for mixture audits, search
+    * facets over a release, cluster labeling). Top-k terms per doc by
+    * tf·idf with idf in its linear form N/df: the score is computed as
+    * `(tf·N) / df` — an exact integer product followed by ONE double
+    * division, so it is bit-identical across engines (cross-engine
+    * `ln` is not reproducible; the `ln(N/df)` variant is the same plan
+    * with `log` around the division and identical ranking for k small
+    * because x ↦ ln x is monotone).
+    *
+    * Scale shape: term frequencies are a map-side-partial (doc, term)
+    * groupBy; document frequencies aggregate the tf rows again by term
+    * (both Zipf-head-absorbing); the corpus size N is a 1-row
+    * broadcast; the tf⨝df join is a plain hash join (AQE skew-splits
+    * the stopword partitions); the top-k rank windows on doc_id — a
+    * high-cardinality key, so no straggler (this is the partitioning
+    * capPerKey exists to AVOID on low-cardinality keys, and exactly
+    * why it is safe here).
+    */
+  def tfidfKeywords(docsDf: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsDf.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docsDf.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  val q79 = Q(
+    "q79_tfidf",
+    (s, d) => tfidfKeywords(docs(s, d), k = 3),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+           |), df AS (
+           |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+           |), n AS (SELECT COUNT(*) AS n FROM documents)
+           |SELECT doc_id, rnk, term, tf, df, score FROM (
+           |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+           |    row_number() OVER (PARTITION BY tf.doc_id
+           |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rnk
+           |  FROM tf JOIN df USING (term) CROSS JOIN n)
+           |WHERE rnk <= 3""".stripMargin),
+    "per-document top-k TF-IDF keywords: linear idf (tf*N)/df, one division, doc-keyed rank")
+
+  /** Per-source vocabulary drift — does a source's common vocabulary
+    * look like the corpus's? For each source, how many of its top-K
+    * terms (by occurrence count, ties to the lexicographically first)
+    * are also in the corpus-wide top-K. Low overlap flags a source
+    * whose surface language diverges (different language, markup/
+    * boilerplate-heavy, OCR noise) — the cheap screen a mixture audit
+    * runs before the expensive embedding passes.
+    *
+    * Scale shape: both vocabularies come off map-side-partial term
+    * counts. The GLOBAL top-K is orderBy+limit — TakeOrderedAndProject
+    * (per-partition heaps, never a global sort). The PER-SOURCE top-K
+    * reuses `Pack.capPerKey` (salted two-phase rank): source is a
+    * low-cardinality key, so a single `row_number over (partition by
+    * source)` would sort each source's whole vocabulary in one task —
+    * the q18 straggler this engine removed in r5. The survivor join is
+    * a ≤ K-row broadcast.
+    */
+  def vocabOverlap(docsDf: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docsDf.select(col("source"), explode(words(col("text"))).as("term"))
+    val srcCnt = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val globalTop = srcCnt.groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .select(col("term"), lit(1).as("hit"))
+    val srcTop = Pack.capPerKey(
+      srcCnt.withColumn("neg_cnt", -col("cnt")), "source", "neg_cnt", "term", k)
+    srcTop.join(broadcast(globalTop), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+  }
+
+  val q82 = Q(
+    "q82_vocab_overlap",
+    (s, d) => vocabOverlap(docs(s, d), k = 100),
+    Some("""WITH toks AS (
+           |  SELECT source,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS term
+           |  FROM documents
+           |), sc AS (
+           |  SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+           |), st AS (
+           |  SELECT source, term FROM (
+           |    SELECT source, term,
+           |      row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn
+           |    FROM sc) WHERE rn <= 100
+           |), gc AS (
+           |  SELECT term, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sc GROUP BY 1
+           |), gt AS (
+           |  SELECT term FROM (
+           |    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+           |    FROM gc) WHERE rn <= 100
+           |)
+           |SELECT st.source, COUNT(*) AS n_terms,
+           |  CAST(SUM(CASE WHEN gt.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           |FROM st LEFT JOIN gt ON st.term = gt.term
+           |GROUP BY st.source""".stripMargin),
+    "per-source vocabulary drift: overlap of source top-100 terms with the corpus top-100")
+
+  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
+    q72, q74, q78, q79, q82)
 }

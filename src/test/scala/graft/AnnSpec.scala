@@ -126,6 +126,33 @@ class AnnSpec extends SparkSpec {
     fast.foreach { case (l, v) => v shouldBe brute(l) +- 1e-6 }
   }
 
+  test("k-means assignment is deterministic and truly nearest-centroid (q81)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val run1 = Ann.embedClusters(e, nc = 8, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    val run2 = Ann.embedClusters(e, nc = 8, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    run1 shouldBe run2 // deterministic init + argmax: same model every run
+    // every vector is assigned, cluster ids within range
+    run1.size shouldBe e.count()
+    all(run1.values) should (be >= 0 and be < 8)
+    // nearest-centroid property: re-score each vector against every
+    // centroid by brute force; the assigned cluster's score must sit
+    // at the max (1e-9 headroom for spec-vs-codegen double rounding;
+    // exact-tie ordering is covered by the run1==run2 determinism pin)
+    val cents = Ann.ivfCentroids(e, nc = 8, iters = 3)
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(v: Seq[Float], c: Array[Double]): Double = {
+      var d = 0.0; var nv = 0.0; var nc2 = 0.0
+      for (i <- v.indices) { d += v(i) * c(i); nv += v(i).toDouble * v(i); nc2 += c(i) * c(i) }
+      d / (math.sqrt(nv) * math.sqrt(nc2))
+    }
+    vecs.foreach { case (id, v) =>
+      val scores = cents.map(c => cos(v, c))
+      scores(run1(id)) shouldBe scores.max +- 1e-9
+    }
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)

@@ -129,6 +129,50 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin" // the n-per-label join broadcasts
   }
 
+  test("tf-idf: hash joins + 1-row broadcast count, doc-keyed rank only (q79)") {
+    val p = plan(operators.Text.q79)
+    // the only non-equi join allowed is the 1-row corpus-count
+    // broadcast; the tf⨝df join must be a hash join
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+    p should include("HashAggregate")
+    // the rank window partitions on doc_id (high cardinality) — it
+    // must exist, and no whole-vocabulary single-partition window may
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = operators.Text.q79.build(spark, sfDir).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    windows should not be empty
+    windows.foreach(_.partitionSpec should not be empty)
+  }
+
+  test("dup matrix: pair rollup is hash joins over q31's machinery (q80)") {
+    val p = plan(Dedup.q80)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("HashAggregate")
+  }
+
+  test("vocab overlap: global top-k is a heap, source top-k is salted (q82)") {
+    val p = plan(operators.Text.q82)
+    p should include("TakeOrderedAndProject") // global top-100: no global sort
+    p should include("BroadcastHashJoin")     // ≤100-row top-list join broadcasts
+    p should not include "CartesianProduct"
+    // capPerKey's phase-1 window must partition by (source, salt) —
+    // no window may partition by source alone over the raw vocabulary
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = operators.Text.q82.build(spark, sfDir).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    windows should not be empty
+    windows.count(_.partitionSpec.size > 1) should be >= 1 // the salted phase
+  }
+
+  test("k-means assignment is one scan, no join of the corpus (q81)") {
+    val p = plan(Ann.q81)
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "Exchange" // pure map: assignment never shuffles
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
