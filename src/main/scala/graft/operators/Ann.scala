@@ -394,5 +394,74 @@ object Ann extends QueryPack {
     None, // trained-model assignment has no SQL mirror; AnnSpec pins the properties
     "k-means topic assignment: deterministic trainer, broadcast-model argmax assign, one scan")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81)
+  /** Per-group centroid drift — how far each group's embedding
+    * centroid points away from the corpus centroid (cosine between
+    * mean directions). The embedding-space distribution-shift screen:
+    * a label/source whose centroid diverges is over-represented in a
+    * region the rest of the corpus doesn't occupy (q75 says "how
+    * redundant is this group internally"; this says "how far OFF-axis
+    * is it"). Run per source on document embeddings before mixing.
+    *
+    * Determinism contract (the q75 pattern): per-element unit
+    * normalization reuses the sequential dot product, quantized
+    * floor(u·1e9) — summed as EXACT integers per (group, dim). The
+    * corpus dim-sum is the integer sum of the group dim-sums
+    * (associative, no tie to disagree on), so both vectors are exact
+    * integers; the final cosine is one sequential 64-element loop on
+    * both engines (CosineSimilarity ≡ list_dot_product — the q34
+    * contract). Every double the cross-engine compare hashes is
+    * bit-identical.
+    *
+    * Scale shape: one scan → (group, dim) partial-aggregated integer
+    * sums (≤ groups×dim rows), group vectors assembled by a tiny
+    * collect_list sort, corpus vector a 1-row broadcast. No join of
+    * the corpus, no pairwise anything.
+    */
+  def centroidDrift(df: DataFrame, groupCol: String = "label"): DataFrame = {
+    val g = col(groupCol)
+    val Q = 1e9
+    val unit = df.select(g,
+      sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(g, col("pos"),
+        floor(col("x").cast("double") / col("nrm") * Q).as("uq"))
+    val dimSums = unit.groupBy(g, col("pos")).agg(sum(col("uq")).as("s"))
+    def toVec = (c: org.apache.spark.sql.Column) =>
+      transform(array_sort(c), x => x.getField("s").cast("double"))
+    val labelVec = dimSums.groupBy(g)
+      .agg(toVec(collect_list(struct(col("pos"), col("s")))).as("v"))
+    val globalVec = dimSums.groupBy(col("pos")).agg(sum(col("s")).as("s"))
+      .agg(toVec(collect_list(struct(col("pos"), col("s")))).as("gv"))
+    labelVec.crossJoin(broadcast(globalVec))
+      .select(g, cosineFast(col("v"), col("gv")).as("drift"))
+  }
+
+  val q84 = Q(
+    "q84_centroid_drift",
+    (s, d) => centroidDrift(emb(s, d)),
+    Some("""WITH e AS (
+           |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+           |), u AS (
+           |  SELECT label, i,
+           |    CAST(floor(CAST(v[i] AS DOUBLE) / sqrt(list_dot_product(v, v)) * 1e9) AS BIGINT) AS uq
+           |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+           |), s AS (
+           |  SELECT label, i, CAST(SUM(uq) AS BIGINT) AS sd FROM u GROUP BY 1, 2
+           |), lv AS (
+           |  SELECT label,
+           |    list_transform(array_agg(sd ORDER BY i), x -> CAST(x AS DOUBLE)) AS v
+           |  FROM s GROUP BY 1
+           |), gdim AS (
+           |  SELECT i, CAST(SUM(sd) AS BIGINT) AS sd FROM s GROUP BY 1
+           |), gv AS (
+           |  SELECT list_transform(array_agg(sd ORDER BY i), x -> CAST(x AS DOUBLE)) AS v
+           |  FROM gdim
+           |)
+           |SELECT lv.label,
+           |  list_dot_product(lv.v, gv.v) /
+           |    (sqrt(list_dot_product(lv.v, lv.v)) * sqrt(list_dot_product(gv.v, gv.v))) AS drift
+           |FROM lv CROSS JOIN gv""".stripMargin),
+    "per-group centroid drift: cosine of group centroid vs corpus centroid, exact quantized sums")
+
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84)
 }

@@ -598,5 +598,64 @@ object Dedup extends QueryPack {
            |GROUP BY 1, 2""".stripMargin),
     "cross-source duplication matrix: q31 near-dup pairs rolled up by unordered source pair")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80)
+  /** Per-eval-document memorization rate — the n-gram overlap metric
+    * (Lee et al.'s dedup/memorization analyses): for each eval
+    * document, the fraction of its distinct n-token windows that occur
+    * ANYWHERE in the training corpus. q58 answers "which eval docs
+    * near-duplicate a specific train doc"; this answers the softer,
+    * release-report question "how much of the eval set's surface text
+    * exists in training at all" — contamination as a RATE, reported
+    * even when no single train doc crosses a pair threshold. Eval docs
+    * shorter than n tokens have no windows and are excluded (nothing
+    * to memorize — mirrors the oracle's empty generate_series).
+    *
+    * Scale shape: both sides reduce to DISTINCT window sets (map-side
+    * partial distinct — boilerplate windows collapse before the
+    * shuffle), the probe is one left hash join on the window's 64-bit
+    * hash (q31's convention: 8-byte keys ship instead of ~50-char
+    * strings; a cross-corpus false hit needs an xxhash64 collision
+    * between distinct windows — ~n²/2⁶⁴), and the rollup is a per-doc
+    * partial aggregate. The train side never materializes text.
+    */
+  def memorizationRate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    def wins(df: DataFrame) = df
+      .select(col("doc_id"), explode(shingles(words(col("text")), n)).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("win"))
+      .distinct()
+    val trainWins = wins(train).select(col("win")).distinct()
+      .withColumn("hit", lit(1))
+    wins(eval).join(trainWins, Seq("win"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_seen"))
+      .withColumn("seen_rate", col("n_seen").cast("double") / col("n_win"))
+  }
+
+  val q83 = Q(
+    "q83_memorization",
+    (s, d) => {
+      val docsDf = Tables.documents(s, d)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      memorizationRate(docsDf.where(srcNum < 10), docsDf.where(srcNum >= 10), n = 8)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+           |         string_split_regex(trim(text), '\s+') w
+           |  FROM documents
+           |), win AS (
+           |  SELECT DISTINCT doc_id, sn, array_to_string(w[i:i+7], ' ') AS win
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+           |), tw AS (
+           |  SELECT DISTINCT win FROM win WHERE sn < 10
+           |)
+           |SELECT e.doc_id, COUNT(*) AS n_win,
+           |  CAST(SUM(CASE WHEN tw.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           |  CAST(SUM(CASE WHEN tw.win IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS seen_rate
+           |FROM win e LEFT JOIN tw ON e.win = tw.win
+           |WHERE e.sn >= 10
+           |GROUP BY e.doc_id""".stripMargin),
+    "per-eval-doc memorization rate: fraction of distinct 8-token windows present in train")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83)
 }

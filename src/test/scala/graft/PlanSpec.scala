@@ -173,6 +173,21 @@ class PlanSpec extends SparkSpec {
     p should not include "Exchange" // pure map: assignment never shuffles
   }
 
+  test("memorization rate: distinct-window hash probe, no window op (q83)") {
+    val p = plan(Dedup.q83)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "Window" // rate is a pure aggregate rollup
+    p should include("HashAggregate") // map-side distinct + per-doc partials
+  }
+
+  test("centroid drift: no join of the corpus, 1-row broadcast (q84)") {
+    val p = plan(Ann.q84)
+    p should not include "SortMergeJoin"
+    // the only join is the 1-row corpus-vector broadcast
+    p should include("HashAggregate")
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
