@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, SimHashAgg}
+import graft.expressions.{CosineSimilarity, DotProduct, PqAdcDistance, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "simhash_agg expects exactly 1 argument")
         SimHashAgg(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdcDistance].getName, "pq_adc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "pq_adc expects exactly 2 arguments")
+        PqAdcDistance(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

@@ -51,6 +51,12 @@ package object functions {
   def dotFast(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
+  /** Native codegen'd PQ asymmetric-distance lookup (see
+    * [[graft.expressions.PqAdcDistance]]): Σ_j tbl[j][codes[j]].
+    */
+  def pqAdc(tbl: Column, codes: Column): Column =
+    call_function("pq_adc", tbl, codes)
+
   /** Native mergeable SimHash aggregate over a column of 64-bit token
     * hashes (see [[graft.expressions.SimHashAgg]]): one 256-byte vote
     * buffer per group replaces 64 conditional-sum columns. Requires

@@ -394,6 +394,136 @@ object Ann extends QueryPack {
     None, // trained-model assignment has no SQL mirror; AnnSpec pins the properties
     "k-means topic assignment: deterministic trainer, broadcast-model argmax assign, one scan")
 
+  /** (squared-L2-distance, centroid-id) structs for one subspace's
+    * codebook; `array_min` over them is the lexicographic argmin —
+    * nearest centroid, ties to the LOWER id. Distance is
+    * ‖x‖² − 2x·c + ‖c‖² with the x terms via the codegen'd dot
+    * expression and the c terms folded to literals.
+    */
+  private def l2Argmin(sv: Column, cb: Array[Array[Double]]): Column =
+    array_min(array(cb.indices.map { i =>
+      struct(
+        (dotFast(sv, sv) - lit(2.0) * dotFast(sv, lit(cb(i))) +
+          lit(cb(i).map(x => x * x).sum)).as("d"),
+        lit(i).as("c"))
+    }: _*))
+
+  /** One L2 Lloyd trainer over a subvector column `sv` — same driver
+    * contract as `ivfCentroids`: deterministic init (lowest vec_ids),
+    * distributed assign + per-dimension mean rounds, only the
+    * codebook (ksub × dsub doubles) ever reaches the driver.
+    */
+  private[graft] def l2Centroids(sub: DataFrame, ksub: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = sub.orderBy(col("vec_id")).limit(ksub)
+      .select(col("sv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = sub
+        .select(l2Argmin(col("sv"), cents).getField("c").as("cl"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Product-quantization codebooks: the embedding split into `m`
+    * contiguous subspaces of dim/m dimensions, each with its own
+    * ksub-centroid L2 k-means codebook. Training is m small Lloyd
+    * runs over subvector slices; at 100 TB you train on a deterministic
+    * sample (the model is ~m·ksub·dsub doubles either way) and only
+    * the ENCODE pass touches the full corpus.
+    */
+  private[graft] def pqCodebooks(df: DataFrame, m: Int, ksub: Int, iters: Int,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    require(dsub * m == dim, s"dim=$dim must divide into m=$m subspaces")
+    (0 until m).map { j =>
+      l2Centroids(
+        df.select(col("vec_id"), slice(col("embedding"), j * dsub + 1, dsub).as("sv")),
+        ksub, iters)
+    }.toArray
+  }
+
+  /** Encode every vector as `m` small codes (nearest codebook centroid
+    * per subspace): one scan, broadcast-literal codebooks, argmin via
+    * lexicographic array_min — deterministic. The coded corpus is what
+    * a 100 TB ANN deployment actually stores hot: m bytes/vector
+    * (ksub ≤ 256) instead of dim·4.
+    */
+  def pqCodes(df: DataFrame, cbs: Array[Array[Array[Double]]],
+      dim: Int = 64): DataFrame = {
+    val m = cbs.length
+    val dsub = dim / m
+    df.withColumn("codes", array((0 until m).map { j =>
+      l2Argmin(slice(col("embedding"), j * dsub + 1, dsub), cbs(j)).getField("c")
+    }: _*))
+  }
+
+  /** IVF-PQ search — the composed 100 TB ANN path: the q43 coarse
+    * quantizer prunes candidate lists (equi-join on the cluster id,
+    * bucket-prunable at scale), and within the probed lists candidates
+    * are scored by PQ asymmetric distance — a per-query m×ksub lookup
+    * table built ONCE per query from codebook literals, then
+    * Σ_j tbl[j][codes[j]] per candidate via the native codegen'd
+    * `pq_adc` expression (m lookups, not a dim-element float loop; the
+    * raw vector is never read for scoring). The ADC shortlist then
+    * pays the exact cosine only `shortlist` times per query.
+    *
+    * Recall contract: coarse pruning misses what q43 misses (AnnSpec
+    * bounds both); PQ adds quantization error bounded by the per-
+    * subspace Lloyd residual — the shortlist-then-rerank absorbs it
+    * (spec: recall@k vs brute force ≥ the q43 bound at equal nprobe).
+    */
+  def ivfPqSearch(df: DataFrame, nc: Int, nprobe: Int, m: Int, ksub: Int,
+      iters: Int, k: Int, shortlist: Int, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val cents = ivfCentroids(df, nc, iters)
+    val cbs = pqCodebooks(df, m, ksub, iters, dim)
+    val coded = pqCodes(assignClusters(df, cents), cbs, dim)
+      .select(col("vec_id"), col("embedding"), col("cl"), col("codes"))
+      .localCheckpoint() // train + assign + encode once; reused by both sides
+    val q = coded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // per-query ADC table: tbl[j][c] = ‖q_j − cb[j][c]‖², built from
+      // codebook literals in one projection over the ≤10 query rows
+      .withColumn("tbl", array((0 until m).map { j =>
+        val qs = slice(col("qv"), j * dsub + 1, dsub)
+        array((0 until ksub).map { c =>
+          dotFast(qs, qs) - lit(2.0) * dotFast(qs, lit(cbs(j)(c))) +
+            lit(cbs(j)(c).map(x => x * x).sum)
+        }: _*)
+      }: _*))
+    val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
+    val probes = q
+      .select(col("qid"), col("qv"), col("tbl"), posexplode(array(cents.map(c =>
+        cosineFast(col("qv"), lit(c))): _*)).as(Seq("cl", "cs")))
+      .withColumn("pr", row_number().over(probeRank))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("tbl"), col("cl"))
+    val cand = probes
+      .join(coded.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cl"), col("codes")), "cl")
+      .where(col("cid") =!= col("qid"))
+      .withColumn("adist", graft.functions.pqAdc(col("tbl"), col("codes")))
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    val short = cand.withColumn("sr", row_number().over(wShort))
+      .where(col("sr") <= shortlist)
+    topK(short.withColumn("score", cosineFast(col("qv"), col("cv"))), k)
+  }
+
+  val q85 = Q(
+    "q85_ann_ivfpq",
+    (s, d) => ivfPqSearch(emb(s, d), nc = 16, nprobe = 4, m = 8, ksub = 16,
+      iters = 2, k = 5, shortlist = 20),
+    None, // trained-model search has no SQL mirror; AnnSpec bounds recall
+    "IVF-PQ ANN: coarse-list pruning + native ADC lookup scoring + exact rerank of the shortlist")
+
   /** Per-group centroid drift — how far each group's embedding
     * centroid points away from the corpus centroid (cosine between
     * mean directions). The embedding-space distribution-shift screen:
@@ -463,5 +593,5 @@ object Ann extends QueryPack {
            |FROM lv CROSS JOIN gv""".stripMargin),
     "per-group centroid drift: cosine of group centroid vs corpus centroid, exact quantized sums")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84)
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85)
 }

@@ -153,6 +153,37 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ ANN recall@5 >= 0.5 vs brute force (q85)") {
+    val brute = Ann.q34.build(spark, sfDir)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val pq = Ann.q85.build(spark, sfDir)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    recall should be >= 0.5
+  }
+
+  test("PQ codes are compact and valid; native pq_adc matches the HOF form bit-for-bit") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cbs = Ann.pqCodebooks(e, m = 8, ksub = 16, iters = 2)
+    val coded = Ann.pqCodes(e, cbs)
+    // every vector gets m codes, each a valid codebook index
+    val bad = coded.where(
+      (org.apache.spark.sql.functions.size($"codes") =!= 8)
+        .or(exists($"codes", c => c < 0 || c >= 16))).count()
+    bad shouldBe 0L
+    // native expression ≡ aggregate/element_at formulation, bit-exact:
+    // score each vector's own codes against a fixed table built from
+    // the first codebook's centroid norms (content is irrelevant —
+    // only lookup identity matters)
+    val tbl = array((0 until 8).map(j => array((0 until 16).map(c =>
+      lit(cbs(j)(c).map(x => x * x).sum)): _*)): _*)
+    val hof = aggregate(sequence(lit(0), lit(7)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(tbl, j + 1), $"codes"(j) + 1))
+    val diffs = coded.select(graft.functions.pqAdc(tbl, $"codes").as("fast"), hof.as("slow"))
+      .where($"fast" =!= $"slow").count()
+    diffs shouldBe 0L
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)

@@ -188,6 +188,13 @@ class PlanSpec extends SparkSpec {
     p should include("HashAggregate")
   }
 
+  test("IVF-PQ: candidates come from the cl equi-join, never cartesian (q85)") {
+    val p = plan(Ann.q85)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("pq_adc") // scoring goes through the native ADC expression
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
