@@ -223,5 +223,73 @@ object Cluster extends QueryPack {
            |FROM sized GROUP BY component""".stripMargin),
     "dedup resolution: per-cluster keeper (longest doc, deterministic ties) + cluster size")
 
-  val all: Seq[Q] = Seq(q52, q61)
+  /** Leakage-free train/val/test split — q53's deterministic hash
+    * split with the guarantee a benchmark paper actually needs: NEAR-
+    * DUPLICATES NEVER STRADDLE A SPLIT BOUNDARY. A plain per-doc hash
+    * split leaks: a train doc's light edit lands in test and the
+    * model is graded on memorized text. Here the split hash is taken
+    * on each document's near-dup COMPONENT root (q31 pairs → q52
+    * connected components; documents in no pair are their own root),
+    * so an entire duplicate cluster moves as one unit — the
+    * cluster-aware holdout from the dedup literature.
+    *
+    * Scale shape: all heavy machinery is the already-graded q31+q52
+    * pipeline; the root attachment is one left hash join of the
+    * corpus against the (tiny) component table, and the gate is the
+    * same broadcast-free hash expression as q53 — stable under
+    * appends, retries, and repartitioning.
+    */
+  def leakFreeSplit(docsDf: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(
+      Dedup.jaccardPairs(docsDf, threshold).select(col("d1"), col("d2")))
+      .withColumnRenamed("node", "doc_id")
+    val bucket = graft.functions.splitHash(col("root")) % 100
+    docsDf.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("component"), col("doc_id")))
+      .select(col("doc_id"), col("root"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val q86 = Q(
+    "q86_leakfree_split",
+    (s, d) => leakFreeSplit(Tables.documents(s, d), 0.5),
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT d1, d2
+           |  FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |), nodes AS (
+           |  SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs
+           |), und AS (
+           |  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs
+           |), reach AS (
+           |  SELECT n AS node, n AS r FROM nodes
+           |  UNION
+           |  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+           |), comp AS (
+           |  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+           |)
+           |SELECT d.doc_id,
+           |  COALESCE(comp.component, d.doc_id) AS root,
+           |  CASE WHEN COALESCE(comp.component, d.doc_id) % 100000007
+           |            * 2654435761 % 100 < 80 THEN 'train'
+           |       WHEN COALESCE(comp.component, d.doc_id) % 100000007
+           |            * 2654435761 % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN comp ON comp.node = d.doc_id""".stripMargin),
+    "leakage-free split: q53's hash gate on the near-dup component root, clusters move whole")
+
+  val all: Seq[Q] = Seq(q52, q61, q86)
 }

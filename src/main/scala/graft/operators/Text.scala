@@ -783,6 +783,87 @@ object Text extends QueryPack {
            |GROUP BY st.source""".stripMargin),
     "per-source vocabulary drift: overlap of source top-100 terms with the corpus top-100")
 
+  /** Vocabulary coverage curve — the tokenizer-design question "how
+    * big a vocabulary covers p of all token occurrences?": for each
+    * target share, the minimal number of distinct terms (taken in
+    * frequency-descending order) whose occurrences reach that share
+    * of the corpus, plus the share actually achieved. Equal-count
+    * terms are interchangeable (each contributes the same mass), so
+    * the curve is well-defined without a term-level tiebreak; the
+    * marginal count value admits a partial take (ceil division).
+    *
+    * Scale shape — the rankPrep idea applied to a Zipf curve: term
+    * counts are a map-side-partial groupBy; then VALUE COMPRESSION
+    * (group by the count value → n_terms + mass per value) shrinks
+    * the table to the distinct-frequency set (O(√total-occurrences)
+    * by a counting argument — thousands, not billions), and only that
+    * compressed table pays a running-sum window. No single task ever
+    * sorts the raw vocabulary, let alone the corpus; the share
+    * targets are a tiny exploded literal joined broadcast.
+    */
+  def vocabCoverage(docsDf: DataFrame,
+      shares: Seq[Double] = Seq(0.90, 0.95, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = docsDf.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val comp = cnts.groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_terms"))
+      .withColumn("mass", col("cnt") * col("n_terms"))
+    val w = Window.orderBy(col("cnt").desc) // over compressed rows only
+    val cum = comp
+      .withColumn("cum_terms", sum(col("n_terms")).over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+    val total = cnts.agg(sum(col("cnt")).as("total"))
+    val tgt = cum.crossJoin(broadcast(total))
+      .select(col("*"), explode(array(shares.map(lit): _*)).as("share"))
+      .withColumn("target", col("share") * col("total"))
+      // first compressed row whose running mass reaches the target
+      .where(col("cum_mass").cast("double") >= col("target") &&
+        (col("cum_mass") - col("mass")).cast("double") < col("target"))
+    tgt.select(col("share"),
+      (col("cum_terms") - col("n_terms") +
+        ceil((col("target") - (col("cum_mass") - col("mass")).cast("double")) /
+          col("cnt"))).cast("long").as("vocab_size"),
+      ((col("cum_mass") - col("mass") +
+        ceil((col("target") - (col("cum_mass") - col("mass")).cast("double")) /
+          col("cnt")) * col("cnt")).cast("double") / col("total")).as("coverage"))
+  }
+
+  val q87 = Q(
+    "q87_vocab_coverage",
+    (s, d) => vocabCoverage(docs(s, d)),
+    Some("""WITH cnts AS (
+           |  SELECT w, COUNT(*) AS cnt FROM (
+           |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+           |    FROM documents) GROUP BY w
+           |), comp AS (
+           |  SELECT cnt, COUNT(*) AS n_terms, cnt * COUNT(*) AS mass
+           |  FROM cnts GROUP BY cnt
+           |), cum AS (
+           |  SELECT cnt, n_terms, mass,
+           |    SUM(n_terms) OVER (ORDER BY cnt DESC) AS cum_terms,
+           |    SUM(mass) OVER (ORDER BY cnt DESC) AS cum_mass
+           |  FROM comp
+           |), tot AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts
+           |), tgt AS (
+           |  SELECT share, cnt, n_terms, mass, cum_terms, cum_mass, total,
+           |    share * total AS target
+           |  FROM cum CROSS JOIN tot
+           |  CROSS JOIN (SELECT unnest([0.90, 0.95, 0.99]) AS share)
+           |  WHERE CAST(cum_mass AS DOUBLE) >= share * total
+           |    AND CAST(cum_mass - mass AS DOUBLE) < share * total
+           |)
+           |SELECT share,
+           |  CAST(cum_terms - n_terms +
+           |    ceil((target - CAST(cum_mass - mass AS DOUBLE)) / cnt) AS BIGINT)
+           |    AS vocab_size,
+           |  CAST(cum_mass - mass +
+           |    ceil((target - CAST(cum_mass - mass AS DOUBLE)) / cnt) * cnt AS DOUBLE)
+           |    / total AS coverage
+           |FROM tgt""".stripMargin),
+    "vocabulary coverage curve: minimal vocab for 90/95/99% token coverage, value-compressed rank")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82)
+    q72, q74, q78, q79, q82, q87)
 }

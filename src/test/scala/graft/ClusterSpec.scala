@@ -48,4 +48,24 @@ class ClusterSpec extends SparkSpec {
     got.length shouldBe n
     got.map(_._2).distinct.toSeq shouldBe Seq(1L)
   }
+
+  test("leak-free split: no near-dup pair ever straddles a split (q86)") {
+    val docs = Tables.documents(spark, sfDir)
+    val split = Cluster.leakFreeSplit(docs, 0.5)
+    // every document is assigned exactly once
+    split.count() shouldBe docs.count()
+    // THE guarantee: both ends of every qualifying near-dup pair land
+    // in the same split (and share the same root)
+    val s1 = split.select($"doc_id".as("d1"), $"split".as("sp1"), $"root".as("r1"))
+    val s2 = split.select($"doc_id".as("d2"), $"split".as("sp2"), $"root".as("r2"))
+    val straddlers = operators.Dedup.jaccardPairs(docs, 0.5)
+      .join(s1, "d1").join(s2, "d2")
+      .where($"sp1" =!= $"sp2" || $"r1" =!= $"r2")
+      .count()
+    straddlers shouldBe 0L
+    // un-clustered docs keep q53's per-doc assignment (root = self)
+    val roots = split.select($"doc_id", $"root").as[(Long, Long)].collect()
+    val clustered = roots.filter { case (d, r) => d != r }
+    clustered.length should be > 0 // the corpus does contain near-dups
+  }
 }

@@ -195,6 +195,19 @@ class PlanSpec extends SparkSpec {
     p should include("pq_adc") // scoring goes through the native ADC expression
   }
 
+  test("vocab coverage: running sums only over value-compressed rows (q87)") {
+    // same contract as the rankPrep assertion: the Window.orderBy may
+    // be single-partition, but it must sit above an Aggregate (the
+    // count-value compression), never over the raw vocabulary
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = operators.Text.q87.build(spark, sfDir).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    windows should not be empty
+    windows.foreach { w =>
+      w.child.collectFirst { case a: Aggregate => a } should not be empty
+    }
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
