@@ -408,46 +408,63 @@ object Ann extends QueryPack {
         lit(i).as("c"))
     }: _*))
 
-  /** One L2 Lloyd trainer over a subvector column `sv` — same driver
-    * contract as `ivfCentroids`: deterministic init (lowest vec_ids),
-    * distributed assign + per-dimension mean rounds, only the
-    * codebook (ksub × dsub doubles) ever reaches the driver.
-    */
-  private[graft] def l2Centroids(sub: DataFrame, ksub: Int, iters: Int): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = sub.orderBy(col("vec_id")).limit(ksub)
-      .select(col("sv")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    for (_ <- 0 until iters) {
-      val means = sub
-        .select(l2Argmin(col("sv"), cents).getField("c").as("cl"),
-          posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cl"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("c"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
-    }
-    cents
-  }
-
   /** Product-quantization codebooks: the embedding split into `m`
     * contiguous subspaces of dim/m dimensions, each with its own
-    * ksub-centroid L2 k-means codebook. Training is m small Lloyd
-    * runs over subvector slices; at 100 TB you train on a deterministic
-    * sample (the model is ~m·ksub·dsub doubles either way) and only
-    * the ENCODE pass touches the full corpus.
+    * ksub-centroid L2 k-means codebook. All m Lloyd runs advance in
+    * ONE distributed pass per round: rows explode to (subspace j,
+    * subvector), every subspace assigns against its broadcast-literal
+    * codebook slice in the same job, and one (j, cluster, pos) mean
+    * aggregate updates every codebook — 1 + iters driver actions
+    * total instead of m·(1 + iters) (with m separate trainers the
+    * per-job fixed overhead dominates, and at 100 TB you'd pay m full
+    * scans where one suffices). Init is deterministic: the ksub
+    * lowest vec_ids seed every subspace with their slices. Only the
+    * model (m × ksub × dsub doubles) ever reaches the driver; at
+    * 100 TB train on a deterministic sample — the encode pass is the
+    * only full scan PQ needs.
     */
   private[graft] def pqCodebooks(df: DataFrame, m: Int, ksub: Int, iters: Int,
       dim: Int = 64): Array[Array[Array[Double]]] = {
     val dsub = dim / m
     require(dsub * m == dim, s"dim=$dim must divide into m=$m subspaces")
-    (0 until m).map { j =>
-      l2Centroids(
-        df.select(col("vec_id"), slice(col("embedding"), j * dsub + 1, dsub).as("sv")),
-        ksub, iters)
-    }.toArray
+    val seed = df.orderBy(col("vec_id")).limit(ksub)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    val subs = df.select(col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
+    for (_ <- 0 until iters) {
+      val cbLit = array(cbs.map(cb => array(cb.map(c => lit(c)): _*)): _*)
+      val normLit = array(cbs.map(cb =>
+        array(cb.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+      // per-row argmin over the row's OWN subspace codebook (indexed
+      // by j); same (distance, id) lexicographic rule as l2Argmin.
+      // Built with ksub compile-time expressions, not a HOF lambda:
+      // struct field aliases are lost inside lambdas, and the scoring
+      // stays codegen'd this way.
+      val scored = array((0 until ksub).map { c =>
+        struct(
+          (dotFast(col("sv"), col("sv")) -
+            lit(2.0) * dotFast(col("sv"),
+              element_at(element_at(cbLit, col("j") + 1), lit(c + 1))) +
+            element_at(element_at(normLit, col("j") + 1), lit(c + 1))).as("d"),
+          lit(c).as("c"))
+      }: _*)
+      val means = subs
+        .select(col("j"), array_min(scored).getField("c").as("cl"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("j"), col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      cbs = Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+        means.getOrElse((j, c), cbs(j)(c))))
+    }
+    cbs
   }
 
   /** Encode every vector as `m` small codes (nearest codebook centroid
