@@ -61,6 +61,92 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage on random Zipf corpora: monotone, achieving, tight (q87)") {
+    (1 to 8).foreach { trial =>
+      val vocab = 5 + rnd.nextInt(60)
+      val nDocs = 5 + rnd.nextInt(30)
+      // Zipf-ish: term t appears with weight ~ 1/(t+1)
+      val docs = (0 until nDocs).map { i =>
+        val len = 3 + rnd.nextInt(40)
+        val text = (0 until len).map { _ =>
+          val t = (vocab / (1 + rnd.nextInt(vocab))) - 1
+          s"w${math.min(t, vocab - 1)}"
+        }.mkString(" ")
+        (i.toLong, text)
+      }
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val shares = Seq(0.5, 0.9, 0.99)
+      val out = operators.Text.vocabCoverage(df, shares)
+        .select($"share", $"vocab_size", $"coverage")
+        .as[(Double, Long, Double)].collect().sortBy(_._1)
+      val toks = docs.flatMap(_._2.split("\\s+"))
+      val nDistinct = toks.distinct.length
+      withClue(s"trial $trial (vocab=$vocab docs=$nDocs): ") {
+        out.map(_._1).toSeq shouldBe shares // one row per share
+        // vocab_size monotone in share; coverage achieves its target
+        out.map(_._2).toSeq shouldBe out.map(_._2).sorted.toSeq
+        out.foreach { case (share, vs, cov) =>
+          cov should be >= share
+          cov should be <= 1.0 + 1e-12
+          vs should be >= 1L
+          vs should be <= nDistinct.toLong
+        }
+        // tightness: one fewer term must NOT reach the target — check
+        // against a brute-force greedy fill
+        val cnts = toks.groupBy(identity).map(_._2.length.toLong).toSeq
+          .sorted(Ordering[Long].reverse)
+        val total = cnts.sum.toDouble
+        out.foreach { case (share, vs, _) =>
+          val withVs = cnts.take(vs.toInt).sum / total
+          val withLess = cnts.take(vs.toInt - 1).sum / total
+          withVs should be >= share - 1e-12
+          if (vs > 1) withLess should be < share
+        }
+      }
+    }
+  }
+
+  test("memorizationRate bounds and extremes on planted corpora (q83)") {
+    (1 to 8).foreach { trial =>
+      val nTrain = 3 + rnd.nextInt(10)
+      def sentence(seed: Int, len: Int) =
+        (0 until len).map(i => s"t${seed}_$i").mkString(" ")
+      val train = (0 until nTrain).map(i => (i.toLong, sentence(i, 12 + rnd.nextInt(20))))
+      // eval: one verbatim train copy, one disjoint doc, one half-copy
+      val copied = train(rnd.nextInt(nTrain))._2
+      val disjoint = (0 until 20).map(i => s"x${trial}_$i").mkString(" ")
+      val halfSrc = train(rnd.nextInt(nTrain))._2.split(" ")
+      val half = (halfSrc.take(8) ++ (0 until 8).map(i => s"y${trial}_$i")).mkString(" ")
+      val trainDf = spark.createDataFrame(train).toDF("doc_id", "text")
+      val evalDf = spark.createDataFrame(Seq(
+        (100L, copied), (101L, disjoint), (102L, half))).toDF("doc_id", "text")
+      val out = Dedup.memorizationRate(trainDf, evalDf, n = 8)
+        .select($"doc_id", $"seen_rate").as[(Long, Double)].collect().toMap
+      withClue(s"trial $trial: ") {
+        out(100L) shouldBe 1.0 // verbatim copy: every window seen
+        out(101L) shouldBe 0.0 // disjoint vocab: nothing seen
+        out(102L) should (be > 0.0 and be < 1.0) // partial overlap
+      }
+    }
+  }
+
+  test("tfidfKeywords: ranks dense, scores ordered, terms from the doc (q79)") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = operators.Text.tfidfKeywords(docs, k = 3)
+      .select($"doc_id", $"rnk", $"term", $"score")
+      .as[(Long, Long, String, Double)].collect()
+    val byDoc = out.groupBy(_._1)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).toSeq shouldBe (1L to sorted.length)
+      // scores nonincreasing along ranks; every keyword occurs in the doc
+      sorted.map(_._4).toSeq.reverse shouldBe sorted.map(_._4).toSeq.sorted
+      val toks = texts(id).trim.split("\\s+").toSet
+      sorted.foreach { case (_, _, term, _) => toks should contain(term) }
+    }
+  }
+
   test("minhashDeltaPairs ≡ full-run delta restriction on 5 random splits") {
     val documents = Tables.documents(spark, sfDir)
     val full = Dedup.minhashPairs(documents, 0.5)
