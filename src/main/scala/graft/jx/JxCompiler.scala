@@ -33,8 +33,8 @@ import scala.jdk.CollectionConverters._
   *    exists, prefix, regex; nested arithmetic add/sub/mult/div,
   *    mod, floor; when/then/else and case conditionals; literal
   *  - select: "*", "field", {name, value, aggregate} with aggregate in
-  *    count, sum, average, minimum, maximum, cardinality, and
-  *    value-less count
+  *    count, sum, average, minimum, maximum, cardinality, median,
+  *    percentile, union (sorted distinct set), and value-less count
   *  - groupby / edges: field list (edges = jx's pivot axes; default
   *    domains map to plain grouping; range domains = numeric
   *    histograms; time domains = calendar day/week/month histograms)
@@ -545,6 +545,10 @@ object JxCompiler {
       case "percentile" =>
         val p = if (n.has("percentile")) n.get("percentile").asDouble() else 0.5
         graft.functions.approxPercentile(value.get, p)
+      // jx union: the set union of the group's values. pyLibrary
+      // returns an unordered set; emitted sorted so results are
+      // deterministic (and hashable by the gate).
+      case "union" => array_sort(collect_set(value.get))
       case other => throw new IllegalArgumentException(s"jx aggregate not supported: $other")
     }
     agg.as(name)

@@ -617,14 +617,37 @@ object Dedup extends QueryPack {
     * between distinct windows — ~n²/2⁶⁴), and the rollup is a per-doc
     * partial aggregate. The train side never materializes text.
     */
-  def memorizationRate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
-    def wins(df: DataFrame) = df
+  def memorizationRate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame =
+    memorizationRateAgainst(windowSignatures(train, n), eval, n)
+
+  /** The persistable half of the memorization audit: the corpus's
+    * DISTINCT n-token window hashes — one `win` column, the exact
+    * analogue of `minhashSignatures` for the n-gram-overlap metric.
+    * Write this table out once (8 bytes per distinct window) and
+    * nightly delta runs never rescan the corpus: signatures of new
+    * docs union in (`windowSignatures(delta)` — distinct is
+    * idempotent under union), and `memorizationRateAgainst` probes
+    * the store directly.
+    */
+  def windowSignatures(df: DataFrame, n: Int = 8): DataFrame = df
+    .select(explode(shingles(words(col("text")), n)).as("w"))
+    .select(xxhash64(col("w")).as("win"))
+    .distinct()
+
+  /** Memorization rate against a stored window table (see
+    * [[windowSignatures]]). The store is re-distinct'ed defensively —
+    * a union of per-delta signature files stays correct without a
+    * compaction step.
+    */
+  def memorizationRateAgainst(storedWins: DataFrame, eval: DataFrame,
+      n: Int = 8): DataFrame = {
+    val evalWins = eval
       .select(col("doc_id"), explode(shingles(words(col("text")), n)).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("win"))
       .distinct()
-    val trainWins = wins(train).select(col("win")).distinct()
+    val trainWins = storedWins.select(col("win")).distinct()
       .withColumn("hit", lit(1))
-    wins(eval).join(trainWins, Seq("win"), "left")
+    evalWins.join(trainWins, Seq("win"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_seen"))

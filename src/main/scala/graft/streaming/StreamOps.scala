@@ -296,5 +296,47 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** Contamination firewall at ingest: each micro-batch of candidate
+    * TRAINING documents is scored against a static eval-set window
+    * store (`Dedup.windowSignatures(eval)` written to
+    * `evalWinsPath`), and docs whose memorization rate meets the
+    * threshold are dropped before they ever reach the corpus — the
+    * streaming form of q68's decontamination, keyed on q83's rate
+    * instead of a pair threshold. Surviving docs land in the keyed
+    * upsert sink, so redelivery is a no-op (same exactly-once-
+    * effective argument as [[streamingUpsertIngest]]). Docs shorter
+    * than n tokens have no windows — nothing to memorize — and are
+    * admitted (they produce no rate row).
+    *
+    * The eval store is STATIC by design (an eval set is frozen the
+    * moment it is published); re-reading it per batch keeps the plan
+    * pushdown-eligible and needs no cache invalidation.
+    */
+  def streamingDecontaminate(stream: DataFrame, evalWinsPath: String,
+      cleanPath: String, threshold: Double, n: Int = 8, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val s = batch.sparkSession
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      require(!docs.columns.contains("_rev"),
+        "streamingDecontaminate uses a scratch version column named _rev; " +
+          "rename the stream's _rev column first")
+      if (docs.head(1).nonEmpty) {
+        val wins = s.read.parquet(evalWinsPath)
+        val drops = graft.operators.Dedup
+          .memorizationRateAgainst(wins, docs, n)
+          .where(col("seen_rate") >= threshold)
+          .select(col("doc_id"))
+        val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+        graft.sources.ParquetUpsertSink.upsert(
+          kept.withColumn("_rev", lit(0L)), cleanPath,
+          Seq("doc_id"), "_rev", numBuckets)
+      }
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   val all: Seq[Q] = Seq(q42, q51)
 }

@@ -177,4 +177,21 @@ class DedupSpec extends SparkSpec {
     out(3L) shouldBe (("tail", 1L, 2L)) // short final passage survives
     out(4L) shouldBe ((s"$D $E", 2L, 1L)) // order kept across the gap
   }
+
+  test("memorization window store: unioned delta signatures ≡ full recompute") {
+    val srcNum = substring($"source", 4, 10).cast("int")
+    val train = documents.where(srcNum < 10)
+    val eval = documents.where(srcNum >= 10)
+    // corpus arrives in two deltas; signatures persisted per delta and
+    // unioned WITHOUT compaction — memorizationRateAgainst must agree
+    // with the one-shot audit exactly
+    val store = Dedup.windowSignatures(train.where($"doc_id" % 2 === 0))
+      .union(Dedup.windowSignatures(train.where($"doc_id" % 2 =!= 0)))
+    val inc = Dedup.memorizationRateAgainst(store, eval)
+      .select($"doc_id", $"n_win", $"n_seen").as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.memorizationRate(train, eval)
+      .select($"doc_id", $"n_win", $"n_seen").as[(Long, Long, Long)].collect().toSet
+    inc shouldBe full
+    inc should not be empty
+  }
 }

@@ -57,6 +57,16 @@ class JxSpec extends SparkSpec {
     want.except(got).count() shouldBe 0L
   }
 
+  test("union aggregate: sorted distinct set per group") {
+    val got = run("""{"from":"lineitem",
+      "groupby":["l_returnflag"],
+      "select":[{"name":"flags","value":"l_linestatus","aggregate":"union"}]}""")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(array_sort(collect_set(col("l_linestatus"))).as("flags"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
   test("window rownum per edge partition") {
     val got = run("""{"from":"orders",
       "window":{"name":"rn","aggregate":"rownum",

@@ -139,6 +139,43 @@ class StreamingSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("streaming decontamination: verbatim eval copies dropped, clean docs admitted, redelivery no-op") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = org.apache.spark.sql.functions
+      .substring(col("source"), 4, 10).cast("int")
+    val train = docs.where(srcNum < 10)
+    val eval = docs.where(srcNum >= 10)
+    // the frozen eval window store a release publishes once
+    val winsDir = Files.createTempDirectory("graft-decon-wins").toString + "/wins"
+    graft.operators.Dedup.windowSignatures(eval, n = 8)
+      .write.parquet(winsDir)
+    // stage the candidate train docs in two files + one redelivery
+    val dir = Files.createTempDirectory("graft-decon-src").toString
+    train.repartition(2).write.mode("append").parquet(dir)
+    train.limit(20).write.mode("append").parquet(dir)
+    val table = Files.createTempDirectory("graft-decon-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-decon-ck").toString
+
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val query = StreamOps
+      .streamingDecontaminate(stream, winsDir, table, threshold = 0.5)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch equivalent: train minus docs memorizing >= half their windows
+    val dropped = graft.operators.Dedup.memorizationRate(eval, train, n = 8)
+      .where($"seen_rate" >= 0.5).select($"doc_id").as[Long].collect().toSet
+    val want = train.select($"doc_id").as[Long].collect().toSet -- dropped
+    got shouldBe want
+    dropped should not be empty // the gate corpus does contain leaks
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
