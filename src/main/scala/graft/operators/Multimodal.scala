@@ -165,5 +165,95 @@ object Multimodal extends QueryPack {
            |FROM media""".stripMargin),
     "aspect-preserving resize planning (fit-within, no upscale) as scan projections")
 
-  val all: Seq[Q] = Seq(q40, q46, q55)
+  /** Perceptual-hash media dedup — near-duplicate detection for the
+    * image/audio side of a multimodal corpus: a 48-bit dHash
+    * (difference hash: each bit compares two adjacent luma samples,
+    * robust to re-encode/resize, the standard perceptual fingerprint)
+    * per record, then hamming-neighbor pairs via banded chunk
+    * buckets. The LUMA SAMPLING is the decode stub (samples are
+    * drawn from the payload's UTF-8 characters at `bits`+1 evenly
+    * spaced positions — a real codec replaces ONLY the sample
+    * expression with decoded pixel rows); everything downstream —
+    * the bit assembly, the pigeonhole banding, the verify join — is
+    * the real machinery and runs unchanged on real decoders.
+    *
+    * Scale shape (q33's contract): 4 chunks of 12 bits; hamming ≤ 3
+    * pairs MUST share at least one exact chunk (pigeonhole), so
+    * candidates come from 4 narrow equi-join buckets per record —
+    * never all-pairs — and only candidates pay the bit_count verify.
+    * Records shorter than 2 characters have no adjacent samples and
+    * are excluded (mirrored in the oracle). A decoded-media corpus
+    * with mega-duplicate groups makes chunk buckets hot the same way
+    * hot shingles do — the df-cut of `jaccardPairs` applies verbatim
+    * if that arises.
+    */
+  def mediaPhashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 48
+    val chunks = 4
+    val chunkBits = bits / chunks // 12
+    val s = decode(col("payload"), "UTF-8")
+    val n = length(s)
+    def pos(i: Int) = (lit(1) + floor((lit(i) * (n - 1)).cast("double") / bits)).cast("int")
+    def sample(i: Int) = ascii(s.substr(pos(i), lit(1)))
+    val phash = (1 to bits).map { i =>
+      when(sample(i - 1) < sample(i), lit(1L << (i - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = media.where(n >= 2)
+      .select(col("doc_id"), phash.as("ph"))
+      .localCheckpoint() // hash once: reused by both bucket-join sides
+    val bucketed = hashed.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("ph"), c * chunkBits).bitwiseAND(lit((1 << chunkBits) - 1))): _*))
+        .as(Seq("chunk", "cv")))
+    val cand = bucketed.select(col("doc_id").as("d1"), col("ph").as("p1"),
+        col("chunk"), col("cv"))
+      .join(bucketed.select(col("doc_id").as("d2"), col("ph").as("p2"),
+        col("chunk"), col("cv")), Seq("chunk", "cv"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Gate query: the corpus's text stand-ins are all mutually distant
+    * under dHash (measured min cross-doc hamming = 7 at sf0.01), so
+    * the gate plants the case media dedup actually exists for — the
+    * SAME asset ingested twice under different ids (re-upload /
+    * re-crawl; identical payload, so hamming 0). Every planted copy
+    * must come back as a pair; q76's plant-then-verify precedent.
+    */
+  val q88 = Q(
+    "q88_media_phash",
+    (s, d) => {
+      val m = mediaTable(s, d)
+      val reIngested = m.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      mediaPhashPairs(m.unionByName(reIngested))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+           |), m AS (
+           |  SELECT doc_id, text, length(text) AS n FROM base
+           |  WHERE length(text) >= 2
+           |), ph AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN
+           |        ascii(substr(text, 1 + CAST(floor((i-1) * (n-1) / 48.0) AS INT), 1))
+           |      < ascii(substr(text, 1 + CAST(floor(i * (n-1) / 48.0) AS INT), 1))
+           |      THEN 1::BIGINT << (i - 1) ELSE 0 END) AS BIGINT) AS ph
+           |  FROM m, UNNEST(generate_series(1, 48)) t(i)
+           |  GROUP BY doc_id
+           |)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+           |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin),
+    "perceptual-hash media dedup: 48-bit dHash over stub luma samples, banded hamming pairs")
+
+  val all: Seq[Q] = Seq(q40, q46, q55, q88)
 }

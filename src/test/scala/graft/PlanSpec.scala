@@ -208,6 +208,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("media phash dedup: banded chunk buckets, never all-pairs (q88)") {
+    val p = plan(operators.Multimodal.q88)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("exact-quantile prep never window-sorts raw rows (q18, q62)") {
     // r4 verdict: Window.partitionBy(group).orderBy(value) over the
     // scan routes every row of a group through ONE task — with 3–20
