@@ -23,9 +23,13 @@ import org.apache.spark.sql.types._
   * where the operator must stay tight. This emits a primitive loop
   * inside WholeStageCodegen (same rationale as [[CosineSimilarity]]).
   *
-  * Contract: result is Σ over j < min(|tbl|, |codes|); codes must
-  * index within tbl[j] (the code assigner guarantees 0 ≤ code < ksub);
-  * null inputs yield null. Spec-pinned bit-identical to the HOF
+  * Contract: result is Σ over j < min(|tbl|, |codes|); a null input
+  * (or null table row / code element) yields null; a code outside
+  * tbl[j]'s bounds raises a clear error — the expression is
+  * registered as a session SQL function, so it must not trust its
+  * arguments the way the in-library code assigner can be trusted
+  * (an unchecked UnsafeArrayData offset read would return heap
+  * garbage instead of failing). Spec-pinned bit-identical to the HOF
   * formulation in AnnSpec.
   */
 case class PqAdcDistance(left: Expression, right: Expression)
@@ -51,7 +55,15 @@ case class PqAdcDistance(left: Expression, right: Expression)
     var s = 0.0
     var j = 0
     while (j < m) {
-      s += tbl.getArray(j).getDouble(codes.getInt(j))
+      if (tbl.isNullAt(j) || codes.isNullAt(j)) return null
+      val row = tbl.getArray(j)
+      val code = codes.getInt(j)
+      if (code < 0 || code >= row.numElements()) {
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code out of bounds for table row $j " +
+            s"(${row.numElements()} centroids)")
+      }
+      s += row.getDouble(code)
       j += 1
     }
     s
@@ -62,11 +74,21 @@ case class PqAdcDistance(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val m = ctx.freshName("m")
       val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val code = ctx.freshName("code")
       s"""
          |int $m = java.lang.Math.min($t.numElements(), $c.numElements());
          |double $s = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  $s += $t.getArray($j).getDouble($c.getInt($j));
+         |  if ($t.isNullAt($j) || $c.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $t.getArray($j);
+         |  int $code = $c.getInt($j);
+         |  if ($code < 0 || $code >= $row.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc: code " + $code + " out of bounds for table row " + $j +
+         |      " (" + $row.numElements() + " centroids)");
+         |  }
+         |  $s += $row.getDouble($code);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -101,14 +101,27 @@ object Ann extends QueryPack {
     None, // LSH candidate set has no SQL mirror; recall spec vs q34
     "LSH ANN: 8 tables x 4-bit hyperplane-sign buckets, exact rerank of candidates")
 
+  /** Centroid mean that is ORDER-INDEPENDENT across partition layouts:
+    * plain double `avg` depends on partial-aggregate merge order, so a
+    * repartition/AQE change could flip a near-tied argmin and make
+    * trained models layout-dependent. The engine-wide remedy (q75/q84)
+    * applies: per-element fixed-point quantization floor(v·1e9) summed
+    * as EXACT integers, one final double division — the mean is
+    * deterministic for any layout, at 1e-9 quantization (irrelevant to
+    * Lloyd convergence).
+    */
+  private def detMean(v: Column): Column =
+    (sum(floor(v * 1e9).cast("long")).cast("double") / 1e9) / count(lit(1))
+
   /** Spherical-k-means coarse quantizer for IVF: deterministic init
     * (the `nc` lowest vec_ids), then `iters` Lloyd rounds. Each round
     * is one fully distributed assign pass (broadcast-literal centroid
     * scores, argmax via array_max over (score, id) structs) and one
-    * per-dimension mean aggregate. Only the centroid MODEL (nc × dim
-    * doubles) ever reaches the driver — that is a model parameter, the
-    * same object a trained IVF index ships to every executor; the data
-    * never collects.
+    * per-dimension mean aggregate (layout-independent, see
+    * [[detMean]]). Only the centroid MODEL (nc × dim doubles) ever
+    * reaches the driver — that is a model parameter, the same object
+    * a trained IVF index ships to every executor; the data never
+    * collects.
     */
   private[graft] def ivfCentroids(df: DataFrame, nc: Int, iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = df.orderBy(col("vec_id")).limit(nc)
@@ -117,7 +130,7 @@ object Ann extends QueryPack {
     for (_ <- 0 until iters) {
       val means = assignClusters(df, cents)
         .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cl"), col("pos")).agg(detMean(col("v")).as("m"))
         .groupBy(col("cl"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))
@@ -455,7 +468,7 @@ object Ann extends QueryPack {
       val means = subs
         .select(col("j"), array_min(scored).getField("c").as("cl"),
           posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("j"), col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("j"), col("cl"), col("pos")).agg(detMean(col("v")).as("m"))
         .groupBy(col("j"), col("cl"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))
@@ -572,7 +585,11 @@ object Ann extends QueryPack {
       posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(g, col("pos"),
         floor(col("x").cast("double") / col("nrm") * Q).as("uq"))
+    // ≤ groups×dim rows; checkpointed so the corpus scan + posexplode
+    // + aggregate runs ONCE for both consumers (label vectors and the
+    // corpus vector) — without this the dominant pass executes twice
     val dimSums = unit.groupBy(g, col("pos")).agg(sum(col("uq")).as("s"))
+      .localCheckpoint()
     def toVec = (c: org.apache.spark.sql.Column) =>
       transform(array_sort(c), x => x.getField("s").cast("double"))
     val labelVec = dimSums.groupBy(g)

@@ -193,7 +193,11 @@ object Multimodal extends QueryPack {
     val chunkBits = bits / chunks // 12
     val s = decode(col("payload"), "UTF-8")
     val n = length(s)
-    def pos(i: Int) = (lit(1) + floor((lit(i) * (n - 1)).cast("double") / bits)).cast("int")
+    // multiply in LONG: at i=48 an Int product overflows for payloads
+    // past ~44.7M chars (ANSI throws; non-ANSI silently wraps) —
+    // exactly the long-media case this operator exists for
+    def pos(i: Int) =
+      (lit(1) + floor((lit(i.toLong) * (n.cast("long") - 1L)).cast("double") / bits)).cast("int")
     def sample(i: Int) = ascii(s.substr(pos(i), lit(1)))
     val phash = (1 to bits).map { i =>
       when(sample(i - 1) < sample(i), lit(1L << (i - 1))).otherwise(lit(0L))
