@@ -1,5 +1,6 @@
 package graft
 
+import graft.jx.JxCompiler
 import graft.operators.{Dedup, Pack}
 import org.apache.spark.sql.functions._
 
@@ -144,6 +145,61 @@ class PropertySpec extends SparkSpec {
       sorted.map(_._4).toSeq.reverse shouldBe sorted.map(_._4).toSeq.sorted
       val toks = texts(id).trim.split("\\s+").toSet
       sorted.foreach { case (_, _, term, _) => toks should contain(term) }
+    }
+  }
+
+  test("jx where-clause fuzz: 40 random expression trees ≡ mirrored Column filters") {
+    // Random boolean trees over lineitem numerics, built SIMULTANEOUSLY
+    // as jx JSON and as the equivalent hand-built Column — the
+    // compiler must agree with the direct DataFrame filter on every
+    // tree (operator nesting, arithmetic inside comparisons,
+    // conditionals, precedence via structure).
+    import org.apache.spark.sql.Column
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    val total = li.count()
+    def num(depth: Int): (String, Column) =
+      rnd.nextInt(if (depth >= 2) 3 else 5) match {
+        case 0 => ("\"l_quantity\"", col("l_quantity"))
+        case 1 => ("\"l_extendedprice\"", col("l_extendedprice"))
+        case 2 =>
+          val k = 1 + rnd.nextInt(50); (k.toString, lit(k))
+        case 3 =>
+          val (aj, ac) = num(depth + 1); val (bj, bc) = num(depth + 1)
+          (s"""{"add": [$aj, $bj]}""", ac + bc)
+        case 4 =>
+          val (aj, ac) = num(depth + 1); val (bj, bc) = num(depth + 1)
+          (s"""{"mult": [$aj, $bj]}""", ac * bc)
+      }
+    def cmp(): (String, Column) = {
+      val (aj, ac) = num(1); val (bj, bc) = num(1)
+      rnd.nextInt(3) match {
+        case 0 => (s"""{"gt": [$aj, $bj]}""", ac > bc)
+        case 1 => (s"""{"lt": [$aj, $bj]}""", ac < bc)
+        case 2 => (s"""{"gte": [$aj, $bj]}""", ac >= bc)
+      }
+    }
+    def bool(depth: Int): (String, Column) =
+      rnd.nextInt(if (depth >= 2) 1 else 4) match {
+        case 0 => cmp()
+        case 1 =>
+          val (aj, ac) = bool(depth + 1); val (bj, bc) = bool(depth + 1)
+          (s"""{"and": [$aj, $bj]}""", ac && bc)
+        case 2 =>
+          val (aj, ac) = bool(depth + 1); val (bj, bc) = bool(depth + 1)
+          (s"""{"or": [$aj, $bj]}""", ac || bc)
+        case 3 =>
+          val (aj, ac) = bool(depth + 1)
+          (s"""{"not": $aj}""", !ac)
+      }
+    (1 to 40).foreach { trial =>
+      val (wj, wc) = bool(0)
+      val json = s"""{"from": "lineitem",
+        "select": ["l_orderkey", "l_quantity"], "where": $wj}"""
+      val got = JxCompiler.query(spark, sfDir, json).count()
+      val want = li.where(wc).count()
+      withClue(s"trial $trial where=$wj: ") { got shouldBe want }
+      want should be <= total
     }
   }
 
