@@ -680,5 +680,72 @@ object Dedup extends QueryPack {
            |GROUP BY e.doc_id""".stripMargin),
     "per-eval-doc memorization rate: fraction of distinct 8-token windows present in train")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83)
+  /** Dedup threshold sensitivity sweep — the tuning curve a release
+    * engineer reads before committing to a near-dup cutoff: for each
+    * Jaccard band boundary (floor, 0.1 steps), how many pairs and how
+    * many distinct documents a dedup at that threshold would touch.
+    * Rows are CUMULATIVE from the top (each row = "dedup at ≥ this
+    * threshold"), so the curve shows directly how much the corpus
+    * shrinks as the cutoff loosens. One run of the q31 machinery at
+    * the sweep's lowest threshold feeds every band — never one run
+    * per candidate threshold. The band domain is CELL-COMPLETE
+    * (every 0.1 step from the sweep floor to 1.0, zero rows for empty
+    * bands, q45/q77's domain contract) so the curve is readable even
+    * when the corpus clusters in one band.
+    *
+    * Scale shape: all heavy work is `jaccardPairs` (df-cut, bucketed);
+    * the sweep itself is a ≤10-row aggregate plus a distinct-doc
+    * count per band over the (tiny) pair list.
+    */
+  def dedupSweep(docsDf: DataFrame, minThreshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(docsDf, minThreshold).localCheckpoint()
+    val banded = pairs.withColumn("band", floor(col("jac") * 10) / 10)
+    val bands = docsDf.sparkSession.range(math.floor(minThreshold * 10).toLong, 11L)
+      .select((col("id") / 10.0).as("band"))
+    // cumulative: band b counts every pair/doc with jac >= b. The
+    // band×pair join is bounded by 10 × |pairs| — pair-list sized.
+    bands.join(banded.select(col("band").as("pb"), col("d1"), col("d2")),
+        col("pb") >= col("band"), "left")
+      .groupBy(col("band"))
+      .agg(count(col("pb")).as("n_pairs"),
+        size(array_distinct(flatten(collect_list(
+            when(col("pb").isNotNull, array(col("d1"), col("d2")))))))
+          .cast("long").as("n_docs_touched"))
+  }
+
+  val q89 = Q(
+    "q89_dedup_sweep",
+    (s, d) => dedupSweep(docs(s, d), 0.5),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT d1, d2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+           |  FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |), banded AS (
+           |  SELECT d1, d2, floor(jac * 10) / 10 AS band FROM pairs
+           |), bands AS (
+           |  SELECT CAST(i AS DOUBLE) / 10 AS band
+           |  FROM UNNEST(generate_series(5, 10)) t(i)
+           |)
+           |SELECT bands.band,
+           |  CAST(COUNT(DISTINCT CASE WHEN p.d1 IS NOT NULL
+           |    THEN ROW(p.d1, p.d2) END) AS BIGINT) AS n_pairs,
+           |  CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_docs_touched
+           |FROM bands
+           |LEFT JOIN banded p ON p.band >= bands.band
+           |CROSS JOIN LATERAL (VALUES (p.d1), (p.d2)) x(doc_id)
+           |GROUP BY bands.band""".stripMargin),
+    "dedup threshold sweep: cumulative pair/doc counts per Jaccard band off one q31 run")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89)
 }

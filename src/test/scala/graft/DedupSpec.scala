@@ -178,6 +178,28 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe ((s"$D $E", 2L, 1L)) // order kept across the gap
   }
 
+  test("dedup sweep bands are cumulative and agree with jaccardPairs") {
+    val rawPairs = Dedup.jaccardPairs(documents, 0.5)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect()
+    val sweep = Dedup.dedupSweep(documents, 0.5)
+      .select($"band", $"n_pairs", $"n_docs_touched")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    // cell-complete domain: every 0.1 band from the floor to 1.0
+    sweep.map(_._1).toSeq shouldBe Seq(0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    // every band row matches a direct recount of pairs with jac >= band
+    sweep.foreach { case (band, nPairs, nDocs) =>
+      val sel = rawPairs.filter(_._3 >= band)
+      nPairs shouldBe sel.length.toLong
+      nDocs shouldBe sel.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+    }
+    // cumulative from the top: counts never increase as the band rises
+    sweep.map(_._2).sliding(2).foreach { w =>
+      if (w.length == 2) w(0) should be >= w(1)
+    }
+    // the lowest band covers every pair found at the sweep threshold
+    sweep.head._2 shouldBe rawPairs.length.toLong
+  }
+
   test("memorization window store: unioned delta signatures ≡ full recompute") {
     val srcNum = substring($"source", 4, 10).cast("int")
     val train = documents.where(srcNum < 10)
