@@ -693,24 +693,33 @@ object Dedup extends QueryPack {
     * bands, q45/q77's domain contract) so the curve is readable even
     * when the corpus clusters in one band.
     *
-    * Scale shape: all heavy work is `jaccardPairs` (df-cut, bucketed);
-    * the sweep itself is a ≤10-row aggregate plus a distinct-doc
-    * count per band over the (tiny) pair list.
+    * Scale shape: all heavy work is `jaccardPairs` (df-cut, bucketed).
+    * The pair list itself is never broadcast, window-sorted, or
+    * theta-joined: it collapses to two ≤11-row histograms via
+    * map-side-combinable aggregates — per-band pair counts, and
+    * per-doc MAX band (a doc is touched at threshold b iff its best
+    * pair reaches b) — and the cumulative-from-the-top rollup is an
+    * 11×11 theta join on those histograms, constant-size at any
+    * corpus scale.
     */
   def dedupSweep(docsDf: DataFrame, minThreshold: Double = 0.5): DataFrame = {
     val pairs = jaccardPairs(docsDf, minThreshold).localCheckpoint()
     val banded = pairs.withColumn("band", floor(col("jac") * 10) / 10)
+    val pairHist = banded.groupBy(col("band")).agg(count(lit(1)).as("np"))
+      .withColumnRenamed("band", "pb")
+    val docHist = banded
+      .select(explode(array(
+        struct(col("d1").as("doc"), col("band")),
+        struct(col("d2").as("doc"), col("band")))).as("x"))
+      .groupBy(col("x.doc").as("doc")).agg(max(col("x.band")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("nd"))
     val bands = docsDf.sparkSession.range(math.floor(minThreshold * 10).toLong, 11L)
       .select((col("id") / 10.0).as("band"))
-    // cumulative: band b counts every pair/doc with jac >= b. The
-    // band×pair join is bounded by 10 × |pairs| — pair-list sized.
-    bands.join(banded.select(col("band").as("pb"), col("d1"), col("d2")),
-        col("pb") >= col("band"), "left")
-      .groupBy(col("band"))
-      .agg(count(col("pb")).as("n_pairs"),
-        size(array_distinct(flatten(collect_list(
-            when(col("pb").isNotNull, array(col("d1"), col("d2")))))))
-          .cast("long").as("n_docs_touched"))
+    val nPairs = bands.join(pairHist, col("pb") >= col("band"), "left")
+      .groupBy(col("band")).agg(sum(coalesce(col("np"), lit(0L))).as("n_pairs"))
+    val nDocs = bands.join(docHist, col("mb") >= col("band"), "left")
+      .groupBy(col("band")).agg(sum(coalesce(col("nd"), lit(0L))).as("n_docs_touched"))
+    nPairs.join(nDocs, "band")
   }
 
   val q89 = Q(

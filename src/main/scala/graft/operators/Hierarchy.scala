@@ -352,5 +352,59 @@ object Hierarchy extends QueryPack {
         count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q49)
+  /** Subtree measure rollup — the dashboard consumer of the closure
+    * (the reference pushes the closure so dashboards can aggregate a
+    * per-node measure over every node's full subtree): for each node,
+    * the count of subtree nodes and the summed measure, SELF INCLUDED
+    * (depth-0 row unioned in; any cyclic self-pairs the closure may
+    * emit are filtered first so nothing double-counts).
+    *
+    * Scale shape: one closure, one equi-join of the closure against
+    * the fact table on `descendant`, one map-side-combinable group-by
+    * on `ancestor` — each fact row is touched once per ancestor
+    * (closure-sized work, the minimum for exact subtree totals) and
+    * nothing is recomputed per level or per node.
+    *
+    * `factDf`: (node, m). Measures should be exact-summable (integer /
+    * decimal / pre-quantized — q75's determinism contract).
+    */
+  def subtreeRollup(edgesDf: DataFrame, factDf: DataFrame): DataFrame = {
+    val cl = closure(edgesDf)
+      .where(col("ancestor") =!= col("descendant"))
+      .select(col("ancestor"), col("descendant"))
+    val withSelf = cl.union(
+      factDf.select(col("node").as("ancestor"), col("node").as("descendant")))
+    withSelf
+      .join(factDf.select(col("node").as("descendant"), col("m")), Seq("descendant"))
+      .groupBy(col("ancestor"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("m")).as("total_m"))
+      .withColumnRenamed("ancestor", "node")
+  }
+
+  val q90 = Q(
+    "q90_hierarchy_rollup",
+    (s, d) => {
+      val fact = Tables.part(s, d).select(
+        col("p_partkey").as("node"),
+        round(col("p_retailprice") * 100).cast("long").as("m"))
+      subtreeRollup(edges(s, d), fact)
+        .withColumnRenamed("total_m", "total_cents")
+    },
+    Some(oracleReach +
+      """, cl AS (
+        |  SELECT ancestor, descendant FROM reach
+        |  WHERE ancestor <> descendant GROUP BY 1, 2
+        |), withself AS (
+        |  SELECT ancestor, descendant FROM cl
+        |  UNION ALL SELECT p_partkey, p_partkey FROM part
+        |)
+        |SELECT x.ancestor AS node,
+        |  COUNT(*) AS n_nodes,
+        |  CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM withself x JOIN part p ON p.p_partkey = x.descendant
+        |GROUP BY 1""".stripMargin),
+    "per-node subtree node count + measure total over the closure, self included")
+
+  val all: Seq[Q] = Seq(q20, q21, q49, q90)
 }

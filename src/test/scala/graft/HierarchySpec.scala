@@ -142,6 +142,32 @@ class HierarchySpec extends SparkSpec {
     inc shouldBe full
   }
 
+  test("subtree rollup sums each node's full subtree, self included") {
+    // measure = node id, so wrong membership shows up in the sum
+    val fact = Seq(1L, 2L, 10L, 11L, 12L, 13L, 20L, 30L, 31L)
+      .toDF("node").withColumn("m", $"node")
+    val out = Hierarchy.subtreeRollup(edges, fact)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out(1L) shouldBe ((5L, 1L + 10 + 11 + 12 + 13))   // whole diamond once
+    out(12L) shouldBe ((2L, 12L + 13))
+    out(13L) shouldBe ((1L, 13L))                     // leaf = itself
+    out(2L) shouldBe ((2L, 2L + 20))
+    out(30L) shouldBe ((2L, 30L + 31))
+    out.keySet should contain theSameElementsAs fact.select("node").as[Long].collect()
+  }
+
+  test("subtree rollup does not double-count when input has a cycle") {
+    val cyc = Seq((2L, 1L), (3L, 2L), (1L, 3L)).toDF("child", "parent")
+    val fact = Seq(1L, 2L, 3L).toDF("node").withColumn("m", $"node")
+    val out = Hierarchy.subtreeRollup(cyc, fact)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // every node reaches the whole 3-cycle exactly once (self filtered
+    // from the closure, added back exactly once via the depth-0 row)
+    Seq(1L, 2L, 3L).foreach { n => out(n) shouldBe ((3L, 6L)) }
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
