@@ -235,4 +235,21 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup sweep: pair list collapses to histograms, never buffered per band (q89)") {
+    val p = plan(Dedup.q89)
+    p should not include "CartesianProduct"
+    // the only non-equi joins are the ≤11-row grid × ≤11-row histogram
+    // rollups; the pair list itself must reach them pre-aggregated —
+    // no per-band doc-list buffering (the first formulation's
+    // collect_list over band × pairs) may reappear
+    p should not include "collect_list"
+    p should include("HashAggregate")
+  }
+
+  test("subtree rollup: closure joins facts by key, never cartesian (q90)") {
+    val p = plan(operators.Hierarchy.q90)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
