@@ -543,6 +543,66 @@ object Dedup extends QueryPack {
            |FROM k GROUP BY doc_id""".stripMargin),
     "passage-level exact dedup: 16-token passages, global first-occurrence keeper, reassembled clean text")
 
+  /** C4-style boilerplate scrub: drop EVERY occurrence of a passage
+    * that appears in more than `maxDf` distinct documents — the
+    * "terms of service" / navigation-chrome remover. Contrast with
+    * `passageDedup` (q71), which KEEPS the first occurrence: a
+    * boilerplate passage is noise in all its hosts, so none survives.
+    *
+    * Scale shape: passage df is a map-side-combinable two-phase
+    * aggregate on (chunk, doc_id); the hot-flag join back is keyed on
+    * `chunk` — the same key the df groupBy already shuffled on — and
+    * a mega-hot chunk's join partition is one-row×occurrences, the
+    * case AQE skew-split handles (q31's df-join pattern). Reassembly
+    * is q71's per-doc tiny aggregate, never a window over raw chunks.
+    */
+  def boilerplateScrub(docsDf: DataFrame, passageLen: Int = 16,
+      maxDf: Long = 1): DataFrame = {
+    val chunks = Pack.chunkDocs(docsDf, passageLen, passageLen)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+    val hot = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+      .where(col("cdf") > maxDf)
+      .select(col("chunk"), lit(true).as("hot"))
+    chunks.join(hot, Seq("chunk"), "left")
+      .withColumn("keep", col("hot").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("chunk_id"), col("chunk"))))).getField("chunk"),
+          " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  val q91 = Q(
+    "q91_boilerplate",
+    (s, d) => boilerplateScrub(docs(s, d), passageLen = 16, maxDf = 1),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+           |         len(string_split_regex(trim(text), '\s+')) AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, w, n_tok, unnest(generate_series(0,
+           |    GREATEST(0, CAST(ceil((n_tok - 16) / 16.0) AS INT)))) AS chunk_id
+           |  FROM t
+           |), p AS (
+           |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           |    array_to_string(w[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk
+           |  FROM c
+           |), f AS (
+           |  SELECT chunk, COUNT(DISTINCT doc_id) AS cdf FROM p GROUP BY 1
+           |)
+           |SELECT p.doc_id,
+           |  COALESCE(string_agg(CASE WHEN f.cdf <= 1 THEN p.chunk END, ' '
+           |    ORDER BY p.chunk_id), '') AS clean_text,
+           |  CAST(SUM(CASE WHEN f.cdf <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN f.cdf <= 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+           |FROM p JOIN f USING (chunk)
+           |GROUP BY p.doc_id""".stripMargin),
+    "C4-style boilerplate scrub: passages in > maxDf distinct docs dropped from every host")
+
   /** Cross-source duplication matrix — WHERE the near-duplicates come
     * from: q31's exact near-dup pairs rolled up by (source, source).
     * The diagonal counts within-source redundancy (scraper re-crawls);
@@ -756,5 +816,5 @@ object Dedup extends QueryPack {
            |GROUP BY bands.band""".stripMargin),
     "dedup threshold sweep: cumulative pair/doc counts per Jaccard band off one q31 run")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89)
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89, q91)
 }

@@ -178,6 +178,31 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe ((s"$D $E", 2L, 1L)) // order kept across the gap
   }
 
+  test("boilerplate scrub drops EVERY occurrence of a hot passage, keeps unique text") {
+    val A = "a1 a2 a3 a4"; val B = "b1 b2 b3 b4"
+    val C = "c1 c2 c3 c4"; val D = "d1 d2 d3 d4"
+    val df = spark.createDataFrame(Seq(
+      (0L, s"$A $B"),      // A is boilerplate (3 docs), B unique
+      (1L, s"$A $C"),
+      (2L, s"$D $A"),
+      (3L, s"$C $C tail")  // in-doc repeat of C does NOT make it hot
+    )).toDF("doc_id", "text")
+    // maxDf = 2: only A (3 distinct docs) crosses; C sits at 2 docs
+    val out = Dedup.boilerplateScrub(df, passageLen = 4, maxDf = 2)
+      .select($"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out(0L) shouldBe ((B, 1L, 1L))       // A gone from its FIRST host too
+    out(1L) shouldBe ((C, 1L, 1L))
+    out(2L) shouldBe ((D, 1L, 1L))
+    out(3L) shouldBe ((s"$C $C tail", 3L, 0L))
+    // maxDf = 1: C (2 distinct docs) now also dropped, in-doc copies too
+    val strict = Dedup.boilerplateScrub(df, passageLen = 4, maxDf = 1)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    strict(1L) shouldBe ""
+    strict(3L) shouldBe "tail"
+  }
+
   test("dedup sweep bands are cumulative and agree with jaccardPairs") {
     val rawPairs = Dedup.jaccardPairs(documents, 0.5)
       .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect()
