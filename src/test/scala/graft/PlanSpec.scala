@@ -252,4 +252,10 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("boilerplate scrub: df aggregate + keyed hot-flag join, never cartesian (q91)") {
+    val p = plan(Dedup.q91)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -203,6 +203,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("subtreeRollup ≡ brute-force reachability on 10 random DAGs (q90)") {
+    (1 to 10).foreach { trial =>
+      val n = 5 + rnd.nextInt(20)
+      // child -> parent with parent < child guarantees acyclic; extra
+      // edges create diamonds (the double-count hazard)
+      val edges = (1 until n).flatMap { c =>
+        val nPar = 1 + rnd.nextInt(2)
+        (0 until nPar).map(_ => (c.toLong, rnd.nextInt(c).toLong))
+      }.distinct
+      val nodes = (0 until n).map(_.toLong)
+      val fact = nodes.toDF("node").withColumn("m", $"node" * 7 + 1)
+      val out = graft.operators.Hierarchy
+        .subtreeRollup(edges.toDF("child", "parent"), fact)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // brute force: children adjacency, DFS per node
+      val kids = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      def reach(a: Long): Set[Long] = {
+        var seen = Set(a); var frontier = kids.getOrElse(a, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(x => kids.getOrElse(x, Set.empty)) -- seen
+        }
+        seen
+      }
+      withClue(s"trial $trial (n=$n, ${edges.size} edges): ") {
+        out.keySet shouldBe nodes.toSet
+        nodes.foreach { a =>
+          val r = reach(a)
+          out(a) shouldBe ((r.size.toLong, r.map(_ * 7 + 1).sum))
+        }
+      }
+    }
+  }
+
   test("minhashDeltaPairs ≡ full-run delta restriction on 5 random splits") {
     val documents = Tables.documents(spark, sfDir)
     val full = Dedup.minhashPairs(documents, 0.5)
