@@ -346,6 +346,29 @@ object JxCompiler {
         case "left" => // {"left": {field: n}} — first n chars
           val (f, v) = firstField(arg)
           substring(fcol(f), 1, v.asInt())
+        // right / not_left / not_right mirror pyLibrary's clamped
+        // semantics: n beyond the string length keeps/drops the whole
+        // string, never errors (Spark's fixed-int substring would
+        // return "" for a negative start past the front)
+        case "right" => // {"right": {field: n}} — last n chars
+          val (f, v) = firstField(arg)
+          val c = fcol(f); val n = lit(v.asInt())
+          c.substr(greatest(length(c) - n + 1, lit(1)), n)
+        case "not_left" => // {"not_left": {field: n}} — drop first n
+          val (f, v) = firstField(arg)
+          val c = fcol(f); val n = lit(v.asInt())
+          c.substr(n + 1, greatest(length(c) - n, lit(0)))
+        case "not_right" => // {"not_right": {field: n}} — drop last n
+          val (f, v) = firstField(arg)
+          val c = fcol(f); val n = lit(v.asInt())
+          c.substr(lit(1), greatest(length(c) - n, lit(0)))
+        // jx concat SKIPS missing values (pyLibrary joins the present
+        // parts) — concat_ws ignores nulls, Spark's concat would null
+        // the whole result
+        case "concat" => concat_ws("", arg.asScala.toSeq.map(compileExpr): _*)
+        case "abs" => abs(compileExpr(arg))
+        case "number" => compileExpr(arg).cast("double")
+        case "string" => compileExpr(arg).cast("string")
         case "coalesce" => coalesce(arg.asScala.toSeq.map(compileExpr): _*)
         case "between" => // {"between": {field: [lo, hi]}} — inclusive
           val (f, v) = firstField(arg)
@@ -652,7 +675,8 @@ object JxCompiler {
             if (arg.isArray) arg.asScala.flatMap(expr).toSet
             else arg.properties().asScala.map(_.getKey).toSet
           case "in" | "prefix" | "find" | "contains" | "regex" | "regexp" |
-               "left" | "between" => Set(firstField(arg)._1)
+               "left" | "right" | "not_left" | "not_right" | "between" =>
+            Set(firstField(arg)._1)
           case "case" => arg.asScala.flatMap(expr).toSet
           case _ => // and/or/not/arithmetic/string/coalesce: args are exprs
             if (arg.isArray) arg.asScala.flatMap(expr).toSet else expr(arg)

@@ -247,6 +247,36 @@ class JxSpec extends SparkSpec {
     got.count() should be > 0L
   }
 
+  test("scalar expression operators: right, not_left, not_right, concat, abs, casts") {
+    val got = run("""{"from":"orders",
+      "select":["o_orderkey",
+        {"name":"r2","value":{"right":{"o_orderpriority":2}}},
+        {"name":"nl2","value":{"not_left":{"o_orderpriority":2}}},
+        {"name":"nr2","value":{"not_right":{"o_orderpriority":2}}},
+        {"name":"big","value":{"right":{"o_orderstatus":9}}},
+        {"name":"cc","value":{"concat":["o_orderstatus",{"literal":"-"},"o_orderpriority"]}},
+        {"name":"am","value":{"abs":{"sub":["o_totalprice","o_totalprice","o_totalprice"]}}},
+        {"name":"ks","value":{"string":"o_orderkey"}},
+        {"name":"pn","value":{"number":{"left":{"o_orderpriority":1}}}}]}""")
+    val o = Tables.orders(spark, sfDir)
+    def len(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.length(c)
+    val pr = $"o_orderpriority"
+    val want = o.select($"o_orderkey",
+      pr.substr(greatest(len(pr) - 1, lit(1)), lit(2)).as("r2"),
+      pr.substr(lit(3), greatest(len(pr) - 2, lit(0))).as("nl2"),
+      pr.substr(lit(1), greatest(len(pr) - 2, lit(0))).as("nr2"),
+      // n past the length keeps the whole (1-char) string, never ""
+      $"o_orderstatus".as("big"),
+      concat_ws("", $"o_orderstatus", lit("-"), pr).as("cc"),
+      abs($"o_totalprice" - $"o_totalprice" - $"o_totalprice").as("am"),
+      $"o_orderkey".cast("string").as("ks"),
+      substring(pr, 1, 1).cast("double").as("pn"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    got.count() should be > 0L
+  }
+
   test("percentile aggregates map to the mergeable sketch") {
     val got = run("""{"from":"lineitem","groupby":["l_returnflag"],
       "select":[{"name":"med","value":"l_quantity","aggregate":"median"},
