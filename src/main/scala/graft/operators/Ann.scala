@@ -627,5 +627,40 @@ object Ann extends QueryPack {
            |FROM lv CROSS JOIN gv""".stripMargin),
     "per-group centroid drift: cosine of group centroid vs corpus centroid, exact quantized sums")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85)
+  /** PCA projection of the embedding column — the dimensionality
+    * reducer run before ANN indexing / clustering when the raw dim is
+    * wastefully high (the classic 1024→64 pre-index step). Uses Spark
+    * ML's DataFrame-native PCA rather than a hand-rolled covariance:
+    * the fit is a treeAggregate of per-partition Gram partials (the
+    * one right distributed shape — a posexplode pair-expansion would
+    * blow the corpus up dim× per row), and only the dim×dim covariance
+    * ever reaches the driver (model-parameter-sized, the q43/q85
+    * precedent). The projection itself is a broadcast matrix-vector
+    * multiply per row, one scan, no shuffle.
+    *
+    * Determinism caveat (why q92 is rows-only): float summation order
+    * in the fit varies with partition layout, so trailing bits of the
+    * components — and the SIGN of each component, which is arbitrary
+    * in PCA — are not cross-run-pinned. AnnSpec pins the invariant
+    * geometry instead: full-rank projections preserve pairwise
+    * distances, projected variances arrive in nonincreasing order,
+    * and distinct components are uncorrelated.
+    */
+  def pcaProject(df: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val fv = df.withColumn("__fv",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new PCA().setInputCol("__fv").setOutputCol("__pc").setK(k).fit(fv)
+    model.transform(fv)
+      .select(col("vec_id"), col("label"), vector_to_array(col("__pc")).as("proj"))
+  }
+
+  val q92 = Q(
+    "q92_pca_project",
+    (s, d) => pcaProject(emb(s, d), 8),
+    None, // eigenvector sign/trailing bits are layout-dependent; AnnSpec pins the geometry
+    "PCA projection to 8 dims: treeAggregate covariance fit, broadcast matrix multiply per row")
+
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92)
 }

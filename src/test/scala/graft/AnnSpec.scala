@@ -184,6 +184,40 @@ class AnnSpec extends SparkSpec {
     diffs shouldBe 0L
   }
 
+  test("PCA projection: distance-preserving at full rank, ordered uncorrelated components (q92)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dim = e.select($"embedding").head().getSeq[Float](0).length
+
+    // full-rank PCA is a rigid rotation of centered data: pairwise
+    // Euclidean distances survive exactly (up to fp noise)
+    val full = Ann.pcaProject(e, dim)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    val orig = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (i <- ids; j <- ids if i < j) {
+      val dOrig = d2(orig(i).map(_.toDouble), orig(j).map(_.toDouble))
+      val dProj = d2(full(i), full(j))
+      math.abs(dOrig - dProj) should be < 1e-6 * (1.0 + dOrig)
+    }
+
+    // k=8: per-component variances nonincreasing; components
+    // uncorrelated (off-diagonal covariance ~ 0 relative to scale)
+    val proj = Ann.pcaProject(e, 8).select($"proj").as[Seq[Double]].collect()
+    val n = proj.length
+    n.toLong shouldBe e.count()
+    val means = (0 until 8).map(c => proj.map(_(c)).sum / n)
+    def cov(a: Int, b: Int) =
+      proj.map(v => (v(a) - means(a)) * (v(b) - means(b))).sum / (n - 1)
+    val vars = (0 until 8).map(c => cov(c, c))
+    vars.sliding(2).foreach { w => w(0) should be >= w(1) - 1e-9 }
+    for (a <- 0 until 8; b <- 0 until 8 if a < b) {
+      math.abs(cov(a, b)) should be < 1e-6 * math.sqrt(vars(a) * vars(b) + 1e-12)
+    }
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
