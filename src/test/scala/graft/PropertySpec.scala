@@ -203,6 +203,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jx string-op fuzz: 30 random string trees ≡ mirrored Column filters") {
+    import org.apache.spark.sql.Column
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus")
+    def len(c: Column) = org.apache.spark.sql.functions.length(c)
+    val fields = Seq(
+      ("o_orderpriority", col("o_orderpriority")),
+      ("o_orderstatus", col("o_orderstatus")))
+    def str(depth: Int): (String, Column) =
+      rnd.nextInt(if (depth >= 2) 3 else 9) match {
+        case 0 => ("\"o_orderpriority\"", col("o_orderpriority"))
+        case 1 => ("\"o_orderstatus\"", col("o_orderstatus"))
+        case 2 =>
+          val v = Seq("1", "O", "1-URGENT", "F")(rnd.nextInt(4))
+          (s"""{"literal": "$v"}""", lit(v))
+        case 3 =>
+          val (aj, ac) = str(depth + 1); (s"""{"lower": $aj}""", lower(ac))
+        case 4 =>
+          val (aj, ac) = str(depth + 1); (s"""{"upper": $aj}""", upper(ac))
+        case 5 =>
+          val (aj, ac) = str(depth + 1); val (bj, bc) = str(depth + 1)
+          (s"""{"concat": [$aj, $bj]}""", concat_ws("", ac, bc))
+        case 6 =>
+          val (f, c) = fields(rnd.nextInt(2)); val n = 1 + rnd.nextInt(3)
+          (s"""{"left": {"$f": $n}}""", substring(c, 1, n))
+        case 7 =>
+          val (f, c) = fields(rnd.nextInt(2)); val n = 1 + rnd.nextInt(3)
+          (s"""{"right": {"$f": $n}}""",
+            c.substr(greatest(len(c) - n + 1, lit(1)), lit(n)))
+        case 8 =>
+          val (f, c) = fields(rnd.nextInt(2)); val n = 1 + rnd.nextInt(3)
+          if (rnd.nextBoolean())
+            (s"""{"not_left": {"$f": $n}}""",
+              c.substr(lit(n + 1), greatest(len(c) - n, lit(0))))
+          else
+            (s"""{"not_right": {"$f": $n}}""",
+              c.substr(lit(1), greatest(len(c) - n, lit(0))))
+      }
+    (1 to 30).foreach { trial =>
+      val (aj, ac) = str(0); val (bj, bc) = str(0)
+      val (wj, wc) =
+        if (rnd.nextBoolean()) (s"""{"eq": [$aj, $bj]}""", ac === bc)
+        else (s"""{"ne": [$aj, $bj]}""", ac =!= bc)
+      val json = s"""{"from": "orders", "select": ["o_orderkey"], "where": $wj}"""
+      val got = JxCompiler.query(spark, sfDir, json).count()
+      val want = o.where(wc).count()
+      withClue(s"trial $trial where=$wj: ") { got shouldBe want }
+    }
+  }
+
   test("subtreeRollup ≡ brute-force reachability on 10 random DAGs (q90)") {
     (1 to 10).foreach { trial =>
       val n = 5 + rnd.nextInt(20)
