@@ -646,14 +646,32 @@ object Ann extends QueryPack {
     * distances, projected variances arrive in nonincreasing order,
     * and distinct components are uncorrelated.
     */
-  def pcaProject(df: DataFrame, k: Int): DataFrame = {
+  def pcaProject(df: DataFrame, k: Int, whiten: Boolean = false): DataFrame = {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val fv = df.withColumn("__fv",
       array_to_vector(col("embedding").cast("array<double>")))
     val model = new PCA().setInputCol("__fv").setOutputCol("__pc").setK(k).fit(fv)
-    model.transform(fv)
+    val proj = model.transform(fv)
       .select(col("vec_id"), col("label"), vector_to_array(col("__pc")).as("proj"))
+    if (!whiten) proj
+    else {
+      // whitening: scale each component to ~unit variance.
+      // explainedVariance holds RATIOS (eigenvalue / trace); the
+      // trace comes from one Summarizer variance aggregate over the
+      // input (map-side-combinable, dim doubles to the driver). The
+      // k scale factors then ride along as a broadcast literal —
+      // one zip_with per row.
+      val ev = model.explainedVariance.toArray
+      val totalVar = {
+        import org.apache.spark.ml.stat.Summarizer
+        fv.select(Summarizer.variance(col("__fv")))
+          .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray.sum
+      }
+      val scales = ev.map(r => 1.0 / math.sqrt(r * totalVar + 1e-300))
+      proj.withColumn("proj",
+        zip_with(col("proj"), lit(scales), (p, s) => p * s))
+    }
   }
 
   val q92 = Q(

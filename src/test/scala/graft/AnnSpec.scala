@@ -216,6 +216,15 @@ class AnnSpec extends SparkSpec {
     for (a <- 0 until 8; b <- 0 until 8 if a < b) {
       math.abs(cov(a, b)) should be < 1e-6 * math.sqrt(vars(a) * vars(b) + 1e-12)
     }
+
+    // whitened: every component lands at ~unit variance
+    val white = Ann.pcaProject(e, 8, whiten = true)
+      .select($"proj").as[Seq[Double]].collect()
+    val wMeans = (0 until 8).map(c => white.map(_(c)).sum / n)
+    (0 until 8).foreach { c =>
+      val v = white.map(x => (x(c) - wMeans(c)) * (x(c) - wMeans(c))).sum / (n - 1)
+      v shouldBe 1.0 +- 0.05
+    }
   }
 
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
