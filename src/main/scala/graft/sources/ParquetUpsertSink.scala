@@ -94,6 +94,68 @@ object ParquetUpsertSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(bucketCol)
 
+  /** Full-table synchronization — the reference's RE-INDEX path (push
+    * everything, delete stale): make the keyed table at `path` equal
+    * `snapshot` exactly, rewriting only buckets whose content differs.
+    *
+    * Change detection never compares rows across the table: each side
+    * collapses to a numBuckets-row fingerprint (order-independent
+    * bit_xor of a 64-bit (keys, version) row hash, plus a row count —
+    * xor instead of sum so ANSI overflow cannot strike, and keys are
+    * unique per bucket on both sides so xor self-cancellation cannot)
+    * via one map-side-combinable aggregate scan per side; a tiny
+    * full-outer join on bucket picks the drift set. An unchanged
+    * 100 TB table re-pushed costs two aggregate scans and writes
+    * nothing. Buckets the sync EMPTIES are deleted explicitly —
+    * dynamic partition overwrite never touches a partition the new
+    * data lacks.
+    *
+    * `versionCol` resolves duplicates WITHIN the snapshot
+    * (latest-wins); the snapshot is otherwise authoritative — an older
+    * snapshot version replaces a newer stored row, because a reindex's
+    * contract is "the table now equals the source". Change detection
+    * is keyed on (keys, version): a payload edit without a version
+    * bump is invisible, the same contract upsert's latest-wins merge
+    * already imposes. Same single-writer rule as [[upsert]].
+    */
+  def sync(snapshot: DataFrame, path: String, keyCols: Seq[String],
+      versionCol: String, numBuckets: Int = 64): Unit = {
+    val spark = snapshot.sparkSession
+    if (!tableExists(spark, path)) {
+      upsert(snapshot, path, keyCols, versionCol, numBuckets)
+      return
+    }
+    val buckets = readBucketCount(spark, path)
+    val desired = dedupLatest(withBucket(snapshot, keyCols, buckets),
+      keyCols, versionCol).localCheckpoint() // fingerprint + rewrite both read it
+    def fingerprint(df: DataFrame, tag: String) = df
+      .withColumn("__h", xxhash64((keyCols :+ versionCol).map(col): _*))
+      .groupBy(col(bucketCol))
+      .agg(bit_xor(col("__h")).as(s"fp_$tag"), count(lit(1)).as(s"n_$tag"))
+    val fpE = fingerprint(spark.read.parquet(path), "e")
+    val fpD = fingerprint(desired, "d")
+    val drift = fpE.join(fpD, Seq(bucketCol), "full_outer")
+      .where(!(col("fp_e") <=> col("fp_d")) || !(col("n_e") <=> col("n_d")))
+      .select(col(bucketCol), col("n_d").isNotNull.as("has_rows"))
+      .collect()
+    if (drift.nonEmpty) {
+      val changed = drift.map(_.getInt(0))
+      val rewrite = desired.where(col(bucketCol).isin(changed.toSeq: _*))
+      rewrite.localCheckpoint()
+        .write
+        .partitionBy(bucketCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+      // buckets the snapshot no longer populates: delete their dirs
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drift.filter(!_.getBoolean(1)).foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"$bucketCol=${r.getInt(0)}"), true)
+      }
+    }
+  }
+
   private def withBucket(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
     df.withColumn(bucketCol, pmod(hash(keyCols.map(col): _*), lit(n)).cast("int"))
 

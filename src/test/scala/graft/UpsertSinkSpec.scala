@@ -97,4 +97,62 @@ class UpsertSinkSpec extends SparkSpec {
     ParquetUpsertSink.read(spark, path)
       .as[(Long, Long, String)].collect().toSeq shouldBe Seq((1L, 5L, "v5"))
   }
+
+  test("sync makes the table equal the snapshot: deletes stale keys, prunes clean buckets") {
+    val dir = Files.createTempDirectory("graft-sync").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+
+    val load = (1L to 64L).map(i => (i, 1L, s"v1-$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(load, path, Seq("id"), "rev", numBuckets = 16)
+
+    def files(): Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) m(f.getPath) = f.lastModified()
+      walk(new java.io.File(path))
+      m.toMap
+    }
+    val before = files()
+    Thread.sleep(1100)
+
+    // snapshot: key 7 updated, key 9 deleted, key 100 inserted, rest as-is
+    val snap = ((1L to 64L).filterNot(_ == 9L).map(i =>
+        (i, if (i == 7L) 2L else 1L, if (i == 7L) "v2-7" else s"v1-$i"))
+      :+ (100L, 1L, "v1-100")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.sync(snap, path, Seq("id"), "rev")
+
+    val got = ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet
+    got shouldBe snap.as[(Long, Long, String)].collect().toSet
+
+    // buckets untouched by the three drifting keys keep their files
+    val after = files()
+    val drifted = Seq(bucketOf(7L, 16), bucketOf(9L, 16), bucketOf(100L, 16))
+    before.keys.filterNot(f => drifted.exists(f.contains)).foreach { f =>
+      withClue(s"$f was rewritten: ") { after(f) shouldBe before(f) }
+    }
+
+    // an identical re-sync rewrites nothing at all
+    Thread.sleep(1100)
+    ParquetUpsertSink.sync(snap, path, Seq("id"), "rev")
+    files() shouldBe after
+  }
+
+  test("sync deletes a bucket whose every key vanished") {
+    val dir = Files.createTempDirectory("graft-sync2").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    // 20 keys over two buckets; then a snapshot keeping only key 1 —
+    // the other bucket loses its every key and must disappear
+    val a = (1L to 20L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(a, path, Seq("id"), "rev", numBuckets = 2)
+    val keep = Seq((1L, 1L, "p1")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.sync(keep, path, Seq("id"), "rev")
+    ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSeq shouldBe Seq((1L, 1L, "p1"))
+    val other = if (bucketOf(1L, 2) == "__bucket=0") "__bucket=1" else "__bucket=0"
+    new java.io.File(path, other).exists() shouldBe false
+  }
 }
