@@ -207,33 +207,18 @@ object Ann extends QueryPack {
     */
   /** Guardrail for the exact quadratic audits (q41/q63): the work is
     * Ω(n²) comparisons BY CONTRACT, so an unbounded corpus must be a
-    * deliberate choice, not an accident. The check is lazy and
-    * in-plan (no eager count() at build time): a one-row count frame
-    * broadcast-EQUI-joined on a constant key (never a BNLJ — PlanSpec
-    * forbids one in these plans), consumed by assert_true inside a
-    * filter, so the job fails fast at execution when the input
-    * exceeds `maxRows`. Cost when within bounds: one broadcast of one
-    * row + a long comparison per pre-explosion row — invisible next
-    * to the pairwise join. `maxRows = 0` disables the guard
-    * (explicit unbounded opt-in).
+    * deliberate choice, not an accident. Delegates to
+    * `util.guardMaxRows` (the lazy in-plan check — no eager count()
+    * at build time; fails fast at execution). Cost when within
+    * bounds: one broadcast of one row + a long comparison per
+    * pre-explosion row — invisible next to the pairwise join.
+    * `maxRows = 0` disables the guard (explicit unbounded opt-in).
     */
   private def guardQuadratic(df: DataFrame, maxRows: Long, op: String): DataFrame =
-    if (maxRows <= 0) df
-    else {
-      // constant-but-NON-FOLDABLE join key (always 0, derived from a
-      // column): a literal key folds to `1=1` and degrades the guard
-      // join to the very BroadcastNestedLoopJoin these plans forbid
-      val zero = pmod(xxhash64(col(df.columns.head)), lit(1)).cast("int")
-      val n = df.agg(max(zero).as("_gq_k"), count(lit(1)).as("_gq_n"))
-      df.withColumn("_gq_k", zero)
-        .join(broadcast(n), "_gq_k")
-        .where(assert_true(col("_gq_n") <= maxRows, concat(
-          lit(s"$op is an exact O(n^2) audit; input has "), col("_gq_n"),
-          lit(s" rows > maxRows=$maxRows. Use the banded/LSH scale path " +
-            "(q32_dedup_minhash / q35_ann_lsh / q43_ann_ivf), raise maxRows, " +
-            "or pass maxRows=0 to run unbounded deliberately."))).isNull)
-        .drop("_gq_k", "_gq_n")
-    }
+    util.guardMaxRows(df, maxRows,
+      s"$op is an exact O(n^2) audit. Use the banded/LSH scale path " +
+        "(q32_dedup_minhash / q35_ann_lsh / q43_ann_ivf), raise maxRows, " +
+        "or pass maxRows=0 to run unbounded deliberately.")
 
   def blockedCosinePairs(df: DataFrame, threshold: Double, blocks: Int = 16,
       maxRows: Long = 1000000L): DataFrame = {
@@ -676,8 +661,20 @@ object Ann extends QueryPack {
 
   val q92 = Q(
     "q92_pca_project",
-    (s, d) => pcaProject(emb(s, d), 8),
-    None, // eigenvector sign/trailing bits are layout-dependent; AnnSpec pins the geometry
+    // The library call returns the raw array<double> projection; the
+    // GATE row serializes it for the driver's pandas comparator
+    // (which cannot sort/hash ndarray cells — the q57 precedent) and
+    // adds a scalar geometry invariant (projection norm) so the row
+    // is a clean rows-count check, not an err. Oracle stays None:
+    // eigenvector sign/trailing bits are layout-dependent; AnnSpec
+    // pins the invariant geometry (distance preservation, variance
+    // order, component decorrelation).
+    (s, d) => pcaProject(emb(s, d), 8).select(
+      col("vec_id"), col("label"),
+      to_json(col("proj")).as("proj_json"),
+      sqrt(aggregate(col("proj"), lit(0.0d), (a, x) => a + x * x))
+        .as("proj_norm")),
+    None,
     "PCA projection to 8 dims: treeAggregate covariance fit, broadcast matrix multiply per row")
 
   val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92)

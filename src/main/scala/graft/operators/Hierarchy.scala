@@ -329,27 +329,33 @@ object Hierarchy extends QueryPack {
     *
     * The cap is the OOM guard for the materialized record shape: a
     * 100 TB hierarchy's root row would otherwise hold its entire
-    * component in one aggregation buffer / one row. Members are
-    * ranked by a streaming window row_number (sorting spills; nothing
-    * buffers per group) and only rank ≤ cap reaches collect_list, so
-    * the per-group buffer is bounded by the cap REGARDLESS of
-    * component size, while the count stays exact. Contract: the list
-    * holds the `cap` smallest member ids (the reference pushes
+    * component in one aggregation buffer / one row. Contract: the
+    * list holds the `cap` smallest member ids (the reference pushes
     * sorted lists, so a truncated prefix is a well-defined document);
     * `n_desc`/`n_anc` report the true totals, so consumers can detect
     * truncation by n > cap. The default keeps every test-scale list
     * complete (HierarchySpec exercises a graph where the cap bites).
+    *
+    * Scale shape (r5 verdict fix): member selection goes through
+    * `Pack.capPerKey` — the salted two-phase top-K — instead of
+    * `Window.partitionBy(grp).orderBy(member)` over raw closure rows.
+    * The old single window routed a mega-root's ENTIRE closure
+    * partition through one task's external sort (the last
+    * one-task-per-group shape in the repo); the salted form sorts at
+    * most cap rows per (group, salt) in phase 1 and salts×cap
+    * pre-capped rows per group in phase 2, identical output
+    * (spec-pinned in capPerKey). The exact count is a separate
+    * map-side-combinable aggregate, and collect_list only ever sees
+    * ≤ cap rows per group.
     */
   private[graft] def cappedCsvList(cl: DataFrame, grp: String, member: String,
       cap: Int = 100000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(grp)).orderBy(col(member))
-    cl.withColumn("__rk", row_number().over(w))
-      .groupBy(col(grp).as("node"))
-      .agg(
-        array_join(sort_array(collect_list(when(col("__rk") <= cap, col(member)))), ",")
-          .as("list"),
-        count(lit(1)).as("n"))
+    val counts = cl.groupBy(col(grp)).agg(count(lit(1)).as("n"))
+    val capped = Pack.capPerKey(cl.select(col(grp), col(member)), grp, member, member, cap)
+      .groupBy(col(grp))
+      .agg(array_join(sort_array(collect_list(col(member))), ",").as("list"))
+    counts.join(capped, Seq(grp))
+      .select(col(grp).as("node"), col("list"), col("n"))
   }
 
   /** Subtree measure rollup — the dashboard consumer of the closure

@@ -97,6 +97,33 @@ package object util {
     vl + max(pos - lo) * (coalesce(vu, vl) - vl)
   }
 
+  /** Lazy in-plan row-count guard: fails the JOB (not the plan build)
+    * when `df` exceeds `maxRows`, with `msg` explaining the fix.
+    *
+    * The check is a one-row count frame broadcast-EQUI-joined on a
+    * constant key (never a BNLJ: the key is constant-but-NON-FOLDABLE,
+    * derived from a column — a literal key would fold to `1=1` and
+    * degrade to the BroadcastNestedLoopJoin the plan specs forbid),
+    * consumed by assert_true inside a filter. NO eager count() happens
+    * at plan-construction time — a hidden action inside an operator
+    * builder recomputes arbitrary upstream lineage (r5 verdict on
+    * simhashPairs) — the cost when within bounds is one broadcast of
+    * one row plus a long comparison per row. `maxRows <= 0` disables
+    * the guard (explicit unbounded opt-in).
+    */
+  def guardMaxRows(df: DataFrame, maxRows: Long, msg: String): DataFrame =
+    if (maxRows <= 0) df
+    else {
+      val zero = pmod(xxhash64(col(df.columns.head)), lit(1)).cast("int")
+      val n = df.agg(max(zero).as("_gq_k"), count(lit(1)).as("_gq_n"))
+      df.withColumn("_gq_k", zero)
+        .join(broadcast(n), "_gq_k")
+        .where(assert_true(col("_gq_n") <= maxRows, concat(
+          lit(msg + s" (input has "), col("_gq_n"),
+          lit(s" rows > maxRows=$maxRows)"))).isNull)
+        .drop("_gq_k", "_gq_n")
+    }
+
   /** Standard session builder config shared by Verify / Bench / specs. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")

@@ -236,6 +236,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hierarchy lists: member cap is salted two-phase, no raw-row window (q49)") {
+    // r5 verdict: cappedCsvList's old Window.partitionBy(node)
+    // .orderBy(member) routed a mega-root's whole closure partition
+    // through ONE task's sort. The capPerKey rewrite means every
+    // window in the plan is either the salted phase-1 (partitionSpec
+    // holds (group, salt) — size > 1) or the phase-2 re-rank, which
+    // sits above phase-1's rank Filter (≤ salts×cap rows per group).
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val lp = operators.Hierarchy.q49.build(spark, sfDir).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    windows should not be empty
+    windows.foreach { w =>
+      withClue("window partitioned by bare group over unfiltered raw rows: ") {
+        (w.partitionSpec.size > 1 ||
+          w.child.collectFirst { case f: Filter => f }.nonEmpty) shouldBe true
+      }
+    }
+  }
+
   test("dedup sweep: pair list collapses to histograms, never buffered per band (q89)") {
     val p = plan(Dedup.q89)
     p should not include "CartesianProduct"
