@@ -215,7 +215,7 @@ object Ann extends QueryPack {
     * `maxRows = 0` disables the guard (explicit unbounded opt-in).
     */
   private def guardQuadratic(df: DataFrame, maxRows: Long, op: String): DataFrame =
-    util.guardMaxRows(df, maxRows,
+    graft.util.guardMaxRows(df, maxRows,
       s"$op is an exact O(n^2) audit. Use the banded/LSH scale path " +
         "(q32_dedup_minhash / q35_ann_lsh / q43_ann_ivf), raise maxRows, " +
         "or pass maxRows=0 to run unbounded deliberately.")
