@@ -341,9 +341,11 @@ object Hierarchy extends QueryPack {
     * `Window.partitionBy(grp).orderBy(member)` over raw closure rows.
     * The old single window routed a mega-root's ENTIRE closure
     * partition through one task's external sort (the last
-    * one-task-per-group shape in the repo); the salted form sorts at
-    * most cap rows per (group, salt) in phase 1 and salts×cap
-    * pre-capped rows per group in phase 2, identical output
+    * one-task-per-group shape in the repo); the salted form splits
+    * that per-group sort across `salts` partitions in phase 1 (each
+    * task sorts ~n/salts rows of a mega-root — raise salts for
+    * mega-key workloads) and phase 2 re-ranks only the ≤ salts×cap
+    * phase-1 survivors per group, identical output
     * (spec-pinned in capPerKey). The exact count is a separate
     * map-side-combinable aggregate, and collect_list only ever sees
     * ≤ cap rows per group.

@@ -114,7 +114,23 @@ package object util {
   def guardMaxRows(df: DataFrame, maxRows: Long, msg: String): DataFrame =
     if (maxRows <= 0) df
     else {
-      val zero = pmod(xxhash64(col(df.columns.head)), lit(1)).cast("int")
+      // Key expression: cheap AND guaranteed-hashable for any schema.
+      // Prefer the first atomic-typed column (hashing a long/string is
+      // ~free); a frame of only arrays/maps hashes the collection's
+      // size (O(1), defined for null), and anything else (struct-only)
+      // hashes the null flag. Hashing the first column blindly would
+      // fail on MapType (unhashable by default) or pay per-row hashing
+      // of a huge binary/array value.
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+      val keySrc = df.schema.fields.collectFirst {
+        case f if !Seq(classOf[ArrayType], classOf[MapType],
+          classOf[StructType], classOf[BinaryType])
+          .exists(_.isInstance(f.dataType)) => col(f.name)
+      }.orElse(df.schema.fields.collectFirst {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] => size(col(f.name))
+      }).getOrElse(isnull(col(df.columns.head)))
+      val zero = pmod(xxhash64(keySrc), lit(1)).cast("int")
       val n = df.agg(max(zero).as("_gq_k"), count(lit(1)).as("_gq_n"))
       df.withColumn("_gq_k", zero)
         .join(broadcast(n), "_gq_k")

@@ -249,8 +249,13 @@ class PlanSpec extends SparkSpec {
     windows should not be empty
     windows.foreach { w =>
       withClue("window partitioned by bare group over unfiltered raw rows: ") {
+        // anchor on phase-1's rank filter specifically (a Filter whose
+        // condition references the _rk scratch attribute), not any
+        // Filter — an unrelated upstream filter must not satisfy this
         (w.partitionSpec.size > 1 ||
-          w.child.collectFirst { case f: Filter => f }.nonEmpty) shouldBe true
+          w.child.collectFirst {
+            case f: Filter if f.condition.references.exists(_.name == "_rk") => f
+          }.nonEmpty) shouldBe true
       }
     }
   }
