@@ -382,11 +382,16 @@ object JxCompiler {
 
   /** One compiled pivot axis: the grouping expression, its name in the
     * output, the domain builder (every cell the axis must emit, given
-    * the filtered source), and an optional row filter (range domains
-    * drop out-of-range rows).
+    * the filtered source), an optional row filter (range domains drop
+    * out-of-range rows), and an optional in-plan remap (limited
+    * domains rewrite overflow values to OTHER after the edge column
+    * is attached; a remapped edge's cells are derived from the
+    * aggregate itself, since every limited-domain cell is populated
+    * by construction).
     */
   private case class Edge(name: String, expr: Column,
-      domain: DataFrame => DataFrame, rowFilter: Option[Column])
+      domain: DataFrame => DataFrame, rowFilter: Option[Column],
+      remap: Option[DataFrame => DataFrame] = None)
 
   /** jx `edges` semantics (vs `groupby`): the result is CELL-COMPLETE —
     * one row per cell of the cross product of each edge's domain, with
@@ -426,8 +431,17 @@ object JxCompiler {
     val filtered = edges.flatMap(_.rowFilter)
       .foldLeft(df)((d, f) => d.where(f))
     val keyed = edges.foldLeft(filtered)((d, e) => d.withColumn(e.name, e.expr))
-    val agged = keyed.groupBy(edges.map(e => fcol(e.name)): _*).agg(aggs.head, aggs.tail: _*)
-    val cells = edges.map(_.domain(filtered)).reduce(_.crossJoin(_))
+    val remapped = edges.foldLeft(keyed)((d, e) => e.remap.fold(d)(f => f(d)))
+    val agged = remapped.groupBy(edges.map(e => fcol(e.name)): _*).agg(aggs.head, aggs.tail: _*)
+    // remapped (limited) edges take their cells from the aggregate:
+    // top-N values have rows by definition, null only appears when
+    // null rows exist, OTHER only when overflow exists — so distinct
+    // over the (already tiny) aggregate is both correct and free of
+    // an extra fact scan
+    val cells = edges.map { e =>
+      if (e.remap.isDefined) agged.select(fcol(e.name)).distinct()
+      else e.domain(filtered)
+    }.reduce(_.crossJoin(_))
     val outCols = edges.map(e => fcol(e.name)) ++ names.map { n =>
       if (countNames.contains(n)) coalesce(fcol(n), lit(0L)).as(n) else fcol(n)
     }
@@ -483,8 +497,15 @@ object JxCompiler {
       // partition, which its dashboards omit — same visible result).
       val d = n.get("domain")
       val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
-      val parts = req(d, "partitions").asScala.toSeq.map(jvalue)
-      require(parts.nonEmpty, "jx set domain: empty partitions list")
+      val allParts = req(d, "partitions").asScala.toSeq.map(jvalue)
+      require(allParts.nonEmpty, "jx set domain: empty partitions list")
+      // domain limit on an EXPLICIT partition list truncates it (the
+      // author ordered the list; pyLibrary keeps the first `limit`
+      // partitions) — rows with dropped values are filtered out like
+      // any other unlisted value
+      val parts =
+        if (d.has("limit")) allParts.take(d.get("limit").asInt()) else allParts
+      require(parts.nonEmpty, "jx set domain: limit must keep at least one partition")
       val v = compileExpr(req(n, "value"))
       Edge(name, v,
         _ => df.sparkSession.range(1)
@@ -532,6 +553,48 @@ object JxCompiler {
       Edge(name, bucket,
         _ => df.sparkSession.range(nCells).select((col("id") * iv + mn).as(name)),
         Some(v >= mn && v < mx))
+    } else if (!n.isTextual &&
+        (n.has("limit") ||
+          (n.has("domain") && req(n.get("domain"), "type").asText() == "default" &&
+            n.get("domain").has("limit")))) {
+      // jx limited value domain — top-N + OTHER, the dashboard axis at
+      // scale (pyLibrary domains carry a partition `limit`; an
+      // unlimited high-cardinality axis is unrenderable and, at 100 TB,
+      // an unboundedly wide cell product). Contract:
+      //   - keep the `limit` most frequent non-null values (ties break
+      //     toward the SMALLER value — deterministic, oracle-mirrorable
+      //     as ROW_NUMBER() OVER (ORDER BY n DESC, v ASC));
+      //   - every other non-null value lands in the OTHER partition;
+      //   - null keeps its own partition regardless of limit (jx
+      //     allowNulls: the missing-value partition is not a value);
+      //   - limit >= cardinality => no OTHER cell at all.
+      // The edge value is cast to string: partition labels are names,
+      // and OTHER must share the column's type. Plan shape: one counts
+      // aggregate over the keyed facts (same shuffle width as the main
+      // aggregate), a deterministic TakeOrdered for the top-N (tiny,
+      // never a single-partition window over raw rows), and a
+      // broadcast left join to remap — the fact stream is scanned, not
+      // collected, and the only driver-side object is the plan.
+      val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
+      val lim =
+        if (n.has("limit")) n.get("limit").asInt()
+        else n.get("domain").get("limit").asInt()
+      require(lim > 0, s"jx domain limit must be positive: $lim")
+      val v = compileExpr(req(n, "value")).cast("string")
+      Edge(name, v,
+        filtered => filtered.select(v.as(name)).distinct(), None,
+        remap = Some { keyed =>
+          val top = keyed.groupBy(fcol(name)).agg(count(lit(1)).as("_jxn"))
+            .where(fcol(name).isNotNull)
+            .orderBy(col("_jxn").desc, fcol(name).asc)
+            .limit(lim)
+            .select(fcol(name).as("_jxkeep"))
+          keyed.join(broadcast(top), fcol(name) === col("_jxkeep"), "left")
+            .withColumn(name,
+              when(fcol(name).isNull || col("_jxkeep").isNotNull, fcol(name))
+                .otherwise(lit("OTHER")))
+            .drop("_jxkeep")
+        })
     } else {
       // honor an explicit edge name on categorical edges too (range
       // edges already do) — edgeName/format code addresses edges by it

@@ -343,5 +343,41 @@ object Jx extends QueryPack {
            |FROM cells c LEFT JOIN g USING (db)""".stripMargin),
     "jx duration-domain edges: cell-complete minute-bucket histogram, out-of-range rows dropped")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77)
+  /** jx limited value domain: top-N + OTHER — the dashboard axis at
+    * scale. The 5 most frequent suppliers keep their own partitions
+    * (ties break toward the smaller string value, mirrored by the
+    * oracle's ROW_NUMBER ORDER BY n DESC, v ASC); every other
+    * supplier's rows collapse into OTHER. Null would keep its own
+    * partition (JxSpec pins that; l_suppkey is never null here).
+    */
+  val q93Json: String =
+    """{
+      |  "from": "lineitem",
+      |  "edges": [
+      |    {"name": "supp", "value": "l_suppkey",
+      |     "domain": {"type": "default", "limit": 5}}
+      |  ],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "qty", "value": "l_quantity", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q93 = Q(
+    "q93_jx_domain_limit",
+    (s, d) => JxCompiler.query(s, d, q93Json),
+    Some("""WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS v, l_quantity FROM lineitem),
+           |c AS (SELECT v, COUNT(*) AS cnt FROM src WHERE v IS NOT NULL GROUP BY 1),
+           |keep AS (SELECT v FROM (
+           |  SELECT v, ROW_NUMBER() OVER (ORDER BY cnt DESC, v ASC) AS rk FROM c)
+           |  WHERE rk <= 5),
+           |m AS (SELECT CASE WHEN v IS NULL THEN NULL
+           |                  WHEN v IN (SELECT v FROM keep) THEN v
+           |                  ELSE 'OTHER' END AS supp, l_quantity FROM src)
+           |SELECT supp, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+           |FROM m GROUP BY 1""".stripMargin),
+    "jx limited value domain: top-5 suppliers + OTHER overflow partition")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93)
 }

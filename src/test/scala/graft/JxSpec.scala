@@ -536,4 +536,87 @@ class JxSpec extends SparkSpec {
       totalMat(i)(j) shouldBe ft
     }
   }
+
+  // --- limited value domains: top-N + OTHER ---
+
+  private def limited(df: org.apache.spark.sql.DataFrame, lim: Int) =
+    JxCompiler.queryOn(spark, sfDir,
+      s"""{"from":"t",
+          "edges":[{"name":"cat","value":"v",
+                    "domain":{"type":"default","limit":$lim}}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+
+  test("limited domain: top-N by count, overflow collapses into OTHER") {
+    // a:3, b:2, c:1, d:1 — limit 2 keeps a and b; c+d land in OTHER
+    val df = Seq("a", "a", "a", "b", "b", "c", "d").toDF("v")
+    limited(df, 2) shouldBe Map(
+      Some("a") -> 3L, Some("b") -> 2L, Some("OTHER") -> 2L)
+  }
+
+  test("limited domain: count ties break toward the smaller value") {
+    // b:2, c:2, a:1 — limit 1 must pick b (count desc, value asc),
+    // never c; a deterministic boundary is what makes the oracle
+    // mirror (ROW_NUMBER ORDER BY n DESC, v ASC) exact
+    val df = Seq("b", "b", "c", "c", "a").toDF("v")
+    limited(df, 1) shouldBe Map(Some("b") -> 2L, Some("OTHER") -> 3L)
+  }
+
+  test("limited domain: null keeps its own partition, never counts toward top-N") {
+    // null:3 outnumbers everything but must NOT occupy a top-N slot
+    // nor fold into OTHER (allowNulls: missing-value is not a value)
+    val df = Seq(Some("a"), Some("a"), Some("b"), None, None, None)
+      .map(v => Tuple1(v.orNull)).toDF("v")
+    limited(df, 1) shouldBe Map(
+      Some("a") -> 2L, Some("OTHER") -> 1L, None -> 3L)
+  }
+
+  test("limited domain: limit >= cardinality emits no OTHER cell") {
+    val df = Seq("a", "a", "b").toDF("v")
+    limited(df, 5) shouldBe Map(Some("a") -> 2L, Some("b") -> 1L)
+  }
+
+  test("limited domain crossed with a plain edge stays cell-complete") {
+    // the limited axis (limit 1: keep a; b+c -> OTHER) crossed with
+    // x/y must emit every (cat, k) cell, zero-filled where empty —
+    // (OTHER, y) has no rows and must still appear with n=0
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "x"), ("c", "x"))
+      .toDF("v", "k")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "edges":[{"name":"cat","value":"v",
+                    "domain":{"type":"default","limit":1}},
+                   "k"],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(
+      ("a", "x") -> 2L, ("a", "y") -> 1L,
+      ("OTHER", "x") -> 2L, ("OTHER", "y") -> 0L)
+  }
+
+  test("set domain: limit truncates the explicit partition list in author order") {
+    val df = Seq("p", "q", "r", "p").toDF("v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "edges":[{"name":"cat","value":"v",
+                    "domain":{"type":"set","partitions":["p","q","r"],"limit":2}}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r is truncated off the domain: its rows drop, its cell is gone
+    got shouldBe Map("p" -> 2L, "q" -> 1L)
+  }
+
+  test("limited domain: edge-level limit is accepted as domain-limit shorthand") {
+    val df = Seq("a", "a", "b", "c").toDF("v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "edges":[{"name":"cat","value":"v","limit":1}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 2L, "OTHER" -> 2L)
+  }
 }

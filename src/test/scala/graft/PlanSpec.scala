@@ -260,6 +260,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("jx limited domain: top-N is TakeOrdered, remap joins broadcast, no cartesian (q93)") {
+    // the scale contract of the limited value domain: the top-N
+    // selection must be a TakeOrderedAndProject over the counts
+    // aggregate (never a single-partition global sort of raw facts),
+    // the OTHER remap must reach the facts via a broadcast join of
+    // the tiny top-N frame, and the cell join must stay an equi-join
+    val p = plan(operators.Jx.q93)
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("dedup sweep: pair list collapses to histograms, never buffered per band (q89)") {
     val p = plan(Dedup.q89)
     p should not include "CartesianProduct"
