@@ -661,19 +661,39 @@ object JxCompiler {
     if (sorts.nonEmpty) spec = spec.orderBy(sorts: _*)
     val value = if (w.has("value")) Some(compileExpr(w.get("value"))) else None
     val aggKind = req(w, "aggregate").asText()
-    require(value.nonEmpty || Seq("rownum", "rank", "count").contains(aggKind),
+    require(value.nonEmpty ||
+      Seq("rownum", "rank", "count").contains(aggKind),
       s"jx window aggregate '$aggKind' requires a value")
+    // jx window `range`: a rows-relative sliding frame {min, max}
+    // around the current row in the clause's sort order — pyLibrary
+    // ranges are HALF-OPEN (min inclusive, max exclusive, the same
+    // [min, max) convention as its domains), so {"min":-2,"max":1}
+    // is the trailing-3 frame ending at the current row. Without
+    // `range` every aggregate keeps its running frame (unbounded
+    // preceding → current row), the pre-r7 behavior.
+    val frame: (Long, Long) =
+      if (w.has("range")) {
+        require(sorts.nonEmpty,
+          "jx window range requires a sort clause (a sliding frame is meaningless unordered)")
+        val r = w.get("range")
+        val mn = req(r, "min").asLong()
+        val mx = req(r, "max").asLong()
+        require(mn < mx, s"jx window range: min must be < max ($mn >= $mx)")
+        (mn, mx - 1)
+      } else (Window.unboundedPreceding, Window.currentRow)
+    val framed = spec.rowsBetween(frame._1, frame._2)
     val agg = aggKind match {
       case "rownum" | "rank" => row_number()
-      // Running sum through DECIMAL(18,4): window frames may be
-      // accumulated differently by different engines; decimal addition
-      // is exact either way (engine-wide policy, SURVEY.md §5).
-      case "sum" => sum(graft.util.dsumCast(value.get, 4))
-        .over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
-      case "count" => count(value.getOrElse(lit(1))).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      case "min" => min(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      case "max" => max(value.get).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      // Sums (and averages) through DECIMAL(18,4): window frames may
+      // be accumulated differently by different engines; decimal
+      // addition is exact either way (engine-wide policy, SURVEY §5).
+      case "sum" => sum(graft.util.dsumCast(value.get, 4)).over(framed).cast("double")
+      case "average" | "avg" =>
+        sum(graft.util.dsumCast(value.get, 4)).over(framed).cast("double") /
+          count(value.get).over(framed)
+      case "count" => count(value.getOrElse(lit(1))).over(framed)
+      case "minimum" | "min" => min(value.get).over(framed)
+      case "maximum" | "max" => max(value.get).over(framed)
       case other => throw new IllegalArgumentException(s"jx window aggregate not supported: $other")
     }
     val column = aggKind match {

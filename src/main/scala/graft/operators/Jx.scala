@@ -379,5 +379,64 @@ object Jx extends QueryPack {
            |FROM m GROUP BY 1""".stripMargin),
     "jx limited value domain: top-5 suppliers + OTHER overflow partition")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93)
+  /** jx range-bound window aggregates: rows-relative sliding frames
+    * ({"min":-2,"max":1} = trailing-3, half-open like every pyLibrary
+    * range) with sort, for sum/average/max — the moving-average axis
+    * dashboards layer over time-sorted facts. Sort keys (l_orderkey,
+    * l_linenumber) are a unique key per partition, so frames (and the
+    * oracle's) are deterministic.
+    */
+  val q94Json: String =
+    """{
+      |  "from": "lineitem",
+      |  "where": {"lt": {"l_suppkey": 20}},
+      |  "window": [
+      |    {"name": "avg3", "value": "l_quantity", "aggregate": "average",
+      |     "edges": ["l_suppkey"],
+      |     "sort": [{"value": "l_orderkey", "sort": 1},
+      |              {"value": "l_linenumber", "sort": 1},
+      |              {"value": "l_quantity", "sort": 1},
+      |              {"value": "l_extendedprice", "sort": 1},
+      |              {"value": "l_partkey", "sort": 1}],
+      |     "range": {"min": -2, "max": 1}},
+      |    {"name": "sum3", "value": "l_quantity", "aggregate": "sum",
+      |     "edges": ["l_suppkey"],
+      |     "sort": [{"value": "l_orderkey", "sort": 1},
+      |              {"value": "l_linenumber", "sort": 1},
+      |              {"value": "l_quantity", "sort": 1},
+      |              {"value": "l_extendedprice", "sort": 1},
+      |              {"value": "l_partkey", "sort": 1}],
+      |     "range": {"min": -2, "max": 1}},
+      |    {"name": "max_ahead", "value": "l_extendedprice", "aggregate": "maximum",
+      |     "edges": ["l_suppkey"],
+      |     "sort": [{"value": "l_orderkey", "sort": 1},
+      |              {"value": "l_linenumber", "sort": 1},
+      |              {"value": "l_quantity", "sort": 1},
+      |              {"value": "l_extendedprice", "sort": 1},
+      |              {"value": "l_partkey", "sort": 1}],
+      |     "range": {"min": 0, "max": 3}}
+      |  ],
+      |  "select": ["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+      |             "avg3", "sum3", "max_ahead"]
+      |}""".stripMargin
+
+  val q94 = Q(
+    "q94_jx_window_range",
+    (s, d) => JxCompiler.query(s, d, q94Json),
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+           |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    / COUNT(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |    AS avg3,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+           |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+           |  MAX(l_extendedprice)
+           |    OVER (w ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS max_ahead
+           |FROM lineitem WHERE l_suppkey < 20
+           |WINDOW w AS (PARTITION BY l_suppkey
+           |             ORDER BY l_orderkey, l_linenumber, l_quantity,
+           |                      l_extendedprice, l_partkey)""".stripMargin),
+    "jx range-bound window aggregates: trailing-3 avg/sum + forward-3 max per supplier")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94)
 }

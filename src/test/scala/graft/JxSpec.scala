@@ -609,6 +609,63 @@ class JxSpec extends SparkSpec {
     got shouldBe Map("p" -> 2L, "q" -> 1L)
   }
 
+  // --- range-bound window aggregates ---
+
+  test("window range: trailing frame is half-open [min, max) around the current row") {
+    // values 10,20,30,40 sorted by id; {"min":-1,"max":1} = previous
+    // row + current row (max exclusive — the pyLibrary range
+    // convention), so sums are 10, 30, 50, 70
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "window":[{"name":"s2","value":"v","aggregate":"sum",
+                     "sort":["id"],"range":{"min":-1,"max":1}}],
+          "select":["id","s2"]}""",
+      Map("t" -> df))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe Map(1L -> 10.0, 2L -> 30.0, 3L -> 50.0, 4L -> 70.0)
+  }
+
+  test("window range: forward frame and short-frame edges (partition boundaries)") {
+    // {"min":0,"max":2} = current + next row; the last row's frame is
+    // just itself — frames truncate at partition edges, never wrap
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 7.0), ("b", 1L, 9.0))
+      .toDF("g", "id", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "window":[{"name":"mx","value":"v","aggregate":"maximum",
+                     "edges":["g"],"sort":["id"],"range":{"min":0,"max":2}}],
+          "select":["g","id","mx"]}""",
+      Map("t" -> df))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got shouldBe Map(("a", 1L) -> 7.0, ("a", 2L) -> 7.0, ("b", 1L) -> 9.0)
+  }
+
+  test("window range: average divides the frame sum by the frame count") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 60.0)).toDF("id", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "window":[{"name":"a2","value":"v","aggregate":"average",
+                     "sort":["id"],"range":{"min":-1,"max":1}}],
+          "select":["id","a2"]}""",
+      Map("t" -> df))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe Map(1L -> 10.0, 2L -> 15.0, 3L -> 40.0)
+  }
+
+  test("window range without a sort clause is rejected, not silently unordered") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"t",
+            "window":[{"name":"s","value":"v","aggregate":"sum",
+                       "range":{"min":-1,"max":1}}],
+            "select":["id","s"]}""",
+        Map("t" -> df))
+    }
+    e.getMessage should include("sort")
+  }
+
   test("limited domain: edge-level limit is accepted as domain-limit shorthand") {
     val df = Seq("a", "a", "b", "c").toDF("v")
     val got = JxCompiler.queryOn(spark, sfDir,
