@@ -420,15 +420,23 @@ object Dedup extends QueryPack {
     val bits =
       if (chunkBits > 0) chunkBits
       else {
-        // Regime from a caller-supplied count when available (table
-        // statistics or a prior pipeline stage) — df.count() here is
-        // an EAGER action at plan-build time that recomputes whatever
-        // feeds `df`, so callers who already hold a count should pass
-        // `nDocs` (or pin `chunkBits`).
-        val n = if (nDocs >= 0L) nDocs else df.count()
-        if (n <= 2000000L) 8
+        // Auto regime selection needs the corpus size from the CALLER
+        // (table statistics or a prior pipeline stage). The pre-r7
+        // fallback ran df.count() right here — an EAGER Spark job at
+        // plan-construction time that recomputed whatever feeds `df`
+        // (the r5 verdict's hidden-action complaint; guardMaxRows is
+        // the lazy template, but chunk width shapes the PLAN — number
+        // of posexploded chunks — so it cannot be decided in-plan).
+        // PlanSpec pins plan construction to zero Spark jobs.
+        require(nDocs >= 0L,
+          "simhashPairs: auto chunk-width selection needs the corpus size; " +
+            "pass nDocs (from table stats or a prior stage) or pin chunkBits " +
+            "explicitly (8 = pigeonhole-complete to hamming 7, good to ~2M " +
+            "docs; 16 = selective buckets beyond). Counting here would run a " +
+            "Spark job at plan-construction time over the full upstream lineage.")
+        if (nDocs <= 2000000L) 8
         else {
-          log.warn(s"simhashPairs auto-selected 16-bit chunks for $n docs: " +
+          log.warn(s"simhashPairs auto-selected 16-bit chunks for $nDocs docs: " +
             s"pigeonhole completeness now covers hamming <= 3 only; pairs at " +
             s"hamming 4..$maxHamming are found probabilistically (any-chunk " +
             "agreement). Pass chunkBits=8 to pin the complete regime.")
@@ -447,11 +455,20 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.simhashAgg(col("h")).as("sh"))
+    // LAZY persist, not localCheckpoint: the vote aggregation feeds
+    // both self-join sides, and one side broadcast-exchanges — the
+    // exchanges differ canonically, so ReuseExchange cannot dedupe
+    // them and an unpersisted diamond would compute the aggregation
+    // twice. persist() builds no RDD and runs no job at
+    // plan-construction time (PlanSpec pins zero jobs; localCheckpoint
+    // — even eager=false — materializes upstream AQE stages while the
+    // plan is merely being BUILT); the first action materializes the
+    // chunk table once, spilling to disk if it outgrows memory.
     val chunks = hashed.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nChunks).map(i =>
         shiftrightunsigned(col("sh"), i * bits).bitwiseAND(mask)): _*))
         .as(Seq("pos", "cv")))
-      .localCheckpoint() // vote aggregation runs once, not per join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Filter BEFORE dedup: on clustered corpora (templated docs) the
     // chunk join emits millions of candidate rows, and shuffling them
     // all through dropDuplicates dominates the query. bit_count runs
@@ -469,7 +486,11 @@ object Dedup extends QueryPack {
 
   val q33 = Q(
     "q33_dedup_simhash",
-    (s, d) => simhashPairs(docs(s, d), maxHamming = 5),
+    // chunkBits pinned, not auto: the gate builder must construct its
+    // plan without running a count job (PlanSpec pins zero jobs at
+    // plan-construction); 8-bit chunks are the complete regime for the
+    // test corpus and any corpus to ~2M docs
+    (s, d) => simhashPairs(docs(s, d), maxHamming = 5, chunkBits = 8),
     None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
     "SimHash near-dup: scale-aware chunk buckets, hamming<=5 (pigeonhole-complete at test scale)")
 

@@ -36,7 +36,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash recall >= 0.6 vs exact jaccard, and no self-pairs") {
-    val sp = Dedup.simhashPairs(documents, maxHamming = 7)
+    val sp = Dedup.simhashPairs(documents, maxHamming = 7, nDocs = documents.count())
     sp.where($"d1" === $"d2").count() shouldBe 0L
     val pairs = sp.select($"d1", $"d2").as[(Long, Long)].collect().toSet
     val recall = pairs.intersect(exactPairs).size.toDouble / exactPairs.size
@@ -44,12 +44,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash explicit chunkBits matches the auto-selected regime at test scale") {
-    // auto (count <= 2M) must pick 8-bit chunks — identical pairs
-    val auto = Dedup.simhashPairs(documents, maxHamming = 5)
+    // auto from a caller-supplied count (<= 2M) must pick 8-bit
+    // chunks — identical pairs to the pinned regime
+    val auto = Dedup.simhashPairs(documents, maxHamming = 5, nDocs = documents.count())
       .select($"d1", $"d2").as[(Long, Long)].collect().toSet
     val pinned = Dedup.simhashPairs(documents, maxHamming = 5, chunkBits = 8)
       .select($"d1", $"d2").as[(Long, Long)].collect().toSet
     auto shouldBe pinned
+  }
+
+  test("simhash auto regime without a corpus size is rejected, never counted in-build") {
+    // the pre-r7 fallback ran df.count() inside the builder — a
+    // hidden Spark job recomputing the full upstream lineage at
+    // plan-construction time. Now it must error with guidance.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(documents, maxHamming = 5)
+    }
+    e.getMessage should include("nDocs")
   }
 
   test("df-cut leaves jaccard pairs unchanged on the test corpus") {

@@ -260,6 +260,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("simhash builder runs ZERO Spark jobs at plan-construction time (q33)") {
+    // r5/r6 verdicts: simhashPairs' auto regime ran df.count() inside
+    // the builder — a hidden job recomputing the upstream lineage
+    // every time a plan was merely CONSTRUCTED. Count every job
+    // started while building + planning q33, prove listener delivery
+    // with a sentinel job, and require the sentinel to be the only one.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    // warm the read path first: the FIRST parquet access may run
+    // schema-inference / file-listing jobs that belong to the scan,
+    // not the builder. A hidden count() in the builder would still
+    // fire on every build, so warming does not weaken the assertion.
+    Dedup.q33.build(spark, sfDir).queryExecution.executedPlan
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Dedup.q33.build(spark, sfDir)
+      df.queryExecution.executedPlan // force analysis + physical planning
+      spark.sparkContext.parallelize(Seq(1)).count() // sentinel
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      jobs.get() shouldBe 1 // the sentinel, nothing else
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("jx limited domain: top-N is TakeOrdered, remap joins broadcast, no cartesian (q93)") {
     // the scale contract of the limited value domain: the top-N
     // selection must be a TakeOrderedAndProject over the counts
