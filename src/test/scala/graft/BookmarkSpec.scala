@@ -113,6 +113,47 @@ class BookmarkSpec extends SparkSpec {
     java.nio.file.Files.exists(java.nio.file.Paths.get(bm2)) shouldBe false
   }
 
+  test("double-crash window: delete→rename crash then crash mid-NEXT-tmp-write loses nothing") {
+    // crash 1 interrupts commit(100) between delete and rename:
+    // no sidecar, the only copy of 100 is the completed tmp.
+    // The NEXT commit's write() promotes that tmp to the sidecar
+    // BEFORE creating its own tmp — so when crash 2 hits mid-write,
+    // the surviving state is sidecar=100 + a partial tmp. Emulate
+    // that end state and require read() to return 100: the promoted
+    // sidecar shields the torn tmp, nothing is lost and nothing
+    // throws (r5 carry: with read-side-only recovery this sequence
+    // clobbered the bookmark's only copy).
+    val bm = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm), "100")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm + ".tmp"), "2x")
+    ExtractBookmark.read(spark, bm) shouldBe Some(100L)
+
+    // a TORN tmp that still parses (prefix "2" of a larger value)
+    // must also be ignored next to a healthy sidecar — promoting it
+    // would silently regress the watermark and re-extract the world
+    val bm2 = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm2), "5000")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm2 + ".tmp"), "2")
+    ExtractBookmark.read(spark, bm2) shouldBe Some(5000L)
+  }
+
+  test("commit over a crash-interrupted commit rescues the stranded tmp first") {
+    // full recovery path end-to-end: crash-1 state (no sidecar,
+    // complete tmp=100), then a real commit of a newer watermark —
+    // the committed value wins, the stranded tmp is gone, and at no
+    // point was 100 the only copy inside an overwritten tmp
+    val bm = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bm + ".tmp"), "100")
+    val src = Seq((1L, 200L)).toDF("id", "wm")
+    val e = ExtractBookmark.extractSince(src, "wm", bm)
+    // the stranded 100 was promoted during extract's read, so the
+    // window is (100, 200]
+    e.batch.count() shouldBe 1L
+    ExtractBookmark.commit(e, bm) shouldBe Some(200L)
+    ExtractBookmark.read(spark, bm) shouldBe Some(200L)
+    java.nio.file.Files.exists(java.nio.file.Paths.get(bm + ".tmp")) shouldBe false
+  }
+
   test("timestamp watermark filter is pushed down to the parquet scan") {
     val bm = tmp()
     // a native timestamp parquet column (the driver's events.ts is
