@@ -84,7 +84,7 @@ object Dedup extends QueryPack {
     * pair math.
     */
   def jaccardPairs(df: DataFrame, threshold: Double,
-      maxShingleDf: Int = 128): DataFrame = {
+      maxShingleDf: Int = 128, assertCutInert: Boolean = false): DataFrame = {
     // Join/shuffle on the 64-bit hash of the shingle, not the string:
     // same co-occurrence counts (a cross-doc hash collision would need
     // ~2^32 distinct shingles to become likely), but the self-join
@@ -102,7 +102,8 @@ object Dedup extends QueryPack {
     // hot-key list is tiny by construction (≤ occurrences/maxDf
     // distinct values), so both derived joins broadcast it: no
     // shingle-keyed shuffle of `sh` happens before the cut.
-    val hotKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val shingleDf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val hotKeys = shingleDf
       .where(col("df") > maxShingleDf)
       .select(col("shingle"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -117,7 +118,7 @@ object Dedup extends QueryPack {
     val noHot = array().cast("array<bigint>")
     val a = rare.toDF("d1", "shingle")
     val b = rare.toDF("d2", "shingle")
-    a.join(b, "shingle")
+    val pairs = a.join(b, "shingle")
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("cr"))
@@ -130,11 +131,37 @@ object Dedup extends QueryPack {
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .where(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+    if (!assertCutInert) pairs
+    else {
+      // Gate-coupling guard (r5 carry): the DuckDB oracle computes the
+      // UNCUT measure, and the builder's equivalence argument is
+      // "corpus max shingle df ≤ maxShingleDf, so the cut is inert".
+      // That was ASSUMED; here it is CHECKED in-plan at gate time: a
+      // 1-row max-df frame (reusing the hotKeys aggregation's
+      // exchange — near-free) broadcast-equi-joins the pairs on a
+      // constant-but-NON-FOLDABLE key (a literal key would fold and
+      // degrade to the BNLJ the plan specs forbid, same reasoning as
+      // graft.util.guardMaxRows) and assert_true fails the JOB loudly
+      // if a future gate corpus pushes df past the cut — the fix is
+      // raising maxShingleDf, not trusting a silently-divergent gate.
+      val chk = shingleDf.agg(max(col("df")).as("_maxdf"))
+        .select(pmod(xxhash64(col("_maxdf")), lit(1)).cast("int").as("_gk"),
+          col("_maxdf"))
+      pairs.withColumn("_gk", pmod(xxhash64(col("d1")), lit(1)).cast("int"))
+        .join(broadcast(chk), "_gk")
+        .where(assert_true(col("_maxdf") <= maxShingleDf, concat(
+          lit("q31 gate: corpus max shingle df "), col("_maxdf"),
+          lit(s" exceeds maxShingleDf=$maxShingleDf; the oracle computes the " +
+            "uncut measure, so raise maxShingleDf to keep gate equivalence"))).isNull)
+        .drop("_gk", "_maxdf")
+    }
   }
 
   val q31 = Q(
     "q31_dedup_jaccard",
-    (s, d) => jaccardPairs(docs(s, d), 0.5),
+    // assertCutInert: the gate run itself verifies oracle/cut
+    // equivalence (max shingle df ≤ maxShingleDf) instead of assuming
+    (s, d) => jaccardPairs(docs(s, d), 0.5, assertCutInert = true),
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), sh AS (

@@ -63,6 +63,22 @@ class DedupSpec extends SparkSpec {
     e.getMessage should include("nDocs")
   }
 
+  test("gate cut-inert assertion passes on the test corpus and fails loudly past the cut") {
+    // inert regime (max df well under 128): guarded result == unguarded
+    val guarded = Dedup.jaccardPairs(documents, 0.5, assertCutInert = true)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val plain = Dedup.jaccardPairs(documents, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    guarded shouldBe plain
+    // violated regime: a cut low enough to bite must fail the JOB with
+    // guidance, never silently diverge from the uncut oracle
+    val e = intercept[Exception] {
+      Dedup.jaccardPairs(documents, 0.5, maxShingleDf = 1, assertCutInert = true)
+        .count()
+    }
+    e.getMessage should include("maxShingleDf")
+  }
+
   test("df-cut leaves jaccard pairs unchanged on the test corpus") {
     val cut = Dedup.jaccardPairs(documents, 0.5) // default maxShingleDf = 128
       .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSet

@@ -40,6 +40,9 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       withClue(s"${q.name}: ") {
         p should not include "CartesianProduct"
+        // also guards q31's cut-inert check: its constant join key must
+        // stay non-foldable, or the guard degrades to a BNLJ
+        p should not include "BroadcastNestedLoopJoin"
       }
     }
   }
