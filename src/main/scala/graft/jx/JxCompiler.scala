@@ -131,21 +131,20 @@ object JxCompiler {
       }
     }
 
-    if (q.has("sort")) {
-      val orders = asList(q.get("sort")).map {
+    val orders =
+      if (q.has("sort")) asList(q.get("sort")).map {
         case s if s.isTextual => fcol(s.asText()).asc
         case o =>
           val c = compileExpr(req(o, "value"))
           if (o.has("sort") && o.get("sort").asInt() < 0) c.desc else c.asc
-      }
-      df = df.orderBy(orders: _*)
-    }
+      } else Nil
+    if (orders.nonEmpty) df = df.orderBy(orders: _*)
 
     if (q.has("limit")) df = df.limit(q.get("limit").asInt())
 
     q.path("format").asText("list") match {
       case "list" => df // flat rows — the default (and Spark-native) shape
-      case "table" => toTable(df)
+      case "table" => toTable(df, orders)
       case "cube" =>
         require(edgeNodes.nonEmpty, "jx cube format requires edges")
         val aggNames = if (aggSel.nonEmpty) aggSel.map(aggName) else Seq("count")
@@ -204,27 +203,41 @@ object JxCompiler {
   }
 
   /** jx `format: "table"`: one row holding the column header and the
-    * canonically-sorted, stringified data rows — the reference's
-    * transport shape for query results. A final-mile format: the
-    * whole result lands in one row, so use it on aggregated results,
-    * not raw scans (same contract as the reference's HTTP responses).
+    * data rows — the reference's transport shape for query results. A
+    * final-mile format: the whole result lands in one row, so use it
+    * on aggregated results, not raw scans (same contract as the
+    * reference's HTTP responses).
     *
-    * DOCUMENTED DIVERGENCE from the reference's table transport: jx
-    * preserves native JSON cell types and the query's row order; this
-    * engine stringifies every cell and canonically sorts rows. The
-    * trade is deliberate — a distributed engine has no inherent row
-    * order (unsorted jx results are observation order), and canonical
-    * strings make the format deterministic and hash-comparable across
-    * engines. Consumers porting reference dashboards that rely on
-    * native cell types or sort-clause row order should consume the
-    * default `list` format (which honors `sort`) instead.
+    * Fidelity (r7, replacing the r5 stringify-everything shape): data
+    * cells keep their NATIVE types — each row is a struct whose fields
+    * mirror the header, so longs stay longs and nulls stay nulls
+    * through any JSON serialization, exactly like the reference's
+    * transport. Row order honors the query's `sort` clause when one is
+    * present (rows are rank-tagged by the sort BEFORE the single-row
+    * collapse, then assembled by rank — collect_list alone has no
+    * order guarantee). An unsorted jx result is observation order,
+    * which a distributed engine does not have; those results are
+    * canonically sorted by their own cell values so the format stays
+    * deterministic across engines and runs.
+    *
+    * Scale note: the rank window is single-partition BY DESIGN — the
+    * format's contract is "the whole result in one transport row", so
+    * the result must already be aggregate-sized; the window input is
+    * the final result set, never raw facts.
     */
-  private def toTable(df: DataFrame): DataFrame = {
+  private def toTable(df: DataFrame, orders: Seq[Column]): DataFrame = {
     val header = array(df.columns.map(lit): _*).as("header")
-    val rowArr = array(df.columns.map(c => col(s"`$c`").cast("string")): _*)
-    df.select(rowArr.as("r"))
-      .agg(sort_array(collect_list(col("r"))).as("data"))
-      .select(header, col("data"))
+    val rowStruct = struct(df.columns.map(c => col(s"`$c`")): _*)
+    if (orders.nonEmpty)
+      df.withColumn("_jxord",
+          row_number().over(Window.orderBy(orders: _*)).cast("long"))
+        .select(struct(col("_jxord"), rowStruct.as("r")).as("t"))
+        .agg(sort_array(collect_list(col("t"))).as("ts"))
+        .select(header, transform(col("ts"), x => x.getField("r")).as("data"))
+    else
+      df.select(rowStruct.as("r"))
+        .agg(sort_array(collect_list(col("r"))).as("data"))
+        .select(header, col("data"))
   }
 
   /** jx `format: "cube"`: per edge a sorted domain array, per

@@ -438,5 +438,36 @@ object Jx extends QueryPack {
            |                      l_extendedprice, l_partkey)""".stripMargin),
     "jx range-bound window aggregates: trailing-3 avg/sum + forward-3 max per supplier")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94)
+  /** jx `format: "table"` gate entry: like q57's cube, the nested
+    * transport shape is serialized through to_json so the gate's
+    * pandas comparator gets stable strings; the library API returns
+    * the raw header + native-typed data structs (JxSpec pins types
+    * and sort-clause row order). Count-only aggregates keep the JSON
+    * float-free, so both engines print identical compact text.
+    */
+  val q95Json: String =
+    """{
+      |  "from": "events",
+      |  "groupby": ["event_type"],
+      |  "select": [{"name": "n", "aggregate": "count"}],
+      |  "sort": [{"value": "n", "sort": -1}, {"value": "event_type", "sort": 1}],
+      |  "format": "table"
+      |}""".stripMargin
+
+  val q95 = Q(
+    "q95_jx_format_table",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      JxCompiler.query(s, d, q95Json).select(
+        to_json(col("header")).as("header"),
+        to_json(col("data")).as("data"))
+    },
+    Some("""WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+           |SELECT CAST(to_json(['event_type','n']) AS VARCHAR) AS header,
+           |       CAST(to_json(list(struct_pack(event_type := event_type, n := n)
+           |                         ORDER BY n DESC, event_type ASC)) AS VARCHAR) AS data
+           |FROM g""".stripMargin),
+    "jx table format: header + sort-ordered native-typed rows (gate: to_json)")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95)
 }

@@ -463,7 +463,7 @@ class JxSpec extends SparkSpec {
     e2.getMessage should include("no column")
   }
 
-  test("format table: header + canonically sorted stringified rows") {
+  test("format table: header + native-typed rows (reference transport shape)") {
     val got = run("""{"from":"events",
       "where":{"gte":{"value":90}},
       "groupby":["event_type"],
@@ -472,12 +472,33 @@ class JxSpec extends SparkSpec {
     got.length shouldBe 1
     val header = got(0).getSeq[String](0)
     header shouldBe Seq("event_type", "n")
+    // cells keep their native types: event_type stays a string, the
+    // count stays a LONG (the r5 shape stringified every cell)
+    val rows = got(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
     val flat = run("""{"from":"events",
       "where":{"gte":{"value":90}},
       "groupby":["event_type"],
       "select":[{"name":"n","aggregate":"count"}]}""")
-      .collect().map(r => Seq(r.get(0).toString, r.get(1).toString))
-    got(0).getSeq[Seq[String]](1).toSet shouldBe flat.map(_.toSeq).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.toSet shouldBe flat.toSet
+  }
+
+  test("format table honors the query's sort clause in row order") {
+    val got = run("""{"from":"events",
+      "where":{"gte":{"value":90}},
+      "groupby":["event_type"],
+      "select":[{"name":"n","aggregate":"count"}],
+      "sort":[{"value":"n","sort":-1},{"value":"event_type","sort":1}],
+      "format":"table"}""").collect()
+    got.length shouldBe 1
+    val rows = got(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    // the data array is IN sort order (n desc, type asc as tiebreak),
+    // not canonical cell order — the list format is the reference
+    val want = rows.sortBy { case (t, n) => (-n, t) }
+    rows shouldBe want
+    rows.size should be > 1 // order assertion is non-vacuous
   }
 
   test("cube format keeps null edge values aligned between domain and data arrays") {
