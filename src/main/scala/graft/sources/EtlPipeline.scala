@@ -50,15 +50,27 @@ object EtlPipeline {
     * `bookmarkPath` the extract watermark sidecar.
     */
   def run(spark: SparkSession, edgesSrc: DataFrame, wmCol: String,
-      destDir: String, bookmarkPath: String, numBuckets: Int = 64): RunResult = {
+      destDir: String, bookmarkPath: String, numBuckets: Int = 64): RunResult =
+    run(spark, edgesSrc, wmCol,
+      ParquetStore(destDir, Seq("ancestor", "descendant"), "rev", numBuckets),
+      bookmarkPath)
+
+  /** The same loop against ANY [[DocumentStore]] — the connector seam:
+    * a deployment fronting a real ES-shaped store passes its own
+    * implementation and inherits the crash matrix unchanged (the
+    * contract the loop needs is exactly the trait's: keyed
+    * latest-wins push idempotent under redelivery). The store must be
+    * keyed on (ancestor, descendant) with version column `rev`.
+    */
+  def run(spark: SparkSession, edgesSrc: DataFrame, wmCol: String,
+      dest: DocumentStore, bookmarkPath: String): RunResult = {
     val e = ExtractBookmark.extractSince(edgesSrc, wmCol, bookmarkPath)
     val newEdges = e.batch.select(col("child"), col("parent")).distinct()
       .localCheckpoint() // consumed by every delta round of the closure
     val extracted = newEdges.count()
     val existing =
-      if (tableExists(spark, destDir))
-        ParquetUpsertSink.read(spark, destDir).select(
-          col("ancestor"), col("descendant"), col("depth"))
+      if (dest.exists(spark))
+        dest.scan(spark).select(col("ancestor"), col("descendant"), col("depth"))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         closureSchema)
     val pushed =
@@ -70,9 +82,7 @@ object EtlPipeline {
           .withColumn("rev", lit(e.watermark.getOrElse(0L)))
           .localCheckpoint() // counted AND pushed; one materialization
         val n = delta.count()
-        if (n > 0)
-          ParquetUpsertSink.upsert(delta, destDir,
-            Seq("ancestor", "descendant"), "rev", numBuckets)
+        if (n > 0) dest.push(delta)
         n
       }
     ExtractBookmark.commit(e, bookmarkPath)
@@ -99,6 +109,14 @@ object EtlPipeline {
     * footprint, bucket-pruned keyed merge.
     */
   def runStream(edges: DataFrame, destDir: String, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    runStream(edges,
+      ParquetStore(destDir, Seq("ancestor", "descendant"), "rev", numBuckets))
+
+  /** Streaming loop against any [[DocumentStore]] (same seam as the
+    * batch overload; the version is the checkpoint's stable batchId).
+    */
+  def runStream(edges: DataFrame, dest: DocumentStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sink = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         batchId: Long) => {
@@ -107,15 +125,14 @@ object EtlPipeline {
         .distinct().localCheckpoint()
       if (newEdges.head(1).nonEmpty) {
         val existing =
-          if (tableExists(s, destDir)) readClosure(s, destDir)
+          if (dest.exists(s))
+            dest.scan(s).select(col("ancestor"), col("descendant"), col("depth"))
           else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             closureSchema)
         val delta = Hierarchy.incrementalClosure(existing, newEdges)
           .join(existing, Seq("ancestor", "descendant", "depth"), "left_anti")
           .withColumn("rev", lit(batchId))
-        if (delta.head(1).nonEmpty)
-          ParquetUpsertSink.upsert(delta, destDir,
-            Seq("ancestor", "descendant"), "rev", numBuckets)
+        if (delta.head(1).nonEmpty) dest.push(delta)
       }
     }
     edges.writeStream
