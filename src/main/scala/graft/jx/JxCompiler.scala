@@ -249,10 +249,10 @@ object JxCompiler {
     * `toTable` it is a final-mile delivery format.
     */
   private def toCube(df: DataFrame, edges: Seq[String], aggs: Seq[String]): DataFrame = {
-    // materialize the flat cube once: the pack chain and every domain
-    // aggregate consume it (without this the whole fact aggregate +
-    // cells join would re-execute once per consumer)
-    val flat = df.localCheckpoint()
+    // materialize the flat cube once (lazy persist): the pack chain
+    // and every domain aggregate consume it (without this the whole
+    // fact aggregate + cells join would re-execute once per consumer)
+    val flat = graft.util.reused(df)
     var d = flat
     for (e <- edges.reverse) {
       val groupCols = edges.takeWhile(_ != e).map(c => col(s"`$c`"))

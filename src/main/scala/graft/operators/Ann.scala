@@ -48,7 +48,7 @@ object Ann extends QueryPack {
     }
     df.select(col("vec_id"), col("embedding"),
       posexplode(array(bucketPerTable: _*)).as(Seq("tbl", "bucket")))
-      .localCheckpoint() // plane projections run once, not per join side
+      .transform(graft.util.reused) // plane projections run once, not per join side
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
@@ -161,7 +161,7 @@ object Ann extends QueryPack {
   def ivfSearch(df: DataFrame, nc: Int, nprobe: Int, iters: Int, k: Int): DataFrame = {
     val cents = ivfCentroids(df, nc, iters)
     val assigned = assignClusters(df, cents)
-      .localCheckpoint() // assignment runs once: reused by query + candidate sides
+      .transform(graft.util.reused) // assignment runs once: reused by query + candidate sides
     val q = assigned.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
@@ -502,7 +502,7 @@ object Ann extends QueryPack {
     val cbs = pqCodebooks(df, m, ksub, iters, dim)
     val coded = pqCodes(assignClusters(df, cents), cbs, dim)
       .select(col("vec_id"), col("embedding"), col("cl"), col("codes"))
-      .localCheckpoint() // train + assign + encode once; reused by both sides
+      .transform(graft.util.reused) // train + assign + encode once; reused by both sides
     val q = coded.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // per-query ADC table: tbl[j][c] = ‖q_j − cb[j][c]‖², built from
@@ -570,11 +570,12 @@ object Ann extends QueryPack {
       posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(g, col("pos"),
         floor(col("x").cast("double") / col("nrm") * Q).as("uq"))
-    // ≤ groups×dim rows; checkpointed so the corpus scan + posexplode
-    // + aggregate runs ONCE for both consumers (label vectors and the
-    // corpus vector) — without this the dominant pass executes twice
-    val dimSums = unit.groupBy(g, col("pos")).agg(sum(col("uq")).as("s"))
-      .localCheckpoint()
+    // ≤ groups×dim rows; lazily persisted so the corpus scan +
+    // posexplode + aggregate runs ONCE for both consumers (label
+    // vectors and the corpus vector) — without this the dominant
+    // pass executes twice
+    val dimSums = graft.util.reused(
+      unit.groupBy(g, col("pos")).agg(sum(col("uq")).as("s")))
     def toVec = (c: org.apache.spark.sql.Column) =>
       transform(array_sort(c), x => x.getField("s").cast("double"))
     val labelVec = dimSums.groupBy(g)

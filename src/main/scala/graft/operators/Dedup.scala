@@ -89,11 +89,16 @@ object Dedup extends QueryPack {
     // same co-occurrence counts (a cross-doc hash collision would need
     // ~2^32 distinct shingles to become likely), but the self-join
     // hashes/compares/ships 8-byte keys instead of ~20-char strings.
-    // Materialized once: reused by both join sides, the size agg, and
-    // the hot-set agg.
+    // NOT materialized, by measurement: sh's four consumers (both
+    // self-join sides, the size agg, the hot-set agg) shuffle on the
+    // same keys, so ReuseExchange dedupes the heavy subplans, and a
+    // persist here only adds columnar cache encode/decode to every
+    // consumer — q31 ran ~45% slower with it, and the loss rippled
+    // into every downstream component-clustering query (q61/q86/q52).
+    // Reuse that IS load-bearing (the full pair list feeding multiple
+    // aggregates, e.g. dedupSweep) persists at that level instead.
     val sh = shingleSets(df)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .localCheckpoint()
     // Document frequency via groupBy (map-side partial aggregation:
     // reducers see near-1 row per shingle, so the df computation
     // CANNOT itself skew on the hot key — a whole-partition window
@@ -194,8 +199,8 @@ object Dedup extends QueryPack {
       maxShingleDf: Int = 128): DataFrame = {
     def hashed(df: DataFrame) = shingleSets(df)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val shT = hashed(train).localCheckpoint()
-    val shE = hashed(eval).localCheckpoint()
+    val shT = graft.util.reused(hashed(train))
+    val shE = graft.util.reused(hashed(eval))
     // hotness is a GLOBAL property: a boilerplate shingle is hot no
     // matter which corpus each occurrence lives in
     val hot = shT.select(col("shingle")).union(shE.select(col("shingle")))
@@ -342,8 +347,7 @@ object Dedup extends QueryPack {
 
   def minhashPairs(df: DataFrame, threshold: Double,
       k: Int = 32, bands: Int = 8): DataFrame = {
-    val sig = minhashSignatures(df, k, bands)
-      .localCheckpoint() // signature pipeline runs once, not per join side
+    val sig = graft.util.reused(minhashSignatures(df, k, bands)) // signature pipeline runs once, not per join side
     // Candidate generation and dedup carry ONLY (d1, d2): on clustered
     // corpora the band join emits each hot pair once per agreeing band,
     // and shuffling the shingle arrays through that dedup dominates the
@@ -388,7 +392,7 @@ object Dedup extends QueryPack {
       threshold: Double, k: Int = 32, bands: Int = 8): DataFrame =
     minhashDeltaPairsFromSigs(corpusSigs,
       // delta hashed once, reused on both join sides
-      minhashSignatures(delta, k, bands).localCheckpoint(), threshold)
+      graft.util.reused(minhashSignatures(delta, k, bands)), threshold)
 
   /** The band-join core of the incremental path, taking the delta's
     * signatures directly — for callers that also persist them (the
@@ -811,7 +815,7 @@ object Dedup extends QueryPack {
     * corpus scale.
     */
   def dedupSweep(docsDf: DataFrame, minThreshold: Double = 0.5): DataFrame = {
-    val pairs = jaccardPairs(docsDf, minThreshold).localCheckpoint()
+    val pairs = graft.util.reused(jaccardPairs(docsDf, minThreshold))
     val banded = pairs.withColumn("band", floor(col("jac") * 10) / 10)
     val pairHist = banded.groupBy(col("band")).agg(count(lit(1)).as("np"))
       .withColumnRenamed("band", "pb")

@@ -204,7 +204,7 @@ object Multimodal extends QueryPack {
     }.reduce(_ + _)
     val hashed = media.where(n >= 2)
       .select(col("doc_id"), phash.as("ph"))
-      .localCheckpoint() // hash once: reused by both bucket-join sides
+      .transform(graft.util.reused) // hash once: reused by both bucket-join sides
     val bucketed = hashed.select(col("doc_id"), col("ph"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("ph"), c * chunkBits).bitwiseAND(lit((1 << chunkBits) - 1))): _*))

@@ -691,11 +691,11 @@ object Text extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val toks = docsDf.select(col("doc_id"), explode(words(col("text"))).as("term"))
     // tf feeds BOTH the df aggregate and the join's left side —
-    // checkpointed so the tokenize+aggregate pass runs once (the
+    // lazily persisted so the tokenize+aggregate pass runs once (the
     // jaccardPairs convention for shared shingle subtrees); the
     // corpus-count scan below reads zero columns and is ~free
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = graft.util.reused(
+      toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docsDf.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
@@ -750,8 +750,8 @@ object Text extends QueryPack {
   def vocabOverlap(docsDf: DataFrame, k: Int = 100): DataFrame = {
     val toks = docsDf.select(col("source"), explode(words(col("text"))).as("term"))
     // consumed by the global top-K and the per-source rank: one pass
-    val srcCnt = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val srcCnt = graft.util.reused(
+      toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt")))
     val globalTop = srcCnt.groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc).limit(k)
       .select(col("term"), lit(1).as("hit"))
@@ -813,9 +813,8 @@ object Text extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     // vocab-sized (≪ corpus); checkpointed so the tokenize pass runs
     // once for its two consumers (value compression + the total)
-    val cnts = docsDf.select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val cnts = graft.util.reused(docsDf.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
     val comp = cnts.groupBy(col("cnt"))
       .agg(count(lit(1)).as("n_terms"))
       .withColumn("mass", col("cnt") * col("n_terms"))

@@ -140,6 +140,29 @@ package object util {
         .drop("_gq_k", "_gq_n")
     }
 
+  /** Diamond-reuse materialization for ONE-SHOT builders: the frame
+    * feeds two or more consumers in the same plan (self-join sides, a
+    * stats aggregate plus the data path), Catalyst cannot always
+    * dedupe the subplan (ReuseExchange needs canonically identical
+    * exchanges; a broadcast on one side breaks that), and recomputing
+    * it doubles the dominant stage. `persist` is the only
+    * materialization primitive that is LAZY under AQE: both
+    * `localCheckpoint()` (eager) and `localCheckpoint(eager = false)`
+    * run Spark jobs while the plan is merely being CONSTRUCTED (the
+    * lazy variant still builds its RDD, which under AQE materializes
+    * every upstream stage), and builders must stay action-free
+    * (PlanSpec pins zero jobs at plan-construction for the operator
+    * family). MEMORY_AND_DISK: the reused frame spills rather than
+    * recomputes when it outgrows executor memory at scale.
+    *
+    * NOT for iterative drivers (hierarchy closure, connected
+    * components, Lloyd rounds): a fixpoint loop measures convergence
+    * with actions anyway and NEEDS lineage truncation per round —
+    * `localCheckpoint` remains correct there.
+    */
+  def reused(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Standard session builder config shared by Verify / Bench / specs. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
