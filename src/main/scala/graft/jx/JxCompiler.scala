@@ -475,7 +475,24 @@ object JxCompiler {
     cells.join(aggedR, cond, "left").select(outCols: _*)
   }
 
-  private def compileEdge(df: DataFrame, n: JsonNode): Edge =
+  /** pyLibrary edges carry `allowNulls` (default true): the
+    * missing-value rows form their own null partition. `allowNulls:
+    * false` drops them BEFORE domain sampling and aggregation — no
+    * null cell, no null counts — the axis a dashboard pins to known
+    * values only. Range-family domains already drop nulls via their
+    * bounds filter; this makes the categorical/set/limited family
+    * honor the same opt-out.
+    */
+  private def compileEdge(df: DataFrame, n: JsonNode): Edge = {
+    val e = compileEdgeBase(df, n)
+    val allowNulls = n.isTextual || !n.has("allowNulls") ||
+      n.get("allowNulls").asBoolean(true)
+    if (allowNulls) e
+    else e.copy(rowFilter =
+      Some(e.rowFilter.fold(e.expr.isNotNull)(f => f && e.expr.isNotNull)))
+  }
+
+  private def compileEdgeBase(df: DataFrame, n: JsonNode): Edge =
     if (!n.isTextual && n.has("domain") &&
         req(n.get("domain"), "type").asText() == "time") {
       // jx time domain — the reference's dashboard axis (pyLibrary jx

@@ -630,6 +630,33 @@ class JxSpec extends SparkSpec {
     got shouldBe Map("p" -> 2L, "q" -> 1L)
   }
 
+  test("allowNulls false drops the null partition before sampling and aggregation") {
+    val df = Seq(Some("a"), Some("a"), None, Some("b"), None)
+      .map(v => Tuple1(v.orNull)).toDF("v")
+    // default: null keeps its partition (pyLibrary allowNulls=true)
+    val withNulls = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","edges":[{"name":"cat","value":"v"}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    withNulls shouldBe Map(Some("a") -> 2L, Some("b") -> 1L, None -> 2L)
+    // opt-out: null rows vanish from the axis entirely
+    val noNulls = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","edges":[{"name":"cat","value":"v","allowNulls":false}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    noNulls shouldBe Map(Some("a") -> 2L, Some("b") -> 1L)
+    // composes with the limited domain: nulls neither rank nor remap
+    val lim = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","edges":[{"name":"cat","value":"v","allowNulls":false,
+          "domain":{"type":"default","limit":1}}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    lim shouldBe Map(Some("a") -> 2L, Some("OTHER") -> 1L)
+  }
+
   // --- range-bound window aggregates ---
 
   test("window range: trailing frame is half-open [min, max) around the current row") {
