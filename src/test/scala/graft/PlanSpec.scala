@@ -280,19 +280,22 @@ class PlanSpec extends SparkSpec {
     // sentinel job, and require the sentinel to be the only one; on
     // failure, rerun per-query to name the offenders.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    val iterative = Set(
-      "q20_hierarchy_desc", "q21_hierarchy_anc", "q49_hierarchy_lists",
-      "q90_hierarchy_rollup", "q52_dedup_clusters", "q61_dedup_keepers",
-      "q86_leakfree_split", "q43_ann_ivf", "q81_embed_cluster",
-      "q85_ann_ivfpq", "q92_pca_project")
+    val training = Set(
+      "q43_ann_ivf", "q81_embed_cluster", "q85_ann_ivfpq", "q92_pca_project")
     val actionFree = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => iterative.contains(n) }
-    // warm the read path first: the FIRST parquet access may run
-    // schema-inference / file-listing jobs that belong to the scan,
-    // not the builder (Tables memoizes, so this is once per table). A
-    // hidden action in a builder still fires on every later build, so
-    // warming does not weaken the assertion.
+      .filterNot { case (n, _) => training.contains(n) }
+    // warm the read path and the stored derived tables first: the
+    // FIRST parquet access runs schema/listing jobs that belong to
+    // the scan, and the stored closure/pairs/components materialize
+    // ONCE per session (the nightly-ETL artifact build, not query
+    // work) — after warming, every consumer including the hierarchy
+    // and clustering queries must be a pure read. A hidden action in
+    // a builder still fires on every later build, so warming does not
+    // weaken the assertion.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
+    operators.Hierarchy.storedClosure(spark, sfDir)
+    operators.Dedup.storedPairs(spark, sfDir)
+    operators.Cluster.storedComponents(spark, sfDir)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
