@@ -102,7 +102,20 @@ object JxCompiler {
       case one => applyWindow(df, one)
     }
 
-    val groupFields = if (q.has("groupby")) asList(q.get("groupby")).map(fieldName) else Nil
+    // groupby accepts bare field names or {name, value} expression
+    // objects (pyLibrary groups on computed domains — a floor'd bucket,
+    // a substring — not just stored columns); the computed column is
+    // named in the output like any grouping key
+    val groupCols: Seq[Column] =
+      if (q.has("groupby")) asList(q.get("groupby")).map {
+        case t if t.isTextual => fcol(t.asText())
+        case o if o.isObject =>
+          val c = compileExpr(req(o, "value"))
+          c.as(if (o.has("name")) o.get("name").asText()
+          else req(o, "value").asText())
+        case other => throw new IllegalArgumentException(
+          s"jx groupby term not supported: $other")
+      } else Nil
     val edgeNodes = if (q.has("edges")) asList(q.get("edges")) else Nil
     val sel = if (q.has("select")) asList(q.get("select")) else Nil
     val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
@@ -110,19 +123,19 @@ object JxCompiler {
     // groupby emits populated cells, edges the full domain cross
     // product — one query mixing them has no defined cell set; error
     // loudly instead of silently preferring one
-    require(groupFields.isEmpty || edgeNodes.isEmpty,
+    require(groupCols.isEmpty || edgeNodes.isEmpty,
       "jx query: groupby and edges are mutually exclusive (edges ARE the grouping axes)")
 
-    if (q.has("select") || groupFields.nonEmpty || edgeNodes.nonEmpty) {
+    if (q.has("select") || groupCols.nonEmpty || edgeNodes.nonEmpty) {
       val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
       if (edgeNodes.nonEmpty) {
         df = edgeAggregate(df, edgeNodes, aggSel,
           plainSel.filterNot(_.asText() == "*"))
-      } else if (aggSel.nonEmpty || groupFields.nonEmpty) {
+      } else if (aggSel.nonEmpty || groupCols.nonEmpty) {
         val aggs = aggSel.map(compileAggregate)
         val agged =
-          if (groupFields.nonEmpty)
-            df.groupBy(groupFields.map(fcol): _*)
+          if (groupCols.nonEmpty)
+            df.groupBy(groupCols: _*)
               .agg(aggs.headOption.getOrElse(count(lit(1)).as("count")), aggs.drop(1): _*)
           else df.agg(aggs.head, aggs.tail: _*)
         df = agged

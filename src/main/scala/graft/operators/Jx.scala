@@ -469,5 +469,37 @@ object Jx extends QueryPack {
            |FROM g""".stripMargin),
     "jx table format: header + sort-ordered native-typed rows (gate: to_json)")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95)
+  /** jx groupby on computed expressions — pyLibrary groups on derived
+    * domains (buckets, substrings), not just stored columns. Decimal
+    * policy as everywhere; the bucket arithmetic mirrors exactly in
+    * the oracle.
+    */
+  val q96Json: String =
+    """{
+      |  "from": "lineitem",
+      |  "where": {"in": {"l_returnflag": ["A", "R"]}},
+      |  "groupby": [
+      |    "l_returnflag",
+      |    {"name": "qty_bin",
+      |     "value": {"mult": [{"floor": {"div": ["l_quantity", 10]}}, {"literal": 10}]}}
+      |  ],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "revenue", "value": "l_extendedprice", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q96 = Q(
+    "q96_jx_groupby_expr",
+    (s, d) => JxCompiler.query(s, d, q96Json),
+    Some("""SELECT l_returnflag,
+           |  CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS qty_bin,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |WHERE l_returnflag IN ('A', 'R')
+           |GROUP BY 1, 2""".stripMargin),
+    "jx groupby on a computed bucket expression + plain field, aggregated")
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96)
 }

@@ -657,6 +657,22 @@ class JxSpec extends SparkSpec {
     lim shouldBe Map(Some("a") -> 2L, Some("OTHER") -> 1L)
   }
 
+  test("groupby on a computed expression: named bucket column groups and projects") {
+    val got = run("""{"from":"lineitem",
+      "groupby":[{"name":"qty_bin","value":{"mult":[{"floor":{"div":["l_quantity",10]}},{"literal":10}]}}],
+      "select":[{"name":"n","aggregate":"count"}]}""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = li.groupBy((floor(col("l_quantity") / 10) * 10).as("qty_bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe want
+    // default name when no explicit name: the value's field text
+    val named = run("""{"from":"lineitem",
+      "groupby":["l_returnflag", {"name":"rf2","value":"l_linestatus"}],
+      "select":[{"name":"n","aggregate":"count"}]}""")
+    named.columns.toSeq shouldBe Seq("l_returnflag", "rf2", "n")
+  }
+
   // --- range-bound window aggregates ---
 
   test("window range: trailing frame is half-open [min, max) around the current row") {
