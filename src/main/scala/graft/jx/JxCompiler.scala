@@ -540,20 +540,42 @@ object JxCompiler {
       // partition, which its dashboards omit — same visible result).
       val d = n.get("domain")
       val name = if (n.has("name")) n.get("name").asText() else fieldName(n)
-      val allParts = req(d, "partitions").asScala.toSeq.map(jvalue)
-      require(allParts.nonEmpty, "jx set domain: empty partitions list")
+      val allNodes = req(d, "partitions").asScala.toSeq
+      require(allNodes.nonEmpty, "jx set domain: empty partitions list")
       // domain limit on an EXPLICIT partition list truncates it (the
       // author ordered the list; pyLibrary keeps the first `limit`
       // partitions) — rows with dropped values are filtered out like
       // any other unlisted value
-      val parts =
-        if (d.has("limit")) allParts.take(d.get("limit").asInt()) else allParts
-      require(parts.nonEmpty, "jx set domain: limit must keep at least one partition")
-      val v = compileExpr(req(n, "value"))
-      Edge(name, v,
-        _ => df.sparkSession.range(1)
-          .select(explode(array(parts.map(lit): _*)).as(name)),
-        Some(v.isin(parts: _*)))
+      val partNodes =
+        if (d.has("limit")) allNodes.take(d.get("limit").asInt()) else allNodes
+      require(partNodes.nonEmpty, "jx set domain: limit must keep at least one partition")
+      if (partNodes.exists(p => p.isObject && p.has("where"))) {
+        // PREDICATE partitions (pyLibrary's full set-domain shape):
+        // each partition is {name, where}; the edge value is the
+        // FIRST matching partition's name (pyLibrary partitions are
+        // ordered and first-match-wins, so overlap is well-defined),
+        // rows matching none drop (the omitted `missing` partition),
+        // and every listed name is a cell whether populated or not.
+        require(partNodes.forall(p => p.isObject && p.has("where") && p.has("name")),
+          "jx set domain: mix of predicate partitions and plain values is ambiguous — " +
+            "use {name, where} objects for every partition")
+        val named = partNodes.map(p =>
+          (p.get("name").asText(), compileExpr(p.get("where"))))
+        val v = named.reverse.foldLeft(lit(null).cast("string")) {
+          case (acc, (pn, cond)) => when(cond, lit(pn)).otherwise(acc)
+        }
+        Edge(name, v,
+          _ => df.sparkSession.range(1)
+            .select(explode(array(named.map(p => lit(p._1)): _*)).as(name)),
+          Some(named.map(_._2).reduce(_ || _)))
+      } else {
+        val parts = partNodes.map(jvalue)
+        val v = compileExpr(req(n, "value"))
+        Edge(name, v,
+          _ => df.sparkSession.range(1)
+            .select(explode(array(parts.map(lit): _*)).as(name)),
+          Some(v.isin(parts: _*)))
+      }
     } else if (!n.isTextual && n.has("domain") &&
         req(n.get("domain"), "type").asText() == "duration") {
       // jx duration domain: elapsed-time histogram axis — a range

@@ -501,5 +501,40 @@ object Jx extends QueryPack {
            |GROUP BY 1, 2""".stripMargin),
     "jx groupby on a computed bucket expression + plain field, aggregated")
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96)
+  /** jx predicate-partition set domains — pyLibrary's full set-domain
+    * shape: each partition is {name, where}, ordered,
+    * first-match-wins; rows matching none drop; every listed name is
+    * a cell. The banded axis dashboards define by rule, not by value.
+    */
+  val q97Json: String =
+    """{
+      |  "from": "orders",
+      |  "edges": [
+      |    {"name": "price_band", "domain": {"type": "set", "partitions": [
+      |      {"name": "low", "where": {"lt": {"o_totalprice": 100000}}},
+      |      {"name": "mid", "where": {"lt": {"o_totalprice": 300000}}},
+      |      {"name": "high", "where": {"gte": {"o_totalprice": 300000}}}
+      |    ]}}
+      |  ],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "total", "value": "o_totalprice", "aggregate": "sum"}
+      |  ]
+      |}""".stripMargin
+
+  val q97 = Q(
+    "q97_jx_predicate_partitions",
+    (s, d) => JxCompiler.query(s, d, q97Json),
+    // mid's where overlaps low (< 300000 includes < 100000): the
+    // oracle mirrors first-match-wins with an ordered CASE
+    Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+           |            WHEN o_totalprice < 300000 THEN 'mid'
+           |            WHEN o_totalprice >= 300000 THEN 'high' END AS price_band,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM orders GROUP BY 1""".stripMargin),
+    "jx predicate-partition set domain: ordered {name, where} bands, first-match-wins")
+
+  val all: Seq[Q] =
+    Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97)
 }

@@ -673,6 +673,37 @@ class JxSpec extends SparkSpec {
     named.columns.toSeq shouldBe Seq("l_returnflag", "rf2", "n")
   }
 
+  test("predicate-partition set domain: ordered first-match-wins, absent cells zero-filled") {
+    val df = Seq(5.0, 15.0, 25.0, 250.0).toDF("v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "edges":[{"name":"band","domain":{"type":"set","partitions":[
+            {"name":"tiny","where":{"lt":{"v":10}}},
+            {"name":"small","where":{"lt":{"v":100}}},
+            {"name":"empty","where":{"gt":{"v":1000}}}]}}],
+          "select":[{"name":"n","aggregate":"count"}]}""",
+      Map("t" -> df))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5 -> tiny (first match even though small also matches);
+    // 15, 25 -> small; 250 matches NOTHING and drops;
+    // "empty" is listed so its zero-filled cell must appear
+    got shouldBe Map("tiny" -> 1L, "small" -> 2L, "empty" -> 0L)
+  }
+
+  test("predicate partitions mixed with plain values are rejected loudly") {
+    val df = Seq(1.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"t",
+            "edges":[{"name":"band","value":"v",
+              "domain":{"type":"set","partitions":[
+                {"name":"a","where":{"lt":{"v":10}}}, 5]}}],
+            "select":[{"name":"n","aggregate":"count"}]}""",
+        Map("t" -> df))
+    }
+    e.getMessage should include("ambiguous")
+  }
+
   // --- range-bound window aggregates ---
 
   test("window range: trailing frame is half-open [min, max) around the current row") {
