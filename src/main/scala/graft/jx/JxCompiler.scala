@@ -319,8 +319,8 @@ object JxCompiler {
         case "and" => arg.asScala.map(compileExpr).reduce(_ && _)
         case "or" => arg.asScala.map(compileExpr).reduce(_ || _)
         case "not" => !compileExpr(arg)
-        case "eq" => fieldCompares(arg, _ === _)
-        case "ne" | "neq" => fieldCompares(arg, _ =!= _)
+        case "eq" => fieldComparesEq(arg, negate = false)
+        case "ne" | "neq" => fieldComparesEq(arg, negate = true)
         case "gt" => fieldCompares(arg, _ > _)
         case "gte" => fieldCompares(arg, _ >= _)
         case "lt" => fieldCompares(arg, _ < _)
@@ -779,6 +779,26 @@ object JxCompiler {
     } else {
       arg.properties().asScala.map { e =>
         cmp(fcol(e.getKey), lit(jvalue(e.getValue)))
+      }.reduce(_ && _)
+    }
+
+  /** jx eq/ne: like [[fieldCompares]], plus pyLibrary's list sugar —
+    * `{"eq": {"f": [a, b]}}` matches ANY listed value (IN), `ne`
+    * matches none; an EMPTY eq-list matches nothing (and its negation
+    * everything), where a bare isin would error.
+    */
+  private def fieldComparesEq(arg: JsonNode, negate: Boolean): Column =
+    if (arg.isArray) {
+      val es = arg.asScala.map(compileExpr).toSeq
+      if (negate) es.head =!= es(1) else es.head === es(1)
+    } else {
+      arg.properties().asScala.map { e =>
+        val base =
+          if (e.getValue.isArray) {
+            val vs = e.getValue.asScala.toSeq.map(jvalue)
+            if (vs.isEmpty) lit(false) else fcol(e.getKey).isin(vs: _*)
+          } else fcol(e.getKey) === lit(jvalue(e.getValue))
+        if (negate) !base else base
       }.reduce(_ && _)
     }
 

@@ -673,6 +673,23 @@ class JxSpec extends SparkSpec {
     named.columns.toSeq shouldBe Seq("l_returnflag", "rf2", "n")
   }
 
+  test("eq/ne with a list value is pyLibrary's match-any sugar (IN / NOT IN)") {
+    val inGot = run("""{"from":"lineitem",
+      "where":{"eq":{"l_returnflag":["A","R"]}},
+      "select":["l_orderkey"]}""").count()
+    val inWant = li.where(col("l_returnflag").isin("A", "R")).count()
+    inGot shouldBe inWant
+    val neGot = run("""{"from":"lineitem",
+      "where":{"ne":{"l_returnflag":["A","R"]}},
+      "select":["l_orderkey"]}""").count()
+    neGot shouldBe li.count() - inWant // returnflag is never null here
+    // empty eq-list matches nothing; its negation matches everything
+    run("""{"from":"lineitem","where":{"eq":{"l_returnflag":[]}},
+      "select":["l_orderkey"]}""").count() shouldBe 0L
+    run("""{"from":"lineitem","where":{"ne":{"l_returnflag":[]}},
+      "select":["l_orderkey"]}""").count() shouldBe li.count()
+  }
+
   test("predicate-partition set domain: ordered first-match-wins, absent cells zero-filled") {
     val df = Seq(5.0, 15.0, 25.0, 250.0).toDF("v")
     val got = JxCompiler.queryOn(spark, sfDir,
