@@ -331,6 +331,25 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("new jx operators keep clean single-pass plans (q94, q96, q97)") {
+    // q94: three window clauses over one partitioned sort — no joins
+    // at all may appear (a window is a sort within the shuffle, not a
+    // self-join), and the sliding frames must not add exchanges
+    val p94 = plan(operators.Jx.q94)
+    p94 should include("Window")
+    p94 should not include "Join"
+    // q96/q97: one scan into one hash aggregation; the only joins
+    // allowed are the tiny broadcast cell tables of the edge domain
+    Seq(operators.Jx.q96, operators.Jx.q97).foreach { q =>
+      val p = plan(q)
+      withClue(s"${q.name}: ") {
+        p should include("HashAggregate")
+        p should not include "CartesianProduct"
+        p should not include "SortMergeJoin"
+      }
+    }
+  }
+
   test("dedup sweep: pair list collapses to histograms, never buffered per band (q89)") {
     val p = plan(Dedup.q89)
     p should not include "CartesianProduct"
