@@ -411,6 +411,37 @@ object Hierarchy extends QueryPack {
       .withColumnRenamed("ancestor", "node")
   }
 
+  /** Oracle-verified incremental maintenance — the reference's
+    * SIGNATURE loop, as a gate row: build the closure of a base graph
+    * (all edges whose child is not divisible by 5), then fold the
+    * held-out edges in via [[incrementalClosure]]'s semi-naive delta
+    * iteration. The oracle is the plain recursive closure of the FULL
+    * edge set — the gate therefore hash-verifies incremental ≡ full
+    * rebuild against an independent engine, not just against our own
+    * recompute (HierarchySpec pins that too, plus the deletion path).
+    * Memoized like every stored artifact (it IS the stored closure a
+    * production run would have after the nightly patch).
+    */
+  private val incrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def storedIncrementalClosure(s: SparkSession, d: String): DataFrame =
+    incrMemo.computeIfAbsent((s, d), _ => {
+      val e = edges(s, d)
+      val base = e.where(!(col("child") % 5 === 0))
+      val late = e.where(col("child") % 5 === 0)
+      incrementalClosure(closure(base), late).localCheckpoint()
+    })
+
+  val q98 = Q(
+    "q98_incremental_closure",
+    (s, d) => storedIncrementalClosure(s, d),
+    Some(oracleReach +
+      """
+        |SELECT ancestor, descendant, MIN(depth) AS depth
+        |FROM reach GROUP BY ancestor, descendant""".stripMargin),
+    "incremental closure maintenance: base closure + late-edge delta patch ≡ full rebuild")
+
   val q90 = Q(
     "q90_hierarchy_rollup",
     (s, d) => {
@@ -436,5 +467,5 @@ object Hierarchy extends QueryPack {
         |GROUP BY 1""".stripMargin),
     "per-node subtree node count + measure total over the closure, self included")
 
-  val all: Seq[Q] = Seq(q20, q21, q49, q90)
+  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98)
 }

@@ -287,6 +287,7 @@ class PlanSpec extends SparkSpec {
     // later build, so warming does not weaken the assertion.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).schema)
     operators.Hierarchy.storedClosure(spark, sfDir)
+    operators.Hierarchy.storedIncrementalClosure(spark, sfDir)
     operators.Dedup.storedPairs(spark, sfDir)
     operators.Cluster.storedComponents(spark, sfDir)
     operators.Ann.storedCentroids(spark, sfDir, 16, 2)
