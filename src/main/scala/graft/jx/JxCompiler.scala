@@ -31,7 +31,9 @@ import scala.jdk.CollectionConverters._
   *    document, leaf fields dot-named); or a nested query document
   *  - where: and, or, not, eq, ne, gt, gte, lt, lte, in, missing,
   *    exists, prefix, regex; nested arithmetic add/sub/mult/div,
-  *    mod, floor; when/then/else and case conditionals; literal
+  *    mod, floor (incl. floor-to-calendar-unit on timestamps);
+  *    date/unix/date_diff/date_add scalar ops (pyLibrary
+  *    Date/Duration); when/then/else and case conditionals; literal
   *  - select: "*", "field", {name, value, aggregate} with aggregate in
   *    count, sum, average, minimum, maximum, cardinality, median,
   *    percentile, union (sorted distinct set), and value-less count
@@ -110,6 +112,10 @@ object JxCompiler {
       if (q.has("groupby")) asList(q.get("groupby")).map {
         case t if t.isTextual => fcol(t.asText())
         case o if o.isObject =>
+          // an expression-valued term with no name would emit an
+          // unnamed ("") output column — refuse loudly
+          require(o.has("name") || req(o, "value").isTextual,
+            s"jx groupby: a computed term needs an explicit name: $o")
           val c = compileExpr(req(o, "value"))
           c.as(if (o.has("name")) o.get("name").asText()
           else req(o, "value").asText())
@@ -236,20 +242,44 @@ object JxCompiler {
     * Scale note: the rank window is single-partition BY DESIGN — the
     * format's contract is "the whole result in one transport row", so
     * the result must already be aggregate-sized; the window input is
-    * the final result set, never raw facts.
+    * the final result set, never raw facts. That contract is ENFORCED,
+    * not advisory: a lazy in-plan row-count guard
+    * ([[graft.util.guardMaxRows]]) fails the job when the input
+    * exceeds `graft.jx.tableMaxRows` (default 1,000,000) — a
+    * `format:"table"` over a raw 100 TB scan dies loudly instead of
+    * hanging one task. Set the conf to 0 to opt out.
+    *
+    * Rows are ordered by a KEY-ONLY comparator (the sort rank when a
+    * `sort` clause exists, else the row's JSON text for a canonical
+    * deterministic order): sort_array over the whole row struct would
+    * fail analysis when a cell carries an unorderable type (MapType),
+    * and the payload never needs comparing — the key is unique (rank)
+    * or ties are byte-identical rows (JSON).
     */
-  private def toTable(df: DataFrame, orders: Seq[Column]): DataFrame = {
+  private def toTable(df0: DataFrame, orders: Seq[Column]): DataFrame = {
+    val maxRows =
+      df0.sparkSession.conf.get("graft.jx.tableMaxRows", "1000000").toLong
+    val df = graft.util.guardMaxRows(df0, maxRows,
+      "jx format:\"table\" collapses the whole result into one transport row; " +
+        "aggregate or limit first (or raise graft.jx.tableMaxRows)")
     val header = array(df.columns.map(lit): _*).as("header")
     val rowStruct = struct(df.columns.map(c => col(s"`$c`")): _*)
+    def packed(key: Column): Column = {
+      val byKey = (a: Column, b: Column) =>
+        when(a.getField("k") < b.getField("k"), -1)
+          .when(a.getField("k") > b.getField("k"), 1)
+          .otherwise(0)
+      transform(
+        array_sort(collect_list(struct(key.as("k"), rowStruct.as("r"))), byKey),
+        x => x.getField("r")).as("data")
+    }
     if (orders.nonEmpty)
       df.withColumn("_jxord",
           row_number().over(Window.orderBy(orders: _*)).cast("long"))
-        .select(struct(col("_jxord"), rowStruct.as("r")).as("t"))
-        .agg(sort_array(collect_list(col("t"))).as("ts"))
-        .select(header, transform(col("ts"), x => x.getField("r")).as("data"))
+        .agg(packed(col("_jxord")))
+        .select(header, col("data"))
     else
-      df.select(rowStruct.as("r"))
-        .agg(sort_array(collect_list(col("r"))).as("data"))
+      df.agg(packed(to_json(rowStruct)))
         .select(header, col("data"))
   }
 
@@ -349,12 +379,66 @@ object JxCompiler {
           val es = arg.asScala.toSeq.map(compileExpr)
           pmod(es.head, es(1))
         // {"floor": v} → floor(v); {"floor": [v, interval]} → greatest
-        // multiple of interval <= v (pyLibrary floor(value, mod))
+        // multiple of interval <= v (pyLibrary floor(value, mod)).
+        // A TEXTUAL calendar-unit second argument is pyLibrary's
+        // floor(date, Duration): {"floor": ["ts", "week"]} truncates
+        // the timestamp to its enclosing calendar bucket (date_trunc;
+        // weeks start Monday, months on the 1st — same alignment as
+        // the time domain). Unit keywords win over a column named
+        // like one (floor-to-a-column-interval stays available by
+        // wrapping the interval: {"floor": ["x", {"add": ["day", 0]}]}).
         case "floor" =>
           if (arg.isArray) {
-            val es = arg.asScala.toSeq.map(compileExpr)
-            floor(es.head / es(1)) * es(1)
+            val parts = arg.asScala.toSeq
+            if (parts.size == 2 && parts(1).isTextual &&
+                calendarUnits.contains(parts(1).asText()))
+              date_trunc(parts(1).asText(),
+                compileExpr(parts.head).cast("timestamp"))
+            else {
+              val es = parts.map(compileExpr)
+              floor(es.head / es(1)) * es(1)
+            }
           } else floor(compileExpr(arg))
+        // ---- date/time scalar expressions (pyLibrary Date/Duration
+        // ops — MoDevETL queries are bug-timestamp-centric: ages,
+        // latencies, derived date buckets). Engine-wide nanosecond
+        // policy (SURVEY §5): second-resolution ops truncate the
+        // timestamp to whole seconds, mirrored exactly by the oracle.
+        // {"date": v}: a timestamp VALUE — textual arg is a literal
+        // datetime string (pyLibrary {"date": "2024-01-15"}), numeric
+        // arg is unix seconds, an expression arg casts to timestamp.
+        case "date" =>
+          if (arg.isTextual) to_timestamp(lit(arg.asText()))
+          else if (arg.isNumber) timestamp_seconds(lit(arg.numberValue()))
+          else compileExpr(arg).cast("timestamp")
+        // {"unix": ts}: seconds since epoch, truncated to whole
+        // seconds (pyLibrary Date.unix)
+        case "unix" => tsSeconds(arg)
+        // {"date_diff": [a, b]} → a - b in whole SECONDS (pyLibrary
+        // date - date = Duration, measured in seconds);
+        // {"date_diff": [a, b, unit]} → exact double division of the
+        // second difference by the fixed-width unit (pyLibrary
+        // Duration / Duration = float) — 36 hours is 1.5 days, not 1
+        case "date_diff" =>
+          val parts = arg.asScala.toSeq
+          require(parts.size == 2 || parts.size == 3,
+            s"jx date_diff wants [a, b] or [a, b, unit], got ${parts.size} args")
+          val diff = tsSeconds(parts.head) - tsSeconds(parts(1))
+          if (parts.size == 2) diff
+          else diff.cast("double") / lit(fixedUnitSeconds(parts(2).asText()))
+        // {"date_add": [ts, amount, unit]} (unit optional, default
+        // seconds): shift a timestamp by a fixed-width duration;
+        // amount may be any numeric expression. Result is truncated
+        // to whole seconds (the §5 policy); calendar-width shifts
+        // (months) are a floor/date_trunc concern, not a duration.
+        case "date_add" =>
+          val parts = arg.asScala.toSeq
+          require(parts.size == 2 || parts.size == 3,
+            s"jx date_add wants [ts, amount] or [ts, amount, unit], got ${parts.size} args")
+          val amt = compileExpr(parts(1))
+          val secs = if (parts.size == 3)
+            amt * lit(fixedUnitSeconds(parts(2).asText())) else amt
+          timestamp_seconds(tsSeconds(parts.head) + secs)
         // {"case": [{when,then}..., default?]} — first matching clause
         case "case" =>
           val clauses = arg.asScala.toSeq
@@ -405,6 +489,34 @@ object JxCompiler {
       }
     case other => throw new IllegalArgumentException(s"jx expression not supported: $other")
   }
+
+  /** date_trunc buckets — the calendar-aligned units `floor` accepts
+    * (variable width: a month is 28–31 days, so they are truncation
+    * targets, never arithmetic durations).
+    */
+  private val calendarUnits =
+    Set("second", "minute", "hour", "day", "week", "month", "quarter", "year")
+
+  /** Fixed-width duration units for date_diff/date_add — measured in
+    * seconds, no calendar ambiguity.
+    */
+  private def fixedUnitSeconds(u: String): Long = u match {
+    case "second" => 1L
+    case "minute" => 60L
+    case "hour" => 3600L
+    case "day" => 86400L
+    case "week" => 604800L
+    case other => throw new IllegalArgumentException(
+      s"jx duration unit not supported: $other " +
+        "(want second|minute|hour|day|week; months are calendar units — use floor)")
+  }
+
+  /** Whole seconds since epoch of a timestamp-valued expression — the
+    * engine-wide nanosecond policy (SURVEY §5): truncate, then
+    * compare/diff, so both engines see identical integers.
+    */
+  private def tsSeconds(n: JsonNode): Column =
+    unix_timestamp(compileExpr(n).cast("timestamp"))
 
   /** One compiled pivot axis: the grouping expression, its name in the
     * output, the domain builder (every cell the axis must emit, given
@@ -458,7 +570,15 @@ object JxCompiler {
       .foldLeft(df)((d, f) => d.where(f))
     val keyed = edges.foldLeft(filtered)((d, e) => d.withColumn(e.name, e.expr))
     val remapped = edges.foldLeft(keyed)((d, e) => e.remap.fold(d)(f => f(d)))
-    val agged = remapped.groupBy(edges.map(e => fcol(e.name)): _*).agg(aggs.head, aggs.tail: _*)
+    val aggedRaw = remapped.groupBy(edges.map(e => fcol(e.name)): _*).agg(aggs.head, aggs.tail: _*)
+    // a remapped (limited) edge makes the aggregate a DIAMOND: it
+    // feeds both the cell derivation (distinct) and the left join
+    // below, and the distinct's own exchange defeats ReuseExchange —
+    // without a lazy persist the whole fact aggregation (and the
+    // top-N + broadcast remap join above it) would execute twice
+    val agged =
+      if (edges.exists(_.remap.isDefined)) graft.util.reused(aggedRaw)
+      else aggedRaw
     // remapped (limited) edges take their cells from the aggregate:
     // top-N values have rows by definition, null only appears when
     // null rows exist, OTHER only when overflow exists — so distinct
@@ -713,9 +833,36 @@ object JxCompiler {
     case other => throw new IllegalArgumentException(s"jx select not supported: $other")
   }
 
+  /** jx window clause → one `withColumn` over a Spark window.
+    *
+    * Partition edges accept the same shapes as groupby/edges: a bare
+    * field name, a computed `{name, value}` term (partition by a
+    * derived bucket — Spark's partitionBy takes arbitrary Columns, no
+    * pre-projection materializes), or a time-DOMAIN edge
+    * (`{name, value, domain: {type: "time", interval}}` — partition
+    * by the calendar bucket; min/max are cell concerns and ignored
+    * here: a window never drops rows).
+    */
   private def applyWindow(df: DataFrame, w: JsonNode): DataFrame = {
     val name = req(w, "name").asText()
-    val parts = if (w.has("edges")) asList(w.get("edges")).map(n => fcol(fieldName(n))) else Nil
+    val parts = if (w.has("edges")) asList(w.get("edges")).map {
+      case t if t.isTextual => fcol(t.asText())
+      case o if o.isObject && o.has("domain") =>
+        val d = o.get("domain")
+        req(d, "type").asText() match {
+          case "time" =>
+            val iv = req(d, "interval").asText()
+            require(calendarUnits.contains(iv),
+              s"jx window time-domain edge interval not supported: $iv")
+            date_trunc(iv, compileExpr(req(o, "value")).cast("timestamp"))
+          case other => throw new IllegalArgumentException(
+            s"jx window edge domain not supported: $other " +
+              "(want time; bucket with a computed {name, value} edge instead)")
+        }
+      case o if o.isObject => compileExpr(req(o, "value"))
+      case other => throw new IllegalArgumentException(
+        s"jx window edge not supported: $other")
+    } else Nil
     val sorts = if (w.has("sort")) asList(w.get("sort")).map {
       case s if s.isTextual => fcol(s.asText()).asc
       case o =>
@@ -729,14 +876,26 @@ object JxCompiler {
     require(value.nonEmpty ||
       Seq("rownum", "rank", "count").contains(aggKind),
       s"jx window aggregate '$aggKind' requires a value")
+    val isRank = Seq("rownum", "rank").contains(aggKind)
+    // row numbering has no frame: a `range` on it would be silently
+    // meaningless — reject loudly (compiler-wide contract on
+    // ambiguous input), and require a sort (an unordered row number
+    // is nondeterministic on a distributed engine)
+    require(!(isRank && w.has("range")),
+      s"jx window: range frame with aggregate '$aggKind' is meaningless — remove range")
+    require(!isRank || sorts.nonEmpty,
+      s"jx window aggregate '$aggKind' requires a sort clause")
     // jx window `range`: a rows-relative sliding frame {min, max}
     // around the current row in the clause's sort order — pyLibrary
     // ranges are HALF-OPEN (min inclusive, max exclusive, the same
     // [min, max) convention as its domains), so {"min":-2,"max":1}
     // is the trailing-3 frame ending at the current row. Without
-    // `range` every aggregate keeps its running frame (unbounded
-    // preceding → current row), the pre-r7 behavior.
-    val frame: (Long, Long) =
+    // `range`, a SORTED aggregate keeps its running frame (unbounded
+    // preceding → current row, the pre-r7 behavior); an UNSORTED one
+    // spans the whole partition (pyLibrary: an unordered window is
+    // the partition aggregate — the "share of group" shape), which is
+    // also the only deterministic reading.
+    val framed: WindowSpec =
       if (w.has("range")) {
         require(sorts.nonEmpty,
           "jx window range requires a sort clause (a sliding frame is meaningless unordered)")
@@ -744,11 +903,12 @@ object JxCompiler {
         val mn = req(r, "min").asLong()
         val mx = req(r, "max").asLong()
         require(mn < mx, s"jx window range: min must be < max ($mn >= $mx)")
-        (mn, mx - 1)
-      } else (Window.unboundedPreceding, Window.currentRow)
-    val framed = spec.rowsBetween(frame._1, frame._2)
-    val agg = aggKind match {
-      case "rownum" | "rank" => row_number()
+        spec.rowsBetween(mn, mx - 1)
+      } else if (sorts.nonEmpty)
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else spec // no sort: default frame = the whole partition
+    val column = aggKind match {
+      case "rownum" | "rank" => row_number().over(spec)
       // Sums (and averages) through DECIMAL(18,4): window frames may
       // be accumulated differently by different engines; decimal
       // addition is exact either way (engine-wide policy, SURVEY §5).
@@ -761,44 +921,58 @@ object JxCompiler {
       case "maximum" | "max" => max(value.get).over(framed)
       case other => throw new IllegalArgumentException(s"jx window aggregate not supported: $other")
     }
-    val column = aggKind match {
-      case "rownum" | "rank" => row_number().over(spec)
-      case _ => agg
-    }
     df.withColumn(name, column)
   }
 
   private def fieldName(n: JsonNode): String =
     if (n.isTextual) n.asText() else req(n, "value").asText()
 
-  /** {f1: v1, f2: v2} → cmp(f1,v1) AND cmp(f2,v2); [e1, e2] → cmp(e1,e2). */
+  /** {f1: v1, f2: v2} → cmp(f1,v1) AND cmp(f2,v2); [e1, e2] →
+    * cmp(e1,e2). An OBJECT value is a nested expression (not a
+    * literal): `{"gte": {"ts": {"date": "2024-01-08"}}}` compares the
+    * field against the compiled expression — the shape reference
+    * queries use for date-literal bounds.
+    */
   private def fieldCompares(arg: JsonNode, cmp: (Column, Column) => Column): Column =
     if (arg.isArray) {
       val es = arg.asScala.map(compileExpr).toSeq
       cmp(es.head, es(1))
     } else {
       arg.properties().asScala.map { e =>
-        cmp(fcol(e.getKey), lit(jvalue(e.getValue)))
+        cmp(fcol(e.getKey), rhs(e.getValue))
       }.reduce(_ && _)
     }
+
+  /** Comparison right-hand side: object → nested expression, scalar →
+    * literal.
+    */
+  private def rhs(n: JsonNode): Column =
+    if (n.isObject) compileExpr(n) else lit(jvalue(n))
 
   /** jx eq/ne: like [[fieldCompares]], plus pyLibrary's list sugar —
     * `{"eq": {"f": [a, b]}}` matches ANY listed value (IN), `ne`
     * matches none; an EMPTY eq-list matches nothing (and its negation
     * everything), where a bare isin would error.
+    *
+    * Missing-value semantics (pyLibrary): a missing field is NOT any
+    * value, so `ne` MATCHES missing docs — the negation goes through
+    * `!coalesce(eq, false)` rather than SQL's three-valued `NOT`,
+    * which would return NULL for null fields and silently drop
+    * exactly the rows the reference keeps. The two-expression array
+    * form uses the null-safe comparison for the same reason.
     */
   private def fieldComparesEq(arg: JsonNode, negate: Boolean): Column =
     if (arg.isArray) {
       val es = arg.asScala.map(compileExpr).toSeq
-      if (negate) es.head =!= es(1) else es.head === es(1)
+      if (negate) !(es.head <=> es(1)) else es.head === es(1)
     } else {
       arg.properties().asScala.map { e =>
         val base =
           if (e.getValue.isArray) {
             val vs = e.getValue.asScala.toSeq.map(jvalue)
             if (vs.isEmpty) lit(false) else fcol(e.getKey).isin(vs: _*)
-          } else fcol(e.getKey) === lit(jvalue(e.getValue))
-        if (negate) !base else base
+          } else fcol(e.getKey) === rhs(e.getValue)
+        if (negate) !coalesce(base, lit(false)) else base
       }.reduce(_ && _)
     }
 
@@ -841,7 +1015,19 @@ object JxCompiler {
           case "missing" | "exists" => Set(arg.asText())
           case "eq" | "ne" | "neq" | "gt" | "gte" | "lt" | "lte" =>
             if (arg.isArray) arg.asScala.flatMap(expr).toSet
-            else arg.properties().asScala.map(_.getKey).toSet
+            else arg.properties().asScala.flatMap { e =>
+              // object RHS = nested expression; scalars/lists are literals
+              Set(e.getKey) ++
+                (if (e.getValue.isObject) expr(e.getValue) else Set.empty)
+            }.toSet
+          // textual `date` arg is a literal datetime string, not a field
+          case "date" => if (arg.isObject) expr(arg) else Set.empty
+          // trailing unit keyword is grammar, not a field reference
+          case "date_diff" | "date_add" =>
+            arg.asScala.toSeq.take(2).flatMap(expr).toSet
+          case "floor" if arg.isArray && arg.size() == 2 &&
+              arg.get(1).isTextual && calendarUnits.contains(arg.get(1).asText()) =>
+            expr(arg.get(0))
           case "in" | "prefix" | "find" | "contains" | "regex" | "regexp" |
                "left" | "right" | "not_left" | "not_right" | "between" =>
             Set(firstField(arg)._1)
@@ -868,7 +1054,11 @@ object JxCompiler {
       (if (q.has("sort")) sortFields(q.get("sort")) else Set.empty[String]) ++
       (if (q.has("window")) asList(q.get("window")).flatMap { w =>
         (if (w.has("value")) expr(w.get("value")) else Set.empty[String]) ++
-          (if (w.has("edges")) asList(w.get("edges")).map(fieldName) else Nil) ++
+          (if (w.has("edges")) asList(w.get("edges")).flatMap {
+            case t if t.isTextual => Set(t.asText())
+            case o if o.isObject && o.has("value") => expr(o.get("value"))
+            case _ => Set.empty[String]
+          } else Nil) ++
           (if (w.has("sort")) sortFields(w.get("sort")) else Set.empty[String])
       } else Nil)
   }

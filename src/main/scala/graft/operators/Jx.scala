@@ -535,6 +535,94 @@ object Jx extends QueryPack {
            |FROM orders GROUP BY 1""".stripMargin),
     "jx predicate-partition set domain: ordered {name, where} bands, first-match-wins")
 
+  /** jx date/time scalar expressions — pyLibrary Date/Duration ops,
+    * the bug-timestamp arithmetic every reference query leans on:
+    * a date-literal filter bound, floor-to-calendar-week grouping,
+    * age-in-seconds and age-in-days diffs, and a fixed-width
+    * date_add shift. Engine-wide nanosecond policy (SURVEY §5):
+    * second-resolution ops truncate to whole seconds on BOTH sides
+    * (unix_timestamp ↔ floor(epoch(ts))), so the ns-precision
+    * `events.ts` hashes identically; day-granular date_trunc is
+    * unaffected by sub-second precision.
+    */
+  val q99Json: String =
+    """{
+      |  "from": "events",
+      |  "where": {"gte": {"ts": {"date": "2024-01-08 00:00:00"}}},
+      |  "groupby": [{"name": "wk", "value": {"floor": ["ts", "week"]}}],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "max_age_s",
+      |     "value": {"date_diff": [{"date": "2024-03-01 00:00:00"}, "ts"]},
+      |     "aggregate": "maximum"},
+      |    {"name": "avg_age_d",
+      |     "value": {"date_diff": [{"date": "2024-03-01 00:00:00"}, "ts", "day"]},
+      |     "aggregate": "average"},
+      |    {"name": "last_plus_wk",
+      |     "value": {"date_add": ["ts", 1, "week"]},
+      |     "aggregate": "maximum"}
+      |  ]
+      |}""".stripMargin
+
+  val q99 = Q(
+    "q99_jx_date_exprs",
+    (s, d) => JxCompiler.query(s, d, q99Json),
+    Some("""SELECT date_trunc('week', ts) AS wk,
+           |  COUNT(*) AS n,
+           |  MAX(CAST(floor(epoch(TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT)
+           |      - CAST(floor(epoch(ts)) AS BIGINT)) AS max_age_s,
+           |  CAST(SUM(CAST(
+           |      (CAST(floor(epoch(TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT)
+           |       - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0
+           |      AS DECIMAL(18,4))) AS DOUBLE) / COUNT(ts) AS avg_age_d,
+           |  MAX(make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) + 604800)
+           |      * 1000000)) AS last_plus_wk
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           |GROUP BY 1""".stripMargin),
+    "jx date/time scalar exprs: date literal bound, floor-to-week, date_diff ages, date_add")
+
+  /** jx window over a time-DOMAIN edge — the dashboard shape pyLibrary
+    * serves: per-row analytics against the row's calendar bucket.
+    * `day_total` is an UNSORTED window (whole-partition sum — each
+    * event's share denominator for its (day, type) cell); `day_seq`
+    * ranks within the bucket by the unique event_id (ts carries
+    * nanoseconds the two engines truncate differently, so it is a
+    * display column here, never a sort key — q94 lesson).
+    */
+  val q100Json: String =
+    """{
+      |  "from": "events",
+      |  "where": {"in": {"event_type": ["click", "view", "purchase"]}},
+      |  "window": [
+      |    {"name": "day_total", "value": "value", "aggregate": "sum",
+      |     "edges": [{"name": "day", "value": "ts",
+      |                "domain": {"type": "time", "interval": "day"}},
+      |               "event_type"]},
+      |    {"name": "day_seq", "aggregate": "rownum",
+      |     "edges": [{"name": "day", "value": "ts",
+      |                "domain": {"type": "time", "interval": "day"}},
+      |               "event_type"],
+      |     "sort": ["event_id"]}
+      |  ],
+      |  "select": ["event_id", "event_type", "value", "day_total", "day_seq"]
+      |}""".stripMargin
+
+  val q100 = Q(
+    "q100_jx_window_domain",
+    (s, d) => JxCompiler.query(s, d, q100Json),
+    Some("""SELECT event_id, event_type, value,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+           |    OVER (PARTITION BY date_trunc('day', ts), event_type)
+           |    AS DOUBLE) AS day_total,
+           |  CAST(ROW_NUMBER()
+           |    OVER (PARTITION BY date_trunc('day', ts), event_type
+           |          ORDER BY event_id) AS INT) AS day_seq
+           |FROM events
+           |WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin),
+    "jx window partitioned by a time-domain edge: whole-bucket sum + in-bucket rank")
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97)
+    Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97,
+      q99, q100)
 }

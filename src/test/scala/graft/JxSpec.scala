@@ -788,4 +788,188 @@ class JxSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     got shouldBe Map("a" -> 2L, "OTHER" -> 2L)
   }
+
+  // --- date/time scalar expressions (pyLibrary Date/Duration ops) ---
+
+  private def tsDf = {
+    import java.sql.Timestamp
+    Seq(
+      (1L, Some(Timestamp.valueOf("2024-01-15 12:00:00"))),
+      (2L, Some(Timestamp.valueOf("2024-01-16 00:00:00"))),
+      (3L, Option.empty[Timestamp])
+    ).toDF("id", "t")
+  }
+
+  test("date_diff: seconds by default, exact double division with a unit") {
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"x",
+          "select":["id",
+            {"name":"age_s","value":{"date_diff":[{"date":"2024-01-17 00:00:00"},"t"]}},
+            {"name":"age_d","value":{"date_diff":[{"date":"2024-01-17 00:00:00"},"t","day"]}}]}""",
+      Map("x" -> tsDf))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    got(1L) shouldBe (Some(129600L), Some(1.5)) // 36 hours = 1.5 days, not 1
+    got(2L) shouldBe (Some(86400L), Some(1.0))
+    got(3L) shouldBe (None, None) // null timestamp propagates, never 0
+  }
+
+  test("date_add shifts by fixed-width units; floor truncates to calendar buckets") {
+    import java.sql.Timestamp
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"x",
+          "select":["id",
+            {"name":"plus2h","value":{"date_add":["t",2,"hour"]}},
+            {"name":"wk","value":{"floor":["t","week"]}},
+            {"name":"mo","value":{"floor":["t","month"]}}]}""",
+      Map("x" -> tsDf))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    got(1L) shouldBe (Some(Timestamp.valueOf("2024-01-15 14:00:00")),
+      Some(Timestamp.valueOf("2024-01-15 00:00:00")), // Jan 15 2024 IS a Monday
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    got(2L)._2 shouldBe Some(Timestamp.valueOf("2024-01-15 00:00:00"))
+    got(3L) shouldBe (None, None, None) // nulls propagate through every op
+  }
+
+  test("unix + numeric date round-trip; date-literal bounds in comparisons") {
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"x",
+          "where":{"gte":{"t":{"date":"2024-01-16 00:00:00"}}},
+          "select":["id",{"name":"u","value":{"unix":"t"}},
+            {"name":"rt","value":{"date":{"unix":"t"}}}]}""",
+      Map("x" -> tsDf)).collect()
+    got.map(_.getLong(0)).toSeq shouldBe Seq(2L) // null t never matches a bound
+    // TZ-independent oracle for the unix value: Spark's own parse of
+    // the same instant text under the session timezone
+    val want = tsDf.sparkSession.range(1)
+      .select(unix_timestamp(lit("2024-01-16 00:00:00"))).head().getLong(0)
+    got(0).getLong(1) shouldBe want
+    // unix → date round-trips to the same (second-resolution) instant
+    got(0).getTimestamp(2) shouldBe java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+  }
+
+  test("jx duration units are fixed-width only: month is rejected with guidance") {
+    val e = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"x","select":[{"name":"d","value":{"date_diff":["t","t","month"]}}]}""",
+        Map("x" -> tsDf))
+    }
+    e.getMessage should include("floor")
+  }
+
+  // --- ne missing-value semantics (pyLibrary: missing is NOT any value) ---
+
+  test("ne matches missing docs: scalar, list, and expression-pair forms") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("f")
+    def n(json: String): Long =
+      JxCompiler.queryOn(spark, sfDir, json, Map("t" -> df)).count()
+    // scalar: b and null both differ from "a"
+    n("""{"from":"t","where":{"ne":{"f":"a"}},"select":["f"]}""") shouldBe 2L
+    // list sugar: only null survives ne-[a,b] ... plus nothing else
+    n("""{"from":"t","where":{"ne":{"f":["a","b"]}},"select":["f"]}""") shouldBe 1L
+    // empty list: everything survives (consistent with the above)
+    n("""{"from":"t","where":{"ne":{"f":[]}},"select":["f"]}""") shouldBe 3L
+    // expression-pair form is null-safe the same way
+    n("""{"from":"t","where":{"ne":["f",{"literal":"a"}]},"select":["f"]}""") shouldBe 2L
+  }
+
+  // --- window hardening ---
+
+  test("window partitioned by a computed edge and by a time-domain edge") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-15 01:00:00"), 10.0),
+      (2L, Timestamp.valueOf("2024-01-15 23:00:00"), 20.0),
+      (3L, Timestamp.valueOf("2024-01-16 05:00:00"), 40.0)
+    ).toDF("id", "t", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"x",
+          "window":[
+            {"name":"day_sum","value":"v","aggregate":"sum",
+             "edges":[{"name":"day","value":"t",
+                       "domain":{"type":"time","interval":"day"}}]},
+            {"name":"bucket_n","aggregate":"count",
+             "edges":[{"name":"b","value":{"floor":{"div":["v",15]}}}]}],
+          "select":["id","day_sum","bucket_n"]}""",
+      Map("x" -> df))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // day partitions: {10,20} on the 15th, {40} on the 16th
+    // floor(v/15) buckets: 10->0, 20->1, 40->2
+    got shouldBe Map(1L -> (30.0, 1L), 2L -> (30.0, 1L), 3L -> (40.0, 1L))
+  }
+
+  test("unsorted window aggregate spans the whole partition (share-of-group shape)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "window":[{"name":"tot","value":"v","aggregate":"sum","edges":["g"]}],
+          "select":["g","v","tot"]}""",
+      Map("t" -> df))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    got shouldBe Map(("a", 1.0) -> 4.0, ("a", 3.0) -> 4.0, ("b", 5.0) -> 5.0)
+  }
+
+  test("range on a rownum/rank window is rejected loudly, not silently ignored") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"t",
+            "window":[{"name":"rk","aggregate":"rownum","sort":["id"],
+                       "range":{"min":-1,"max":1}}],
+            "select":["id","rk"]}""",
+        Map("t" -> df))
+    }
+    e.getMessage should include("meaningless")
+    // and rownum without any sort is nondeterministic — also rejected
+    val e2 = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"t","window":[{"name":"rk","aggregate":"rownum"}],
+            "select":["id","rk"]}""",
+        Map("t" -> df))
+    }
+    e2.getMessage should include("sort")
+  }
+
+  // --- toTable contract enforcement + unorderable cells ---
+
+  test("format table: aggregate-sized contract is enforced, not advisory") {
+    spark.conf.set("graft.jx.tableMaxRows", "3")
+    try {
+      val e = intercept[Exception] {
+        run("""{"from":"lineitem","select":["l_orderkey"],"format":"table"}""")
+          .collect()
+      }
+      // the guard message may sit anywhere in the failure cause chain
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      chain should include("tableMaxRows")
+      // within bounds the same query shape still delivers
+      run("""{"from":"lineitem","select":["l_orderkey"],"limit":3,"format":"table"}""")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](1).size shouldBe 3
+    } finally spark.conf.unset("graft.jx.tableMaxRows")
+  }
+
+  test("format table: unorderable cells (maps) survive the canonical sort") {
+    val df = Seq(("b", Map("k" -> 2)), ("a", Map("k" -> 1))).toDF("g", "m")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","select":["g","m"],"format":"table"}""", Map("t" -> df))
+      .collect()
+    got.length shouldBe 1
+    // canonical (unsorted-query) order is by row JSON: "a" first
+    val rows = got(0).getSeq[org.apache.spark.sql.Row](1)
+    rows.map(_.getString(0)) shouldBe Seq("a", "b")
+    rows.map(_.getMap[String, Int](1)("k")) shouldBe Seq(1, 2)
+  }
+
+  test("unnamed computed groupby terms are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"lineitem",
+        "groupby":[{"value":{"floor":{"div":["l_quantity",10]}}}],
+        "select":[{"name":"n","aggregate":"count"}]}""")
+    }
+    e.getMessage should include("name")
+  }
 }
