@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Lifecycle for the session-scoped STORED artifacts the library
+  * memoizes — the in-process analogue of tables a production pipeline
+  * stores rather than recomputes per query (the reference's
+  * hierarchy.py patches a stored closure index; an ANN deployment
+  * trains its quantizer once):
+  *
+  *  - [[Tables]].load            — loaded (and events-normalized) parquet frames
+  *  - [[operators.Hierarchy]]    — stored transitive closure (+ the
+  *                                 incremental-closure gate artifact)
+  *  - [[operators.Dedup]]        — the exact-Jaccard stored pair list
+  *  - [[operators.Cluster]]      — its connected-component clustering
+  *  - [[operators.Ann]]          — trained IVF centroids / PQ codebooks /
+  *                                 PCA projection
+  *  - [[util.reused]]            — lazy-persist diamond frames
+  *
+  * Memory contract: each memo holds its (session, dir)-keyed
+  * DataFrames via `localCheckpoint` (blocks pinned in the session's
+  * block manager) or `persist(MEMORY_AND_DISK)` for the process
+  * lifetime — right for the gate/bench harness, UNBOUNDED for a
+  * long-lived service touching many dirs or spawning many sessions.
+  * Such callers call [[clear]] when done with a session (or dataset
+  * generation): persisted frames are unpersisted immediately;
+  * localCheckpointed blocks are released by Spark's ContextCleaner
+  * once the dropped references are garbage-collected. A cleared
+  * artifact is rebuilt on next touch — clear is an eviction, never a
+  * correctness event.
+  */
+object StoredArtifacts {
+
+  /** Evict every stored artifact belonging to `s`. Returns the number
+    * of evicted entries (memo values + still-live reused frames).
+    */
+  def clear(s: SparkSession): Int =
+    Tables.clearStored(s) +
+      operators.Hierarchy.clearStored(s) +
+      operators.Dedup.clearStored(s) +
+      operators.Cluster.clearStored(s) +
+      operators.Ann.clearStored(s) +
+      util.clearReused(s)
+}

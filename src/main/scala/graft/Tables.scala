@@ -34,6 +34,9 @@ object Tables {
       if (name == "events") normalizeEvents(df) else df
     })
 
+  private[graft] def clearStored(s: SparkSession): Int =
+    graft.util.evictSession(loaded, s)
+
   /** events.ts is nanosecond parquet. Depending on the session conf Spark
     * reads it either as TimestampType (micros, truncated) or — with
     * spark.sql.legacy.parquet.nanosAsLong — as LongType nanos. Normalize

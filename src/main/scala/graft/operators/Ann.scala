@@ -708,6 +708,10 @@ object Ann extends QueryPack {
   def storedPcaProjection(s: SparkSession, d: String, k: Int): DataFrame =
     pcaMemo.computeIfAbsent((s, d, k), _ => pcaProject(emb(s, d), k).localCheckpoint())
 
+  private[graft] def clearStored(s: SparkSession): Int =
+    graft.util.evictSession(centsMemo, s) + graft.util.evictSession(cbsMemo, s) +
+      graft.util.evictSession(pcaMemo, s)
+
   val q92 = Q(
     "q92_pca_project",
     // The library call returns the raw array<double> projection; the

@@ -157,6 +157,9 @@ object Cluster extends QueryPack {
       connectedComponents(Dedup.storedPairs(s, d).select(col("d1"), col("d2")))
         .localCheckpoint())
 
+  private[graft] def clearStored(s: SparkSession): Int =
+    graft.util.evictSession(compsMemo, s)
+
   def keepers(components: DataFrame, docs: DataFrame): DataFrame = {
     components
       .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")

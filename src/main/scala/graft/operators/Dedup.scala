@@ -181,6 +181,9 @@ object Dedup extends QueryPack {
     pairsMemo.computeIfAbsent((s, d),
       _ => jaccardPairs(docs(s, d), 0.5, assertCutInert = true).localCheckpoint())
 
+  private[graft] def clearStored(s: SparkSession): Int =
+    graft.util.evictSession(pairsMemo, s)
+
   val q31 = Q(
     "q31_dedup_jaccard",
     // assertCutInert (inside storedPairs): the gate run itself

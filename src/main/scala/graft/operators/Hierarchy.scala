@@ -55,6 +55,9 @@ object Hierarchy extends QueryPack {
   def storedClosure(s: SparkSession, d: String): DataFrame =
     closureMemo.computeIfAbsent((s, d), _ => closure(edges(s, d)).localCheckpoint())
 
+  private[graft] def clearStored(s: SparkSession): Int =
+    graft.util.evictSession(closureMemo, s) + graft.util.evictSession(incrMemo, s)
+
   /** Transitive closure of a (child, parent) edge set: one row per
     * reachable (ancestor, descendant) pair with the SHORTEST path
     * length as `depth`.
