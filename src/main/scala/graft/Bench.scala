@@ -57,6 +57,31 @@ object Bench {
         .groupBy(col("r_name")).count()
         .write.format("noop").mode("overwrite").save()
     }
+    // Stored-artifact builds, timed EXPLICITLY as labeled rows: the
+    // memos (closure, pair list, components, ANN models) are one-time
+    // builds a deployment pays at ETL time, not per query — min-of-N
+    // excludes them from per-query timings BY DESIGN (BASELINE.md r7
+    // accounting note), so surface their cost here instead of leaving
+    // it implicit in first-touch spreads. Hyperparameters match the
+    // gate queries' calls (q43/q81/q85/q92). Skipped under the
+    // SPARK_GRAFT_ONLY dev filter (a partial run may not touch them;
+    // first touch pays as before).
+    val builds = mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty) {
+      def build(label: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime()
+        f
+        builds(s"_build:$label") = (System.nanoTime() - t0) / 1e9
+      }
+      build("closure") { operators.Hierarchy.storedClosure(spark, sfDir) }
+      build("incr_closure") { operators.Hierarchy.storedIncrementalClosure(spark, sfDir) }
+      build("pairs") { operators.Dedup.storedPairs(spark, sfDir) }
+      build("components") { operators.Cluster.storedComponents(spark, sfDir) }
+      build("ivf_centroids") { operators.Ann.storedCentroids(spark, sfDir, 16, 2) }
+      build("cluster_centroids") { operators.Ann.storedCentroids(spark, sfDir, 8, 3) }
+      build("pq_codebooks") { operators.Ann.storedCodebooks(spark, sfDir, 8, 16, 2) }
+      build("pca") { operators.Ann.storedPcaProjection(spark, sfDir, 8) }
+    }
     val spreads = mutable.LinkedHashMap.empty[String, (Double, Double)]
     selected.foreach { case (name, fn) =>
       try {
@@ -79,7 +104,12 @@ object Bench {
     val sp = spreads.map { case (k, (lo, hi)) => s"${jstr(k)}:[$lo,$hi]" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"n_err":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+    // builds are reported SEPARATELY from the query composite —
+    // "value" stays round-over-round comparable (dashboard latency
+    // never includes nightly ETL cost)
+    val bld = builds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val bldTotal = builds.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"builds":$bld,"build_total":$bldTotal,"n_err":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
