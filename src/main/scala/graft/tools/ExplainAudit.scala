@@ -3,27 +3,106 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Plan auditor: prints the formatted physical plan of selected
-  * queries (or all) so scan pruning (ReadSchema), parquet pushdown
+/** Plan auditor over the gate queries.
+  *
+  * Print mode (default): formatted physical plans of selected queries
+  * (or all) so scan pruning (ReadSchema), parquet pushdown
   * (PushedFilters), join strategies and WholeStageCodegen spans can be
   * inspected. Usage: runMain graft.tools.ExplainAudit [names...]
+  *
+  * Check mode (`--check`, wired into tools/precommit.sh --test): the
+  * plan-shape REGRESSION GATE — asserts the invariants the engine's
+  * scale story rests on and exits 1 on any violation, so a commit
+  * that silently drops a broadcast hint, loses parquet pushdown /
+  * pruning, or introduces a cartesian product fails the hook, not the
+  * next bench. Invariants are deliberately coarse (strategy names,
+  * not full plan text): they must survive Spark version drift and
+  * incidental plan changes while still catching the failure classes
+  * that kill a 100 TB run.
   */
 object ExplainAudit {
+
+  final case class Violation(query: String, rule: String) {
+    override def toString = s"$query: $rule"
+  }
+
+  /** Pure check of one query's formatted plan text — unit-testable
+    * without running a session (ExplainAuditSpec seeds regressions).
+    */
+  def violations(name: String, plan: String): Seq[Violation] = {
+    val v = Seq.newBuilder[Violation]
+    // global: a cartesian product is never the intended shape — every
+    // legitimate tiny cross join in the engine broadcasts one side
+    // (BroadcastNestedLoopJoin), a CartesianProductExec means a
+    // broadcast was lost
+    if (plan.contains("CartesianProduct"))
+      v += Violation(name, "CartesianProduct in plan (lost broadcast?)")
+    name match {
+      case "q01_filter_project" =>
+        // parquet pushdown: the scan must carry at least one pushed
+        // filter (the conjunctive comparisons are all pushable)
+        if (!raw"PushedFilters: \[[^\]]".r.findFirstIn(plan).isDefined)
+          v += Violation(name, "no PushedFilters on the parquet scan")
+        // column pruning: l_shipdate is not referenced by the query —
+        // its appearance means the scan reads unprojected columns
+        if (plan.contains("l_shipdate"))
+          v += Violation(name, "column pruning lost (l_shipdate in scan)")
+      case "q02_agg_group" =>
+        // partial aggregation: map-side combine before the exchange
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
+      case "q03_join_broadcast" | "q05_multijoin" =>
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "broadcast dim join degraded (no BroadcastHashJoin)")
+      case "q04_join_shuffle" =>
+        // fact⨝fact must stay an EQUI join (at audit scale AQE may
+        // legitimately broadcast the small side, so any of BHJ/SMJ/SHJ
+        // passes); degrading to a nested loop is the regression
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "equi-join lost (nested loop or worse)")
+      case _ => ()
+    }
+    v.result()
+  }
+
   def main(args: Array[String]): Unit = {
+    val check = args.contains("--check")
+    val names = args.filterNot(_ == "--check")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.util.configure(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val wanted = if (names.nonEmpty) names.toSet else SparkEntry.queries.keySet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted.contains(q._1))
-      .foreach { case (name, fn) =>
+    if (check) {
+      var bad = Seq.empty[Violation]
+      var errs = 0
+      selected.foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+          bad ++= violations(name, plan)
+        } catch {
+          case e: Throwable =>
+            errs += 1
+            println(s"AUDIT ERROR $name: ${e.getMessage}")
+        }
+      }
+      bad.foreach(x => println(s"AUDIT FAIL $x"))
+      println(s"== plan audit: ${selected.size} plans, ${bad.size} violations, $errs errors ==")
+      spark.stop()
+      if (bad.nonEmpty || errs > 0) sys.exit(1)
+    } else {
+      selected.foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
         try fn(spark, sfDir).explain("formatted")
         catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
       }
-    spark.stop()
+      spark.stop()
+    }
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.tools.ExplainAudit
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** The plan-shape regression gate's detector, fed REAL Spark plans:
+  * healthy gate plans produce zero violations, and seeded regressions
+  * (a dropped broadcast hint, a true cartesian) are caught. The
+  * precommit --test hook runs the same checks via
+  * `runMain graft.tools.ExplainAudit --check`.
+  */
+class ExplainAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("healthy gate plans carry zero violations") {
+    for (name <- Seq("q01_filter_project", "q02_agg_group",
+        "q03_join_broadcast", "q04_join_shuffle", "q05_multijoin")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      ExplainAudit.violations(name, plan(df)) shouldBe empty
+    }
+  }
+
+  test("seeded regression: dropped broadcast hint on the dim join is caught") {
+    // q03's shape WITHOUT the broadcast hint, under a threshold that
+    // forbids auto-broadcast — the exact regression the hook guards
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val degraded = Tables.lineitem(spark, sfDir)
+        .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val vs = ExplainAudit.violations("q03_join_broadcast", plan(degraded))
+      vs.map(_.rule).exists(_.contains("BroadcastHashJoin")) shouldBe true
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("seeded regression: a non-broadcast cross join is flagged as cartesian") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = Tables.nation(spark, sfDir).crossJoin(Tables.region(spark, sfDir))
+      val vs = ExplainAudit.violations("any_query", plan(cart))
+      vs.map(_.rule).exists(_.contains("CartesianProduct")) shouldBe true
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("seeded regression: lost column pruning / pushdown on q01's scan is caught") {
+    // a scan that reads every column and pushes nothing — the shape
+    // q01 would take if the projection/filter stopped reaching parquet
+    val unpruned = Tables.lineitem(spark, sfDir)
+    val vs = ExplainAudit.violations("q01_filter_project", plan(unpruned))
+    vs.map(_.rule).exists(_.contains("PushedFilters")) shouldBe true
+    vs.map(_.rule).exists(_.contains("pruning")) shouldBe true
+  }
+}

@@ -25,4 +25,12 @@ if [[ "${1:-}" == "--test" ]]; then
     exit 1
   }
   echo "tests green"
+  # Plan-shape regression gate: broadcast/pushdown/pruning/no-cartesian
+  # invariants over every gate query (graft.tools.ExplainAudit --check)
+  sbt -batch "runMain graft.tools.ExplainAudit --check" >/tmp/precommit-audit.log 2>&1 || {
+    echo "PLAN AUDIT FAILED — refusing to commit. Violations:" >&2
+    grep -E "AUDIT (FAIL|ERROR)|== plan audit" /tmp/precommit-audit.log >&2
+    exit 1
+  }
+  grep "== plan audit" /tmp/precommit-audit.log
 fi
