@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** [[DocumentStore]] over an HTTP document API — the seam carrying a
+  * NETWORK store (the reference fronts Elasticsearch; this is that
+  * protocol shape reduced to what the pipeline contract needs).
+  *
+  * Protocol (NDJSON bodies throughout):
+  *  - `GET  {base}/scan?slice=i&slices=n[&cursor=c]` → one page of
+  *    documents, `X-Next-Cursor` header present while more pages
+  *    remain — ES's sliced scroll. Every executor slice walks its own
+  *    cursor chain INDEPENDENTLY, so the scan is distributed: the
+  *    driver never sees a document, and a 1000-executor cluster reads
+  *    1000 slices in parallel.
+  *  - `POST {base}/bulk` — keyed bulk upsert, LATEST VERSION WINS per
+  *    key on the server (ES external versioning); idempotent under
+  *    redelivery, so at-least-once transports above the seam are
+  *    safe. Pushed from `foreachPartition` in `batchSize` chunks —
+  *    executor-side, never collected.
+  *  - `POST {base}/sync/begin` → epoch token; bulk pushes carry
+  *    `X-Sync-Epoch`; `POST {base}/sync/commit` (epoch body) deletes
+  *    every stored key the epoch never touched — the reference's full
+  *    reindex (index-swap semantics without the alias machinery).
+  *  - `GET  {base}/exists` → "true" | "false".
+  *
+  * `schema` is explicit: inferring it would force a driver-side read
+  * of the first page, and a store's schema is configuration, not
+  * data. Scan pages parse through Spark's JSON reader, so malformed
+  * rows surface per-record (columnNameOfCorruptRecord), not as a
+  * failed fetch.
+  */
+final case class HttpDocumentStore(base: String, schema: StructType,
+    slices: Int = 8, batchSize: Int = 500) extends DocumentStore {
+  import HttpDocumentStore._
+
+  override def scan(spark: SparkSession): DataFrame = {
+    val (b, n) = (base, slices)
+    val lines = spark.createDataset(
+      spark.sparkContext.parallelize(0 until n, n)
+        .flatMap(slice => slicePages(b, slice, n)))(Encoders.STRING)
+    spark.read.schema(schema).json(lines)
+  }
+
+  override def push(updates: DataFrame): Unit = {
+    val (b, bs) = (base, batchSize)
+    updates.toJSON.foreachPartition { it: Iterator[String] =>
+      it.grouped(bs).foreach(chunk =>
+        request("POST", s"$b/bulk", chunk.mkString("\n"), Map.empty))
+    }
+  }
+
+  override def sync(snapshot: DataFrame): Unit = {
+    val epoch = request("POST", s"$base/sync/begin", "", Map.empty)
+    val (b, bs) = (base, batchSize)
+    snapshot.toJSON.foreachPartition { it: Iterator[String] =>
+      it.grouped(bs).foreach(chunk =>
+        request("POST", s"$b/bulk", chunk.mkString("\n"),
+          Map("X-Sync-Epoch" -> epoch)))
+    }
+    request("POST", s"$base/sync/commit", epoch, Map.empty)
+  }
+
+  override def exists(spark: SparkSession): Boolean =
+    request("GET", s"$base/exists", "", Map.empty) == "true"
+}
+
+object HttpDocumentStore {
+
+  /** Lazy page walk of one scan slice — executor-side; each `next`
+    * fetches at most one page, so a downstream `limit` stops early.
+    */
+  private[sources] def slicePages(base: String, slice: Int,
+      slices: Int): Iterator[String] =
+    // state: Some(None) = first page, Some(Some(c)) = follow cursor c,
+    // None = cursor chain exhausted
+    Iterator.unfold(Some(None): Option[Option[String]]) {
+      case None => None
+      case Some(cursor) =>
+        val (body, next) = fetchPage(base, slice, slices, cursor)
+        val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+        Some((lines, next.map(c => Some(c))))
+    }.flatten
+
+  private def fetchPage(base: String, slice: Int, slices: Int,
+      cursor: Option[String]): (String, Option[String]) = {
+    val url = s"$base/scan?slice=$slice&slices=$slices" +
+      cursor.fold("")(c => s"&cursor=$c")
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      require(code == 200, s"scan $url -> HTTP $code")
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      (body, Option(conn.getHeaderField("X-Next-Cursor")).filter(_.nonEmpty))
+    } finally conn.disconnect()
+  }
+
+  /** One HTTP exchange, failing loudly on any non-200 — a partial
+    * bulk push must kill the task (Spark retries it), never drop
+    * documents silently.
+    */
+  private[sources] def request(method: String, url: String, body: String,
+      headers: Map[String, String]): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (method == "POST") {
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val code = conn.getResponseCode
+      require(code == 200, s"$method $url -> HTTP $code")
+      new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally conn.disconnect()
+  }
+}
