@@ -179,7 +179,15 @@ object Dedup extends QueryPack {
 
   def storedPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.computeIfAbsent((s, d),
-      _ => jaccardPairs(docs(s, d), 0.5, assertCutInert = true).localCheckpoint())
+      // maxShingleDf = 512: the gate corpora's oracle-equivalence
+      // bound. sf0.001–0.1 max shingle df ≈ 25; the sf1 pass (10×
+      // near-identical copies, BASELINE r8) pushes it to 250 — the
+      // r7 cut of 128 tripped the cut-inert assert there, exactly as
+      // documented. 512 keeps the cut provably inert across the gate
+      // family while still bounding per-shingle candidate volume;
+      // the assert continues to fail loudly past it.
+      _ => jaccardPairs(docs(s, d), 0.5, maxShingleDf = 512,
+        assertCutInert = true).localCheckpoint())
 
   private[graft] def clearStored(s: SparkSession): Int =
     graft.util.evictSession(pairsMemo, s)
