@@ -99,10 +99,7 @@ object JxCompiler {
 
     if (q.has("where")) df = df.where(compileExpr(q.get("where")))
 
-    if (q.has("window")) df = q.get("window") match {
-      case arr if arr.isArray => arr.asScala.foldLeft(df)(applyWindow)
-      case one => applyWindow(df, one)
-    }
+    if (q.has("window")) df = applyWindows(df, asList(q.get("window")))
 
     // groupby accepts bare field names or {name, value} expression
     // objects (pyLibrary groups on computed domains — a floor'd bucket,
@@ -833,36 +830,64 @@ object JxCompiler {
     case other => throw new IllegalArgumentException(s"jx select not supported: $other")
   }
 
-  /** jx window clause → one `withColumn` over a Spark window.
+  /** The window clause list → chained `withColumn`s over Spark
+    * windows.
     *
     * Partition edges accept the same shapes as groupby/edges: a bare
     * field name, a computed `{name, value}` term (partition by a
-    * derived bucket — Spark's partitionBy takes arbitrary Columns, no
-    * pre-projection materializes), or a time-DOMAIN edge
-    * (`{name, value, domain: {type: "time", interval}}` — partition
-    * by the calendar bucket; min/max are cell concerns and ignored
-    * here: a window never drops rows).
+    * derived bucket), or a time-DOMAIN edge (`{name, value, domain:
+    * {type: "time", interval}}` — partition by the calendar bucket;
+    * min/max are cell concerns and ignored here: a window never
+    * drops rows).
+    *
+    * Computed edges are pre-projected ONCE under a name canonical in
+    * the edge's JSON text, then every window partitions by that
+    * ATTRIBUTE: passing the expression to each `partitionBy` directly
+    * plans one exchange PER WINDOW (Spark aliases the expression as a
+    * fresh `_wN` projection each time, so semantically identical
+    * partitionings never canonicalize equal), where same-keyed
+    * windows should share one shuffle plus a sort. The helper columns
+    * are dropped after the last window.
     */
-  private def applyWindow(df: DataFrame, w: JsonNode): DataFrame = {
-    val name = req(w, "name").asText()
-    val parts = if (w.has("edges")) asList(w.get("edges")).map {
+  private def applyWindows(df: DataFrame, ws: Seq[JsonNode]): DataFrame = {
+    val computed = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    def partCol(n: JsonNode): Column = n match {
       case t if t.isTextual => fcol(t.asText())
-      case o if o.isObject && o.has("domain") =>
-        val d = o.get("domain")
-        req(d, "type").asText() match {
-          case "time" =>
-            val iv = req(d, "interval").asText()
-            require(calendarUnits.contains(iv),
-              s"jx window time-domain edge interval not supported: $iv")
-            date_trunc(iv, compileExpr(req(o, "value")).cast("timestamp"))
-          case other => throw new IllegalArgumentException(
-            s"jx window edge domain not supported: $other " +
-              "(want time; bucket with a computed {name, value} edge instead)")
-        }
-      case o if o.isObject => compileExpr(req(o, "value"))
+      case o if o.isObject =>
+        val expr =
+          if (o.has("domain")) {
+            val d = o.get("domain")
+            req(d, "type").asText() match {
+              case "time" =>
+                val iv = req(d, "interval").asText()
+                require(calendarUnits.contains(iv),
+                  s"jx window time-domain edge interval not supported: $iv")
+                date_trunc(iv, compileExpr(req(o, "value")).cast("timestamp"))
+              case other => throw new IllegalArgumentException(
+                s"jx window edge domain not supported: $other " +
+                  "(want time; bucket with a computed {name, value} edge instead)")
+            }
+          } else compileExpr(req(o, "value"))
+        val key = "__jxw" + java.lang.Integer.toHexString(o.toString.hashCode)
+        computed.getOrElseUpdate(key, expr)
+        col(key)
       case other => throw new IllegalArgumentException(
         s"jx window edge not supported: $other")
-    } else Nil
+    }
+    val partsPerW = ws.map(w =>
+      if (w.has("edges")) asList(w.get("edges")).map(partCol) else Nil)
+    val keyed = computed.foldLeft(df) { case (d, (k, c)) => d.withColumn(k, c) }
+    val out = ws.lazyZip(partsPerW).foldLeft(keyed) {
+      case (d, (w, parts)) => applyWindow(d, w, parts)
+    }
+    if (computed.isEmpty) out else out.drop(computed.keys.toSeq: _*)
+  }
+
+  /** One jx window clause (partition columns precomputed by
+    * [[applyWindows]]) → one `withColumn`.
+    */
+  private def applyWindow(df: DataFrame, w: JsonNode, parts: Seq[Column]): DataFrame = {
+    val name = req(w, "name").asText()
     val sorts = if (w.has("sort")) asList(w.get("sort")).map {
       case s if s.isTextual => fcol(s.asText()).asc
       case o =>

@@ -33,8 +33,16 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
+    # Local escape hatch (driver never sets it): GRAFT_CHECK_SKIP=q52,...
+    # skips queries whose ORACLE is infeasible at a given sf (e.g. the
+    # uncut pair-graph CTEs at sf1 in single-node DuckDB) — skipped
+    # queries are reported, never silently counted as pass.
+    skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out}/*")
                     if os.path.isdir(p)])
+    for name in sorted(skip & set(names)):
+        print(f"SKIP {name}: oracle skipped via GRAFT_CHECK_SKIP")
+    names = [n for n in names if n not in skip]
     n_pass = n_fail = 0
     for name in names:
         files = glob.glob(f"{out}/{name}/*.parquet")
