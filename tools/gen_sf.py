@@ -11,7 +11,9 @@ the dimension tables fixed — correctness comparisons stay valid
 because Spark and the DuckDB oracle read the SAME files, whatever
 their distribution.
 
-Per-copy transforms (copy r, shift = r * 10_000_000):
+Per-copy transforms (copy r, shift = r * 100_000_000 — wide enough
+that q88's planted re-ingest offset (+10_000_000) stays INSIDE its
+copy's key range instead of colliding with the next copy's real ids):
   orders     o_orderkey += shift            (o_custkey fixed: dims unscaled)
   lineitem   l_orderkey += shift            (part/supp refs fixed)
   events     event_id   += shift            (ts/user_id unchanged: denser stream)
@@ -29,7 +31,7 @@ import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
 DIMS = ["region", "nation", "customer", "supplier", "part"]
-SHIFT = 10_000_000
+SHIFT = 100_000_000
 
 
 def shifted(table, col, r):
