@@ -76,6 +76,7 @@ object Bench {
       build("closure") { operators.Hierarchy.storedClosure(spark, sfDir) }
       build("incr_closure") { operators.Hierarchy.storedIncrementalClosure(spark, sfDir) }
       build("pairs") { operators.Dedup.storedPairs(spark, sfDir) }
+      build("contamination") { operators.Dedup.storedContamination(spark, sfDir) }
       build("components") { operators.Cluster.storedComponents(spark, sfDir) }
       build("ivf_centroids") { operators.Ann.storedCentroids(spark, sfDir, 16, 2) }
       build("cluster_centroids") { operators.Ann.storedCentroids(spark, sfDir, 8, 3) }

@@ -190,7 +190,8 @@ object Dedup extends QueryPack {
         assertCutInert = true).localCheckpoint())
 
   private[graft] def clearStored(s: SparkSession): Int =
-    graft.util.evictSession(pairsMemo, s)
+    graft.util.evictSession(pairsMemo, s) +
+      graft.util.evictSession(contamMemo, s)
 
   val q31 = Q(
     "q31_dedup_jaccard",
@@ -261,16 +262,37 @@ object Dedup extends QueryPack {
       .select(col("train_id"), col("eval_id"), col("jac"))
   }
 
+  /** Session-scoped STORED contamination audit over the gate corpus's
+    * train/eval source split — the [[storedPairs]] architecture
+    * applied to the cross-corpus family: a pre-training pipeline runs
+    * the audit once per corpus snapshot and stores the pair list, and
+    * the decontamination ACTION (q68) anti-joins the stored table
+    * instead of re-shingling both corpora. The df-cut here is
+    * exactness-preserving at ANY cut (hot shingles are counted via
+    * per-doc hot-set intersections, not dropped), so no cut-inert
+    * guard is needed. Library callers with their own split use
+    * [[contaminationPairs]] / [[decontaminateOn]] directly.
+    */
+  private val contamMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The gate corpus's split: sources src0..src9 are "train",
+    * src10+ are "eval" — the two tables a real pipeline supplies. */
+  private def gateSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docsDf = Tables.documents(s, d)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    (docsDf.where(srcNum < 10), docsDf.where(srcNum >= 10))
+  }
+
+  def storedContamination(s: SparkSession, d: String): DataFrame =
+    contamMemo.computeIfAbsent((s, d), _ => {
+      val (train, eval) = gateSplit(s, d)
+      contaminationPairs(train, eval, 0.5).localCheckpoint()
+    })
+
   val q58 = Q(
     "q58_contamination",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      // the split a real pipeline supplies as two tables: sources
-      // src0..src9 are "train", src10+ are "eval"
-      val srcNum = substring(col("source"), 4, 10).cast("int")
-      contaminationPairs(
-        docs.where(srcNum < 10), docs.where(srcNum >= 10), 0.5)
-    },
+    (s, d) => storedContamination(s, d),
     Some("""WITH toks AS (
            |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
            |         string_split_regex(trim(text), '\s+') w
@@ -297,19 +319,21 @@ object Dedup extends QueryPack {
     */
   def decontaminate(train: DataFrame, eval: DataFrame, threshold: Double,
       maxShingleDf: Int = 128): DataFrame =
+    decontaminateOn(train, contaminationPairs(train, eval, threshold, maxShingleDf))
+
+  /** Decontamination against an ALREADY-STORED audit (a pair table
+    * with a `train_id` column, e.g. [[storedContamination]] or a
+    * persisted [[contaminationPairs]] run): one anti-join, no
+    * re-shingling — the shape a production pipeline actually runs. */
+  def decontaminateOn(train: DataFrame, pairs: DataFrame): DataFrame =
     train.join(
-      contaminationPairs(train, eval, threshold, maxShingleDf)
-        .select(col("train_id").as("doc_id")),
+      pairs.select(col("train_id").as("doc_id")),
       Seq("doc_id"), "left_anti")
 
   val q68 = Q(
     "q68_decontaminate",
-    (s, d) => {
-      val docsDf = Tables.documents(s, d)
-      val srcNum = substring(col("source"), 4, 10).cast("int")
-      decontaminate(docsDf.where(srcNum < 10), docsDf.where(srcNum >= 10), 0.5)
-        .select(col("doc_id"), col("source"))
-    },
+    (s, d) => decontaminateOn(gateSplit(s, d)._1, storedContamination(s, d))
+      .select(col("doc_id"), col("source")),
     Some("""WITH toks AS (
            |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
            |         string_split_regex(trim(text), '\s+') w

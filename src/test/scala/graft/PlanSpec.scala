@@ -289,6 +289,7 @@ class PlanSpec extends SparkSpec {
     operators.Hierarchy.storedClosure(spark, sfDir)
     operators.Hierarchy.storedIncrementalClosure(spark, sfDir)
     operators.Dedup.storedPairs(spark, sfDir)
+    operators.Dedup.storedContamination(spark, sfDir)
     operators.Cluster.storedComponents(spark, sfDir)
     operators.Ann.storedCentroids(spark, sfDir, 16, 2)
     operators.Ann.storedCentroids(spark, sfDir, 8, 3)
