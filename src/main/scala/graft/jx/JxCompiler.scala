@@ -817,6 +817,25 @@ object JxCompiler {
       // returns an unordered set; emitted sorted so results are
       // deterministic (and hashable by the gate).
       case "union" => array_sort(collect_set(value.get))
+      // jx stats moments (pyLibrary's stats aggregate): SAMPLE
+      // variance/std from exact decimal sums — Spark's var_samp
+      // accumulates doubles in partition order (non-associative
+      // rounding → nondeterministic across partitionings), so derive
+      // the moment from order-independent sums instead, in an
+      // operation order a SQL oracle can mirror term for term:
+      // (Σx² − Σx·Σx/n) / (n−1).
+      case "variance" | "var" | "std" | "stddev" =>
+        val nn = count(value.get)
+        val sx = dsum(value.get, 4)
+        val sxx = dsum(value.get * value.get, 4)
+        val variance = (sxx - sx * sx / nn) / (nn - lit(1))
+        // quantize the moment (engine float policy): when Σx² needs
+        // more than double's 53 mantissa bits, the two engines'
+        // decimal→double casts can disagree by ~1 ulp, and the
+        // (Σx² − Σx·Σx/n) cancellation amplifies it into the last
+        // couple of output digits
+        val out = if (aggKind.startsWith("var")) variance else sqrt(variance)
+        out.cast("decimal(18,4)").cast("double")
       case other => throw new IllegalArgumentException(s"jx aggregate not supported: $other")
     }
     agg.as(name)

@@ -622,7 +622,46 @@ object Jx extends QueryPack {
            |WHERE event_type IN ('click', 'view', 'purchase')""".stripMargin),
     "jx window partitioned by a time-domain edge: whole-bucket sum + in-bucket rank")
 
+  /** jx stats moments: sample variance/std per group. The compiler
+    * derives both from exact decimal sums ((Σx² − Σx·Σx/n)/(n−1))
+    * rather than Spark's var_samp, whose double accumulation is
+    * partition-order-dependent — the oracle mirrors the same term
+    * order so both engines compute bit-identical doubles.
+    */
+  val q101Json: String =
+    """{
+      |  "from": "lineitem",
+      |  "where": {"lte": {"l_discount": 0.05}},
+      |  "groupby": ["l_returnflag"],
+      |  "select": [
+      |    {"name": "n", "aggregate": "count"},
+      |    {"name": "var_qty", "value": "l_quantity", "aggregate": "variance"},
+      |    {"name": "std_price", "value": "l_extendedprice", "aggregate": "std"}
+      |  ]
+      |}""".stripMargin
+
+  val q101 = Q(
+    "q101_jx_stats",
+    (s, d) => JxCompiler.query(s, d, q101Json),
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+           |  CAST(CAST(
+           |  (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           |     / COUNT(l_quantity))
+           |  / (COUNT(l_quantity) - 1) AS DECIMAL(18,4)) AS DOUBLE) AS var_qty,
+           |  CAST(CAST(sqrt(
+           |    (CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           |     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           |       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           |       / COUNT(l_extendedprice))
+           |    / (COUNT(l_extendedprice) - 1)) AS DECIMAL(18,4)) AS DOUBLE) AS std_price
+           |FROM lineitem
+           |WHERE l_discount <= 0.05
+           |GROUP BY 1""".stripMargin),
+    "jx stats aggregates: order-independent sample variance/std from decimal sums")
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97,
-      q99, q100)
+      q99, q100, q101)
 }

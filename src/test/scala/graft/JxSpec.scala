@@ -972,4 +972,20 @@ class JxSpec extends SparkSpec {
     }
     e.getMessage should include("name")
   }
+
+  test("variance/std aggregates: sample moments, nulls skipped") {
+    // 2,4,4,4,5,5,7,9: Σx=40, Σx²=232, n=8 → var = (232−200)/7 = 32/7;
+    // the null row must not count toward n or the sums
+    val df = Seq[java.lang.Double](2d, 4d, 4d, 4d, 5d, 5d, 7d, 9d, null)
+      .map(Tuple1(_)).toDF("x").withColumn("g", lit("a"))
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","groupby":["g"],
+          "select":[{"name":"v","value":"x","aggregate":"variance"},
+                    {"name":"s","value":"x","aggregate":"std"}]}""",
+      Map("t" -> df)).collect()(0)
+    // outputs are quantized to DECIMAL(18,4) (engine float policy):
+    // var = 32/7 = 4.571428… → 4.5714, std = 2.138094… → 2.1381
+    got.getDouble(1) shouldBe 4.5714 +- 1e-12
+    got.getDouble(2) shouldBe 2.1381 +- 1e-12
+  }
 }
