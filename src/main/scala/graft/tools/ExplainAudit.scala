@@ -61,6 +61,16 @@ object ExplainAudit {
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "equi-join lost (nested loop or worse)")
+      case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
+           "q58_contamination" =>
+        // stored-artifact consumers (closure / pair list / components /
+        // contamination audit): after the session memo materializes,
+        // the gate plan must READ the checkpointed artifact — the
+        // shingle/self-join/fixpoint machinery reappearing here means
+        // the materialized-artifact architecture silently regressed to
+        // per-query recomputation (the pre-r7 shape)
+        if (!plan.contains("ExistingRDD"))
+          v += Violation(name, "stored artifact not read (per-query recompute in plan)")
       case _ => ()
     }
     v.result()

@@ -48,6 +48,18 @@ class ExplainAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("stored-artifact consumers read the checkpointed artifact; recompute is caught") {
+    // healthy: the warmed q31 plan is a checkpoint scan
+    val healthy = SparkEntry.queries("q31_dedup_jaccard")(spark, sfDir)
+    ExplainAudit.violations("q31_dedup_jaccard", plan(healthy)) shouldBe empty
+    // seeded regression: the same pair list built FRESH (the pre-r7
+    // per-query recompute shape) must trip the artifact rule
+    val recompute = operators.Dedup.jaccardPairs(
+      Tables.documents(spark, sfDir), 0.5, maxShingleDf = 512)
+    val vs = ExplainAudit.violations("q31_dedup_jaccard", plan(recompute))
+    vs.map(_.rule).exists(_.contains("stored artifact")) shouldBe true
+  }
+
   test("seeded regression: lost column pruning / pushdown on q01's scan is caught") {
     // a scan that reads every column and pushes nothing — the shape
     // q01 would take if the projection/filter stopped reaching parquet

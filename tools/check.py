@@ -28,6 +28,14 @@ def main():
     out = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
+    # spill to /tmp, not the cwd (a runaway oracle at large sf once
+    # dropped 38 GB of .tmp spill files inside the repo); optional
+    # GRAFT_CHECK_MEM caps duckdb so an infeasible oracle dies fast
+    # instead of eating the box (driver sets neither)
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
+    mem = os.environ.get("GRAFT_CHECK_MEM", "")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
