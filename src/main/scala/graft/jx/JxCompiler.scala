@@ -75,6 +75,99 @@ object JxCompiler {
       tables: Map[String, DataFrame], lenient: Boolean = false): DataFrame =
     compile(spark, dir, parse(json), tables, lenient)
 
+  /** Compile a jx query against a STREAMING DataFrame — jx dashboards
+    * over live data, which the reference (batch queries over a pushed
+    * index) cannot serve. Supported subset = the streaming-executable
+    * core:
+    *
+    *  - `where` + non-aggregate `select`: a stateless filter/project
+    *    pipeline (any jx expression; no watermark needed).
+    *  - `groupby` + aggregate `select`s: a streaming aggregation.
+    *    With `eventTime` set, the stream is watermarked and any
+    *    floor-to-calendar groupby term on that column — the jx
+    *    time-bucket idiom, e.g. `{"name":"day","value":{"floor":
+    *    ["ts","day"]}}` — compiles to a streaming `window()` bucket
+    *    (emitted as its start instant, matching the batch
+    *    date_trunc), so aggregation state is EVICTED as the
+    *    watermark passes: the 100 TB-stream shape. Other group terms
+    *    compile as in batch but their state never expires — fine for
+    *    low-cardinality keys, the caller's call.
+    *
+    * Whole-result clauses (`edges` cell-completeness, `window`,
+    * `sort`, `limit`, `format`) and whole-group aggregates
+    * (cardinality/median/percentile/union) have no incremental
+    * semantics and are rejected loudly — run those as a batch jx
+    * query over the sink table. Output mode/trigger stay with the
+    * caller's writeStream.
+    */
+  def queryStream(stream: DataFrame, json: String,
+      eventTime: String = "", delay: String = "10 minutes"): DataFrame = {
+    val q = parse(json)
+    for (k <- Seq("edges", "window", "sort", "limit", "format"))
+      require(!q.has(k),
+        s"jx streaming: '$k' has no incremental semantics — run it as a batch query on the sink table")
+    if (q.has("from")) require(q.get("from").isTextual,
+      "jx streaming: nested from is batch-only; pass the stream directly")
+    var df = stream
+    if (q.has("where")) df = df.where(compileExpr(q.get("where")))
+    val sel = if (q.has("select")) asList(q.get("select")) else Nil
+    val aggSel = sel.filter(n => n.isObject && n.has("aggregate"))
+    val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
+    val gbNodes = if (q.has("groupby")) asList(q.get("groupby")) else Nil
+    if (aggSel.isEmpty && gbNodes.isEmpty) {
+      if (plainSel.nonEmpty && !plainSel.exists(n => n.isTextual && n.asText() == "*"))
+        df = df.select(plainSel.map(compileSelect): _*)
+      df
+    } else {
+      aggSel.foreach { n =>
+        val k = req(n, "aggregate").asText()
+        require(!Set("cardinality", "median", "percentile", "union").contains(k),
+          s"jx streaming: aggregate '$k' needs the whole group (no mergeable streaming state) — " +
+            "use the batch path on the sink table")
+      }
+      if (eventTime.nonEmpty) df = df.withWatermark(eventTime, delay)
+      // (output name, post-agg projection) for window-bucket keys
+      var post = List.empty[(String, Column)]
+      val keys = gbNodes.map {
+        case t if t.isTextual => fcol(t.asText())
+        case o if o.isObject =>
+          require(o.has("name") || req(o, "value").isTextual,
+            s"jx groupby: a computed term needs an explicit name: $o")
+          val name = if (o.has("name")) o.get("name").asText()
+          else req(o, "value").asText()
+          val v = req(o, "value")
+          val fl = if (v.isObject && v.has("floor")) Some(v.get("floor")) else None
+          val evBucket = eventTime.nonEmpty && fl.exists(f => f.isArray &&
+            f.size() == 2 && f.get(0).isTextual && f.get(0).asText() == eventTime &&
+            calendarUnits.contains(f.get(1).asText()))
+          if (evBucket) {
+            val unit = fl.get.get(1).asText()
+            val iv = if (unit == "week") "7 days" else s"1 $unit"
+            post ::= (name -> col(s"__jxw_$name").getField("start"))
+            window(col(eventTime), iv).as(s"__jxw_$name")
+          } else compileExpr(v).as(name)
+        case other => throw new IllegalArgumentException(
+          s"jx groupby term not supported: $other")
+      }
+      val aggs = aggSel.map(compileAggregate)
+      val agged = df.groupBy(keys: _*)
+        .agg(aggs.headOption.getOrElse(count(lit(1)).as("count")), aggs.drop(1): _*)
+      // project window structs back to their named bucket starts,
+      // preserving groupby-then-aggregate column order
+      val postMap = post.toMap
+      val keyCols = gbNodes.map {
+        case t if t.isTextual => fcol(t.asText())
+        case o =>
+          val name = if (o.has("name")) o.get("name").asText()
+          else req(o, "value").asText()
+          postMap.get(name).map(_.as(name)).getOrElse(col(s"`$name`"))
+      }
+      val aggCols = if (aggSel.isEmpty) Seq(col("count"))
+      else aggSel.map(n => col(s"`${aggName(n)}`"))
+      agged.select(keyCols ++ aggCols: _*)
+    }
+  }
+
   private def compile(spark: SparkSession, dir: String, q: JsonNode,
       tables: Map[String, DataFrame], lenient: Boolean = false): DataFrame = {
     // jx `from` is a table name, a dotted path to nested inner

@@ -153,6 +153,25 @@ class DedupSpec extends SparkSpec {
     got.size should be > 0
   }
 
+  test("contamination delta-decomposition: audit of a train delta ≡ its slice of the full audit") {
+    // a (train, eval) pair's Jaccard depends on those two docs alone,
+    // and the df-cut is exactness-preserving at any cut — so auditing
+    // ONLY a train delta against eval yields exactly the full audit's
+    // rows for that delta: incremental cross-corpus contamination is
+    // contaminationPairs(newDocs, eval), no re-audit of the old corpus
+    val srcNum = substring($"source", 4, 10).cast("int")
+    val train = documents.where(srcNum < 10)
+    val eval = documents.where(srcNum >= 10)
+    val delta = train.where($"doc_id" % 3 === 0)
+    val full = Dedup.contaminationPairs(train, eval, 0.5)
+      .select($"train_id", $"eval_id").as[(Long, Long)].collect().toSet
+    val deltaIds = delta.select($"doc_id").as[Long].collect().toSet
+    val deltaOnly = Dedup.contaminationPairs(delta, eval, 0.5)
+      .select($"train_id", $"eval_id").as[(Long, Long)].collect().toSet
+    deltaOnly shouldBe full.filter(p => deltaIds(p._1))
+    deltaOnly.size should be > 0
+  }
+
   test("df-cut recall contract: a pair sharing ONLY hot shingles is dropped by design") {
     val boiler = "terms of service apply to all users of this site without exception"
     // 50 docs that are pure boilerplate (all-hot shingles, all mutual

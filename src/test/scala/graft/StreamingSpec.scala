@@ -288,4 +288,58 @@ class StreamingSpec extends SparkSpec {
     storedDocIds shouldBe Set(1L, 3L, 5L)
     storedSigIds shouldBe Set(1L, 3L, 5L)
   }
+
+  test("streaming jx aggregation equals the batch jx query on the same data") {
+    import graft.jx.JxCompiler
+    // the jx dashboard shape over a live stream: filter + calendar
+    // bucket + per-type sums; floor(ts, day) compiles to a streaming
+    // window() whose start matches batch date_trunc
+    val jx = """{"from": "events",
+                 "where": {"in": {"event_type": ["click", "view"]}},
+                 "groupby": [{"name": "day", "value": {"floor": ["ts", "day"]}},
+                             "event_type"],
+                 "select": [{"name": "n", "aggregate": "count"},
+                            {"name": "total", "value": "value", "aggregate": "sum"}]}"""
+    val dir = stageEvents()
+    val streamed = JxCompiler.queryStream(
+      StreamOps.readEventStream(spark, dir, eventsSchema),
+      jx, eventTime = "ts", delay = "1 hour")
+    val q = streamed.writeStream
+      .format("memory").queryName("jx_stream_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("jx_stream_test")
+    val want = JxCompiler.query(spark, sfDir, jx)
+    got.columns.toSeq shouldBe want.columns.toSeq
+    got.count() shouldBe want.count()
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("streaming jx: stateless filter/project needs no watermark; batch-only clauses reject") {
+    import graft.jx.JxCompiler
+    val dir = stageEvents()
+    val src = StreamOps.readEventStream(spark, dir, eventsSchema)
+    val flat = JxCompiler.queryStream(src,
+      """{"from": "events", "where": {"gte": {"value": 90}},
+          "select": ["event_id", {"name": "v2", "value": {"mult": ["value", 2]}}]}""")
+    flat.isStreaming shouldBe true
+    flat.columns.toSeq shouldBe Seq("event_id", "v2")
+    for (clause <- Seq(""""edges": ["event_type"]""", """"sort": ["ts"]""",
+        """"limit": 5""", """"format": "cube"""")) {
+      val e = intercept[IllegalArgumentException] {
+        JxCompiler.queryStream(src, s"""{"from": "events", $clause}""")
+      }
+      e.getMessage should include("streaming")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      JxCompiler.queryStream(src,
+        """{"from": "events", "groupby": ["event_type"],
+            "select": [{"name": "u", "value": "user_id", "aggregate": "cardinality"}]}""",
+        eventTime = "ts")
+    }
+    e2.getMessage should include("cardinality")
+  }
 }
