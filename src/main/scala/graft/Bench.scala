@@ -77,6 +77,7 @@ object Bench {
       build("incr_closure") { operators.Hierarchy.storedIncrementalClosure(spark, sfDir) }
       build("pairs") { operators.Dedup.storedPairs(spark, sfDir) }
       build("contamination") { operators.Dedup.storedContamination(spark, sfDir) }
+      build("memorization_wins") { operators.Dedup.storedWindowSignatures(spark, sfDir) }
       build("components") { operators.Cluster.storedComponents(spark, sfDir) }
       build("ivf_centroids") { operators.Ann.storedCentroids(spark, sfDir, 16, 2) }
       build("cluster_centroids") { operators.Ann.storedCentroids(spark, sfDir, 8, 3) }

