@@ -1,0 +1,161 @@
+package graft
+
+import graft.jx.JxCompiler
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based DIFFERENTIAL test of the jx expression compiler:
+  * random expression trees evaluated two independent ways — compiled
+  * to a Catalyst Column through the production path, and interpreted
+  * by a ~40-line reference evaluator written here against SQL
+  * semantics (null propagation in arithmetic, Kleene three-valued
+  * and/or, null-safe `ne`, when-null-condition-takes-else). Any
+  * divergence on any generated tree over the fixture rows is a
+  * compiler bug (or a semantics the scaladoc must pin). The oracled
+  * gate queries cover the grammar point-wise; this covers its
+  * CLOSURE under composition.
+  */
+class JxPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixture: integral-valued doubles keep +,-,* exact in IEEE double,
+  // so compiled-vs-interpreted comparison is bit-exact, no tolerance
+  private val rows: Seq[(Long, Option[Double], Long, Option[String])] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 48L).map { id =>
+      val x = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(21).toDouble - 10)
+      val s = if (rnd.nextInt(6) == 0) None else Some(rnd.alphanumeric.take(rnd.nextInt(5)).mkString)
+      (id, x, rnd.nextInt(21).toLong - 10, s)
+    }
+  }
+  private lazy val df = {
+    val d = rows.toDF("id", "x", "y", "s")
+    d.cache(); d.count() // one materialization for ~120 property cases
+    d
+  }
+
+  // ---- expression ASTs, rendered to jx JSON and interpreted locally
+  sealed trait N
+  case object FX extends N; case object FY extends N
+  case class NLit(v: Long) extends N
+  case class NBin(op: String, a: N, b: N) extends N // add | sub | mult
+  case class NAbs(a: N) extends N
+  case class NCoalesce(a: N, b: N) extends N
+  case class NWhen(c: B, t: N, e: N) extends N
+  case class NLen(a: N) extends N // length of s — exercises string→num
+  sealed trait B
+  case class BCmp(op: String, a: N, b: N) extends B // gt gte lt lte eq ne
+  case class BAnd(a: B, b: B) extends B
+  case class BOr(a: B, b: B) extends B
+  case class BNot(a: B) extends B
+  case class BMissing(neg: Boolean) extends B // missing/exists on x
+
+  private def njson(n: N): String = n match {
+    case FX => "\"x\""
+    case FY => "\"y\""
+    case NLit(v) => v.toString
+    case NBin(op, a, b) => s"""{"$op": [${njson(a)}, ${njson(b)}]}"""
+    case NAbs(a) => s"""{"abs": ${njson(a)}}"""
+    case NCoalesce(a, b) => s"""{"coalesce": [${njson(a)}, ${njson(b)}]}"""
+    case NWhen(c, t, e) => s"""{"when": ${bjson(c)}, "then": ${njson(t)}, "else": ${njson(e)}}"""
+    case NLen(_) => """{"length": "s"}"""
+  }
+  private def bjson(b: B): String = b match {
+    case BCmp(op, a, bb) => s"""{"$op": [${njson(a)}, ${njson(bb)}]}"""
+    case BAnd(a, bb) => s"""{"and": [${bjson(a)}, ${bjson(bb)}]}"""
+    case BOr(a, bb) => s"""{"or": [${bjson(a)}, ${bjson(bb)}]}"""
+    case BNot(a) => s"""{"not": ${bjson(a)}}"""
+    case BMissing(neg) => if (neg) """{"exists": "x"}""" else """{"missing": "x"}"""
+  }
+
+  // ---- the independent evaluator (SQL semantics, written from spec)
+  private type Row = (Long, Option[Double], Long, Option[String])
+  private def evalN(n: N, r: Row): Option[Double] = n match {
+    case FX => r._2
+    case FY => Some(r._3.toDouble)
+    case NLit(v) => Some(v.toDouble)
+    case NBin(op, a, b) =>
+      for (x <- evalN(a, r); y <- evalN(b, r)) yield op match {
+        case "add" => x + y
+        case "sub" => x - y
+        case "mult" => x * y
+      }
+    case NAbs(a) => evalN(a, r).map(math.abs)
+    case NCoalesce(a, b) => evalN(a, r).orElse(evalN(b, r))
+    case NWhen(c, t, e) => // null condition takes the else branch
+      if (evalB(c, r).contains(true)) evalN(t, r) else evalN(e, r)
+    case NLen(_) => r._4.map(_.length.toDouble)
+  }
+  private def evalB(b: B, r: Row): Option[Boolean] = b match {
+    case BCmp("ne", a, bb) => // null-safe: !(a <=> b)
+      (evalN(a, r), evalN(bb, r)) match {
+        case (None, None) => Some(false)
+        case (x, y) => Some(x != y)
+      }
+    case BCmp(op, a, bb) =>
+      for (x <- evalN(a, r); y <- evalN(bb, r)) yield op match {
+        case "gt" => x > y
+        case "gte" => x >= y
+        case "lt" => x < y
+        case "lte" => x <= y
+        case "eq" => x == y
+      }
+    case BAnd(a, bb) => (evalB(a, r), evalB(bb, r)) match { // Kleene
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case BOr(a, bb) => (evalB(a, r), evalB(bb, r)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case BNot(a) => evalB(a, r).map(!_)
+    case BMissing(neg) => Some(if (neg) r._2.isDefined else r._2.isEmpty)
+  }
+
+  // ---- generators (depth-bounded)
+  private def genN(d: Int): Gen[N] =
+    if (d <= 0) Gen.oneOf(Gen.const(FX), Gen.const(FY), Gen.choose(-5L, 5L).map(NLit))
+    else Gen.frequency(
+      2 -> Gen.oneOf(Gen.const(FX), Gen.const(FY), Gen.choose(-5L, 5L).map(NLit)),
+      2 -> (for { op <- Gen.oneOf("add", "sub", "mult"); a <- genN(d - 1); b <- genN(d - 1) }
+        yield NBin(op, a, b)),
+      1 -> genN(d - 1).map(NAbs),
+      1 -> (for { a <- genN(d - 1); b <- genN(d - 1) } yield NCoalesce(a, b)),
+      1 -> (for { c <- genB(d - 1); t <- genN(d - 1); e <- genN(d - 1) } yield NWhen(c, t, e)),
+      1 -> Gen.const(NLen(FX)))
+  private def genB(d: Int): Gen[B] =
+    if (d <= 0) Gen.oneOf(Gen.const(BMissing(false)), Gen.const(BMissing(true)))
+    else Gen.frequency(
+      3 -> (for { op <- Gen.oneOf("gt", "gte", "lt", "lte", "eq", "ne")
+                  a <- genN(d - 1); b <- genN(d - 1) } yield BCmp(op, a, b)),
+      1 -> (for { a <- genB(d - 1); b <- genB(d - 1) } yield BAnd(a, b)),
+      1 -> (for { a <- genB(d - 1); b <- genB(d - 1) } yield BOr(a, b)),
+      1 -> genB(d - 1).map(BNot),
+      1 -> Gen.oneOf(Gen.const(BMissing(false)), Gen.const(BMissing(true))))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60).withWorkers(1), p)
+    withClue(res.status.toString) { res.passed shouldBe true }
+  }
+
+  test("compiled where ≡ three-valued interpreter on random predicate trees") {
+    check(Prop.forAll(genB(4)) { b =>
+      val kept = df.where(JxCompiler.compileExpr(JxCompiler.parse(bjson(b))))
+        .select($"id").as[Long].collect().toSet
+      val want = rows.filter(r => evalB(b, r).contains(true)).map(_._1).toSet
+      kept == want
+    })
+  }
+
+  test("compiled projection ≡ null-propagating interpreter on random numeric trees") {
+    check(Prop.forAll(genN(4)) { n =>
+      val got = df.select($"id",
+        JxCompiler.compileExpr(JxCompiler.parse(njson(n))).cast("double").as("v"))
+        .as[(Long, Option[Double])].collect().toMap
+      rows.forall(r => got(r._1) == evalN(n, r))
+    })
+  }
+}
