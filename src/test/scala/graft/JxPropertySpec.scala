@@ -43,8 +43,15 @@ class JxPropertySpec extends SparkSpec {
   case class NCoalesce(a: N, b: N) extends N
   case class NWhen(c: B, t: N, e: N) extends N
   case class NLen(a: N) extends N // length of s — exercises string→num
+  sealed trait S
+  case object FS extends S // field s
+  case class SLit(v: String) extends S
+  case class SCase(up: Boolean, a: S) extends S // lower | upper
+  case class SConcat(a: S, b: S) extends S // concat_ws: skips nulls
   sealed trait B
   case class BCmp(op: String, a: N, b: N) extends B // gt gte lt lte eq ne
+  case class BSCmp(ne: Boolean, a: S, b: S) extends B // string eq/ne
+  case class BSubstr(find: Boolean, p: String) extends B // prefix | find on s
   case class BAnd(a: B, b: B) extends B
   case class BOr(a: B, b: B) extends B
   case class BNot(a: B) extends B
@@ -60,7 +67,17 @@ class JxPropertySpec extends SparkSpec {
     case NWhen(c, t, e) => s"""{"when": ${bjson(c)}, "then": ${njson(t)}, "else": ${njson(e)}}"""
     case NLen(_) => """{"length": "s"}"""
   }
+  private def sjson(s: S): String = s match {
+    case FS => "\"s\""
+    case SLit(v) => s"""{"literal": "$v"}"""
+    case SCase(up, a) => s"""{"${if (up) "upper" else "lower"}": ${sjson(a)}}"""
+    case SConcat(a, b) => s"""{"concat": [${sjson(a)}, ${sjson(b)}]}"""
+  }
   private def bjson(b: B): String = b match {
+    case BSCmp(ne, a, bb) =>
+      s"""{"${if (ne) "ne" else "eq"}": [${sjson(a)}, ${sjson(bb)}]}"""
+    case BSubstr(find, p) =>
+      s"""{"${if (find) "find" else "prefix"}": {"s": "$p"}}"""
     case BCmp(op, a, bb) => s"""{"$op": [${njson(a)}, ${njson(bb)}]}"""
     case BAnd(a, bb) => s"""{"and": [${bjson(a)}, ${bjson(bb)}]}"""
     case BOr(a, bb) => s"""{"or": [${bjson(a)}, ${bjson(bb)}]}"""
@@ -86,7 +103,23 @@ class JxPropertySpec extends SparkSpec {
       if (evalB(c, r).contains(true)) evalN(t, r) else evalN(e, r)
     case NLen(_) => r._4.map(_.length.toDouble)
   }
+  private def evalS(s: S, r: Row): Option[String] = s match {
+    case FS => r._4
+    case SLit(v) => Some(v)
+    case SCase(up, a) => evalS(a, r).map(v => if (up) v.toUpperCase else v.toLowerCase)
+    case SConcat(a, b) => // concat_ws semantics: null args are SKIPPED
+      Some(evalS(a, r).getOrElse("") + evalS(b, r).getOrElse(""))
+  }
   private def evalB(b: B, r: Row): Option[Boolean] = b match {
+    case BSCmp(true, a, bb) => // null-safe ne, as in the numeric case
+      (evalS(a, r), evalS(bb, r)) match {
+        case (None, None) => Some(false)
+        case (x, y) => Some(x != y)
+      }
+    case BSCmp(false, a, bb) =>
+      for (x <- evalS(a, r); y <- evalS(bb, r)) yield x == y
+    case BSubstr(find, p) =>
+      r._4.map(v => if (find) v.contains(p) else v.startsWith(p))
     case BCmp("ne", a, bb) => // null-safe: !(a <=> b)
       (evalN(a, r), evalN(bb, r)) match {
         case (None, None) => Some(false)
@@ -125,11 +158,21 @@ class JxPropertySpec extends SparkSpec {
       1 -> (for { a <- genN(d - 1); b <- genN(d - 1) } yield NCoalesce(a, b)),
       1 -> (for { c <- genB(d - 1); t <- genN(d - 1); e <- genN(d - 1) } yield NWhen(c, t, e)),
       1 -> Gen.const(NLen(FX)))
+  private val genLit: Gen[String] = Gen.oneOf("", "a", "ab", "Z", "q0")
+  private def genS(d: Int): Gen[S] =
+    if (d <= 0) Gen.oneOf(Gen.const(FS), genLit.map(SLit))
+    else Gen.frequency(
+      2 -> Gen.oneOf(Gen.const(FS), genLit.map(SLit)),
+      1 -> (for { up <- Gen.oneOf(true, false); a <- genS(d - 1) } yield SCase(up, a)),
+      1 -> (for { a <- genS(d - 1); b <- genS(d - 1) } yield SConcat(a, b)))
   private def genB(d: Int): Gen[B] =
     if (d <= 0) Gen.oneOf(Gen.const(BMissing(false)), Gen.const(BMissing(true)))
     else Gen.frequency(
       3 -> (for { op <- Gen.oneOf("gt", "gte", "lt", "lte", "eq", "ne")
                   a <- genN(d - 1); b <- genN(d - 1) } yield BCmp(op, a, b)),
+      1 -> (for { ne <- Gen.oneOf(true, false); a <- genS(d - 1); b <- genS(d - 1) }
+        yield BSCmp(ne, a, b)),
+      1 -> (for { f <- Gen.oneOf(true, false); p <- genLit } yield BSubstr(f, p)),
       1 -> (for { a <- genB(d - 1); b <- genB(d - 1) } yield BAnd(a, b)),
       1 -> (for { a <- genB(d - 1); b <- genB(d - 1) } yield BOr(a, b)),
       1 -> genB(d - 1).map(BNot),
@@ -147,6 +190,15 @@ class JxPropertySpec extends SparkSpec {
         .select($"id").as[Long].collect().toSet
       val want = rows.filter(r => evalB(b, r).contains(true)).map(_._1).toSet
       kept == want
+    })
+  }
+
+  test("compiled string pipeline ≡ interpreter on random string trees") {
+    check(Prop.forAll(genS(4)) { s =>
+      val got = df.select($"id",
+        JxCompiler.compileExpr(JxCompiler.parse(sjson(s))).as("v"))
+        .as[(Long, Option[String])].collect().toMap
+      rows.forall(r => got(r._1) == evalS(s, r))
     })
   }
 
