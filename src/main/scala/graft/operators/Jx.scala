@@ -661,7 +661,45 @@ object Jx extends QueryPack {
            |GROUP BY 1""".stripMargin),
     "jx stats aggregates: order-independent sample variance/std from decimal sums")
 
+  /** jx query pipelining: `from` is ITSELF a query document — the
+    * reference's HAVING idiom (pyLibrary filters on aggregates by
+    * feeding an inner aggregation to an outer query; jx has no
+    * `having` clause). The compiler recurses and Catalyst flattens
+    * both levels into ONE plan — the outer `where` on an aggregate
+    * output is a post-aggregation Filter, no materialization
+    * boundary between the stages.
+    */
+  val q102Json: String =
+    """{
+      |  "from": {
+      |    "from": "lineitem",
+      |    "where": {"ne": {"l_returnflag": "N"}},
+      |    "groupby": ["l_suppkey", "l_returnflag"],
+      |    "select": [
+      |      {"name": "n", "aggregate": "count"},
+      |      {"name": "qty", "value": "l_quantity", "aggregate": "sum"}
+      |    ]
+      |  },
+      |  "where": {"gte": {"qty": 400}},
+      |  "select": ["l_suppkey", "l_returnflag", "n",
+      |             {"name": "avg_qty", "value": {"div": ["qty", "n"]}}]
+      |}""".stripMargin
+
+  val q102 = Q(
+    "q102_jx_pipeline",
+    (s, d) => JxCompiler.query(s, d, q102Json),
+    Some("""WITH inner_q AS (
+           |  SELECT l_suppkey, l_returnflag, COUNT(*) AS n,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+           |  FROM lineitem
+           |  WHERE NOT COALESCE(l_returnflag = 'N', FALSE)
+           |  GROUP BY 1, 2
+           |)
+           |SELECT l_suppkey, l_returnflag, n, qty / n AS avg_qty
+           |FROM inner_q WHERE qty >= 400""".stripMargin),
+    "jx query pipelining: outer filter/derive over an inner aggregation (the HAVING idiom)")
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97,
-      q99, q100, q101)
+      q99, q100, q101, q102)
 }

@@ -973,6 +973,15 @@ class JxSpec extends SparkSpec {
     e.getMessage should include("name")
   }
 
+  test("query pipelining flattens into one plan: a single aggregation exchange") {
+    // the nested-from HAVING idiom must NOT introduce a
+    // materialization boundary — Catalyst fuses both query levels,
+    // so the only exchange is the inner groupBy's shuffle
+    val df = run(graft.operators.Jx.q102Json)
+    val plan = df.queryExecution.executedPlan.toString
+    "Exchange [a-z]*hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("variance/std aggregates: sample moments, nulls skipped") {
     // 2,4,4,4,5,5,7,9: Σx=40, Σx²=232, n=8 → var = (232−200)/7 = 32/7;
     // the null row must not count toward n or the sums
