@@ -1022,6 +1022,12 @@ object JxCompiler {
       s"jx window: range frame with aggregate '$aggKind' is meaningless — remove range")
     require(!isRank || sorts.nonEmpty,
       s"jx window aggregate '$aggKind' requires a sort clause")
+    // median restrictions checked before the generic frame handling so
+    // the user sees the median-specific contract, not a frame error
+    require(!(aggKind == "median" && w.has("range")),
+      "jx window median: range frame not supported — the window median is the whole-partition median")
+    require(!(aggKind == "median" && sorts.nonEmpty),
+      "jx window median: remove sort — a running median is not supported (the window median is the partition median)")
     // jx window `range`: a rows-relative sliding frame {min, max}
     // around the current row in the clause's sort order — pyLibrary
     // ranges are HALF-OPEN (min inclusive, max exclusive, the same
@@ -1044,21 +1050,55 @@ object JxCompiler {
       } else if (sorts.nonEmpty)
         spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else spec // no sort: default frame = the whole partition
-    val column = aggKind match {
-      case "rownum" | "rank" => row_number().over(spec)
-      // Sums (and averages) through DECIMAL(18,4): window frames may
-      // be accumulated differently by different engines; decimal
-      // addition is exact either way (engine-wide policy, SURVEY §5).
-      case "sum" => sum(graft.util.dsumCast(value.get, 4)).over(framed).cast("double")
-      case "average" | "avg" =>
-        sum(graft.util.dsumCast(value.get, 4)).over(framed).cast("double") /
-          count(value.get).over(framed)
-      case "count" => count(value.getOrElse(lit(1))).over(framed)
-      case "minimum" | "min" => min(value.get).over(framed)
-      case "maximum" | "max" => max(value.get).over(framed)
-      case other => throw new IllegalArgumentException(s"jx window aggregate not supported: $other")
+    if (aggKind == "median") {
+      // EXACT partition median via the two-window rank trick — the
+      // groupby median goes through the mergeable t-digest sketch
+      // (engine policy, q18/q47), but a WINDOW median replicates onto
+      // every partition row, so approximation buys nothing while
+      // costing oracle-exactness; here rank-by-value + two positional
+      // picks stay on the partition's one exchange. Running/framed
+      // medians are rejected loudly: a per-frame exact median is a
+      // different op (order statistics over sliding frames), and a
+      // silent sketch fallback would break the window contract
+      // (requires enforced above, before the generic frame handling).
+      val v = value.get
+      val part = Window.partitionBy(parts: _*)
+      val byVal = part.orderBy(v.asc_nulls_last)
+      val rn = s"__jxmed_rn_$name"
+      val lo = s"__jxmed_lo_$name"
+      val hi = s"__jxmed_hi_$name"
+      // Column `/` is double division — cast back to the integer rank
+      // domain (exact: counts are far below 2^53)
+      val staged = df
+        .withColumn(rn, row_number().over(byVal))
+        .withColumn(lo, ((count(v).over(part) + 1) / 2).cast("long"))
+        .withColumn(hi, ((count(v).over(part) + 2) / 2).cast("long"))
+      // (v_lo + v_hi) / 2 — odd partitions pick the same row twice, so
+      // no interpolation-formula ambiguity; one double addition + one
+      // division, mirrored term-for-term by the oracle. count(v)
+      // excludes nulls and nulls rank last, so the picks are always
+      // non-null (an all-null partition yields lo = 0 → median null).
+      val vlo = max(when(col(rn) === col(lo), v)).over(part)
+      val vhi = max(when(col(rn) === col(hi), v)).over(part)
+      staged.withColumn(name, (vlo + vhi).cast("double") / 2.0)
+        .drop(rn, lo, hi)
+    } else {
+      val column = aggKind match {
+        case "rownum" | "rank" => row_number().over(spec)
+        // Sums (and averages) through DECIMAL(18,4): window frames may
+        // be accumulated differently by different engines; decimal
+        // addition is exact either way (engine-wide policy, SURVEY §5).
+        case "sum" => sum(graft.util.dsumCast(value.get, 4)).over(framed).cast("double")
+        case "average" | "avg" =>
+          sum(graft.util.dsumCast(value.get, 4)).over(framed).cast("double") /
+            count(value.get).over(framed)
+        case "count" => count(value.getOrElse(lit(1))).over(framed)
+        case "minimum" | "min" => min(value.get).over(framed)
+        case "maximum" | "max" => max(value.get).over(framed)
+        case other => throw new IllegalArgumentException(s"jx window aggregate not supported: $other")
+      }
+      df.withColumn(name, column)
     }
-    df.withColumn(name, column)
   }
 
   private def fieldName(n: JsonNode): String =

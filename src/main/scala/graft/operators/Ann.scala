@@ -730,5 +730,51 @@ object Ann extends QueryPack {
     None,
     "PCA projection to 8 dims: treeAggregate covariance fit, broadcast matrix multiply per row")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92)
+  /** SemDeDup (Abbas et al., 2023): semantic dedup at scale by
+    * restricting the quadratic near-neighbor search to WITHIN k-means
+    * clusters — the embedding-space analogue of q32's LSH banding
+    * (q41 is the exact global audit; this is the path that runs at
+    * 100 TB). Cluster-mates are candidates via one equi-join on the
+    * cluster id (shuffle partitioned by cluster, AQE skew-splitting
+    * hot clusters; never all-pairs); only candidates pay the exact
+    * codegen'd cosine. A vector is dropped when a SMALLER-id cluster-
+    * mate scores ≥ threshold (the q41-family min-id keeper rule,
+    * deterministic under retries); survivors keep their topic label.
+    *
+    * Approximation contract (spec-pinned): cluster-restricted
+    * candidate pairs are a SUBSET of the global pairs, so SemDeDup
+    * never drops a vector the exact global rule would keep —
+    * survivors(semantic) ⊇ survivors(q41-rule); recall of the global
+    * drop-set rises with nc sized so clusters are O(corpus/nc)
+    * (SemDeDup used 110k clusters for LAION; per-cluster cost is
+    * (n/nc)²·d).
+    */
+  def semanticDedupOn(df: DataFrame, cents: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = assignClusters(df, cents)
+    val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cl"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cl"))
+      .where(col("a_id") < col("b_id") &&
+        cosineFast(col("ea"), col("eb")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cl").as("cluster"))
+  }
+
+  def semanticDedup(df: DataFrame, nc: Int, iters: Int,
+      threshold: Double): DataFrame =
+    semanticDedupOn(df, ivfCentroids(df, nc, iters), threshold)
+
+  val q105 = Q(
+    "q105_semdedup",
+    (s, d) => semanticDedupOn(emb(s, d), storedCentroids(s, d, 8, 3), 0.4),
+    None, // trained-model candidate generation has no SQL mirror;
+    // AnnSpec pins survivors ⊇ the exact global rule, ≡ per-cluster
+    // brute force, and determinism
+    "SemDeDup: k-means-clustered semantic dedup — within-cluster cosine pairs, min-id keeper")
+
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92, q105)
 }

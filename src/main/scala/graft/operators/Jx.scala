@@ -699,7 +699,43 @@ object Jx extends QueryPack {
            |FROM inner_q WHERE qty >= 400""".stripMargin),
     "jx query pipelining: outer filter/derive over an inner aggregation (the HAVING idiom)")
 
+  /** jx window median: the EXACT per-partition median as a window
+    * column (each event vs its user's typical value — the outlier
+    * screen a dashboard paints per row). The compiler's rank-trick
+    * formulation is mirrored term-for-term by the oracle (both
+    * engines pick the same positional rows and compute one double
+    * addition + division), so this is hash-exact where a
+    * quantile_cont-vs-sketch comparison could never be.
+    */
+  val q106Json: String =
+    """{
+      |  "from": "events",
+      |  "where": {"eq": {"event_type": "click"}},
+      |  "window": [
+      |    {"name": "user_median", "value": "value", "aggregate": "median",
+      |     "edges": ["user_id"]}
+      |  ],
+      |  "select": ["event_id", "user_id", "value", "user_median"]
+      |}""".stripMargin
+
+  val q106 = Q(
+    "q106_jx_window_median",
+    (s, d) => JxCompiler.query(s, d, q106Json),
+    Some("""WITH t AS (
+           |  SELECT event_id, user_id, value,
+           |    ROW_NUMBER() OVER
+           |      (PARTITION BY user_id ORDER BY value ASC NULLS LAST) AS rn,
+           |    (COUNT(value) OVER (PARTITION BY user_id) + 1) // 2 AS lo,
+           |    (COUNT(value) OVER (PARTITION BY user_id) + 2) // 2 AS hi
+           |  FROM events WHERE event_type = 'click')
+           |SELECT event_id, user_id, value,
+           |  (MAX(CASE WHEN rn = lo THEN value END) OVER (PARTITION BY user_id)
+           |   + MAX(CASE WHEN rn = hi THEN value END) OVER (PARTITION BY user_id))
+           |  / 2.0 AS user_median
+           |FROM t""".stripMargin),
+    "jx window median: exact partition median via the two-window rank trick")
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97,
-      q99, q100, q101, q102)
+      q99, q100, q101, q102, q106)
 }

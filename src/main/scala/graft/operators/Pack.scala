@@ -319,6 +319,42 @@ object Pack extends QueryPack {
            |WHERE rn <= 8""".stripMargin),
     "per-domain document cap: salted two-phase top-K (hot domains never sort in one task)")
 
+  /** Multi-dimensional stratified sampling: a fixed quota per
+    * (source × lang) STRATUM — how an eval/audit set is actually
+    * drawn (q59 budgets tokens per source; this balances CELLS so a
+    * rare stratum, e.g. zh docs from one source, is represented
+    * instead of drowned by the corpus mixture). Priority is the
+    * engine's deterministic multiplicative hash with its own salt, so
+    * stratum membership is stable under appends and independent of
+    * the split/sample/cap orderings; selection within a stratum is
+    * the salted two-phase [[capPerKey]] rank — a hot stratum (one
+    * source dominating one language at 100 TB) spreads over salt
+    * tasks, never one whole-stratum sort. Oracle = the plain
+    * single-window rank, which capPerKey is spec-pinned to equal.
+    */
+  def stratifiedSample(docsDf: DataFrame, dims: Seq[String], k: Int): DataFrame = {
+    val stratum = concat_ws("\u0001", dims.map(col): _*)
+    val withPri = docsDf.select(
+      (col("doc_id") +: dims.map(col)) :+ stratum.as("_stratum") :+
+        ((col("doc_id") % 100000007L + 7919L) % 100000007L * 2654435761L % 4294967296L).as("_pri"): _*)
+    capPerKey(withPri, "_stratum", "_pri", "doc_id", k)
+      .drop("_stratum", "_pri")
+  }
+
+  val q104 = Q(
+    "q104_strat_sample",
+    (s, d) => stratifiedSample(docs(s, d), Seq("source", "lang"), k = 5),
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, lang,
+           |    (doc_id % 100000007 + 7919) % 100000007 * 2654435761 % 4294967296 AS pri
+           |  FROM documents)
+           |SELECT doc_id, source, lang FROM (
+           |  SELECT doc_id, source, lang,
+           |    row_number() OVER (PARTITION BY source, lang ORDER BY pri, doc_id) AS rn
+           |  FROM d)
+           |WHERE rn <= 5""".stripMargin),
+    "stratified eval sampling: quota per (source, lang) cell via the salted two-phase rank")
+
   /** The whole pre-training data-prep recipe as ONE composed call —
     * the LLM-side analogue of `sources.EtlPipeline.run` (which
     * composes the reference's extract→patch→push loop): quality gate
@@ -349,5 +385,5 @@ object Pack extends QueryPack {
       .join(docsDf.select(col("doc_id"), col("text")), "doc_id")
   }
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73, q76)
+  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73, q76, q104)
 }

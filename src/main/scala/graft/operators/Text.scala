@@ -873,6 +873,48 @@ object Text extends QueryPack {
            |FROM tgt""".stripMargin),
     "vocabulary coverage curve: minimal vocab for 90/95/99% token coverage, value-compressed rank")
 
+  /** Bigram corpus-frequency coherence score — q72's CCNet-style
+    * LM-score proxy lifted from unigrams to ADJACENT-PAIR statistics:
+    * a document whose word pairs are common in the corpus reads as
+    * fluent prose; shuffled/templated/gibberish text hits rare pairs
+    * even when every individual word is frequent (the failure mode a
+    * unigram score cannot see). Score = mean corpus frequency of the
+    * doc's word bigrams, integer sums + one final division (q72's
+    * cross-engine determinism contract — no logs, no per-term
+    * doubles).
+    *
+    * Scale shape: bigrams come from the same `shingles` array
+    * transform q31/q39 use (one projection, no self-join, no window —
+    * `Dedup.ngrams`'s lead() formulation would pay a per-doc sort
+    * here for nothing); the bigram-frequency dim is a map-side-
+    * partial groupBy; the join back is linear with AQE skew handling
+    * the Zipf head, same plan family as q72. Docs with < 2 words
+    * have no bigrams and drop (explode is inner), mirrored by the
+    * oracle's empty list_transform.
+    */
+  val q103 = Q(
+    "q103_bigram_score",
+    (s, d) => {
+      val bi = docs(s, d)
+        .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
+      val bf = bi.groupBy(col("bg")).agg(count(lit(1)).as("bf"))
+      bi.join(bf, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bf")).as("sum_bf"))
+        .withColumn("mean_bf", col("sum_bf").cast("double") / col("n_bigrams"))
+    },
+    Some("""WITH bi AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |        FROM documents)
+           |), bf AS (SELECT bg, COUNT(*) AS bf FROM bi GROUP BY bg)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  CAST(SUM(bf) AS BIGINT) AS sum_bf,
+           |  CAST(SUM(bf) AS DOUBLE) / COUNT(*) AS mean_bf
+           |FROM bi JOIN bf USING (bg) GROUP BY doc_id""".stripMargin),
+    "bigram corpus-frequency score: mean adjacent-pair frequency per doc (fluency proxy unigrams can't see)")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82, q87)
+    q72, q74, q78, q79, q82, q87, q103)
 }

@@ -227,6 +227,38 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup: equals per-cluster brute force, never drops what the global rule keeps (q105)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = Ann.ivfCentroids(e, nc = 8, iters = 3)
+    val thr = 0.4
+    val survivors = Ann.semanticDedupOn(e, cents, thr)
+      .as[(Long, Int)].collect().toMap
+    // determinism: trained model + min-id rule, same result every run
+    Ann.semanticDedupOn(e, cents, thr).as[(Long, Int)].collect().toMap shouldBe survivors
+    // per-cluster brute force: drop b iff some a < b in the SAME
+    // cluster scores >= thr (driver-side recompute, full doubles)
+    val assign = Ann.embedClustersOn(e, cents).as[(Long, Int)].collect().toMap
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.collect { case (id, v)
+        if !vecs.exists { case (id2, v2) =>
+          id2 < id && assign(id2) == assign(id) && cos(v2, v) >= thr } =>
+      id -> assign(id)
+    }.toMap
+    survivors shouldBe expected
+    // approximation contract: cluster-restricted pairs ⊆ global pairs,
+    // so the global exact min-id rule's survivors ⊆ SemDeDup's
+    val globalSurvivors = vecs.collect { case (id, v)
+        if !vecs.exists { case (id2, v2) => id2 < id && cos(v2, v) >= thr } => id }.toSet
+    globalSurvivors.subsetOf(survivors.keySet) shouldBe true
+    // and it actually dedups: the sf corpus has planted near-dups
+    survivors.size.toLong should be < e.count()
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)

@@ -982,6 +982,45 @@ class JxSpec extends SparkSpec {
     "Exchange [a-z]*hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("window median: exact partition median — odd, even, null-skipping, all-null") {
+    val df = Seq[(String, java.lang.Double)](
+      ("odd", 1d), ("odd", 9d), ("odd", 5d), // median 5
+      ("even", 1d), ("even", 2d), ("even", 10d), ("even", 20d), // (2+10)/2 = 6
+      ("nulls", 3d), ("nulls", null), ("nulls", 7d), // nulls skip → (3+7)/2 = 5
+      ("allnull", null), ("allnull", null) // no values → null
+    ).toDF("g", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t",
+          "window":[{"name":"med","value":"v","aggregate":"median","edges":["g"]}],
+          "select":["g","med"]}""",
+      Map("t" -> df))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    got shouldBe Map("odd" -> Some(5.0), "even" -> Some(6.0),
+      "nulls" -> Some(5.0), "allnull" -> None)
+  }
+
+  test("window median rejects sort and range frames loudly") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"t",
+            "window":[{"name":"m","value":"v","aggregate":"median",
+                       "edges":["g"],"sort":["v"]}],
+            "select":["g","m"]}""",
+        Map("t" -> df))
+    }
+    e.getMessage should include("running median")
+    val e2 = intercept[IllegalArgumentException] {
+      JxCompiler.queryOn(spark, sfDir,
+        """{"from":"t",
+            "window":[{"name":"m","value":"v","aggregate":"median",
+                       "edges":["g"],"range":{"min":-1,"max":1}}],
+            "select":["g","m"]}""",
+        Map("t" -> df))
+    }
+    e2.getMessage should include("whole-partition")
+  }
+
   test("variance/std aggregates: sample moments, nulls skipped") {
     // 2,4,4,4,5,5,7,9: Σx=40, Σx²=232, n=8 → var = (232−200)/7 = 32/7;
     // the null row must not count toward n or the sums
