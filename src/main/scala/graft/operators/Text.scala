@@ -915,6 +915,160 @@ object Text extends QueryPack {
            |FROM bi JOIN bf USING (bg) GROUP BY doc_id""".stripMargin),
     "bigram corpus-frequency score: mean adjacent-pair frequency per doc (fluency proxy unigrams can't see)")
 
+  /** Per-source term-distribution drift vs the corpus: exact total
+    * variation distance TVD(s) = ½·Σ_t |p_s(t) − p(t)| where p_s is
+    * the source's term distribution and p the corpus's. TVD is the
+    * mixture-audit number a curation pipeline watches per ingest
+    * batch — a source whose surface vocabulary drifts (different
+    * language mix, markup injection, OCR noise) moves it before any
+    * downstream metric does. q82 counts top-K overlap (a coarse
+    * screen); this is the full-distribution distance.
+    *
+    * Exactness: only INTEGER cross-products are summed —
+    * |cnt_s·tot − gcnt·tot_s| (accumulated as decimal(38,0); per-term
+    * products fit a long up to cnt_s·tot < 2^63) — and the single
+    * division happens once at the end, so both engines round the same
+    * integer ratio and the gate hash-matches despite a double output.
+    * Terms absent from a source would need the dense source×vocab
+    * grid; folded in algebraically instead via
+    * Σ_{t∉s} gcnt·tot_s = (tot − Σ_{t∈s} gcnt)·tot_s, so the plan
+    * touches only observed (source, term) pairs.
+    *
+    * Scale shape: one tokenize pass feeds (source, term) counts
+    * (map-side partial); the only wide join is (source, term) ×
+    * global term counts on the compressed vocabulary domain — never
+    * corpus-sized; per-source totals and the corpus total ride
+    * broadcast. Reference anchor: MoDevETL's per-source ETL health
+    * summaries (pushing stats per origin), re-expressed as a
+    * distribution distance.
+    */
+  def sourceDrift(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf.select(col("source"), explode(words(col("text"))).as("term"))
+    // feeds the global term dim, the per-source totals, and the join
+    // fact — one tokenize+count pass, lazily persisted
+    val st = graft.util.reused(
+      toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt")))
+    val g = st.groupBy(col("term")).agg(sum(col("cnt")).as("gcnt"))
+    val perSrc = st.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("tot_s"), count(lit(1)).as("n_terms"))
+    val tot = st.agg(sum(col("cnt")).as("tot"))
+    st.join(g, Seq("term"))
+      .join(broadcast(perSrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d",
+        (abs(col("cnt") * col("tot") - col("gcnt") * col("tot_s"))
+          - col("gcnt") * col("tot_s")).cast("decimal(38,0)"))
+      .groupBy(col("source"), col("n_terms"), col("tot_s"), col("tot"))
+      .agg(sum(col("d")).as("sumd"))
+      .withColumn("tvd",
+        (col("sumd") + col("tot") * col("tot_s")).cast("double")
+          / (lit(2.0) * col("tot_s") * col("tot")))
+      .select(col("source"), col("n_terms"), col("tot_s"), col("tvd"))
+  }
+
+  val q107 = Q(
+    "q107_source_drift",
+    (s, d) => sourceDrift(docs(s, d)),
+    Some("""WITH toks AS (
+           |  SELECT source,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS term
+           |  FROM documents
+           |), st AS (
+           |  SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+           |), g AS (
+           |  SELECT term, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM st GROUP BY 1
+           |), s AS (
+           |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_s,
+           |    COUNT(*) AS n_terms
+           |  FROM st GROUP BY 1
+           |), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM st)
+           |SELECT st.source, s.n_terms, s.tot_s,
+           |  CAST(SUM(CAST(ABS(st.cnt * n.tot - g.gcnt * s.tot_s)
+           |                - g.gcnt * s.tot_s AS HUGEINT))
+           |       + CAST(n.tot * s.tot_s AS HUGEINT) AS DOUBLE)
+           |  / (2.0 * s.tot_s * n.tot) AS tvd
+           |FROM st JOIN g USING (term) JOIN s USING (source) CROSS JOIN n
+           |GROUP BY st.source, s.n_terms, s.tot_s, n.tot""".stripMargin),
+    "per-source total-variation distance from the corpus term distribution: integer cross-products, one final division")
+
+  /** Keyword-search relevance: top-k documents for a fixed query-term
+    * set, scored with linear idf — score(doc) = Σ_t tf(doc,t)·N/df(t).
+    * The retrieval primitive behind corpus probes ("show me the docs
+    * about X") and behind q58/q68-style contamination triage when the
+    * probe is a phrase rather than a stored benchmark set.
+    *
+    * Exactness: each term gets a FIXED slot (pivoted column), so the
+    * float sum runs in one hard-coded left-to-right order in both
+    * engines over addends that are each one integer product and one
+    * division — bit-identical, no Σ-over-rows float accumulation.
+    * Linear idf (N/df, no log) keeps it that way, q79's contract.
+    *
+    * Scale shape: `isin` filters the exploded token stream BEFORE any
+    * shuffle, so the tf aggregate sees only query-term hits (≈ zero
+    * fraction of the corpus); df and N are 1-row broadcasts; the
+    * top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    * heaps, no global sort, no window). The tokenize+filter pass is
+    * the whole cost — exactly a full-scan inverted-index probe.
+    */
+  def keywordSearch(docsDf: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one query term")
+    val toks = docsDf
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+    // feeds both the per-doc slots and the df dim: one filtered pass
+    val tf = graft.util.reused(
+      toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    def slot(t: String) = sum(when(col("term") === t, col("tf"))).as(s"tf_$t")
+    val wide = tf.groupBy(col("doc_id"))
+      .agg(slot(terms.head), terms.tail.map(slot): _*)
+    def dfSlot(t: String) = count(when(col("term") === t, 1)).as(s"df_$t")
+    val dfx = tf.groupBy().agg(dfSlot(terms.head), terms.tail.map(dfSlot): _*)
+    val n = docsDf.agg(count(lit(1)).as("n"))
+    val score = terms.map { t =>
+      coalesce((col(s"tf_$t") * col("n")).cast("double") / col(s"df_$t"),
+        lit(0.0))
+    }.reduce(_ + _)
+    wide.crossJoin(broadcast(dfx)).crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .select(col("doc_id") +: terms.map(t =>
+        coalesce(col(s"tf_$t"), lit(0L)).as(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val q108 = Q(
+    "q108_keyword_search",
+    (s, d) => keywordSearch(docs(s, d), Seq("join", "window", "agg"), k = 10),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           |  WHERE term IN ('join', 'window', 'agg') GROUP BY 1, 2
+           |), wide AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN term = 'join' THEN tf END) AS BIGINT) AS tf_join,
+           |    CAST(SUM(CASE WHEN term = 'window' THEN tf END) AS BIGINT) AS tf_window,
+           |    CAST(SUM(CASE WHEN term = 'agg' THEN tf END) AS BIGINT) AS tf_agg
+           |  FROM tf GROUP BY 1
+           |), dfx AS (
+           |  SELECT COUNT(CASE WHEN term = 'join' THEN 1 END) AS df_join,
+           |    COUNT(CASE WHEN term = 'window' THEN 1 END) AS df_window,
+           |    COUNT(CASE WHEN term = 'agg' THEN 1 END) AS df_agg
+           |  FROM tf
+           |), n AS (SELECT COUNT(*) AS n FROM documents)
+           |SELECT doc_id,
+           |  COALESCE(tf_join, 0) AS tf_join,
+           |  COALESCE(tf_window, 0) AS tf_window,
+           |  COALESCE(tf_agg, 0) AS tf_agg,
+           |  COALESCE(CAST(tf_join * n AS DOUBLE) / df_join, 0.0)
+           |    + COALESCE(CAST(tf_window * n AS DOUBLE) / df_window, 0.0)
+           |    + COALESCE(CAST(tf_agg * n AS DOUBLE) / df_agg, 0.0) AS score
+           |FROM wide CROSS JOIN dfx CROSS JOIN n
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "keyword-search top-k: linear-idf relevance over fixed term slots, filter-before-shuffle, TakeOrdered top-k")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82, q87, q103)
+    q72, q74, q78, q79, q82, q87, q103, q107, q108)
 }

@@ -306,4 +306,77 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sourceDrift ≡ brute-force TVD on 10 random corpora; 0 for a lone source (q107)") {
+    (1 to 10).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val nSrc = 1 + rnd.nextInt(4)
+      val rows = (0 until (10 + rnd.nextInt(40))).map { i =>
+        (i.toLong, s"s${rnd.nextInt(nSrc)}",
+          (0 until (1 + rnd.nextInt(12)))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+      val out = operators.Text.sourceDrift(df)
+        .select($"source", $"n_terms", $"tot_s", $"tvd")
+        .as[(String, Long, Long, Double)].collect()
+      // brute force over the DENSE source×vocab grid with exact ints
+      val cnt = rows.flatMap { case (_, s, t) => t.split("\\s+").map(s -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tot = cnt.values.sum
+      val bySrc = cnt.keys.map(_._1).toSet
+      val want = bySrc.map { s =>
+        val totS = cnt.collect { case ((`s`, _), c) => c }.sum
+        val sumFull = vocab.map { t =>
+          val cs = cnt.getOrElse((s, t), 0L)
+          val g = cnt.collect { case ((_, `t`), c) => c }.sum
+          (BigInt(cs) * tot - BigInt(g) * totS).abs
+        }.sum
+        s -> (totS, sumFull.toDouble / (2.0 * totS * tot))
+      }.toMap
+      withClue(s"trial $trial (nSrc=$nSrc): ") {
+        out.length shouldBe want.size
+        out.foreach { case (s, nTerms, totS, tvd) =>
+          totS shouldBe want(s)._1
+          tvd shouldBe want(s)._2
+          nTerms shouldBe cnt.keys.count(_._1 == s).toLong
+          tvd should be >= 0.0
+          tvd should be <= 1.0
+        }
+        if (bySrc.size == 1) out.head._4 shouldBe 0.0
+      }
+    }
+  }
+
+  test("keywordSearch ≡ brute-force linear-idf ranking on 10 random corpora (q108)") {
+    (1 to 10).foreach { trial =>
+      val vocab = Vector("xx", "yy", "zz", "ww")
+      val terms = Seq("xx", "yy")
+      val rows = (0 until (5 + rnd.nextInt(30))).map { i =>
+        (i.toLong, (0 until rnd.nextInt(10))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 1 + rnd.nextInt(6)
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val out = operators.Text.keywordSearch(df, terms, k)
+        .select($"doc_id", $"tf_xx", $"tf_yy", $"score")
+        .as[(Long, Long, Long, Double)].collect()
+      val n = rows.size.toLong
+      val tf = rows.map { case (id, t) =>
+        val ws = t.split("\\s+")
+        id -> terms.map(q => ws.count(_ == q).toLong)
+      }.toMap
+      val dfreq = terms.indices.map(i => tf.values.count(_(i) > 0).toLong)
+      val scored = tf.collect { case (id, tfs) if tfs.exists(_ > 0) =>
+        val s = terms.indices.map { i =>
+          if (tfs(i) > 0) (tfs(i) * n).toDouble / dfreq(i) else 0.0
+        }.reduce(_ + _)
+        (id, tfs.head, tfs(1), s)
+      }.toSeq
+      val want = scored.sortBy(r => (-r._4, r._1)).take(k)
+      withClue(s"trial $trial (k=$k n=$n): ") {
+        out.toSeq shouldBe want
+      }
+    }
+  }
 }
