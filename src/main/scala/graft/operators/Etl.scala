@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import graft.util._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,5 +235,66 @@ object Etl extends QueryPack {
            |  ON p.user_id = v.user_id AND v.v_ts <= p.ts""".stripMargin),
     "as-of join (latest prior view per purchase) via tagged union + window, one shuffle")
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50)
+  /** Cohort retention: bucket every user by first-seen day, then for
+    * each (cohort, day-offset) the fraction of the cohort active that
+    * day — the canonical product-analytics matrix (MoDevETL's ETL
+    * serves exactly this dashboard class over bug-event streams).
+    * Day granularity matches the testdata's 30-day span; the bucket
+    * unit is one `date_trunc` argument either way.
+    *
+    * Exactness: counts are integers; retention is ONE final division,
+    * so the double matches the oracle bit-for-bit. The offset is a
+    * day-difference of two day-truncated midnights — exact integer
+    * arithmetic in both engines.
+    *
+    * Scale shape: the event stream collapses to DISTINCT (user, day)
+    * BEFORE the cohort join (active-user-days ≪ events — the shuffle
+    * carries the compressed domain); first-seen is a map-side-partial
+    * min over the same user key; the per-cohort sizes are a
+    * days-sized broadcast. No window, no self-join: two shuffles
+    * (user-key aggregate, user-key join) plus one small aggregate —
+    * the same plan at 100 TB, with AQE handling hot users.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+    val userDays = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohortSize = firstDay.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    userDays.join(firstDay, Seq("user_id"))
+      // d = cohort + offset days by construction: distinct (user, d)
+      // rows stay distinct per (user, offset), so a plain count below
+      // counts users exactly once
+      .select(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), Seq("cohort"))
+      .withColumn("retention", col("n_active").cast("double") / col("n_cohort"))
+  }
+
+  val q109 = Q(
+    "q109_cohort_retention",
+    (s, d) => cohortRetention(ev(s, d)),
+    Some("""WITH fw AS (
+           |  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort
+           |  FROM events GROUP BY 1
+           |), ud AS (
+           |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+           |  FROM events
+           |), cs AS (
+           |  SELECT cohort, COUNT(*) AS n_cohort FROM fw GROUP BY 1
+           |), act AS (
+           |  SELECT fw.cohort,
+           |    date_diff('day', fw.cohort, ud.d) AS day_offset
+           |  FROM ud JOIN fw USING (user_id)
+           |)
+           |SELECT act.cohort, act.day_offset, COUNT(*) AS n_active,
+           |  cs.n_cohort, CAST(COUNT(*) AS DOUBLE) / cs.n_cohort AS retention
+           |FROM act JOIN cs USING (cohort)
+           |GROUP BY act.cohort, act.day_offset, cs.n_cohort""".stripMargin),
+    "cohort retention matrix: first-seen-day cohorts x day offset, distinct-before-join, one final division")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109)
 }

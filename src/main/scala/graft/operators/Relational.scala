@@ -426,6 +426,69 @@ object Relational extends QueryPack {
     None,
     "mergeable sketch aggregates (HLL++ distinct, t-digest percentile)")
 
+  /** Market-basket co-occurrence with lift: part pairs ordered
+    * together, support-thresholded, scored by
+    * lift = P(p1,p2) / (P(p1)·P(p2)) — the Apriori candidate step a
+    * recommender/affinity audit runs over order data.
+    *
+    * Exactness: supports are integer counts; lift is computed as
+    * (n_pair·N) / (c1·c2) with the integer products formed first and
+    * ONE double division at the end — bit-identical across engines.
+    *
+    * Scale shape: the pair generator is a SELF-JOIN CO-PARTITIONED ON
+    * THE BASKET KEY (l_orderkey) — one shuffle, then pair fanout is
+    * local and bounded by basket size (O(k²) per order, k ≈ 7 in
+    * TPC-H; never a global cross product). The support threshold
+    * prunes the pair aggregate before the dimension joins; per-part
+    * order counts are a part-dimension-sized broadcast (parts ≪
+    * facts). Skewed mega-baskets are the one hazard at 100 TB — cap
+    * basket size upstream or salt the orderkey; TPC-H baskets are
+    * bounded by construction.
+    */
+  def basketPairs(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    val items = reused(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    val partCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minSupport)
+    pairs
+      .join(broadcast(partCnt.select(col("l_partkey").as("p1"), col("c").as("c1"))), Seq("p1"))
+      .join(broadcast(partCnt.select(col("l_partkey").as("p2"), col("c").as("c2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        (col("n_pair") * col("n_orders_total")).cast("double") / (col("c1") * col("c2")))
+      .select(col("p1"), col("p2"), col("n_pair"), col("c1"), col("c2"), col("lift"))
+  }
+
+  val q110 = Q(
+    "q110_basket_pairs",
+    (s, d) => basketPairs(li(s, d), minSupport = 2),
+    Some("""WITH it AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           |), pc AS (
+           |  SELECT l_partkey, COUNT(*) AS c FROM it GROUP BY 1
+           |), n AS (
+           |  SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM it
+           |), pairs AS (
+           |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+           |  FROM it a JOIN it b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |)
+           |SELECT p1, p2, n_pair, c1.c AS c1, c2.c AS c2,
+           |  CAST(n_pair * n.n_orders_total AS DOUBLE) / (c1.c * c2.c) AS lift
+           |FROM pairs
+           |JOIN pc c1 ON pairs.p1 = c1.l_partkey
+           |JOIN pc c2 ON pairs.p2 = c2.l_partkey
+           |CROSS JOIN n""".stripMargin),
+    "market-basket pair co-occurrence with lift: orderkey-co-partitioned self-join, support threshold, broadcast part dims")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47, q110)
 }

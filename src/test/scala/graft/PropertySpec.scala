@@ -348,6 +348,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention ≡ brute-force matrix on 10 random event logs (q109)") {
+    (1 to 10).foreach { trial =>
+      val nUsers = 1 + rnd.nextInt(12)
+      val rows = (0 until (10 + rnd.nextInt(80))).map { i =>
+        val day = rnd.nextInt(15)
+        (i.toLong, rnd.nextInt(nUsers).toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 0${rnd.nextInt(10)}:30:00"))
+      }
+      val df = spark.createDataFrame(rows).toDF("event_id", "user_id", "ts")
+      val out = operators.Etl.cohortRetention(df)
+        .select($"cohort", $"day_offset", $"n_active", $"n_cohort", $"retention")
+        .as[(java.sql.Timestamp, Long, Long, Long, Double)].collect()
+      val day = rows.map { case (_, u, ts) => (u, ts.toLocalDateTime.toLocalDate) }
+      val firstDay = day.groupBy(_._1).view.mapValues(_.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))).toMap
+      val cohortSize = firstDay.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = day.distinct.map { case (u, d) =>
+        (firstDay(u), d.toEpochDay - firstDay(u).toEpochDay)
+      }.groupBy(identity).map { case ((c, off), hits) =>
+        (c, off) -> hits.size.toLong
+      }
+      withClue(s"trial $trial (nUsers=$nUsers): ") {
+        out.length shouldBe want.size
+        out.foreach { case (cts, off, nAct, nCoh, ret) =>
+          val c = cts.toLocalDateTime.toLocalDate
+          nAct shouldBe want((c, off))
+          nCoh shouldBe cohortSize(c)
+          ret shouldBe nAct.toDouble / nCoh
+        }
+      }
+    }
+  }
+
+  test("basketPairs ≡ brute-force pair counts and lift on 10 random baskets (q110)") {
+    (1 to 10).foreach { trial =>
+      val nOrders = 3 + rnd.nextInt(10)
+      val nParts = 3 + rnd.nextInt(8)
+      val rows = (0 until (10 + rnd.nextInt(80))).map { _ =>
+        (rnd.nextInt(nOrders).toLong, rnd.nextInt(nParts).toLong)
+      }
+      val minSup = 1 + rnd.nextInt(3)
+      val df = spark.createDataFrame(rows).toDF("l_orderkey", "l_partkey")
+      val out = operators.Relational.basketPairs(df, minSup)
+        .select($"p1", $"p2", $"n_pair", $"c1", $"c2", $"lift")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+      val it = rows.distinct
+      val byOrder = it.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val partCnt = it.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nTot = byOrder.size.toLong
+      val want = byOrder.values.toSeq.flatMap { ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= minSup).toMap
+      withClue(s"trial $trial (orders=$nOrders parts=$nParts minSup=$minSup): ") {
+        out.length shouldBe want.size
+        out.foreach { case (p1, p2, n, c1, c2, lift) =>
+          n shouldBe want((p1, p2))
+          c1 shouldBe partCnt(p1)
+          c2 shouldBe partCnt(p2)
+          lift shouldBe (n * nTot).toDouble / (c1 * c2)
+        }
+      }
+    }
+  }
+
   test("keywordSearch ≡ brute-force linear-idf ranking on 10 random corpora (q108)") {
     (1 to 10).foreach { trial =>
       val vocab = Vector("xx", "yy", "zz", "ww")
