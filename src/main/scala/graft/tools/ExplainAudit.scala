@@ -61,6 +61,31 @@ object ExplainAudit {
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "equi-join lost (nested loop or worse)")
+      case "q108_keyword_search" =>
+        // top-k must be per-partition heaps, never a global sort or a
+        // single-partition window
+        if (!plan.contains("TakeOrderedAndProject"))
+          v += Violation(name, "top-k degraded (no TakeOrderedAndProject)")
+        if (plan.contains("Window"))
+          v += Violation(name, "window in plan (top-k should be TakeOrdered)")
+        // the query-term filter must survive into the plan (it is what
+        // collapses the exploded token stream before the tf shuffle)
+        if (!plan.contains(" IN (join,window,agg)"))
+          v += Violation(name, "query-term isin filter lost")
+      case "q109_cohort_retention" =>
+        // the matrix is aggregates + joins only — a WindowExec here
+        // means someone rewrote first-seen as a running window
+        if (plan.contains("Window"))
+          v += Violation(name, "window in plan (first-seen must be a min aggregate)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
+      case "q110_basket_pairs" =>
+        // the basket self-join must stay an equi join on the basket
+        // key (co-partitioned pair fanout); nested-loop pair
+        // generation is the quadratic regression
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "basket self-join lost equi form (nested loop or worse)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" =>
         // stored-artifact consumers (closure / pair list / components /

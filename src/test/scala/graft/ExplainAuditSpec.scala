@@ -18,7 +18,9 @@ class ExplainAuditSpec extends SparkSpec {
 
   test("healthy gate plans carry zero violations") {
     for (name <- Seq("q01_filter_project", "q02_agg_group",
-        "q03_join_broadcast", "q04_join_shuffle", "q05_multijoin")) {
+        "q03_join_broadcast", "q04_join_shuffle", "q05_multijoin",
+        "q108_keyword_search", "q109_cohort_retention",
+        "q110_basket_pairs")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       ExplainAudit.violations(name, plan(df)) shouldBe empty
     }
@@ -58,6 +60,24 @@ class ExplainAuditSpec extends SparkSpec {
       Tables.documents(spark, sfDir), 0.5, maxShingleDf = 512)
     val vs = ExplainAudit.violations("q31_dedup_jaccard", plan(recompute))
     vs.map(_.rule).exists(_.contains("stored artifact")) shouldBe true
+  }
+
+  test("seeded regression: window-based ranking for keyword search is caught") {
+    // q108's result computed via a single-partition row_number shape
+    // instead of TakeOrderedAndProject — the q18-class straggler.
+    // (NB the `where(rnk <= k)` idiom is NOT a usable seed: Spark's
+    // LimitPushDownThroughWindow rewrites it into a TakeOrdered +
+    // residual Window, so only the unfiltered ranking regresses.)
+    import org.apache.spark.sql.expressions.Window
+    val degraded = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .where(col("term").isin("join", "window", "agg"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    val vs = ExplainAudit.violations("q108_keyword_search", plan(degraded))
+    vs.map(_.rule).exists(_.contains("TakeOrderedAndProject")) shouldBe true
+    vs.map(_.rule).exists(_.contains("window")) shouldBe true
   }
 
   test("seeded regression: lost column pruning / pushdown on q01's scan is caught") {
