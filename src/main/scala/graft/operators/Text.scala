@@ -895,12 +895,20 @@ object Text extends QueryPack {
   val q103 = Q(
     "q103_bigram_score",
     (s, d) => {
-      val bi = docs(s, d)
-        .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
-      val bf = bi.groupBy(col("bg")).agg(count(lit(1)).as("bf"))
-      bi.join(bf, Seq("bg"))
+      // aggregate to per-doc bigram COUNTS before anything wide: the
+      // join fact carries (doc, bg, k) instead of raw instances, the
+      // bigram dim derives from it (one tokenize+shingle pass,
+      // lazily persisted — the q79 tf convention), and the instance
+      // multiplicity rides the k weights: n = Σk, sum_bf = Σ k·bf
+      val dbg = graft.util.reused(
+        docs(s, d)
+          .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k")))
+      val bf = dbg.groupBy(col("bg")).agg(sum(col("k")).as("bf"))
+      dbg.join(bf, Seq("bg"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("bf")).as("sum_bf"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k") * col("bf")).as("sum_bf"))
         .withColumn("mean_bf", col("sum_bf").cast("double") / col("n_bigrams"))
     },
     Some("""WITH bi AS (
