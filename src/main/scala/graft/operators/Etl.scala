@@ -296,5 +296,52 @@ object Etl extends QueryPack {
            |GROUP BY act.cohort, act.day_offset, cs.n_cohort""".stripMargin),
     "cohort retention matrix: first-seen-day cohorts x day offset, distinct-before-join, one final division")
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109)
+  /** Daily KPI table with period-over-period deltas: per (day,
+    * event_type) counts, the previous day's count via lag, the
+    * day-over-day delta, and a trailing 7-day moving average — the
+    * dashboard time-series every monitoring ETL materializes.
+    *
+    * Exactness: counts and deltas are integers (first row per type
+    * has NULL prev/delta on both engines); the moving average is an
+    * exact integer frame sum with ONE division by the frame row
+    * count — bit-identical across engines.
+    *
+    * Scale shape: the heavy pass is the daily aggregate (map-side
+    * partial, output is days × types — tiny); the lag/frame windows
+    * run over that aggregate partitioned by event_type, so the
+    * single-partition-window hazard never touches raw events. At
+    * 100 TB the aggregate output is still only years-of-days × types.
+    */
+  def kpiDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val f = w.rowsBetween(-6, 0)
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("ma7",
+        sum(col("n")).over(f).cast("double") / count(col("n")).over(f))
+  }
+
+  val q112 = Q(
+    "q112_kpi_daily",
+    (s, d) => kpiDaily(ev(s, d)),
+    Some("""WITH daily AS (
+           |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           |    event_type, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2
+           |)
+           |SELECT day, event_type, n,
+           |  lag(n, 1) OVER w AS prev_n,
+           |  n - lag(n, 1) OVER w AS delta,
+           |  CAST(SUM(n) OVER f AS DOUBLE) / COUNT(n) OVER f AS ma7
+           |FROM daily
+           |WINDOW w AS (PARTITION BY event_type ORDER BY day),
+           |  f AS (PARTITION BY event_type ORDER BY day
+           |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
+    "daily KPI time-series: lag delta + trailing 7-day moving average over the compressed daily aggregate")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112)
 }

@@ -489,6 +489,109 @@ object Relational extends QueryPack {
            |CROSS JOIN n""".stripMargin),
     "market-basket pair co-occurrence with lift: orderkey-co-partitioned self-join, support threshold, broadcast part dims")
 
+  /** RFM customer segmentation: recency / frequency / monetary each
+    * bucketed into corpus quartiles, concatenated into the classic
+    * "444"-style segment label. The canonical customer-analytics
+    * derivation the reference's pushed-dashboard layer serves.
+    *
+    * Quartiles are VALUE BOUNDARIES from exact order statistics
+    * (`quantileDisc` over `rankPrep` — the ceil(n·p)-th smallest
+    * actual value, DuckDB's quantile_disc convention), not NTILE row
+    * buckets: ties get the same score on both engines, no interpolated
+    * double boundary to drift an ulp, and — the scale point — no
+    * global row_number: the boundary computation runs over the
+    * compressed distinct-value domain with rankPrep's bucketed
+    * windows, and the boundaries themselves are a 1-row broadcast.
+    *
+    * Scale shape: one per-customer aggregate (map-side partial on
+    * o_custkey), lazily persisted and consumed by the three boundary
+    * derivations and the final scoring pass; everything downstream of
+    * it is broadcast-joined. Monetary stays DECIMAL through the
+    * boundary comparison (exact), cast to double only for output.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = reused(
+      orders.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary")))
+    val mx = per.agg(max(col("last_order")).as("_mxd"))
+    val base = reused(per.crossJoin(broadcast(mx))
+      .withColumn("recency",
+        datediff(col("_mxd"), col("last_order")).cast("long"))
+      .drop("_mxd"))
+    def bounds(metric: String) = {
+      val rp = rankPrep(base.withColumn("_g", lit(1)), "_g", metric)
+      rp.groupBy(col("_g")).agg(
+          quantileDisc(col(metric), 0.25).as(s"${metric}_q1"),
+          quantileDisc(col(metric), 0.50).as(s"${metric}_q2"),
+          quantileDisc(col(metric), 0.75).as(s"${metric}_q3"))
+        .drop("_g")
+    }
+    val b = broadcast(
+      bounds("recency").crossJoin(bounds("frequency")).crossJoin(bounds("monetary")))
+    def upScore(c: String) = lit(1) +
+      (col(c) > col(s"${c}_q1")).cast("int") +
+      (col(c) > col(s"${c}_q2")).cast("int") +
+      (col(c) > col(s"${c}_q3")).cast("int")
+    val downScore = lit(1) +
+      (col("recency") < col("recency_q3")).cast("int") +
+      (col("recency") < col("recency_q2")).cast("int") +
+      (col("recency") < col("recency_q1")).cast("int")
+    base.crossJoin(b)
+      .withColumn("r_score", downScore)
+      .withColumn("f_score", upScore("frequency"))
+      .withColumn("m_score", upScore("monetary"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        col("monetary").cast(DoubleType).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+  }
+
+  val q111 = Q(
+    "q111_rfm_segments",
+    (s, d) => rfmSegments(ord(s, d)),
+    Some("""WITH per AS (
+           |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+           |    COUNT(*) AS frequency,
+           |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+           |  FROM orders GROUP BY 1
+           |), base AS (
+           |  SELECT o_custkey,
+           |    date_diff('day', last_order, (SELECT MAX(last_order) FROM per)) AS recency,
+           |    frequency, monetary
+           |  FROM per
+           |), b AS (
+           |  SELECT
+           |    quantile_disc(recency, 0.25) AS r_q1,
+           |    quantile_disc(recency, 0.50) AS r_q2,
+           |    quantile_disc(recency, 0.75) AS r_q3,
+           |    quantile_disc(frequency, 0.25) AS f_q1,
+           |    quantile_disc(frequency, 0.50) AS f_q2,
+           |    quantile_disc(frequency, 0.75) AS f_q3,
+           |    quantile_disc(monetary, 0.25) AS m_q1,
+           |    quantile_disc(monetary, 0.50) AS m_q2,
+           |    quantile_disc(monetary, 0.75) AS m_q3
+           |  FROM base
+           |), scored AS (
+           |  SELECT o_custkey, recency, frequency,
+           |    CAST(monetary AS DOUBLE) AS monetary,
+           |    1 + CAST(recency < r_q3 AS INT) + CAST(recency < r_q2 AS INT)
+           |      + CAST(recency < r_q1 AS INT) AS r_score,
+           |    1 + CAST(frequency > f_q1 AS INT) + CAST(frequency > f_q2 AS INT)
+           |      + CAST(frequency > f_q3 AS INT) AS f_score,
+           |    1 + CAST(monetary > m_q1 AS INT) + CAST(monetary > m_q2 AS INT)
+           |      + CAST(monetary > m_q3 AS INT) AS m_score
+           |  FROM base CROSS JOIN b
+           |)
+           |SELECT o_custkey, recency, frequency, monetary,
+           |  r_score, f_score, m_score,
+           |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           |    || CAST(m_score AS VARCHAR) AS segment
+           |FROM scored""".stripMargin),
+    "RFM quartile segmentation: exact order-statistic boundaries via rankPrep (no global row_number), broadcast scoring")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47, q110)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47, q110, q111)
 }

@@ -89,6 +89,19 @@ package object util {
     * side). Nulls are excluded by rankPrep, matching SQL
     * quantile_cont.
     */
+  /** Exact quantile_disc as an aggregate over `rankPrep` rows: the
+    * ceil(n·p)-th smallest VALUE (1-indexed inverse CDF — verified
+    * empirically to be DuckDB's `quantile_disc` convention), so the
+    * result is an actual data value of the column's own type, never
+    * an interpolated double. Use for boundary comparisons (e.g.
+    * quartile bucketing) where cross-engine ulp drift in an
+    * interpolated boundary would flip rows across buckets.
+    */
+  def quantileDisc(value: Column, p: Double): Column = {
+    val pos = ceil(col("n") * p) - 1 // 0-indexed order statistic
+    max(when(col("lo_rn") <= pos && pos <= col("hi_rn"), value))
+  }
+
   def quantileCont(value: Column, p: Double): Column = {
     val pos = (col("n") - 1) * p
     val lo = floor(pos)

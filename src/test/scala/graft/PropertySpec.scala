@@ -412,6 +412,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments ≡ brute-force quartile scoring on 10 random order sets (q111)") {
+    (1 to 10).foreach { trial =>
+      val nCust = 2 + rnd.nextInt(12)
+      val rows = (0 until (5 + rnd.nextInt(60))).map { i =>
+        (rnd.nextInt(nCust).toLong,
+          java.sql.Date.valueOf(f"2024-0${1 + rnd.nextInt(9)}-${1 + rnd.nextInt(28)}%02d"),
+          BigDecimal(100 + rnd.nextInt(90000), 2)) // 1.00 .. 901.00
+      }
+      val df = spark.createDataFrame(rows).toDF("o_custkey", "o_orderdate", "o_totalprice")
+      val out = operators.Relational.rfmSegments(df)
+        .select($"o_custkey", $"recency", $"frequency", $"monetary",
+          $"r_score", $"f_score", $"m_score", $"segment")
+        .as[(Long, Long, Long, Double, Int, Int, Int, String)].collect()
+      val per = rows.groupBy(_._1).map { case (c, os) =>
+        c -> ((os.map(_._2.toLocalDate).maxBy(_.toEpochDay),
+          os.size.toLong, os.map(_._3).sum))
+      }
+      val mxd = per.values.map(_._1).maxBy(_.toEpochDay)
+      val rec = per.view.mapValues(v => mxd.toEpochDay - v._1.toEpochDay).toMap
+      def disc[T](vs: Seq[T], p: Double)(implicit o: Ordering[T]): T =
+        vs.sorted(o)(math.ceil(vs.size * p).toInt - 1)
+      def scoreUp[T](v: T, vs: Seq[T])(implicit o: Ordering[T]): Int =
+        1 + Seq(0.25, 0.5, 0.75).count(p => o.gt(v, disc(vs, p)))
+      def scoreDown[T](v: T, vs: Seq[T])(implicit o: Ordering[T]): Int =
+        1 + Seq(0.75, 0.5, 0.25).count(p => o.lt(v, disc(vs, p)))
+      val recs = per.keys.toSeq.map(rec)
+      val freqs = per.values.toSeq.map(_._2)
+      val mons = per.values.toSeq.map(_._3)
+      withClue(s"trial $trial (nCust=$nCust): ") {
+        out.length shouldBe per.size
+        out.foreach { case (c, r, f, m, rs, fs, ms, seg) =>
+          r shouldBe rec(c)
+          f shouldBe per(c)._2
+          m shouldBe per(c)._3.toDouble
+          rs shouldBe scoreDown(rec(c), recs)
+          fs shouldBe scoreUp(per(c)._2, freqs)
+          ms shouldBe scoreUp(per(c)._3, mons)
+          seg shouldBe s"$rs$fs$ms"
+        }
+      }
+    }
+  }
+
+  test("kpiDaily ≡ brute-force lag/moving-average on 10 random event logs (q112)") {
+    (1 to 10).foreach { trial =>
+      val types = Seq("a", "b", "c")
+      val rows = (0 until (10 + rnd.nextInt(120))).map { i =>
+        (i.toLong, types(rnd.nextInt(types.size)),
+          java.sql.Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(20)}%02d 0${rnd.nextInt(10)}:15:00"))
+      }
+      val df = spark.createDataFrame(rows).toDF("event_id", "event_type", "ts")
+      val out = operators.Etl.kpiDaily(df)
+        .select($"day", $"event_type", $"n", $"prev_n", $"delta", $"ma7")
+        .as[(java.sql.Timestamp, String, Long, Option[Long], Option[Long], Double)]
+        .collect()
+      val daily = rows.groupBy { case (_, t, ts) =>
+        (t, ts.toLocalDateTime.toLocalDate)
+      }.view.mapValues(_.size.toLong).toMap
+      withClue(s"trial $trial: ") {
+        out.length shouldBe daily.size
+        out.groupBy(_._2).foreach { case (t, rs) =>
+          val sorted = rs.sortBy(_._1.getTime)
+          val ns = sorted.map(_._3)
+          sorted.zipWithIndex.foreach { case ((ts, _, n, prev, delta, ma7), i) =>
+            n shouldBe daily((t, ts.toLocalDateTime.toLocalDate))
+            prev shouldBe (if (i == 0) None else Some(ns(i - 1)))
+            delta shouldBe (if (i == 0) None else Some(n - ns(i - 1)))
+            val frame = ns.slice(math.max(0, i - 6), i + 1)
+            ma7 shouldBe frame.sum.toDouble / frame.size
+          }
+        }
+      }
+    }
+  }
+
   test("keywordSearch ≡ brute-force linear-idf ranking on 10 random corpora (q108)") {
     (1 to 10).foreach { trial =>
       val vocab = Vector("xx", "yy", "zz", "ww")

@@ -69,4 +69,24 @@ class RankPrepSpec extends SparkSpec {
       p90 shouldBe want(g)._2 +- 1e-9
     }
   }
+
+  test("quantileDisc is the ceil(n*p)-th smallest value, ties and duplicates included") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 10).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val vals = (0 until n).map(_ => rnd.nextInt(12).toLong)
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val got = graft.util.rankPrep(df, "g", "v")
+        .groupBy($"g")
+        .agg(graft.util.quantileDisc($"v", 0.25).as("q1"),
+          graft.util.quantileDisc($"v", 0.50).as("q2"),
+          graft.util.quantileDisc($"v", 0.75).as("q3"))
+        .as[(String, Long, Long, Long)].collect().head
+      val sorted = vals.sorted
+      def want(p: Double) = sorted(math.ceil(n * p).toInt - 1)
+      withClue(s"trial $trial (n=$n): ") {
+        (got._2, got._3, got._4) shouldBe ((want(0.25), want(0.5), want(0.75)))
+      }
+    }
+  }
 }
