@@ -435,26 +435,33 @@ object Relational extends QueryPack {
     * (n_pair·N) / (c1·c2) with the integer products formed first and
     * ONE double division at the end — bit-identical across engines.
     *
-    * Scale shape: the pair generator is a SELF-JOIN CO-PARTITIONED ON
-    * THE BASKET KEY (l_orderkey) — one shuffle, then pair fanout is
-    * local and bounded by basket size (O(k²) per order, k ≈ 7 in
-    * TPC-H; never a global cross product). The support threshold
+    * Scale shape: baskets materialize ONCE per order key
+    * (`collect_set` — one shuffle, dedup included) and pairs expand
+    * LOCALLY from the sorted basket array (O(k²) per order, k ≈ 7 in
+    * TPC-H; never a join, never a global cross product) — two wide
+    * stages total (basket build, pair aggregate) where the naive
+    * self-join pays three plus its sorts. The support threshold
     * prunes the pair aggregate before the dimension joins; per-part
     * order counts are a part-dimension-sized broadcast (parts ≪
     * facts). Skewed mega-baskets are the one hazard at 100 TB — cap
-    * basket size upstream or salt the orderkey; TPC-H baskets are
-    * bounded by construction.
+    * basket size upstream (the k² fanout is per-row local, so one
+    * 10⁶-item basket is a straggler row, not a shuffle explosion);
+    * TPC-H baskets are bounded by construction.
     */
   def basketPairs(lineitem: DataFrame, minSupport: Int): DataFrame = {
-    val items = reused(
-      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
-    val partCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-    val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    val baskets = reused(
+      lineitem.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val partCnt = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders_total"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .select(col("pr.p1"), col("pr.p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= minSupport)
     pairs
@@ -529,7 +536,8 @@ object Relational extends QueryPack {
         .drop("_g")
     }
     val b = broadcast(
-      bounds("recency").crossJoin(bounds("frequency")).crossJoin(bounds("monetary")))
+      bounds("recency").crossJoin(broadcast(bounds("frequency")))
+        .crossJoin(broadcast(bounds("monetary"))))
     def upScore(c: String) = lit(1) +
       (col(c) > col(s"${c}_q1")).cast("int") +
       (col(c) > col(s"${c}_q2")).cast("int") +

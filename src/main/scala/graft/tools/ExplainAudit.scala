@@ -80,12 +80,15 @@ object ExplainAudit {
         if (plan.split("HashAggregate").length <= 2)
           v += Violation(name, "no partial (map-side) aggregation")
       case "q110_basket_pairs" =>
-        // the basket self-join must stay an equi join on the basket
-        // key (co-partitioned pair fanout); nested-loop pair
-        // generation is the quadratic regression
-        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
-            !plan.contains("BroadcastHashJoin"))
-          v += Violation(name, "basket self-join lost equi form (nested loop or worse)")
+        // pairs expand LOCALLY from the per-order basket array
+        // (Generate over the pair transform); the only joins are the
+        // broadcast part-count dims — a SortMergeJoin/ShuffledHashJoin
+        // means pair generation regressed to the three-shuffle
+        // self-join (or the dims lost their broadcast)
+        if (!plan.contains("Generate"))
+          v += Violation(name, "local pair expansion lost (no Generate in plan)")
+        if (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+          v += Violation(name, "shuffle join in plan (pair self-join regression or lost dim broadcast)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" =>
         // stored-artifact consumers (closure / pair list / components /
