@@ -5,7 +5,7 @@ import graft.util._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Core relational suite (SURVEY.md §2, q01–q19): the jx query-language
   * semantics of the reference (filter/select/groupby/edges/window/sort/
@@ -511,10 +511,16 @@ object Relational extends QueryPack {
     * windows, and the boundaries themselves are a 1-row broadcast.
     *
     * Scale shape: one per-customer aggregate (map-side partial on
-    * o_custkey), lazily persisted and consumed by the three boundary
-    * derivations and the final scoring pass; everything downstream of
-    * it is broadcast-joined. Monetary stays DECIMAL through the
-    * boundary comparison (exact), cast to double only for output.
+    * o_custkey), lazily persisted and consumed by the boundary
+    * derivation and the final scoring pass; everything downstream of
+    * it is broadcast-joined. All three metrics are bit-exact as
+    * LONGS (recency/frequency are counts; DECIMAL(18,2) monetary is
+    * its cent value — 9.2e16 dollars of headroom), so the boundary
+    * pass UNPIVOTS them into (metric, long) rows and runs ONE
+    * `rankPrep` partitioned by metric name — one shuffle pass over
+    * the per-customer frame instead of three — and the scoring
+    * comparisons are long-vs-long (monetary compared in cents).
+    * Monetary is cast to double only for output.
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val per = reused(
@@ -526,18 +532,27 @@ object Relational extends QueryPack {
     val base = reused(per.crossJoin(broadcast(mx))
       .withColumn("recency",
         datediff(col("_mxd"), col("last_order")).cast("long"))
-      .drop("_mxd"))
-    def bounds(metric: String) = {
-      val rp = rankPrep(base.withColumn("_g", lit(1)), "_g", metric)
-      rp.groupBy(col("_g")).agg(
-          quantileDisc(col(metric), 0.25).as(s"${metric}_q1"),
-          quantileDisc(col(metric), 0.50).as(s"${metric}_q2"),
-          quantileDisc(col(metric), 0.75).as(s"${metric}_q3"))
-        .drop("_g")
-    }
-    val b = broadcast(
-      bounds("recency").crossJoin(broadcast(bounds("frequency")))
-        .crossJoin(broadcast(bounds("monetary"))))
+      .drop("_mxd")
+      .withColumn("_mon_cents", (col("monetary") * 100).cast(LongType)))
+    val stacked = base.select(expr(
+      "stack(3, 'recency', recency, 'frequency', frequency, " +
+        "'monetary', _mon_cents) AS (_m, _v)"))
+    val rp = rankPrep(stacked, "_m", "_v")
+    val perMetric = rp.groupBy(col("_m")).agg(
+      quantileDisc(col("_v"), 0.25).as("q1"),
+      quantileDisc(col("_v"), 0.50).as("q2"),
+      quantileDisc(col("_v"), 0.75).as("q3"))
+    def pick(m: String, q: String) = max(when(col("_m") === m, col(q)))
+    val b = broadcast(perMetric.agg(
+      pick("recency", "q1").as("recency_q1"),
+      pick("recency", "q2").as("recency_q2"),
+      pick("recency", "q3").as("recency_q3"),
+      pick("frequency", "q1").as("frequency_q1"),
+      pick("frequency", "q2").as("frequency_q2"),
+      pick("frequency", "q3").as("frequency_q3"),
+      pick("monetary", "q1").as("_mon_cents_q1"),
+      pick("monetary", "q2").as("_mon_cents_q2"),
+      pick("monetary", "q3").as("_mon_cents_q3")))
     def upScore(c: String) = lit(1) +
       (col(c) > col(s"${c}_q1")).cast("int") +
       (col(c) > col(s"${c}_q2")).cast("int") +
@@ -549,7 +564,7 @@ object Relational extends QueryPack {
     base.crossJoin(b)
       .withColumn("r_score", downScore)
       .withColumn("f_score", upScore("frequency"))
-      .withColumn("m_score", upScore("monetary"))
+      .withColumn("m_score", upScore("_mon_cents"))
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
       .select(col("o_custkey"), col("recency"), col("frequency"),

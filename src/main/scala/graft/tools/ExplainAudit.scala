@@ -89,6 +89,13 @@ object ExplainAudit {
           v += Violation(name, "local pair expansion lost (no Generate in plan)")
         if (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
           v += Violation(name, "shuffle join in plan (pair self-join regression or lost dim broadcast)")
+      case "q111_rfm_segments" =>
+        // quartile boundaries come from ONE rankPrep pass over the
+        // stack()-unpivoted (metric, value) rows — the Generate is the
+        // unpivot; its absence means the boundary computation regressed
+        // to three per-metric rank passes over the customer frame
+        if (!plan.contains("Generate"))
+          v += Violation(name, "single-pass metric unpivot lost (no Generate in plan)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" =>
         // stored-artifact consumers (closure / pair list / components /
