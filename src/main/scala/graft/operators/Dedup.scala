@@ -805,23 +805,45 @@ object Dedup extends QueryPack {
     .distinct()
 
   /** Memorization rate against a stored window table (see
-    * [[windowSignatures]]). The store is re-distinct'ed defensively —
-    * a union of per-delta signature files stays correct without a
-    * compaction step.
+    * [[windowSignatures]]).
+    *
+    * The eval set is the SMALL side of this audit by construction (a
+    * release report probes a fixed benchmark suite against the whole
+    * training corpus), so the default path broadcasts eval's distinct
+    * window hashes and SEMI-JOINS the store against them: the stored
+    * table — the 100 TB side — STREAMS through a broadcast hash join
+    * and never shuffles, never re-sorts, never re-distincts; the only
+    * shuffled rows are the matched windows (≤ eval's window count),
+    * collapsed by a partial-aggregate distinct. Duplicate rows in the
+    * store (a union of per-delta signature files without compaction)
+    * stay correct: the semi join emits each matched window, and the
+    * eval-sized distinct collapses them. Set `broadcastEval = false`
+    * for an eval side too large to broadcast — the fallback shuffles
+    * both sides on the window hash (the pre-r8 shape).
     */
   def memorizationRateAgainst(storedWins: DataFrame, eval: DataFrame,
-      n: Int = 8): DataFrame = {
-    val evalWins = eval
+      n: Int = 8, broadcastEval: Boolean = true): DataFrame = {
+    val evalWins0 = eval
       .select(col("doc_id"), explode(shingles(words(col("text")), n)).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("win"))
       .distinct()
-    val trainWins = storedWins.select(col("win")).distinct()
-      .withColumn("hit", lit(1))
-    evalWins.join(trainWins, Seq("win"), "left")
+    def rollup(joined: DataFrame): DataFrame = joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_seen"))
       .withColumn("seen_rate", col("n_seen").cast("double") / col("n_win"))
+    if (broadcastEval) {
+      val evalWins = graft.util.reused(evalWins0)
+      val hits = storedWins.select(col("win"))
+        .join(broadcast(evalWins.select(col("win")).distinct()),
+          Seq("win"), "leftsemi")
+        .distinct().withColumn("hit", lit(1))
+      rollup(evalWins.join(broadcast(hits), Seq("win"), "left"))
+    } else {
+      val trainWins = storedWins.select(col("win")).distinct()
+        .withColumn("hit", lit(1))
+      rollup(evalWins0.join(trainWins, Seq("win"), "left"))
+    }
   }
 
   /** Session-scoped STORED train-window table over the gate corpus —
