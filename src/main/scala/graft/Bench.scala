@@ -78,6 +78,7 @@ object Bench {
       build("pairs") { operators.Dedup.storedPairs(spark, sfDir) }
       build("contamination") { operators.Dedup.storedContamination(spark, sfDir) }
       build("memorization_wins") { operators.Dedup.storedWindowSignatures(spark, sfDir) }
+      build("nested_orders") { operators.Jx.storedNestedOrders(spark, sfDir) }
       build("components") { operators.Cluster.storedComponents(spark, sfDir) }
       build("ivf_centroids") { operators.Ann.storedCentroids(spark, sfDir, 16, 2) }
       build("cluster_centroids") { operators.Ann.storedCentroids(spark, sfDir, 8, 3) }

@@ -40,5 +40,6 @@ object StoredArtifacts {
       operators.Dedup.clearStored(s) +
       operators.Cluster.clearStored(s) +
       operators.Ann.clearStored(s) +
+      operators.Jx.clearStored(s) +
       util.clearReused(s)
 }

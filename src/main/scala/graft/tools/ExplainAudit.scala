@@ -97,7 +97,7 @@ object ExplainAudit {
         if (!plan.contains("Generate"))
           v += Violation(name, "single-pass metric unpivot lost (no Generate in plan)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
-           "q58_contamination" | "q83_memorization" =>
+           "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" =>
         // stored-artifact consumers (closure / pair list / components /
         // contamination audit): after the session memo materializes,
         // the gate plan must READ the checkpointed artifact — the

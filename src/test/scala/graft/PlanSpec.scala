@@ -291,6 +291,7 @@ class PlanSpec extends SparkSpec {
     operators.Dedup.storedPairs(spark, sfDir)
     operators.Dedup.storedContamination(spark, sfDir)
     operators.Dedup.storedWindowSignatures(spark, sfDir)
+    operators.Jx.storedNestedOrders(spark, sfDir)
     operators.Cluster.storedComponents(spark, sfDir)
     operators.Ann.storedCentroids(spark, sfDir, 16, 2)
     operators.Ann.storedCentroids(spark, sfDir, 8, 3)
