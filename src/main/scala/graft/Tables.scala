@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish testdata (see TESTDATA.md).
   *
@@ -31,8 +31,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     loaded.computeIfAbsent((spark, dir, name), _ => {
       val df = spark.read.parquet(path(dir, name))
-      if (name == "events") normalizeEvents(df) else df
+      normalizeNtz(if (name == "events") normalizeEvents(df) else df)
     })
+
+  /** The generator writes timestamps with isAdjustedToUTC=false, which
+    * Spark reads as TIMESTAMP_NTZ while every engine expression
+    * (to_timestamp literals, date_trunc buckets, window()) produces
+    * session-zoned TimestampType — mixing the two fails analysis
+    * (TypeCoercion refuses the implicit cast). The session timezone is
+    * pinned to UTC (util.configure), so casting NTZ → TimestampType
+    * preserves every wall-clock value bit-for-bit, and DuckDB reads
+    * the identical naive values on the oracle side.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   private[graft] def clearStored(s: SparkSession): Int =
     graft.util.evictSession(loaded, s)

@@ -5,7 +5,7 @@ import graft.util.dsum
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** One event entering the streaming sessionizer. `ts` is the
   * watermarked event-time column (it must survive into the Dataset for
@@ -52,9 +52,17 @@ object StreamOps extends QueryPack {
     */
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // generator parquet carries isAdjustedToUTC=false timestamps;
+        // watermarks demand session-zoned TimestampType (session tz is
+        // pinned UTC, so the cast is value-identical — same seam as
+        // Tables.normalizeNtz on the batch side)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming gap-based sessionization — the stateful-stream form of
