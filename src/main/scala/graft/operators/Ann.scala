@@ -147,9 +147,22 @@ object Ann extends QueryPack {
     * collects.
     */
   private[graft] def ivfCentroids(df: DataFrame, nc: Int, iters: Int): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = df.orderBy(col("vec_id")).limit(nc)
+    val init: Array[Array[Double]] = df.orderBy(col("vec_id")).limit(nc)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    lloydRounds(df, init, iters)
+  }
+
+  /** `iters` Lloyd rounds from an explicit starting model — the
+    * shared training loop of [[ivfCentroids]] (cold start from the
+    * `nc` lowest vec_ids) and [[ivfRefresh]] (warm start from a
+    * stored quantizer). Each round is one distributed assign pass and
+    * one per-dimension deterministic mean; only the nc × dim model
+    * crosses the driver boundary.
+    */
+  private[graft] def lloydRounds(df: DataFrame, init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    var cents = init
     for (_ <- 0 until iters) {
       val means = assignClusters(df, cents)
         .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -186,9 +199,20 @@ object Ann extends QueryPack {
 
   /** ivfSearch with an already-trained (or stored) quantizer. */
   def ivfSearchOn(df: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int, k: Int): DataFrame =
+    ivfSearchAssigned(
+      assignClusters(df, cents)
+        .transform(graft.util.reused), // assignment runs once: reused by query + candidate sides
+      cents, nprobe, k)
+
+  /** IVF search over an EXISTING assignment table (vec_id, embedding,
+    * cl) — the deployed-index read path: a production index stores
+    * the assignment (bucketed by `cl`), and queries probe it without
+    * ever re-running assignment over the corpus. Pair with
+    * [[ivfAppend]] for delta maintenance.
+    */
+  def ivfSearchAssigned(assigned: DataFrame, cents: Array[Array[Double]],
       nprobe: Int, k: Int): DataFrame = {
-    val assigned = assignClusters(df, cents)
-      .transform(graft.util.reused) // assignment runs once: reused by query + candidate sides
     val q = assigned.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
@@ -209,6 +233,36 @@ object Ann extends QueryPack {
     (s, d) => ivfSearchOn(emb(s, d), storedCentroids(s, d, 16, 2), nprobe = 4, k = 5),
     None, // probe set has no SQL mirror; recall spec vs q34
     "IVF ANN: 16-list spherical k-means quantizer, 4-probe exact rerank")
+
+  /** Incremental IVF index maintenance: fold a DELTA batch of vectors
+    * into an existing assignment table under the SAME stored
+    * quantizer — the nightly-append path of a deployed index. Cost is
+    * one narrow assign pass over the delta only (broadcast-literal
+    * centroids, no shuffle, no touch of the base table's rows); the
+    * union is a metadata concatenation. Because nearest-centroid
+    * assignment is per-row pure, append-then-search is BIT-IDENTICAL
+    * to re-assigning the whole corpus under the same model (AnnSpec
+    * pins it) — so the only reason to ever re-run the base is a model
+    * REFRESH, which is a deliberate separate op ([[ivfRefresh]]).
+    * At 100 TB: base lives bucketed by `cl`; the delta's assignment
+    * appends into the same bucket layout at delta-cost.
+    */
+  def ivfAppend(assignedBase: DataFrame, delta: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    assignedBase.unionByName(assignClusters(delta, cents))
+
+  /** Warm-started quantizer refresh: `iters` Lloyd rounds starting
+    * from the deployed model instead of a cold init — the periodic
+    * drift-correction a long-lived index runs when [[ivfAppend]]ed
+    * deltas shift the distribution. `iters = 0` returns the model
+    * unchanged (refresh is explicitly a no-op until asked to move).
+    * After a refresh the assignment table must be rebuilt (the model
+    * changed); that full re-assign is the deliberate, scheduled cost
+    * — never paid on the append path.
+    */
+  def ivfRefresh(df: DataFrame, cents: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] =
+    lloydRounds(df, cents, iters)
 
   /** Exact all-pairs cosine near-dup WITHOUT a broadcast cartesian:
     * block theta-join. Each vector is assigned one of `blocks` hash

@@ -343,5 +343,61 @@ object Etl extends QueryPack {
            |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
     "daily KPI time-series: lag delta + trailing 7-day moving average over the compressed daily aggregate")
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112)
+  /** Rolling 7-day distinct active users per observed day (q114):
+    * DAU, trailing-window WAU and the DAU/WAU stickiness ratio — the
+    * engagement KPI every product dashboard wants, and the classic
+    * "windowed COUNT(DISTINCT)" problem no SQL window supports
+    * directly (and no distributed engine should run as a per-day
+    * re-scan).
+    *
+    * Scale shape — windowed-distinct via bounded expansion: reduce
+    * the stream to distinct (day, user) pairs ONCE (shuffle keyed by
+    * the well-distributed pair, map-side partial distinct), then
+    * each pair contributes to exactly `windowDays` target days via
+    * an in-partition explode (narrow, 7× the COMPRESSED pair count,
+    * not 7× raw events), and the per-day distinct count is an
+    * ordinary two-phase countDistinct whose first phase is again
+    * keyed by (day, user). No day ever re-scans the fact table, no
+    * window op touches raw rows, and the final frame is
+    * days × 1 rows. Trailing windows at the range start are partial
+    * (standard KPI convention); only days with any activity are
+    * emitted (the day domain is observed, not generated).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val pairs = reused(events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct())
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val expanded = pairs.select(col("user_id"),
+      explode(sequence(col("day"),
+        col("day") + expr(s"INTERVAL ${windowDays - 1} DAY"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val wau = expanded
+      .join(broadcast(pairs.select(col("day")).distinct()), Seq("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau_7d"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness", col("dau").cast("double") / col("wau_7d"))
+  }
+
+  val q114 = Q(
+    "q114_rolling_active",
+    (s, d) => rollingActiveUsers(ev(s, d)),
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           |    user_id
+           |  FROM events
+           |), days AS (SELECT DISTINCT day FROM pairs),
+           |dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY 1),
+           |wau AS (
+           |  SELECT d.day, COUNT(DISTINCT p.user_id) AS wau_7d
+           |  FROM days d JOIN pairs p
+           |    ON p.day <= d.day AND p.day >= d.day - INTERVAL 6 DAY
+           |  GROUP BY 1
+           |)
+           |SELECT day, dau, wau_7d,
+           |  CAST(dau AS DOUBLE) / wau_7d AS stickiness
+           |FROM dau JOIN wau USING (day)""".stripMargin),
+    "rolling 7-day distinct users: windowed COUNT(DISTINCT) via bounded 7x pair expansion, never a per-day rescan")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114)
 }

@@ -1077,6 +1077,63 @@ object Text extends QueryPack {
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
     "keyword-search top-k: linear-idf relevance over fixed term slots, filter-before-shuffle, TakeOrdered top-k")
 
+  /** Per-source winsorized length statistics (q113): outlier-robust
+    * corpus reporting — the standard pre-filter diagnostic before
+    * length-based quality gates, where a handful of pathological
+    * documents (mega-concatenations, empty shells) would otherwise
+    * dominate a plain mean. Clips `n_chars` to the exact per-source
+    * [p05, p95] DISCRETE quantiles and reports the boundaries, the
+    * clipped-row counts and the winsorized mean.
+    *
+    * Exactness: boundaries are order statistics of an integer column
+    * (`quantileDisc` over `rankPrep` — ceil(n·p)-th smallest actual
+    * value, DuckDB's quantile_disc convention), the clipped sum is a
+    * long, and the mean is one double division of two exact integers
+    * — bit-identical cross-engine, no interpolated boundary to drift.
+    *
+    * Scale shape: `rankPrep` runs over the compressed per-source
+    * distinct-value domain (never a whole-partition sort of raw
+    * rows), the boundary frame is one row per source and broadcast
+    * back, and the final pass is a single map-side-partial aggregate
+    * over the fact scan. Two scans of documents total, both pruned
+    * to (source, n_chars).
+    */
+  def winsorizedStats(documents: DataFrame): DataFrame = {
+    val slim = documents.select(col("source"), col("n_chars"))
+    val rp = graft.util.rankPrep(slim, "source", "n_chars")
+    val bounds = broadcast(rp.groupBy(col("source")).agg(
+      graft.util.quantileDisc(col("n_chars"), 0.05).as("p05"),
+      graft.util.quantileDisc(col("n_chars"), 0.95).as("p95")))
+    slim.join(bounds, "source")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        max(col("p05")).as("p05"), // boundary is constant per group
+        max(col("p95")).as("p95"),
+        sum((col("n_chars") < col("p05")).cast("long")).as("n_clip_lo"),
+        sum((col("n_chars") > col("p95")).cast("long")).as("n_clip_hi"),
+        (sum(greatest(least(col("n_chars"), col("p95")), col("p05")))
+          .cast("double") / count(lit(1))).as("win_mean"))
+  }
+
+  val q113 = Q(
+    "q113_winsorize",
+    (s, d) => winsorizedStats(docs(s, d)),
+    Some("""WITH b AS (
+           |  SELECT source,
+           |    quantile_disc(n_chars, 0.05) AS p05,
+           |    quantile_disc(n_chars, 0.95) AS p95
+           |  FROM documents GROUP BY 1
+           |)
+           |SELECT source, COUNT(*) AS n_docs, MAX(p05) AS p05,
+           |  MAX(p95) AS p95,
+           |  CAST(SUM(CASE WHEN n_chars < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           |  CAST(SUM(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           |  CAST(SUM(GREATEST(LEAST(n_chars, p95), p05)) AS DOUBLE)
+           |    / COUNT(*) AS win_mean
+           |FROM documents JOIN b USING (source)
+           |GROUP BY 1""".stripMargin),
+    "winsorized per-source length stats: exact discrete-quantile clip bounds via rankPrep, broadcast back, one aggregate pass")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82, q87, q103, q107, q108)
+    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113)
 }

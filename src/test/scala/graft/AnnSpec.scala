@@ -259,6 +259,42 @@ class AnnSpec extends SparkSpec {
     survivors.size.toLong should be < e.count()
   }
 
+  test("incremental IVF append: delta assignment ≡ full re-assign; search identical") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = Ann.ivfCentroids(e, nc = 8, iters = 2)
+    // nightly split: base corpus + a late-arriving delta batch
+    val cut = e.agg(max($"vec_id")).head.getLong(0) * 3 / 4
+    val base = e.where($"vec_id" < cut)
+    val delta = e.where($"vec_id" >= cut)
+    delta.count() should be > 0L
+    val appended = Ann.ivfAppend(Ann.assignClusters(base, cents), delta, cents)
+    val full = Ann.assignClusters(e, cents)
+    // assignment is per-row pure: append-then-union equals one pass
+    appended.select($"vec_id", $"cl").as[(Long, Int)].collect().toSet shouldBe
+      full.select($"vec_id", $"cl").as[(Long, Int)].collect().toSet
+    // and the deployed read path over the maintained table is
+    // bit-identical to searching the re-assigned corpus
+    val sApp = Ann.ivfSearchAssigned(appended, cents, nprobe = 3, k = 5)
+      .select($"qid", $"cid", $"score").as[(Long, Long, Double)].collect().toSet
+    val sFull = Ann.ivfSearchOn(e, cents, nprobe = 3, k = 5)
+      .select($"qid", $"cid", $"score").as[(Long, Long, Double)].collect().toSet
+    sApp shouldBe sFull
+  }
+
+  test("IVF refresh: iters=0 is the identity; warm rounds are deterministic") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = Ann.ivfCentroids(e, nc = 8, iters = 1)
+    Ann.ivfRefresh(e, cents, iters = 0) shouldBe cents
+    val r1 = Ann.ivfRefresh(e, cents, iters = 2)
+    val r2 = Ann.ivfRefresh(e, cents, iters = 2)
+    r1.map(_.toSeq).toSeq shouldBe r2.map(_.toSeq).toSeq
+    // a warm start from an already-run model reproduces the cold
+    // training continued for the same total rounds (Lloyd is a pure
+    // function of (data, current model))
+    Ann.ivfRefresh(e, cents, iters = 1).map(_.toSeq).toSeq shouldBe
+      Ann.ivfCentroids(e, nc = 8, iters = 2).map(_.toSeq).toSeq
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
