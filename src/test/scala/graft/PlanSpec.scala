@@ -383,4 +383,36 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("winsorize: bounds ride a broadcast, no whole-partition window over raw rows (q113)") {
+    val p = plan(operators.Text.q113)
+    p should include("BroadcastHashJoin") // per-source bounds joined back
+    p should not include "CartesianProduct"
+    // (rankPrep's global min/max frame is a 1-row broadcast crossJoin —
+    // the repo-wide totals pattern — so a BuildRight-Cross BNLJ of one
+    // row is expected here; only CartesianProduct would be a defect)
+    // rankPrep windows are partitioned by (group, bucket) over the
+    // COMPRESSED distinct-value frame — never a global (unpartitioned)
+    // window, which would single-task the sort. Every Window node must
+    // carry a non-empty partition spec (printed as a second bracket
+    // list after the window expressions).
+    val globalWins = p.linesIterator.filter(_.contains("Window ["))
+      .filterNot(_.matches(""".*\], \[[^\]]+\].*"""))
+    withClue(s"unpartitioned Window nodes:\n${globalWins.mkString("\n")}\n") {
+      globalWins shouldBe empty
+    }
+  }
+
+  test("rolling active users: day-domain join broadcasts, distinct is two-phase (q114)") {
+    val p = plan(operators.Etl.q114)
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the windowed-distinct reformulation must never plan a window op
+    p should not include "WindowExec"
+    // countDistinct plans as a two-phase aggregate keyed first by
+    // (day, user): partial_count(distinct user_id) appears in the
+    // final phase, proving the expand-then-group shape
+    p.toLowerCase should include("count(distinct")
+  }
 }
