@@ -399,5 +399,111 @@ object Etl extends QueryPack {
            |FROM dau JOIN wau USING (day)""".stripMargin),
     "rolling 7-day distinct users: windowed COUNT(DISTINCT) via bounded 7x pair expansion, never a per-day rescan")
 
-  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114)
+  /** SCD2 history build (q115): turn the keyed revision stream into
+    * slowly-changing-dimension type-2 validity intervals — each
+    * revision carries [valid_from, valid_to) with the open current
+    * row flagged. The warehouse-side complement of q23's
+    * latest-revision-wins upsert: q23 keeps the head, this keeps the
+    * full history queryable by as-of time (pair with q50's as-of
+    * join to read it).
+    *
+    * Exactness: interval bounds are the revision timestamps
+    * themselves (lead over (ts, event_id) — the same deterministic
+    * revision order as q23); no arithmetic, no floats. Scale shape:
+    * one window partitioned by the natural key — the revision stream
+    * per key is dashboard-sized by construction, and the shuffle is
+    * the same key-partitioning any downstream as-of read wants.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val q115 = Q(
+    "q115_scd2",
+    (s, d) => scd2History(ev(s, d)),
+    Some("""SELECT user_id, event_id, event_type,
+           |  ts AS valid_from,
+           |  LEAD(ts, 1) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) AS valid_to,
+           |  LEAD(ts, 1) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) IS NULL AS is_current
+           |FROM events""".stripMargin),
+    "SCD2 validity intervals from the keyed revision stream: lead over the deterministic revision order, open current row flagged")
+
+  /** Keyed snapshot diff (q116): classify every key across two
+    * adjacent 7-day activity windows as added / removed / changed /
+    * unchanged — the CDC report between two incremental-extract
+    * windows, and the oracle-able counterpart of the full-sync xor
+    * fingerprint seam (ParquetUpsertSink.fullSync detects THAT a
+    * keyed store drifted; this says WHICH keys and HOW).
+    *
+    * State per window = the key's latest event (q23's deterministic
+    * (ts, event_id) revision order); the compared attribute is the
+    * last event_type. Window bounds are data-relative (trailing 7
+    * and 14 days from the corpus max ts — a 1-row broadcast, never a
+    * config literal that rots). Scale shape: two latest-per-key
+    * window passes over the pruned 14-day slice, then one shuffle
+    * full-outer join keyed by user_id; every column exact.
+    */
+  def snapshotDiff(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(col("ts")).as("_mx"))
+    val sliced = events.crossJoin(broadcast(mx))
+      .withColumn("_cut1", col("_mx") - expr("INTERVAL 7 DAY"))
+      .withColumn("_cut0", col("_mx") - expr("INTERVAL 14 DAY"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(df: DataFrame) = df
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+    val a = latest(sliced.where(col("ts") >= col("_cut0") && col("ts") < col("_cut1")))
+      .select(col("user_id"), col("event_id").as("old_event_id"),
+        col("event_type").as("old_type"))
+    val b = latest(sliced.where(col("ts") >= col("_cut1")))
+      .select(col("user_id"), col("event_id").as("new_event_id"),
+        col("event_type").as("new_type"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_event_id").isNull, lit("added"))
+          .when(col("new_event_id").isNull, lit("removed"))
+          .when(col("old_type") =!= col("new_type"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
+  val q116 = Q(
+    "q116_snapshot_diff",
+    (s, d) => snapshotDiff(ev(s, d)),
+    Some("""WITH mx AS (SELECT MAX(ts) AS m FROM events),
+           |a AS (
+           |  SELECT user_id, event_id AS old_event_id,
+           |    event_type AS old_type
+           |  FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events e, mx
+           |        WHERE ts >= m - INTERVAL 14 DAY
+           |          AND ts < m - INTERVAL 7 DAY)
+           |  WHERE rn = 1
+           |), b AS (
+           |  SELECT user_id, event_id AS new_event_id,
+           |    event_type AS new_type
+           |  FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events e, mx
+           |        WHERE ts >= m - INTERVAL 7 DAY)
+           |  WHERE rn = 1
+           |)
+           |SELECT user_id, old_event_id, old_type, new_event_id, new_type,
+           |  CASE WHEN old_event_id IS NULL THEN 'added'
+           |       WHEN new_event_id IS NULL THEN 'removed'
+           |       WHEN old_type <> new_type THEN 'changed'
+           |       ELSE 'unchanged' END AS status
+           |FROM a FULL OUTER JOIN b USING (user_id)""".stripMargin),
+    "keyed snapshot diff across two extract windows: latest-per-key states, one full-outer join, added/removed/changed/unchanged")
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
+    q115, q116)
 }

@@ -384,6 +384,21 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("scd2 + snapshot diff: key-partitioned windows, shuffle full-outer, no cartesian (q115, q116)") {
+    val p115 = plan(operators.Etl.q115)
+    p115 should not include "CartesianProduct"
+    // the history window must partition by the natural key, never global
+    p115 should include("windowspecdefinition(user_id")
+    val p116 = plan(operators.Etl.q116)
+    p116 should not include "CartesianProduct"
+    p116 should include("FullOuter")
+    // the 14-day slice must reach the scan as a data filter (the
+    // cutoffs are data-relative, so they prune post-scan via the
+    // broadcast max frame — but the scan itself must stay pruned to
+    // the referenced columns only)
+    p116 should include("ReadSchema")
+  }
+
   test("winsorize: bounds ride a broadcast, no whole-partition window over raw rows (q113)") {
     val p = plan(operators.Text.q113)
     p should include("BroadcastHashJoin") // per-source bounds joined back
