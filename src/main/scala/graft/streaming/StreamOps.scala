@@ -139,6 +139,36 @@ object StreamOps extends QueryPack {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming rolling `windowDays`-day distinct active users — the
+    * live form of the batch q114 KPI, via SLIDING event-time windows:
+    * each event lands in the `windowDays` windows covering it (the
+    * streaming mirror of q114's bounded expansion), a stateful
+    * distinct collapses (window, user) to one row, and a windowed
+    * count emits when the watermark closes the window. TWO chained
+    * stateful operators, both keyed by the event-time window, so
+    * state for closed windows is EVICTED — the unbounded-stream
+    * requirement — and redelivered events are absorbed by the
+    * distinct, not double-counted.
+    *
+    * Output rows are CLOSED windows only (append mode): a day's WAU
+    * emits once its trailing window passes the watermark — exactly a
+    * dashboard's "finalized daily KPI" contract. `day` labels the
+    * window's END day (the last day whose trailing window it is),
+    * matching the batch q114 labeling; StreamingSpec pins streaming ≡
+    * batch on every closed observed day.
+    */
+  def streamingRollingActive(events: DataFrame, windowDays: Int = 7,
+      delay: String = "1 hour"): DataFrame = {
+    events.withWatermark("ts", delay)
+      .select(window(col("ts"), s"$windowDays days", "1 day").as("w"),
+        col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wau_7d"))
+      .select((col("w").getField("start") +
+        expr(s"INTERVAL ${windowDays - 1} DAY")).as("day"), col("wau_7d"))
+  }
+
   val q42 = Q(
     "q42_stream_window",
     (s, d) => windowedCounts(Tables.events(s, d)),
