@@ -830,5 +830,48 @@ object Ann extends QueryPack {
     // brute force, and determinism
     "SemDeDup: k-means-clustered semantic dedup — within-cluster cosine pairs, min-id keeper")
 
-  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92, q105)
+  /** Hard-negative mining (q117): for each query vector, the top-k
+    * most-similar vectors carrying a DIFFERENT label — the contrastive-
+    * training data op (hard negatives = near the anchor in embedding
+    * space but of another class; random negatives are too easy to
+    * teach a margin). Same plan family as q34: queries broadcast over
+    * one corpus scan with the label inequality fused into the join
+    * predicate — the scan's label column prunes candidates BEFORE any
+    * scoring, and at 100 TB the scale path is the same IVF/LSH
+    * candidate generation with the label filter applied pre-rerank.
+    */
+  val q117 = Q(
+    "q117_hard_negatives",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("label").as("clabel"))
+      val scored = c.join(broadcast(q),
+          col("cid") =!= col("qid") && col("clabel") =!= col("qlabel"))
+        .withColumn("score", cosineFast(col("qv"), col("cv")))
+      topK(scored, 5)
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+           |  FROM embeddings WHERE vec_id < 10
+           |), c AS (
+           |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS clabel
+           |  FROM embeddings
+           |), scored AS (
+           |  SELECT qid, cid,
+           |    list_dot_product(qv, cv) /
+           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+           |  FROM q JOIN c ON cid <> qid AND clabel <> qlabel
+           |)
+           |SELECT qid, cid, CAST(rnk AS INT) AS rnk, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+           |WHERE rnk <= 5""".stripMargin),
+    "hard-negative mining: top-5 cosine among OTHER-label vectors, label filter fused into the broadcast join predicate")
+
+  val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92,
+    q105, q117)
 }
