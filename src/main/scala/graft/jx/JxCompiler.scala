@@ -521,6 +521,9 @@ object JxCompiler {
         // amount may be any numeric expression. Result is truncated
         // to whole seconds (the §5 policy); calendar-width shifts
         // (months) are a floor/date_trunc concern, not a duration.
+        // A shift landing outside Spark's timestamp range fails the
+        // job loudly (ANSI overflow) — pinned by JxPropertySpec's
+        // bounded-amount generator note.
         case "date_add" =>
           val parts = arg.asScala.toSeq
           require(parts.size == 2 || parts.size == 3,

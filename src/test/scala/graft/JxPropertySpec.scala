@@ -19,18 +19,23 @@ class JxPropertySpec extends SparkSpec {
   import spark.implicits._
 
   // fixture: integral-valued doubles keep +,-,* exact in IEEE double,
-  // so compiled-vs-interpreted comparison is bit-exact, no tolerance
-  private val rows: Seq[(Long, Option[Double], Long, Option[String])] = {
+  // so compiled-vs-interpreted comparison is bit-exact, no tolerance;
+  // tsec is a nullable whole-second epoch (late 2023, random offsets
+  // crossing week/month/year boundaries) backing the timestamp column
+  private val rows: Seq[(Long, Option[Double], Long, Option[String], Option[Long])] = {
     val rnd = new scala.util.Random(7)
     (0L until 48L).map { id =>
       val x = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(21).toDouble - 10)
       val s = if (rnd.nextInt(6) == 0) None else Some(rnd.alphanumeric.take(rnd.nextInt(5)).mkString)
-      (id, x, rnd.nextInt(21).toLong - 10, s)
+      val t = if (rnd.nextInt(6) == 0) None
+        else Some(1698796800L + (rnd.nextInt(200) - 100) * 86400L + rnd.nextInt(86400))
+      (id, x, rnd.nextInt(21).toLong - 10, s, t)
     }
   }
   private lazy val df = {
-    val d = rows.toDF("id", "x", "y", "s")
-    d.cache(); d.count() // one materialization for ~120 property cases
+    val d = rows.toDF("id", "x", "y", "s", "tsec")
+      .withColumn("t", org.apache.spark.sql.functions.timestamp_seconds(col("tsec")))
+    d.cache(); d.count() // one materialization for ~180 property cases
     d
   }
 
@@ -43,6 +48,13 @@ class JxPropertySpec extends SparkSpec {
   case class NCoalesce(a: N, b: N) extends N
   case class NWhen(c: B, t: N, e: N) extends N
   case class NLen(a: N) extends N // length of s — exercises string→num
+  case class NUnix(a: D) extends N // {"unix": ts} — date→num bridge
+  case class NDateDiff(a: D, b: D, unit: Option[String]) extends N
+  sealed trait D // timestamp-valued expressions (whole seconds)
+  case object FT extends D // field t
+  case class DLit(epochSec: Long) extends D // {"date": unixsec}
+  case class DAdd(a: D, amt: N, unit: String) extends D
+  case class DFloor(a: D, unit: String) extends D // calendar trunc
   sealed trait S
   case object FS extends S // field s
   case class SLit(v: String) extends S
@@ -66,6 +78,16 @@ class JxPropertySpec extends SparkSpec {
     case NCoalesce(a, b) => s"""{"coalesce": [${njson(a)}, ${njson(b)}]}"""
     case NWhen(c, t, e) => s"""{"when": ${bjson(c)}, "then": ${njson(t)}, "else": ${njson(e)}}"""
     case NLen(_) => """{"length": "s"}"""
+    case NUnix(a) => s"""{"unix": ${djson(a)}}"""
+    case NDateDiff(a, b, u) =>
+      val tail = u.map(x => s""", "$x"""").getOrElse("")
+      s"""{"date_diff": [${djson(a)}, ${djson(b)}$tail]}"""
+  }
+  private def djson(d: D): String = d match {
+    case FT => "\"t\""
+    case DLit(v) => s"""{"date": $v}"""
+    case DAdd(a, amt, u) => s"""{"date_add": [${djson(a)}, ${njson(amt)}, "$u"]}"""
+    case DFloor(a, u) => s"""{"floor": [${djson(a)}, "$u"]}"""
   }
   private def sjson(s: S): String = s match {
     case FS => "\"s\""
@@ -86,7 +108,35 @@ class JxPropertySpec extends SparkSpec {
   }
 
   // ---- the independent evaluator (SQL semantics, written from spec)
-  private type Row = (Long, Option[Double], Long, Option[String])
+  private type Row = (Long, Option[Double], Long, Option[String], Option[Long])
+  private val unitSecs = Map("second" -> 1L, "minute" -> 60L,
+    "hour" -> 3600L, "day" -> 86400L, "week" -> 604800L)
+  // calendar truncation in UTC via java.time, independent of Spark:
+  // weeks start Monday, months on the 1st (date_trunc's alignment)
+  private def truncUtc(sec: Long, unit: String): Long = {
+    import java.time._
+    import java.time.temporal.TemporalAdjusters
+    val z = Instant.ofEpochSecond(sec).atZone(ZoneOffset.UTC)
+    val out = unit match {
+      case "minute" => z.withSecond(0)
+      case "hour" => z.withMinute(0).withSecond(0)
+      case "day" => z.toLocalDate.atStartOfDay(ZoneOffset.UTC)
+      case "week" => z.toLocalDate
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .atStartOfDay(ZoneOffset.UTC)
+      case "month" => z.toLocalDate.withDayOfMonth(1)
+        .atStartOfDay(ZoneOffset.UTC)
+    }
+    out.toEpochSecond
+  }
+  private def evalD(d: D, r: Row): Option[Long] = d match {
+    case FT => r._5
+    case DLit(v) => Some(v)
+    case DAdd(a, amt, u) =>
+      for (x <- evalD(a, r); m <- evalN(amt, r))
+        yield x + m.toLong * unitSecs(u)
+    case DFloor(a, u) => evalD(a, r).map(truncUtc(_, u))
+  }
   private def evalN(n: N, r: Row): Option[Double] = n match {
     case FX => r._2
     case FY => Some(r._3.toDouble)
@@ -102,6 +152,12 @@ class JxPropertySpec extends SparkSpec {
     case NWhen(c, t, e) => // null condition takes the else branch
       if (evalB(c, r).contains(true)) evalN(t, r) else evalN(e, r)
     case NLen(_) => r._4.map(_.length.toDouble)
+    case NUnix(a) => evalD(a, r).map(_.toDouble)
+    case NDateDiff(a, b, u) =>
+      for (x <- evalD(a, r); y <- evalD(b, r)) yield u match {
+        case None => (x - y).toDouble
+        case Some(un) => (x - y).toDouble / unitSecs(un)
+      }
   }
   private def evalS(s: S, r: Row): Option[String] = s match {
     case FS => r._4
@@ -157,7 +213,39 @@ class JxPropertySpec extends SparkSpec {
       1 -> genN(d - 1).map(NAbs),
       1 -> (for { a <- genN(d - 1); b <- genN(d - 1) } yield NCoalesce(a, b)),
       1 -> (for { c <- genB(d - 1); t <- genN(d - 1); e <- genN(d - 1) } yield NWhen(c, t, e)),
+      1 -> Gen.const(NLen(FX)),
+      1 -> genD(d - 1).map(NUnix),
+      1 -> (for { a <- genD(d - 1); b <- genD(d - 1)
+                  u <- Gen.option(Gen.oneOf("second", "minute", "hour", "day", "week")) }
+        yield NDateDiff(a, b, u)))
+  // bounded numeric trees for date_add AMOUNTS: the fuzzer's first
+  // run proved an unbounded amount (an epoch-second value scaled by
+  // weeks) lands outside Spark's timestamp range and aborts the job
+  // (ANSI long overflow) where the plain-long interpreter wraps —
+  // out-of-domain by the operator's contract, so amounts come from
+  // the pre-date grammar (|amt| ≲ 1e3 → shifts of at most ~20 years)
+  private def genNB(d: Int): Gen[N] =
+    if (d <= 0) Gen.oneOf(Gen.const(FX), Gen.const(FY), Gen.choose(-5L, 5L).map(NLit))
+    else Gen.frequency(
+      2 -> Gen.oneOf(Gen.const(FX), Gen.const(FY), Gen.choose(-5L, 5L).map(NLit)),
+      2 -> (for { op <- Gen.oneOf("add", "sub", "mult"); a <- genNB(d - 1); b <- genNB(d - 1) }
+        yield NBin(op, a, b)),
+      1 -> genNB(d - 1).map(NAbs),
+      1 -> (for { a <- genNB(d - 1); b <- genNB(d - 1) } yield NCoalesce(a, b)),
       1 -> Gen.const(NLen(FX)))
+  private def genD(d: Int): Gen[D] = {
+    val leaf: Gen[D] = Gen.oneOf(Gen.const(FT),
+      Gen.choose(1690000000L, 1706000000L).map(DLit))
+    if (d <= 0) leaf
+    else Gen.frequency(
+      2 -> leaf,
+      2 -> (for { a <- genD(d - 1); amt <- genNB(d - 1)
+                  u <- Gen.oneOf("second", "minute", "hour", "day", "week") }
+        yield DAdd(a, amt, u)),
+      2 -> (for { a <- genD(d - 1)
+                  u <- Gen.oneOf("minute", "hour", "day", "week", "month") }
+        yield DFloor(a, u)))
+  }
   private val genLit: Gen[String] = Gen.oneOf("", "a", "ab", "Z", "q0")
   private def genS(d: Int): Gen[S] =
     if (d <= 0) Gen.oneOf(Gen.const(FS), genLit.map(SLit))
@@ -208,6 +296,19 @@ class JxPropertySpec extends SparkSpec {
         JxCompiler.compileExpr(JxCompiler.parse(njson(n))).cast("double").as("v"))
         .as[(Long, Option[Double])].collect().toMap
       rows.forall(r => got(r._1) == evalN(n, r))
+    })
+  }
+
+  test("compiled date pipeline ≡ java.time interpreter on random date trees") {
+    // whole-second epoch read-back via the jx unix bridge: date_add
+    // shifts, calendar floors (Monday weeks, 1st-of-month), literals
+    // and the nullable field compose; equality is exact longs
+    check(Prop.forAll(genD(4)) { dtree =>
+      val got = df.select($"id",
+        JxCompiler.compileExpr(
+          JxCompiler.parse(s"""{"unix": ${djson(dtree)}}""")).as("v"))
+        .as[(Long, Option[Long])].collect().toMap
+      rows.forall(r => got(r._1) == evalD(dtree, r))
     })
   }
 }
