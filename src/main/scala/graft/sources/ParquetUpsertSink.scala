@@ -63,14 +63,28 @@ object ParquetUpsertSink {
       }
     // materialize before overwrite: the merge reads the files the
     // dynamic overwrite is about to replace
-    merged.localCheckpoint()
+    writeBuckets(merged.localCheckpoint(), path)
+    if (!exists) writeBucketCount(spark, path, buckets)
+  }
+
+  /** Bucket-partitioned rewrite, COMPACTED: without the clustering
+    * repartition, every shuffle task holding rows of a bucket writes
+    * its own small file into that bucket's dir — up to
+    * shuffle.partitions files PER BUCKET PER MERGE, the classic
+    * small-files failure mode of a frequently-merged 100 TB store
+    * (metadata pressure + tiny-scan overhead on every read). Routing
+    * all rows of a bucket to one task first costs one extra exchange
+    * of the (update-footprint-sized) rewrite set and makes every
+    * rewritten bucket exactly ONE parquet file, so file count stays
+    * equal to bucket count forever — merges never degrade the layout.
+    */
+  private def writeBuckets(df: DataFrame, path: String): Unit =
+    df.repartition(col(bucketCol))
       .write
       .partitionBy(bucketCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
-    if (!exists) writeBucketCount(spark, path, buckets)
-  }
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
 
@@ -141,12 +155,7 @@ object ParquetUpsertSink {
     if (drift.nonEmpty) {
       val changed = drift.map(_.getInt(0))
       val rewrite = desired.where(col(bucketCol).isin(changed.toSeq: _*))
-      rewrite.localCheckpoint()
-        .write
-        .partitionBy(bucketCol)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite)
-        .parquet(path)
+      writeBuckets(rewrite.localCheckpoint(), path)
       // buckets the snapshot no longer populates: delete their dirs
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

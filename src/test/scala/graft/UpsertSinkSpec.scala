@@ -155,4 +155,29 @@ class UpsertSinkSpec extends SparkSpec {
     val other = if (bucketOf(1L, 2) == "__bucket=0") "__bucket=1" else "__bucket=0"
     new java.io.File(path, other).exists() shouldBe false
   }
+
+  test("merges keep exactly one data file per bucket (no small-files drift)") {
+    val dir = Files.createTempDirectory("graft-compact").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    // wide first write, then two merges spread over many shuffle
+    // partitions — without the clustering repartition each merge
+    // would drop one file per task into every touched bucket dir
+    val a = (1L to 400L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload")
+      .repartition(8)
+    ParquetUpsertSink.upsert(a, path, Seq("id"), "rev", numBuckets = 4)
+    val b = (1L to 200L).map(i => (i, 2L, s"q$i")).toDF("id", "rev", "payload")
+      .repartition(8)
+    ParquetUpsertSink.upsert(b, path, Seq("id"), "rev")
+    ParquetUpsertSink.upsert(b, path, Seq("id"), "rev")
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    bucketDirs.length shouldBe 4
+    bucketDirs.foreach { d =>
+      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      withClue(s"${d.getName}: ") { dataFiles.length shouldBe 1 }
+    }
+    // and the merge result is still correct
+    ParquetUpsertSink.read(spark, path).count() shouldBe 400L
+  }
 }
