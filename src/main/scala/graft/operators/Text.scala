@@ -1134,6 +1134,42 @@ object Text extends QueryPack {
            |GROUP BY 1""".stripMargin),
     "winsorized per-source length stats: exact discrete-quantile clip bounds via rankPrep, broadcast back, one aggregate pass")
 
+  /** Per-document length percentile within its source (q118):
+    * cume_dist and percent_rank semantics — the per-row relative
+    * standing every length-based quality filter thresholds on —
+    * computed WITHOUT a per-partition sort of raw rows. A naive
+    * `CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars)` sorts
+    * every source's documents inside one task chain; at 100 TB a hot
+    * source is a straggler. Here the rank structure comes from
+    * `rankPrep`'s compressed distinct-value frame (O(distinct
+    * lengths) rows, bucketed windows), and each document picks up its
+    * percentile by an ordinary shuffle join on (source, n_chars) —
+    * both sides well-distributed, no raw-row window anywhere.
+    *
+    * Exactness: cume_dist = (hi_rn+1)/n and percent_rank =
+    * lo_rn/(n−1) are single double divisions of exact longs —
+    * bit-identical to the SQL window definitions the oracle runs.
+    */
+  def lengthPercentiles(documents: DataFrame): DataFrame = {
+    val rp = graft.util.rankPrep(
+      documents.select(col("source"), col("n_chars")), "source", "n_chars")
+      .select(col("source"), col("n_chars"),
+        ((col("hi_rn") + 1).cast("double") / col("n")).as("cume_dist"),
+        when(col("n") === 1, lit(0.0)).otherwise(
+          col("lo_rn").cast("double") / (col("n") - 1)).as("percent_rank"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(rp, Seq("source", "n_chars"))
+  }
+
+  val q118 = Q(
+    "q118_length_percentile",
+    (s, d) => lengthPercentiles(docs(s, d)),
+    Some("""SELECT doc_id, source, n_chars,
+           |  CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars) AS cume_dist,
+           |  PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars) AS percent_rank
+           |FROM documents""".stripMargin),
+    "per-doc length percentile in source: cume_dist/percent_rank from rankPrep's compressed domain + equi-join, no raw-row window")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113)
+    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118)
 }
