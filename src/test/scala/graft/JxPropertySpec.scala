@@ -299,6 +299,101 @@ class JxPropertySpec extends SparkSpec {
     })
   }
 
+  // ---- QUERY-level fuzz: whole jx documents (where + groupby +
+  // aggregate select) against an independent in-memory evaluator.
+  // The scalar tests above cover expression compilation; this covers
+  // CLAUSE ASSEMBLY — filter-before-aggregate order, computed groupby
+  // naming, null group keys, count-vs-count(value), all-null sums.
+  private sealed trait GTerm
+  private case object GS extends GTerm // group on s (nullable string)
+  private case object GBucket extends GTerm // {"name":"b","value":{"floor":["y",3]}}
+  private sealed trait Agg
+  private case object ACount extends Agg // value-less count = rows
+  private case object ASumX extends Agg
+  private case object AMinY extends Agg
+  private case object AMaxX extends Agg
+  private case object ACardS extends Agg
+  private case class GQ(where: Option[B], gb: Seq[GTerm], aggs: Seq[Agg])
+
+  private def gqJson(q: GQ): String = {
+    val w = q.where.map(b => s""""where": ${bjson(b)}, """).getOrElse("")
+    val gb =
+      if (q.gb.isEmpty) ""
+      else "\"groupby\": [" + q.gb.map {
+        case GS => "\"s\""
+        case GBucket => """{"name": "b", "value": {"floor": ["y", 3]}}"""
+      }.mkString(", ") + "], "
+    val sel = q.aggs.zipWithIndex.map { case (a, i) =>
+      a match {
+        case ACount => s"""{"name": "a$i", "aggregate": "count"}"""
+        case ASumX => s"""{"name": "a$i", "value": "x", "aggregate": "sum"}"""
+        case AMinY => s"""{"name": "a$i", "value": "y", "aggregate": "minimum"}"""
+        case AMaxX => s"""{"name": "a$i", "value": "x", "aggregate": "maximum"}"""
+        case ACardS => s"""{"name": "a$i", "value": "s", "aggregate": "cardinality"}"""
+      }
+    }.mkString(", ")
+    s"""{"from": "fx", $w$gb"select": [$sel]}"""
+  }
+
+  // independent evaluation over the raw fixture rows (keys as Options)
+  private def gqEval(q: GQ): Map[Seq[Option[Any]], Seq[Option[Double]]] = {
+    val kept = rows.filter(r => q.where.forall(b => evalB(b, r).contains(true)))
+    def key(r: Row): Seq[Option[Any]] = q.gb.map {
+      case GS => r._4
+      case GBucket => Some(math.floor(r._3.toDouble / 3) * 3)
+    }
+    def aggRow(rs: Seq[Row]): Seq[Option[Double]] = q.aggs.map {
+      case ACount => Some(rs.size.toDouble)
+      case ASumX =>
+        val xs = rs.flatMap(_._2); if (xs.isEmpty) None else Some(xs.sum)
+      case AMinY =>
+        if (rs.isEmpty) None else Some(rs.map(_._3).min.toDouble)
+      case AMaxX =>
+        val xs = rs.flatMap(_._2); if (xs.isEmpty) None else Some(xs.max)
+      case ACardS => Some(rs.flatMap(_._4).distinct.size.toDouble)
+    }
+    // SQL global-aggregate contract: with no grouping keys the result
+    // is ALWAYS one row, even over zero input rows (count=0, null
+    // value aggregates) — groupBy would instead vanish
+    if (q.gb.isEmpty) Map(Seq.empty[Option[Any]] -> aggRow(kept))
+    else kept.groupBy(key).map { case (k, rs) => k -> aggRow(rs) }
+  }
+
+  private val genGQ: Gen[GQ] = for {
+    w <- Gen.option(genB(3))
+    gb <- Gen.someOf(Seq(GS, GBucket)).map(_.toSeq)
+    aggs <- Gen.nonEmptyContainerOf[List, Agg](
+      Gen.oneOf(ACount, ASumX, AMinY, AMaxX, ACardS)).map(_.take(3))
+  } yield GQ(w, gb, aggs)
+
+  test("compiled jx QUERY ≡ independent evaluator on random where+groupby+aggregates") {
+    check(Prop.forAll(genGQ) { q =>
+      val compiled = JxCompiler.queryOn(spark, sfDir, gqJson(q), Map("fx" -> df))
+      val keyN = q.gb.size
+      val got = compiled.collect().map { r =>
+        val k = (0 until keyN).map(i => Option(r.get(i)).map {
+          case d: Double => d: Any
+          case l: Long => l.toDouble: Any
+          case v => v
+        })
+        val vs = (keyN until keyN + q.aggs.size).map(i => Option(r.get(i)).map {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case dec: java.math.BigDecimal => dec.doubleValue
+          case v => v.toString.toDouble
+        })
+        k -> vs
+      }.toMap
+      val want = gqEval(q).map { case (k, vs) =>
+        k.map(_.map {
+          case d: Double => d: Any
+          case other => other
+        }) -> vs
+      }
+      got == want
+    })
+  }
+
   test("compiled date pipeline ≡ java.time interpreter on random date trees") {
     // whole-second epoch read-back via the jx unix bridge: date_add
     // shifts, calendar floors (Monday weeks, 1st-of-month), literals
