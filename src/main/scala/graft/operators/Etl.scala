@@ -312,10 +312,38 @@ object Etl extends QueryPack {
     * single-partition-window hazard never touches raw events. At
     * 100 TB the aggregate output is still only years-of-days × types.
     */
-  def kpiDaily(events: DataFrame): DataFrame = {
-    val daily = events
+  def kpiDaily(events: DataFrame): DataFrame =
+    kpiDecorate(dailyCounts(events))
+
+  /** The stored base table of the daily KPI: per-(day, type) counts.
+    * This is what a production pipeline PERSISTS — it is additive, so
+    * a delta batch folds in at delta-cost ([[kpiIncrement]]) and the
+    * lag/moving-average decoration ([[kpiDecorate]]) is a cheap view
+    * over the tiny aggregate, recomputed per read.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Fold a delta batch into a stored daily-counts table WITHOUT
+    * touching history: aggregate the delta alone (the only fact
+    * scan), then additively merge — days the delta does not touch
+    * pass through as single rows in a days×types-sized aggregate.
+    * Incremental ≡ full recompute because counts are associative;
+    * EtlPipelineSpec pins it. The nightly-ETL counterpart of the
+    * stored closure / signature / memorization stores.
+    */
+  def kpiIncrement(storedDaily: DataFrame, deltaEvents: DataFrame): DataFrame =
+    storedDaily.unionByName(dailyCounts(deltaEvents))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Lag-1 delta + trailing 7-day moving average over the daily base
+    * — windows partitioned by type over the compressed aggregate,
+    * never raw events (see q112 scaladoc).
+    */
+  def kpiDecorate(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val f = w.rowsBetween(-6, 0)
     daily

@@ -112,4 +112,30 @@ class EtlPipelineSpec extends SparkSpec {
     EtlPipeline.readClosure(spark, dest)
       .as[(Long, Long, Int)].collect().toSet shouldBe want
   }
+
+  test("incremental daily-KPI maintenance equals the full recompute") {
+    import graft.operators.Etl
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sfDir)
+    // nightly split: ~80% base, ~20% late-arriving delta
+    val base = ev.where(col("event_id") % 5 =!= 0)
+    val delta = ev.where(col("event_id") % 5 === 0)
+    val stored = Etl.dailyCounts(base) // what a pipeline persists
+    val merged = Etl.kpiIncrement(stored, delta)
+    val full = Etl.dailyCounts(ev)
+    merged.as[(java.sql.Timestamp, String, Long)].collect().toSet shouldBe
+      full.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // the decorated view over the maintained base equals q112 exactly
+    // (Row equality is by value; schemas match by construction)
+    Etl.kpiDecorate(merged).collect().toSet shouldBe
+      Etl.kpiDaily(ev).collect().toSet
+    // and a second increment of ALREADY-FOLDED data is NOT a no-op by
+    // design (counts are additive, not idempotent) — the caller's
+    // exactly-once contract lives in the extract bookmark, same as
+    // every additive store; pin the behavior so nobody assumes
+    // redelivery safety here
+    Etl.kpiIncrement(merged, delta)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) shouldBe
+      (ev.count() + delta.count())
+  }
 }
