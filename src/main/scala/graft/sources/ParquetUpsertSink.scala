@@ -77,6 +77,12 @@ object ParquetUpsertSink {
     * of the (update-footprint-sized) rewrite set and makes every
     * rewritten bucket exactly ONE parquet file, so file count stays
     * equal to bucket count forever — merges never degrade the layout.
+    *
+    * Sizing: one file per bucket makes `numBuckets` the parallelism
+    * AND file-size knob — pick it so a bucket is ~1 GB at the table's
+    * target size (parquet files are splittable, so READS of a large
+    * bucket still parallelize across row groups; it is the
+    * single-task WRITE of a hot bucket that numBuckets bounds).
     */
   private def writeBuckets(df: DataFrame, path: String): Unit =
     df.repartition(col(bucketCol))
