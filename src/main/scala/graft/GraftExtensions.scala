@@ -1,6 +1,7 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProduct, PqAdcDistance, SimHashAgg}
+import graft.expressions.{CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, PqAdcDistance, SimHashAgg}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -41,6 +42,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "pq_adc expects exactly 2 arguments")
         PqAdcDistance(children.head, children(1))
+      }))
+    // count_min_agg(tokenHash[, depth, width]) / cm_estimate(sketch,
+    // tokenHash[, depth, width]): depth/width must be int LITERALS —
+    // they size the aggregation buffer, which cannot vary per row
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_agg"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 || children.size == 3,
+          "count_min_agg expects (tokenHash) or (tokenHash, depth, width)")
+        if (children.size == 1) CountMinAgg(children.head).toAggregateExpression()
+        else CountMinAgg(children.head, intLit(children(1), "count_min_agg depth"),
+          intLit(children(2), "count_min_agg width")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cm_estimate"),
+      new ExpressionInfo(classOf[CmEstimate].getName, "cm_estimate"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 || children.size == 4,
+          "cm_estimate expects (sketch, tokenHash) or (sketch, tokenHash, depth, width)")
+        if (children.size == 2) CmEstimate(children.head, children(1))
+        else CmEstimate(children.head, children(1),
+          intLit(children(2), "cm_estimate depth"),
+          intLit(children(3), "cm_estimate width"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

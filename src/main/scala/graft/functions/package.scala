@@ -65,6 +65,22 @@ package object functions {
   def simhashAgg(tokenHash: Column): Column =
     call_function("simhash_agg", tokenHash)
 
+  /** Native mergeable Count-Min sketch aggregate over 64-bit token
+    * hashes (see [[graft.expressions.CountMinAgg]]): a fixed
+    * depth×width counter matrix per group replaces an unbounded
+    * frequency table — the heavy-hitters / frequency-estimate sketch
+    * next to HLL++ and t-digest. Probe with [[cmEstimate]] under the
+    * same depth/width (estimate ≥ true count always; ≤ true + e/width
+    * of the group mass w.h.p.).
+    */
+  def countMinAgg(tokenHash: Column, depth: Int = 4, width: Int = 1024): Column =
+    call_function("count_min_agg", tokenHash, lit(depth), lit(width))
+
+  /** Point frequency estimate from a [[countMinAgg]] sketch. */
+  def cmEstimate(sketch: Column, tokenHash: Column,
+      depth: Int = 4, width: Int = 1024): Column =
+    call_function("cm_estimate", sketch, tokenHash, lit(depth), lit(width))
+
   /** Sum of squares of an array column in double precision. */
   def norm2(a: Column): Column =
     fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))

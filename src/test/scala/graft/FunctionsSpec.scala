@@ -140,4 +140,48 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long, Boolean, String)].collect().toSet
     row shouldBe agg
   }
+
+  test("count-min sketch: overestimate-only, exact at generous width, layout-independent") {
+    import graft.functions.{cmEstimate, countMinAgg}
+    import org.apache.spark.sql.functions.xxhash64
+    // zipf-ish fixture with KNOWN counts: token t_i appears i times
+    val toks = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i"))
+    val df = toks.toDF("tok").withColumn("h", xxhash64($"tok"))
+    val truth = (1 to 40).map(i => s"t$i" -> i.toLong).toMap
+
+    def estimates(depth: Int, width: Int): Map[String, Long] = {
+      val sk = df.agg(countMinAgg($"h", depth, width).as("sk"))
+      val probes = truth.keys.toSeq.toDF("tok")
+        .withColumn("h", xxhash64($"tok")).crossJoin(sk)
+      probes.select($"tok", cmEstimate($"sk", $"h", depth, width).as("est"))
+        .as[(String, Long)].collect().toMap
+    }
+
+    // generous width: 40 tokens in 4×2048 cells — collision-free in
+    // practice, so estimates are exactly the true counts
+    estimates(4, 2048) shouldBe truth
+    // brutal width: collisions guaranteed; the CM guarantee is
+    // one-sided — estimate >= true for EVERY token, never under
+    val tight = estimates(4, 8)
+    truth.foreach { case (t, n) =>
+      withClue(s"$t: ") { tight(t) should be >= n }
+    }
+    // the sketch is a deterministic function of the multiset, not the
+    // partition layout: 1-partition and 8-partition builds (different
+    // partial-merge trees) produce bit-identical counter arrays
+    def sketchOf(parts: Int): Seq[Long] = {
+      val d = df.repartition(parts)
+      d.agg(countMinAgg($"h", 4, 64).as("sk"))
+        .select($"sk").as[Seq[Long]].head()
+    }
+    sketchOf(1) shouldBe sketchOf(8)
+    // and merging two half-sketches equals the whole-corpus sketch:
+    // group halves, aggregate each, then the driver-side vector add
+    val half = df.withColumn("g", ($"h" % 2 === 0).cast("int"))
+      .groupBy($"g").agg(countMinAgg($"h", 4, 64).as("sk"))
+      .select($"sk").as[Seq[Long]].collect()
+    half.map(_.toArray).reduce { (a, b) =>
+      a.indices.foreach(i => a(i) += b(i)); a
+    }.toSeq shouldBe sketchOf(1)
+  }
 }
