@@ -573,6 +573,17 @@ object JxCompiler {
         case "number" => compileExpr(arg).cast("double")
         case "string" => compileExpr(arg).cast("string")
         case "coalesce" => coalesce(arg.asScala.toSeq.map(compileExpr): _*)
+        // scalar clamp pair — pyLibrary's MaxOp/MinOp over expressions
+        // ({"max": [a, b]} etc). greatest/least SKIP nulls (null only
+        // when every operand is null), which is exactly jx's
+        // missing-operands-are-ignored contract — NOT SQL's
+        // null-poisoning comparison.
+        case "max" =>
+          val es = arg.asScala.toSeq.map(compileExpr)
+          if (es.sizeIs == 1) es.head else greatest(es: _*)
+        case "min" =>
+          val es = arg.asScala.toSeq.map(compileExpr)
+          if (es.sizeIs == 1) es.head else least(es: _*)
         case "between" => // {"between": {field: [lo, hi]}} — inclusive
           val (f, v) = firstField(arg)
           val bounds = v.asScala.toSeq

@@ -160,6 +160,73 @@ object Cluster extends QueryPack {
   private[graft] def clearStored(s: SparkSession): Int =
     graft.util.evictSession(compsMemo, s)
 
+  /** Incremental connected-components maintenance — fold a DELTA pair
+    * batch into a stored component table at delta cost, the final
+    * rebuild-only stage of the nightly near-dedup pipeline made
+    * incremental (closure: [[Hierarchy.incrementalClosure]];
+    * signatures: [[Dedup.minhashDeltaPairs]]; components: this).
+    *
+    * Algorithm — contract, solve small, relabel:
+    *  1. map each delta endpoint to its stored component root (or
+    *     itself when unseen) — two broadcast-sized key joins probing
+    *     the stored table;
+    *  2. run the large-star/small-star fixpoint on the CONTRACTED
+    *     graph, whose size is bounded by the delta pair count (one
+    *     edge per delta pair, over touched roots + new nodes), never
+    *     the corpus;
+    *  3. relabel: stored rows whose old root got merged take the new
+    *     root via one broadcast hash join (the rename map is
+    *     delta-sized); untouched components pass through unprobed.
+    *
+    * Correct because each stored root IS the minimum of its member
+    * set, so the contracted fixpoint's min-propagation computes
+    * exactly the min over every merged member set — ≡ a full
+    * recompute over (old pairs ∪ delta pairs), which ClusterSpec pins
+    * (including the bridge case: two stored components merged by one
+    * delta pair, and a new node arriving with a smaller id than a
+    * stored root). Idempotent under redelivery: a replayed pair maps
+    * to a self-edge in the contracted graph and drops out, so the
+    * rename map is empty and the table is unchanged.
+    *
+    * Returns the FULL updated (node, component) table; callers
+    * maintaining a keyed store write only [[componentsIncrementDelta]]
+    * (changed + new rows) through the bucket-pruned upsert sink.
+    */
+  def componentsIncrement(stored: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val renamed = componentsIncrementDelta(stored, deltaPairs)
+    stored
+      .join(renamed.select(col("node")), Seq("node"), "left_anti")
+      .unionByName(renamed)
+  }
+
+  /** Only the rows [[componentsIncrement]] changes or creates —
+    * stored nodes whose component id moved, plus delta nodes not in
+    * the store. This is what a nightly run upserts: cost ∝ delta and
+    * the touched components' membership, not the corpus.
+    */
+  def componentsIncrementDelta(stored: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val roots = stored.select(col("node"), col("component"))
+    // endpoints → stored roots (unseen endpoints stay themselves)
+    val contractedEdges = deltaPairs.select(col("d1"), col("d2"))
+      .join(roots.select(col("node").as("d1"), col("component").as("r1")), Seq("d1"), "left")
+      .join(roots.select(col("node").as("d2"), col("component").as("r2")), Seq("d2"), "left")
+      .select(coalesce(col("r1"), col("d1")).as("d1"),
+        coalesce(col("r2"), col("d2")).as("d2"))
+      .where(col("d1") =!= col("d2")) // replayed/intra-component pairs vanish here
+    // delta-sized fixpoint over touched roots + new nodes
+    val contracted = connectedComponents(contractedEdges).localCheckpoint()
+    // stored members of merged components take the merged root …
+    val rename = contracted
+      .select(col("node").as("component"), col("component").as("_nc"))
+      .where(col("component") =!= col("_nc"))
+    val moved = stored.join(rename, Seq("component"))
+      .select(col("node"), col("_nc").as("component"))
+    // … and delta nodes unseen by the store enter with their new root
+    val fresh = contracted
+      .join(stored.select(col("node")), Seq("node"), "left_anti")
+    moved.unionByName(fresh)
+  }
+
   def keepers(components: DataFrame, docs: DataFrame): DataFrame = {
     components
       .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
@@ -304,5 +371,23 @@ object Cluster extends QueryPack {
            |FROM documents d LEFT JOIN comp ON comp.node = d.doc_id""".stripMargin),
     "leakage-free split: q53's hash gate on the near-dup component root, clusters move whole")
 
-  val all: Seq[Q] = Seq(q52, q61, q86)
+  /** Gate entry for the incremental path: split the stored near-dup
+    * pair list deterministically (by pair-sum parity) into a "stored"
+    * half and a "delta" half, build components from the stored half,
+    * fold the delta in with [[componentsIncrement]] — and check the
+    * result against the recursive-CTE components of the UNIONED pair
+    * set (q52's oracle verbatim: incremental ≡ full is the contract).
+    */
+  val q119 = Q(
+    "q119_components_incr",
+    (s, d) => {
+      val pairs = Dedup.storedPairs(s, d).select(col("d1"), col("d2"))
+      val storedHalf = pairs.where((col("d1") + col("d2")) % 2 === 0)
+      val deltaHalf = pairs.where((col("d1") + col("d2")) % 2 =!= 0)
+      componentsIncrement(connectedComponents(storedHalf), deltaHalf)
+    },
+    q52.oracle,
+    "incremental components: delta pairs folded into a stored component table ≡ full recompute (q52 oracle)")
+
+  val all: Seq[Q] = Seq(q52, q61, q86, q119)
 }

@@ -452,6 +452,51 @@ object Etl extends QueryPack {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incremental SCD2 maintenance — fold a delta batch of revision
+    * events into a STORED q115 history at delta cost, the warehouse
+    * mirror of [[kpiIncrement]] (additive KPI base) for the
+    * non-additive validity-interval table.
+    *
+    * Window functions don't fold incrementally, but they localize: a
+    * key's intervals depend only on that key's OWN revisions. So the
+    * delta-cost patch is exact key surgery —
+    *  1. touched keys = distinct user_id in the delta (delta-sized);
+    *  2. replay those keys' stored history rows back into events
+    *     (each history row carries its revision verbatim: event_id,
+    *     event_type, valid_from = ts), union the delta, and drop
+    *     redelivered revisions by (user_id, event_id);
+    *  3. rebuild [[scd2History]] over ONLY the touched keys' streams;
+    *  4. untouched keys' rows pass through via one left_anti probe.
+    *
+    * Out-of-order deltas (a revision older than the key's stored
+    * head) are handled exactly — the rebuild re-sorts the key's full
+    * stream, closing/reopening intervals as needed — and redelivery
+    * is a no-op by the (user_id, event_id) dedup, so the result is
+    * ALWAYS ≡ a full q115 recompute over (stored events ∪ delta):
+    * EtlPipelineSpec pins it across multi-batch + redelivered input.
+    *
+    * Scale shape: the rebuild window shuffles only the touched keys'
+    * rows (delta keys × their history depth); the pass-through is an
+    * anti-join keyed on user_id against a broadcast-sized key set.
+    * Rows whose interval actually changed are exactly the rebuilt
+    * partition's diff — through the bucket-pruned upsert sink keyed
+    * by (user_id, event_id), an append rewrites only touched buckets.
+    */
+  def scd2Append(storedHistory: DataFrame, deltaBatch: DataFrame): DataFrame = {
+    val keys = deltaBatch.select(col("user_id")).distinct()
+    val replayed = storedHistory
+      .join(keys, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from").as("ts"))
+    val merged = replayed
+      .unionByName(deltaBatch.select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts")))
+      .dropDuplicates("user_id", "event_id")
+    storedHistory
+      .join(keys, Seq("user_id"), "left_anti")
+      .unionByName(scd2History(merged))
+  }
+
   val q115 = Q(
     "q115_scd2",
     (s, d) => scd2History(ev(s, d)),
@@ -463,6 +508,26 @@ object Etl extends QueryPack {
            |    ORDER BY ts, event_id) IS NULL AS is_current
            |FROM events""".stripMargin),
     "SCD2 validity intervals from the keyed revision stream: lead over the deterministic revision order, open current row flagged")
+
+  /** Gate entry for the incremental path: build the stored history
+    * from one third of the revision stream, fold the other two thirds
+    * in as two successive [[scd2Append]] batches (split by event_id
+    * mod 3 — deterministic, and deliberately NOT time-ordered, so the
+    * appends exercise the out-of-order rebuild) — and hash-check
+    * against q115's full-history oracle verbatim: incremental ≡ full
+    * is the contract.
+    */
+  val q120 = Q(
+    "q120_scd2_incr",
+    (s, d) => {
+      val events = ev(s, d)
+      def part(r: Int) = events.where(col("event_id") % 3 === r)
+      val h0 = scd2History(part(0))
+      val h1 = scd2Append(h0, part(1))
+      scd2Append(h1, part(2))
+    },
+    q115.oracle,
+    "incremental SCD2: delta batches folded into a stored history ≡ full q115 recompute (q115 oracle)")
 
   /** Keyed snapshot diff (q116): classify every key across two
     * adjacent 7-day activity windows as added / removed / changed /
@@ -533,5 +598,5 @@ object Etl extends QueryPack {
     "keyed snapshot diff across two extract windows: latest-per-key states, one full-outer join, added/removed/changed/unchanged")
 
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116)
+    q115, q116, q120)
 }

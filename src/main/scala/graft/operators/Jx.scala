@@ -584,6 +584,9 @@ object Jx extends QueryPack {
       |     "aggregate": "average"},
       |    {"name": "last_plus_wk",
       |     "value": {"date_add": ["ts", 1, "week"]},
+      |     "aggregate": "maximum"},
+      |    {"name": "vclamp",
+      |     "value": {"min": [{"max": ["value", 1]}, 5]},
       |     "aggregate": "maximum"}
       |  ]
       |}""".stripMargin
@@ -600,7 +603,8 @@ object Jx extends QueryPack {
            |       - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0
            |      AS DECIMAL(18,4))) AS DOUBLE) / COUNT(ts) AS avg_age_d,
            |  MAX(make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) + 604800)
-           |      * 1000000)) AS last_plus_wk
+           |      * 1000000)) AS last_plus_wk,
+           |  MAX(LEAST(GREATEST(value, 1), 5)) AS vclamp
            |FROM events
            |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            |GROUP BY 1""".stripMargin),

@@ -292,7 +292,8 @@ object StreamOps extends QueryPack {
     * same reason, whichever write landed first.
     */
   def streamingNearDedupIngest(stream: DataFrame, docsPath: String,
-      sigsPath: String, threshold: Double, numBuckets: Int = 64)
+      sigsPath: String, threshold: Double, numBuckets: Int = 64,
+      compsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
       val s = batch.sparkSession
@@ -327,11 +328,69 @@ object StreamOps extends QueryPack {
           sigD.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .withColumn("_rev", lit(0L)),
           sigsPath, Seq("doc_id"), "_rev", numBuckets)
+        // optional dedup-GROUP lineage: fold the batch's near-dup pairs
+        // into a stored component table at delta cost — rejected docs
+        // stay attributable to the cluster (and so the keeper) that
+        // rejected them. See [[streamingComponentsIngest]] for the
+        // store contract; same monotone -component versioning.
+        compsPath.foreach(cp => foldComponentBatch(s, cp,
+          pairs.select(col("d1"), col("d2")), numBuckets))
       }
     }
     stream.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
+  }
+
+  /** Streaming incremental CONNECTED-COMPONENTS maintenance: each
+    * micro-batch of near-dup pairs (d1, d2) folds into a persisted
+    * (node, component) table via
+    * [[graft.operators.Cluster.componentsIncrementDelta]] — the
+    * nightly dedup pipeline's last rebuild-only stage made
+    * incremental, at per-batch cost ∝ the batch and the touched
+    * components, never the corpus.
+    *
+    * Exactly-once EFFECT on an at-least-once transport without
+    * relying on batch ordering: a node's component id only ever
+    * DECREASES (components merge toward the min member), so the
+    * upsert version is `-component` — monotone per key — and
+    * latest-wins keyed merge makes replayed or re-ordered batches
+    * converge to the same table. A replayed pair contracts to a
+    * self-edge and drops out, so its batch writes nothing at all.
+    * StreamingSpec pins stream ≡ batch `connectedComponents` over the
+    * full pair set, across batch splits and redelivery.
+    */
+  def streamingComponentsIngest(pairStream: DataFrame, compsPath: String,
+      numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      foldComponentBatch(batch.sparkSession, compsPath,
+        batch.toDF().select(col("d1"), col("d2")), numBuckets)
+    pairStream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
+  private def foldComponentBatch(s: SparkSession, compsPath: String,
+      pairs: DataFrame, numBuckets: Int): Unit = {
+    if (pairs.head(1).nonEmpty) {
+      val stored =
+        if (graft.sources.ParquetUpsertSink.tableExists(s, compsPath))
+          graft.sources.ParquetUpsertSink.read(s, compsPath)
+            .select(col("node"), col("component"))
+        else pairs.sparkSession.createDataFrame(
+          pairs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", LongType),
+            org.apache.spark.sql.types.StructField("component", LongType))))
+      val changed = graft.operators.Cluster
+        .componentsIncrementDelta(stored, pairs)
+        .localCheckpoint() // consumed by head(1) + the upsert; one materialization
+      if (changed.head(1).nonEmpty)
+        graft.sources.ParquetUpsertSink.upsert(
+          changed.withColumn("_rev", -col("component")), compsPath,
+          Seq("node"), "_rev", numBuckets)
+    }
   }
 
   /** Contamination firewall at ingest: each micro-batch of candidate

@@ -49,6 +49,72 @@ class ClusterSpec extends SparkSpec {
     got.map(_._2).distinct.toSeq shouldBe Seq(1L)
   }
 
+  test("componentsIncrement ≡ full recompute on crafted merge cases") {
+    // stored graph: components {1,2,3} (root 1), {10,11} (root 10),
+    // {20,21} (root 20), {30,31} (root 30, stays untouched)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("d1", "d2")
+    val stored = Cluster.connectedComponents(oldPairs).localCheckpoint()
+    // delta: bridge two stored components (11~21), attach a NEW node
+    // with a SMALLER id than a stored root (5~10 → new root 5), and a
+    // brand-new component (40~41)
+    val delta = Seq((11L, 21L), (5L, 10L), (40L, 41L)).toDF("d1", "d2")
+    val got = Cluster.componentsIncrement(stored, delta)
+      .as[(Long, Long)].collect().toSet
+    val full = Cluster.connectedComponents(oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toSet
+    got shouldBe full
+    // the crafted semantics, spelled out: 10/11 merged under new min 5,
+    // 20/21 pulled into 5's component via the 11~21 bridge
+    got should contain allOf ((5L, 5L), (10L, 5L), (11L, 5L),
+      (20L, 5L), (21L, 5L), (30L, 30L), (31L, 30L), (40L, 40L))
+  }
+
+  test("componentsIncrement: chain of three stored components merged via one new node") {
+    val oldPairs = Seq((2L, 3L), (10L, 11L), (20L, 21L)).toDF("d1", "d2")
+    val stored = Cluster.connectedComponents(oldPairs).localCheckpoint()
+    val delta = Seq((3L, 100L), (100L, 10L), (100L, 20L)).toDF("d1", "d2")
+    val got = Cluster.componentsIncrement(stored, delta)
+      .as[(Long, Long)].collect().toSet
+    val full = Cluster.connectedComponents(oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toSet
+    got shouldBe full
+    got.filter(_._1 != 100L).map(_._2) shouldBe Set(2L)
+  }
+
+  test("componentsIncrement is idempotent: replayed delta changes nothing") {
+    val oldPairs = Seq((1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val delta = Seq((2L, 10L), (50L, 51L)).toDF("d1", "d2")
+    val once = Cluster.componentsIncrement(
+      Cluster.connectedComponents(oldPairs).localCheckpoint(), delta)
+      .localCheckpoint()
+    // replay: every delta pair contracts to a self-edge and drops out
+    Cluster.componentsIncrementDelta(once, delta).count() shouldBe 0L
+    val twice = Cluster.componentsIncrement(once, delta)
+    twice.as[(Long, Long)].collect().toSet shouldBe
+      once.as[(Long, Long)].collect().toSet
+  }
+
+  test("componentsIncrementDelta touches only moved + new rows") {
+    val oldPairs = Seq((1L, 2L), (10L, 11L), (30L, 31L)).toDF("d1", "d2")
+    val stored = Cluster.connectedComponents(oldPairs).localCheckpoint()
+    val delta = Seq((2L, 10L)).toDF("d1", "d2")
+    val changed = Cluster.componentsIncrementDelta(stored, delta)
+      .as[(Long, Long)].collect().toSet
+    // only the absorbed component's members move; 1's and 30's rows
+    // (component id unchanged) are NOT rewritten
+    changed shouldBe Set((10L, 1L), (11L, 1L))
+  }
+
+  test("q119 gate shape: split-fold equals the full stored components (sf)") {
+    import org.apache.spark.sql.functions._
+    val got = Cluster.q119.build(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val full = Cluster.storedComponents(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    got shouldBe full
+  }
+
   test("leak-free split: no near-dup pair ever straddles a split (q86)") {
     val docs = Tables.documents(spark, sfDir)
     val split = Cluster.leakFreeSplit(docs, 0.5)

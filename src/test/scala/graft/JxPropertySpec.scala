@@ -46,6 +46,7 @@ class JxPropertySpec extends SparkSpec {
   case class NBin(op: String, a: N, b: N) extends N // add | sub | mult
   case class NAbs(a: N) extends N
   case class NCoalesce(a: N, b: N) extends N
+  case class NMinMax(isMax: Boolean, args: List[N]) extends N // null-skipping clamp
   case class NWhen(c: B, t: N, e: N) extends N
   case class NLen(a: N) extends N // length of s — exercises string→num
   case class NUnix(a: D) extends N // {"unix": ts} — date→num bridge
@@ -76,6 +77,8 @@ class JxPropertySpec extends SparkSpec {
     case NBin(op, a, b) => s"""{"$op": [${njson(a)}, ${njson(b)}]}"""
     case NAbs(a) => s"""{"abs": ${njson(a)}}"""
     case NCoalesce(a, b) => s"""{"coalesce": [${njson(a)}, ${njson(b)}]}"""
+    case NMinMax(isMax, args) =>
+      s"""{"${if (isMax) "max" else "min"}": [${args.map(njson).mkString(", ")}]}"""
     case NWhen(c, t, e) => s"""{"when": ${bjson(c)}, "then": ${njson(t)}, "else": ${njson(e)}}"""
     case NLen(_) => """{"length": "s"}"""
     case NUnix(a) => s"""{"unix": ${djson(a)}}"""
@@ -149,6 +152,9 @@ class JxPropertySpec extends SparkSpec {
       }
     case NAbs(a) => evalN(a, r).map(math.abs)
     case NCoalesce(a, b) => evalN(a, r).orElse(evalN(b, r))
+    case NMinMax(isMax, args) => // greatest/least SKIP null operands
+      val vs = args.flatMap(evalN(_, r))
+      if (vs.isEmpty) None else Some(if (isMax) vs.max else vs.min)
     case NWhen(c, t, e) => // null condition takes the else branch
       if (evalB(c, r).contains(true)) evalN(t, r) else evalN(e, r)
     case NLen(_) => r._4.map(_.length.toDouble)
@@ -212,6 +218,8 @@ class JxPropertySpec extends SparkSpec {
         yield NBin(op, a, b)),
       1 -> genN(d - 1).map(NAbs),
       1 -> (for { a <- genN(d - 1); b <- genN(d - 1) } yield NCoalesce(a, b)),
+      1 -> (for { isMax <- Gen.oneOf(true, false); k <- Gen.choose(2, 3)
+                  args <- Gen.listOfN(k, genN(d - 1)) } yield NMinMax(isMax, args)),
       1 -> (for { c <- genB(d - 1); t <- genN(d - 1); e <- genN(d - 1) } yield NWhen(c, t, e)),
       1 -> Gen.const(NLen(FX)),
       1 -> genD(d - 1).map(NUnix),

@@ -247,6 +247,28 @@ class JxSpec extends SparkSpec {
     got.count() should be > 0L
   }
 
+  test("scalar max/min: clamp semantics, null operands skipped") {
+    // {"max":[a,b]} / {"min":[...]} — pyLibrary's expression clamp:
+    // missing operands are IGNORED (null only when all are null)
+    val got = run("""{"from":"orders",
+      "select":["o_orderkey",
+        {"name":"clamped","value":{"min":[{"max":["o_totalprice",10000]},150000]}},
+        {"name":"mx3","value":{"max":["o_totalprice",{"literal":null},0]}},
+        {"name":"allnull","value":{"min":[{"literal":null},{"literal":null}]}}]}""")
+    val want = Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        least(greatest($"o_totalprice", lit(10000)), lit(150000)).as("clamped"),
+        greatest($"o_totalprice", lit(null), lit(0)).as("mx3"),
+        lit(null).as("allnull"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    // the clamp actually bites on this data: some rows at each bound
+    got.where($"clamped" === 10000).count() should be > 0L
+    got.where($"clamped" === 150000).count() should be > 0L
+    // null skipped, not poisoning: mx3 is never null
+    got.where($"mx3".isNull).count() shouldBe 0L
+  }
+
   test("scalar expression operators: right, not_left, not_right, concat, abs, casts") {
     val got = run("""{"from":"orders",
       "select":["o_orderkey",

@@ -323,6 +323,44 @@ class StreamingSpec extends SparkSpec {
     storedSigIds shouldBe Set(1L, 3L, 5L)
   }
 
+  test("streaming components ingest ≡ batch connectedComponents across batch splits + redelivery") {
+    import org.apache.spark.sql.functions.col
+    // batch 1 builds {1,2,3} and {10,11}; batch 2 bridges them via a
+    // NEW node 5 (smaller than root 10's members but larger than 1)
+    // and opens a fresh component {40,41}
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val b2 = Seq((3L, 5L), (5L, 10L), (40L, 41L))
+    val srcDir = Files.createTempDirectory("graft-comps-src").toString
+    val compsPath = Files.createTempDirectory("graft-comps").toString + "/comps"
+    def stage(rows: Seq[(Long, Long)]): Unit =
+      spark.createDataFrame(rows).toDF("d1", "d2")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runStream(): Unit = {
+      val ckpt = Files.createTempDirectory("graft-comps-ck").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = StreamOps.streamingComponentsIngest(stream, compsPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    stage(b1); stage(b2)
+    runStream()
+    def stored = graft.sources.ParquetUpsertSink.read(spark, compsPath)
+      .select(col("node"), col("component")).as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Cluster.connectedComponents(
+        spark.createDataFrame(b1 ++ b2).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toSet
+    stored shouldBe batch
+    // redeliver everything on a fresh checkpoint: replayed pairs
+    // contract to self-edges, the store is untouched
+    stage(b1)
+    runStream()
+    stored shouldBe batch
+  }
+
   test("streaming jx aggregation equals the batch jx query on the same data") {
     import graft.jx.JxCompiler
     // the jx dashboard shape over a live stream: filter + calendar
