@@ -41,5 +41,6 @@ object StoredArtifacts {
       operators.Cluster.clearStored(s) +
       operators.Ann.clearStored(s) +
       operators.Jx.clearStored(s) +
+      operators.Etl.clearStored(s) +
       util.clearReused(s)
 }
