@@ -156,7 +156,14 @@ case class CmEstimate(
       var best = Long.MaxValue
       var d = 0
       while (d < depth) {
-        val c = arr.getLong(d * width + CountMin.cell(h, d, width))
+        val idx = d * width + CountMin.cell(h, d, width)
+        // containsNull=true is accepted (parquet round-trips widen the
+        // type), but an actually-null cell means a corrupted sketch: an
+        // ArrayData.getLong on it would silently read 0 and break the
+        // overestimate-only guarantee, so fail loudly instead.
+        require(!arr.isNullAt(idx),
+          s"cm_estimate: sketch cell $idx is NULL — not a count_min_agg sketch")
+        val c = arr.getLong(idx)
         if (c < best) best = c
         d += 1
       }

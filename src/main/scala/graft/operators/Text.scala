@@ -1149,6 +1149,13 @@ object Text extends QueryPack {
     * Exactness: cume_dist = (hi_rn+1)/n and percent_rank =
     * lo_rn/(n−1) are single double divisions of exact longs —
     * bit-identical to the SQL window definitions the oracle runs.
+    *
+    * Precondition: `n_chars` must be non-null. rankPrep drops null
+    * keys from its compressed domain and the pickup join is inner, so
+    * a null-length document would be silently absent from the output
+    * (a SQL CUME_DIST window would instead rank it first). The
+    * documents schema guarantees non-null n_chars; callers feeding
+    * other frames should `coalesce`/filter nulls first.
     */
   def lengthPercentiles(documents: DataFrame): DataFrame = {
     val rp = graft.util.rankPrep(

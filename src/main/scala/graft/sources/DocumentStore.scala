@@ -35,6 +35,24 @@ trait DocumentSink {
     * including DELETING stored keys the snapshot no longer has.
     */
   def sync(snapshot: DataFrame): Unit
+
+  /** Bulk keyed DELETE — the reference's bulk-delete action, the third
+    * leg the incremental pipelines need (a closure pair invalidated by
+    * an edge deletion must leave the store at delta cost; `sync` can
+    * only do it at full-reindex cost). `keys` carries the key columns
+    * plus the store's version column; the contract mirrors push's
+    * latest-wins: a stored row is removed only when its version is <=
+    * the delete's version, so a delete never clobbers a newer write
+    * and redelivery is idempotent. Missing keys are a no-op.
+    *
+    * Default: unsupported — a sink is not obliged to implement keyed
+    * deletes (the NDJSON export, a pure append log); pipelines that
+    * need them ([[EtlPipeline.runStreamWithDeletes]]) say so and fail
+    * loudly here rather than silently leaving stale rows.
+    */
+  def delete(keys: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not support keyed deletes; use sync")
 }
 
 /** A store that can be both scanned and pushed — what the pipeline's
@@ -57,6 +75,8 @@ final case class ParquetStore(path: String, keyCols: Seq[String],
     ParquetUpsertSink.upsert(updates, path, keyCols, versionCol, numBuckets)
   override def sync(snapshot: DataFrame): Unit =
     ParquetUpsertSink.sync(snapshot, path, keyCols, versionCol, numBuckets)
+  override def delete(keys: DataFrame): Unit =
+    ParquetUpsertSink.delete(keys, path, keyCols, versionCol)
   override def exists(spark: SparkSession): Boolean =
     ParquetUpsertSink.tableExists(spark, path)
 }

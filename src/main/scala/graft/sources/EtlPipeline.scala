@@ -140,6 +140,105 @@ object EtlPipeline {
       .foreachBatch(sink)
   }
 
+  /** The streaming loop under edge ADDS AND DELETES — the full CRUD
+    * form of [[runStream]] (the reference's hierarchy maintenance
+    * handles removed bug links the same way: re-close the touched
+    * region, remove invalidated pairs from the index).
+    *
+    * Contract: `edgeEvents` carries (child, parent, op, seq) — op is
+    * "add" or "delete", seq a monotone per-edge revision (the
+    * reference's modified-timestamp; unique per (child, parent) per
+    * event). Two stores: `edgeStore` persists the CURRENT EDGE STATE
+    * (keyed (child, parent), versioned seq, op kept as a tombstone
+    * marker — deletion must be re-derivable across restarts, and a
+    * closure patch needs the surviving edge set), `dest` the closure.
+    *
+    * Per batch, all at delta cost:
+    *  1. collapse the batch latest-seq per edge (an add+delete of the
+    *     same edge in one batch resolves to its final op);
+    *  2. diff against the PREVIOUS edge state (materialized before
+    *     the upsert — the scan is lazy and the upsert rewrites its
+    *     files) → genuinely-removed and genuinely-new edges;
+    *  3. upsert the collapsed batch into `edgeStore` (latest-wins);
+    *  4. patch the closure: [[Hierarchy.incrementalClosureDelete]]
+    *     re-closes only the deletion-affected region against the
+    *     surviving edges, then [[Hierarchy.incrementalClosure]] folds
+    *     the new edges in semi-naive;
+    *  5. ship the closure diff: new/depth-changed pairs via
+    *     `dest.push`, invalidated pairs via `dest.delete` — both
+    *     versioned by the checkpoint's stable batchId, so redelivery
+    *     is latest-wins idempotent.
+    *
+    * Redelivered batch: the edge-state diff (step 2) is empty (the
+    * state already reflects it), both closure patches find nothing to
+    * improve, the diffs are empty — exactly-once EFFECT, the same
+    * contract as [[runStream]]. Spec: an interleaved add/delete stream
+    * converges to `Hierarchy.closure` of the final edge set.
+    */
+  def runStreamWithDeletes(edgeEvents: DataFrame, dest: DocumentStore,
+      edgeStore: DocumentStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long) => {
+      val s = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("child"), col("parent"))
+        .orderBy(col("seq").desc)
+      val collapsed = batch.toDF()
+        .select(col("child"), col("parent"), col("op"), col("seq"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn").localCheckpoint()
+      if (collapsed.head(1).nonEmpty) {
+        val prevEdges = (
+          if (edgeStore.exists(s))
+            edgeStore.scan(s).select(col("child"), col("parent"), col("op"))
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("child", LongType),
+              StructField("parent", LongType),
+              StructField("op", org.apache.spark.sql.types.StringType))))
+          ).localCheckpoint() // pin BEFORE the upsert rewrites the files
+        val prevLive = prevEdges.where(col("op") === "add")
+          .select(col("child"), col("parent"))
+        // removed = was live, batch's final op deletes it;
+        // added = batch's final op adds it and it was not live before
+        val removed = prevLive
+          .join(collapsed.where(col("op") === "delete"), Seq("child", "parent"),
+            "left_semi")
+        val added = collapsed.where(col("op") === "add")
+          .select(col("child"), col("parent"))
+          .join(prevLive, Seq("child", "parent"), "left_anti")
+        edgeStore.push(collapsed)
+        val live = edgeStore.scan(s).where(col("op") === "add")
+          .select(col("child"), col("parent")).localCheckpoint()
+        val existing = (
+          if (dest.exists(s))
+            dest.scan(s).select(col("ancestor"), col("descendant"), col("depth"))
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], closureSchema)
+          ).localCheckpoint() // diffed against twice below
+        val afterDel =
+          if (removed.head(1).isEmpty) existing
+          else Hierarchy.incrementalClosureDelete(existing, live, removed)
+        val updated = (
+          if (added.head(1).isEmpty) afterDel
+          else Hierarchy.incrementalClosure(afterDel, added)
+          ).localCheckpoint() // push diff + delete diff both read it
+        val pushDelta = updated
+          .join(existing, Seq("ancestor", "descendant", "depth"), "left_anti")
+          .withColumn("rev", lit(batchId))
+        if (pushDelta.head(1).nonEmpty) dest.push(pushDelta)
+        val delDelta = existing.select(col("ancestor"), col("descendant"))
+          .join(updated, Seq("ancestor", "descendant"), "left_anti")
+          .withColumn("rev", lit(batchId))
+        if (delDelta.head(1).nonEmpty) dest.delete(delDelta)
+      }
+    }
+    edgeEvents.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   private def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -19,6 +19,11 @@ import org.apache.spark.sql.types.StructType
   *    redelivery, so at-least-once transports above the seam are
   *    safe. Pushed from `foreachPartition` in `batchSize` chunks —
   *    executor-side, never collected.
+  *  - `POST {base}/delete` — keyed bulk delete (NDJSON key documents
+  *    carrying the key and `rev`): the server removes a stored doc
+  *    only when its revision is <= the delete's, and remembers the
+  *    tombstone revision so a late redelivered OLDER upsert cannot
+  *    resurrect it — ES external-versioning delete semantics.
   *  - `POST {base}/sync/begin` → epoch token; bulk pushes carry
   *    `X-Sync-Epoch`; `POST {base}/sync/commit` (epoch body) deletes
   *    every stored key the epoch never touched — the reference's full
@@ -48,6 +53,14 @@ final case class HttpDocumentStore(base: String, schema: StructType,
     updates.toJSON.foreachPartition { it: Iterator[String] =>
       it.grouped(bs).foreach(chunk =>
         request("POST", s"$b/bulk", chunk.mkString("\n"), Map.empty))
+    }
+  }
+
+  override def delete(keys: DataFrame): Unit = {
+    val (b, bs) = (base, batchSize)
+    keys.toJSON.foreachPartition { it: Iterator[String] =>
+      it.grouped(bs).foreach(chunk =>
+        request("POST", s"$b/delete", chunk.mkString("\n"), Map.empty))
     }
   }
 
@@ -83,27 +96,64 @@ object HttpDocumentStore {
         Some((lines, next.map(c => Some(c))))
     }.flatten
 
+  /** Bounded per-page retry with exponential backoff — the layer
+    * BELOW Spark's task retry. Without it, a transient non-200 on
+    * page k of a slice kills the task and Spark's retry restarts the
+    * slice's whole cursor chain from page 0 — correct only if server
+    * cursors are re-enterable from scratch, and O(pages) wasted work
+    * either way. A page fetch and a versioned bulk POST are both
+    * idempotent (GET; latest-wins per key), so retrying the SINGLE
+    * failed exchange in place is always safe. After `attempts`
+    * failures the exception propagates and Spark's coarse retry takes
+    * over as designed.
+    */
+  private val retryAttempts = 4
+  private val retryBackoffMs = 200L
+
+  private[sources] def withRetry[A](what: => String)(f: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return f
+      catch {
+        case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+          if (attempt >= retryAttempts)
+            throw new java.io.IOException(
+              s"${what}: failed after $retryAttempts attempts", e)
+          Thread.sleep(retryBackoffMs << (attempt - 1)) // 200/400/800 ms
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private def fetchPage(base: String, slice: Int, slices: Int,
       cursor: Option[String]): (String, Option[String]) = {
     val url = s"$base/scan?slice=$slice&slices=$slices" +
       cursor.fold("")(c => s"&cursor=$c")
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setRequestMethod("GET")
-      val code = conn.getResponseCode
-      require(code == 200, s"scan $url -> HTTP $code")
-      val body = new String(conn.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      (body, Option(conn.getHeaderField("X-Next-Cursor")).filter(_.nonEmpty))
-    } finally conn.disconnect()
+    withRetry(s"scan $url") {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("GET")
+        val code = conn.getResponseCode
+        require(code == 200, s"scan $url -> HTTP $code")
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        (body, Option(conn.getHeaderField("X-Next-Cursor")).filter(_.nonEmpty))
+      } finally conn.disconnect()
+    }
   }
 
-  /** One HTTP exchange, failing loudly on any non-200 — a partial
-    * bulk push must kill the task (Spark retries it), never drop
-    * documents silently.
+  /** One HTTP exchange with per-exchange retry (see [[withRetry]]),
+    * failing loudly on a non-200 that survives the retries — a
+    * partial bulk push must kill the task (Spark retries it), never
+    * drop documents silently.
     */
   private[sources] def request(method: String, url: String, body: String,
+      headers: Map[String, String]): String =
+    withRetry(s"$method $url")(requestOnce(method, url, body, headers))
+
+  private def requestOnce(method: String, url: String, body: String,
       headers: Map[String, String]): String = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]

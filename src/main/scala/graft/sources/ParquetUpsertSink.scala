@@ -171,6 +171,57 @@ object ParquetUpsertSink {
     }
   }
 
+  /** Bulk keyed DELETE, bucket-pruned: only buckets containing a
+    * requested key are read, anti-joined, and rewritten — delete cost
+    * is proportional to the delete footprint, never the table. `keys`
+    * carries the key columns plus `versionCol`; a stored row is
+    * removed only when its version is <= the delete's version (the
+    * latest-wins mirror of [[upsert]] — a delete never clobbers a
+    * newer write, and redelivering the same delete batch is a no-op).
+    * Buckets the delete EMPTIES have their partition dirs removed
+    * explicitly, same as [[sync]] (dynamic overwrite cannot drop a
+    * partition the rewrite set lacks).
+    *
+    * No tombstone memory: after a physical delete, a LATER redelivery
+    * of an upsert OLDER than the delete would reinstate the row. The
+    * sink's single-writer serial contract (see the class doc) already
+    * forbids that interleaving — within one serial writer, each
+    * batch's deletes are recomputed from current state, so redelivery
+    * of a whole batch converges.
+    */
+  def delete(keys: DataFrame, path: String, keyCols: Seq[String],
+      versionCol: String): Unit = {
+    val spark = keys.sparkSession
+    if (!tableExists(spark, path)) return
+    val buckets = readBucketCount(spark, path)
+    val del = dedupLatest(
+        withBucket(keys.select((keyCols :+ versionCol).map(col): _*),
+          keyCols, buckets),
+        keyCols, versionCol)
+      .withColumnRenamed(versionCol, "__delv")
+      .localCheckpoint() // touched-bucket probe + anti-join both read it
+    val touched = del.select(col(bucketCol)).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .where(col(bucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
+    val cond = keyCols.map(k => existing(k) === del(k)).reduce(_ && _) &&
+      existing(versionCol) <= del("__delv")
+    val remaining = existing.join(del, cond, "left_anti").localCheckpoint()
+    val still = remaining.select(col(bucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (still.nonEmpty) writeBuckets(remaining, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(still).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b"), true)
+    }
+    // a delete that empties the WHOLE table must drop the sidecar too,
+    // or tableExists stays true and the next scan reads a dir with no
+    // parquet in it
+    if (!fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$bucketCol=")))
+      fs.delete(root, true)
+  }
+
   private def withBucket(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
     df.withColumn(bucketCol, pmod(hash(keyCols.map(col): _*), lit(n)).cast("int"))
 

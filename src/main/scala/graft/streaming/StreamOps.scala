@@ -156,6 +156,15 @@ object StreamOps extends QueryPack {
     * window's END day (the last day whose trailing window it is),
     * matching the batch q114 labeling; StreamingSpec pins streaming ≡
     * batch on every closed observed day.
+    *
+    * Domain note: the streaming output's day set is a SUPERSET of the
+    * batch q114 domain. Batch emits observed-activity days only; the
+    * stream emits a row for every closed window containing ANY event —
+    * including label days with no activity of their own (days within
+    * windowDays−1 after activity) — and omits the batch-only dau /
+    * stickiness columns. Equivalence (spec-pinned) holds on the
+    * intersection: wau on days both emit. Downstream consumers must
+    * not assume identical row sets.
     */
   def streamingRollingActive(events: DataFrame, windowDays: Int = 7,
       delay: String = "1 hour"): DataFrame = {

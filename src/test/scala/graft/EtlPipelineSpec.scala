@@ -113,6 +113,53 @@ class EtlPipelineSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet shouldBe want
   }
 
+  test("streaming adds AND deletes converge to the batch closure of the final edge set") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ParquetStore
+    val base = tmpDir()
+    val srcDir = s"$base/src"
+    val dest = ParquetStore(s"$base/closure", Seq("ancestor", "descendant"), "rev", 4)
+    val edgeStore = ParquetStore(s"$base/edges", Seq("child", "parent"), "seq", 4)
+    // b1: a chain 1←10←12←13 plus 11←1; b2: DELETE the chain's middle
+    // edge and reroute 12 under 11 — pairs (1,12) (1,13) (10,12)
+    // (10,13) must all be invalidated/recomputed; b3: RE-ADD the
+    // deleted edge after its tombstone, plus an add+delete of the same
+    // edge within one batch (net: never exists)
+    val b1 = Seq((10L, 1L, "add", 1L), (11L, 1L, "add", 2L),
+      (12L, 10L, "add", 3L), (13L, 12L, "add", 4L))
+      .toDF("child", "parent", "op", "seq")
+    val b2 = Seq((12L, 10L, "delete", 5L), (12L, 11L, "add", 6L))
+      .toDF("child", "parent", "op", "seq")
+    val b3 = Seq((12L, 10L, "add", 7L), (14L, 13L, "add", 8L),
+      (14L, 13L, "delete", 9L)).toDF("child", "parent", "op", "seq")
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    b3.coalesce(1).write.mode("append").parquet(srcDir)
+    def runStream(): Unit = {
+      val ckpt = tmpDir()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EtlPipeline.runStreamWithDeletes(stream, dest, edgeStore)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runStream()
+    // final edge set after all events, latest seq per edge winning
+    val finalEdges = Seq((10L, 1L), (11L, 1L), (12L, 11L), (13L, 12L),
+      (12L, 10L)).toDF("child", "parent")
+    val want = Hierarchy.closure(finalEdges).as[(Long, Long, Int)].collect().toSet
+    dest.scan(spark).select($"ancestor", $"descendant", $"depth")
+      .as[(Long, Long, Int)].collect().toSet shouldBe want
+    // redeliver everything (fresh checkpoint): edge state already
+    // reflects every event — closure untouched, no stale resurrection
+    runStream()
+    dest.scan(spark).select($"ancestor", $"descendant", $"depth")
+      .as[(Long, Long, Int)].collect().toSet shouldBe want
+  }
+
   test("incremental daily-KPI maintenance equals the full recompute") {
     import graft.operators.Etl
     import org.apache.spark.sql.functions.col

@@ -23,17 +23,26 @@ class HttpDocumentStoreSpec extends SparkSpec {
   /** Mock ES-shaped server: docs keyed by `id`, versioned by `rev`
     * (latest wins), page size 2 to force multi-page cursor chains.
     */
-  private class MockServer {
+  private class MockServer(failEveryNth: Int = 0) {
     val docs = mutable.Map.empty[Long, (Long, String)] // id -> (rev, json)
+    val tombstones = mutable.Map.empty[Long, Long] // id -> delete rev
     val touched = mutable.Set.empty[Long]
     var epoch: Option[String] = None
     var pushed = false
     var scanRequests = 0
+    var failures = 0
     private val lock = new Object
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/scan", (x: HttpExchange) => lock.synchronized {
       scanRequests += 1
+      // transient-failure injection: every Nth scan request 503s, so
+      // the client's per-page retry (not Spark's whole-slice task
+      // retry) must absorb it
+      if (failEveryNth > 0 && scanRequests % failEveryNth == 0) {
+        failures += 1
+        x.sendResponseHeaders(503, -1); x.close()
+      } else {
       val q = Option(x.getRequestURI.getQuery).getOrElse("")
       val params = q.split("&").filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); k -> v
@@ -45,6 +54,7 @@ class HttpDocumentStoreSpec extends SparkSpec {
       if (cursor + 2 < mine.size)
         x.getResponseHeaders.set("X-Next-Cursor", (cursor + 2).toString)
       respond(x, page.map(_._2._2).mkString("\n"))
+      }
     })
     server.createContext("/bulk", (x: HttpExchange) => lock.synchronized {
       pushed = true
@@ -53,8 +63,21 @@ class HttpDocumentStoreSpec extends SparkSpec {
         .linesIterator.filter(_.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
           val (id, rev) = (n.get("id").asLong(), n.get("rev").asLong())
-          if (!docs.get(id).exists(_._1 >= rev)) docs(id) = (rev, line)
+          if (!docs.get(id).exists(_._1 >= rev) &&
+              !tombstones.get(id).exists(_ >= rev)) docs(id) = (rev, line)
           if (inEpoch.isDefined && inEpoch == epoch) touched += id
+        }
+      respond(x, "ok")
+    })
+    server.createContext("/delete", (x: HttpExchange) => lock.synchronized {
+      new String(x.getRequestBody.readAllBytes(), UTF_8)
+        .linesIterator.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          val (id, rev) = (n.get("id").asLong(), n.get("rev").asLong())
+          if (!docs.get(id).exists(_._1 > rev)) {
+            docs.remove(id)
+            tombstones(id) = math.max(rev, tombstones.getOrElse(id, Long.MinValue))
+          }
         }
       respond(x, "ok")
     })
@@ -102,6 +125,37 @@ class HttpDocumentStoreSpec extends SparkSpec {
         (1L to 7L).map(i => (i, if (i == 3) "v3b" else s"v$i")).toSet
       // 7 docs over 3 slices at page size 2 → every slice paginates
       srv.scanRequests should be >= 4
+    } finally srv.stop()
+  }
+
+  test("delete: versioned keyed delete — older loses, tombstone blocks resurrection") {
+    val srv = new MockServer
+    try {
+      val store = HttpDocumentStore(srv.base, schema, slices = 2, batchSize = 10)
+      store.push(Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 30L))
+        .toDF("id", "v", "rev"))
+      // delete 1 at rev 20 (wins over stored 10); delete 3 at rev 20
+      // (loses to stored 30 — the newer write survives)
+      store.delete(Seq((1L, 20L), (3L, 20L)).toDF("id", "rev"))
+      store.scan(spark).select($"id", $"v").as[(Long, String)]
+        .collect().toSet shouldBe Set((2L, "b"), (3L, "c"))
+      // a late redelivered OLD upsert of key 1 cannot resurrect it
+      store.push(Seq((1L, "a", 10L)).toDF("id", "v", "rev"))
+      store.scan(spark).select($"id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+      // redelivering the delete batch is a no-op
+      store.delete(Seq((1L, 20L), (3L, 20L)).toDF("id", "rev"))
+      store.scan(spark).select($"id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+    } finally srv.stop()
+  }
+
+  test("per-page retry absorbs transient scan failures without restarting the slice") {
+    val srv = new MockServer(failEveryNth = 3) // every 3rd scan request 503s
+    try {
+      val store = HttpDocumentStore(srv.base, schema, slices = 2, batchSize = 10)
+      store.push((1L to 9L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "rev"))
+      store.scan(spark).select($"id").as[Long].collect().toSet shouldBe
+        (1L to 9L).toSet
+      srv.failures should be >= 1 // the injection actually fired
     } finally srv.stop()
   }
 

@@ -293,6 +293,8 @@ class PlanSpec extends SparkSpec {
     operators.Dedup.storedWindowSignatures(spark, sfDir)
     operators.Jx.storedNestedOrders(spark, sfDir)
     operators.Cluster.storedComponents(spark, sfDir)
+    operators.Cluster.storedIncrementalComponents(spark, sfDir)
+    operators.Etl.storedIncrementalScd2(spark, sfDir)
     operators.Ann.storedCentroids(spark, sfDir, 16, 2)
     operators.Ann.storedCentroids(spark, sfDir, 8, 3)
     operators.Ann.storedCodebooks(spark, sfDir, 8, 16, 2)

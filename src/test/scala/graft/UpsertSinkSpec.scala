@@ -156,6 +156,48 @@ class UpsertSinkSpec extends SparkSpec {
     new java.io.File(path, other).exists() shouldBe false
   }
 
+  test("delete removes keys version-guarded, prunes to touched buckets, drops emptied dirs") {
+    val dir = Files.createTempDirectory("graft-del").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val a = (1L to 20L).map(i => (i, 10L, s"p$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(a, path, Seq("id"), "rev", numBuckets = 4)
+
+    // an untouched bucket's file must not be rewritten by the delete
+    def files(): Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) m(f.getPath) = f.lastModified()
+      walk(new java.io.File(path)); m.toMap
+    }
+    val before = files()
+
+    // key 3 deleted at newer rev (wins); key 5's delete is STALE (loses)
+    ParquetUpsertSink.delete(Seq((3L, 20L), (5L, 5L)).toDF("id", "rev"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.read(spark, path).select($"id").as[Long].collect().toSet shouldBe
+      ((1L to 20L).toSet - 3L)
+    val after = files()
+    val touchedDirs = Set(bucketOf(3L, 4), bucketOf(5L, 4))
+    before.filter { case (p, _) => !touchedDirs.exists(p.contains) }
+      .foreach { case (p, ts) => after(p) shouldBe ts }
+
+    // redelivering the same delete batch is a no-op
+    ParquetUpsertSink.delete(Seq((3L, 20L), (5L, 5L)).toDF("id", "rev"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.read(spark, path).count() shouldBe 19L
+
+    // delete every remaining key: table dir (and sidecar) must vanish
+    ParquetUpsertSink.delete((1L to 20L).map(i => (i, 99L)).toDF("id", "rev"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.tableExists(spark, path) shouldBe false
+    // and the table is reusable from scratch after full emptying
+    ParquetUpsertSink.upsert(Seq((1L, 1L, "x")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev", numBuckets = 4)
+    ParquetUpsertSink.read(spark, path).count() shouldBe 1L
+  }
+
   test("merges keep exactly one data file per bucket (no small-files drift)") {
     val dir = Files.createTempDirectory("graft-compact").toFile
     dir.deleteOnExit()
