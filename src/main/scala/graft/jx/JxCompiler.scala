@@ -253,6 +253,7 @@ object JxCompiler {
 
     q.path("format").asText("list") match {
       case "list" => df // flat rows — the default (and Spark-native) shape
+      case "nested" => toNested(df) // dotted names re-assembled into documents
       case "table" => toTable(df, orders)
       case "cube" =>
         require(edgeNodes.nonEmpty, "jx cube format requires edges")
@@ -309,6 +310,39 @@ object JxCompiler {
       case other => throw new IllegalArgumentException(
         s"jx from: '$name' is not a nested document (got $other)")
     }
+  }
+
+  /** jx `format: "nested"`: re-assemble dot-named flat columns into
+    * nested DOCUMENTS — the inverse of the dotted flattening the
+    * engine applies everywhere else. pyLibrary's `select` with dotted
+    * `name`s re-nests results before returning them to document
+    * consumers; the engine's native result shape is flat dot-named
+    * columns (joins/filters/aggregates all compose better flat), so
+    * the re-nest is a FORMAT, applied once at the result boundary:
+    * `a.b`, `a.c`, `d` → (a: struct(b, c), d), recursively for deeper
+    * paths, sibling order preserved from the flat column order.
+    *
+    * A pure struct-assembly projection: codegen'd, no shuffle, no
+    * state — scale-free at any result size (unlike `table`/`cube`,
+    * which collapse to transport rows). Ambiguity (one name both a
+    * leaf and a prefix, e.g. `a` and `a.b`) fails loudly — silently
+    * preferring one would drop data.
+    */
+  private def toNested(df: DataFrame): DataFrame = {
+    def assemble(cols: Seq[(String, Column)]): Seq[Column] = {
+      val split = cols.map { case (n, c) => (n.split("\\.", 2), c) }
+      split.map(_._1(0)).distinct.map { seg =>
+        val members = split.filter(_._1(0) == seg)
+        val (leaves, nested) = members.partition(_._1.length == 1)
+        require(leaves.isEmpty || nested.isEmpty,
+          s"jx format nested: '$seg' is both a leaf column and a nested prefix")
+        require(leaves.length <= 1,
+          s"jx format nested: duplicate column '$seg'")
+        if (nested.isEmpty) leaves.head._2.as(seg)
+        else struct(assemble(nested.map { case (p, c) => (p(1), c) }): _*).as(seg)
+      }
+    }
+    df.select(assemble(df.columns.toSeq.map(n => n -> col(s"`$n`"))): _*)
   }
 
   /** jx `format: "table"`: one row holding the column header and the

@@ -724,12 +724,31 @@ object Ann extends QueryPack {
     * distances, projected variances arrive in nonincreasing order,
     * and distinct components are uncorrelated.
     */
-  def pcaProject(df: DataFrame, k: Int, whiten: Boolean = false): DataFrame = {
+  def pcaProject(df: DataFrame, k: Int, whiten: Boolean = false): DataFrame =
+    pcaProjectOn(df, pcaFit(df, k), whiten)
+
+  /** Fit the PCA basis alone — the model artifact a deployment trains
+    * once and persists ([[graft.sources.ModelStore.savePca]]); apply
+    * it with [[pcaProjectOn]].
+    */
+  def pcaFit(df: DataFrame, k: Int): org.apache.spark.ml.feature.PCAModel = {
     import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = df.withColumn("__fv",
+      array_to_vector(col("embedding").cast("array<double>")))
+    new PCA().setInputCol("__fv").setOutputCol("__pc").setK(k).fit(fv)
+  }
+
+  /** Project with an already-fitted (or loaded) basis — bit-identical
+    * whether the model came from [[pcaFit]] in-session or off disk
+    * (ModelStoreSpec pins it): the projection is a deterministic
+    * broadcast matrix-vector multiply per row.
+    */
+  def pcaProjectOn(df: DataFrame, model: org.apache.spark.ml.feature.PCAModel,
+      whiten: Boolean = false): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val fv = df.withColumn("__fv",
       array_to_vector(col("embedding").cast("array<double>")))
-    val model = new PCA().setInputCol("__fv").setOutputCol("__pc").setK(k).fit(fv)
     val proj = model.transform(fv)
       .select(col("vec_id"), col("label"), vector_to_array(col("__pc")).as("proj"))
     if (!whiten) proj

@@ -763,7 +763,42 @@ object Jx extends QueryPack {
            |FROM t""".stripMargin),
     "jx window median: exact partition median via the two-window rank trick")
 
+  /** jx `format: "nested"` (q121): dotted select names re-assembled
+    * into nested documents at the result boundary — pyLibrary returns
+    * re-nested documents to its consumers; the engine computes flat
+    * (dot-named) and re-nests as a FORMAT, a pure struct-assembly
+    * projection (no shuffle, no transport-row collapse — scale-free).
+    * The gate row serializes the struct to JSON so the driver's
+    * pandas comparator sees a scalar cell (the q57/q92 precedent);
+    * the DuckDB oracle assembles the same document with struct_pack.
+    */
+  val q121Json: String =
+    """{
+      |  "from": "orders",
+      |  "where": {"lt": {"o_orderkey": 1000}},
+      |  "select": [
+      |    {"name": "key", "value": "o_orderkey"},
+      |    {"name": "cust.id", "value": "o_custkey"},
+      |    {"name": "cust.status", "value": "o_orderstatus"},
+      |    {"name": "cust.order.priority", "value": "o_orderpriority"}
+      |  ],
+      |  "format": "nested"
+      |}""".stripMargin
+
+  val q121 = Q(
+    "q121_jx_format_nested",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      JxCompiler.query(s, d, q121Json)
+        .select(col("key"), to_json(col("cust")).as("cust_json"))
+    },
+    Some("""SELECT o_orderkey AS key,
+           |  to_json(struct_pack(id := o_custkey, status := o_orderstatus,
+           |    "order" := struct_pack(priority := o_orderpriority))) AS cust_json
+           |FROM orders WHERE o_orderkey < 1000""".stripMargin),
+    "jx format nested: dotted select names re-assembled into documents, struct JSON vs struct_pack oracle")
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97,
-      q99, q100, q101, q102, q106)
+      q99, q100, q101, q102, q106, q121)
 }

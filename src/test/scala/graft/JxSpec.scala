@@ -1058,4 +1058,63 @@ class JxSpec extends SparkSpec {
     got.getDouble(1) shouldBe 4.5714 +- 1e-12
     got.getDouble(2) shouldBe 2.1381 +- 1e-12
   }
+
+  test("format nested: dotted select names re-assemble into documents") {
+    val got = run("""{"from":"orders",
+      "where":{"lt":{"o_orderkey":100}},
+      "select":[{"name":"key","value":"o_orderkey"},
+                {"name":"cust.id","value":"o_custkey"},
+                {"name":"cust.status","value":"o_orderstatus"},
+                {"name":"cust.order.priority","value":"o_orderpriority"}],
+      "format":"nested"}""")
+    got.columns.toSeq shouldBe Seq("key", "cust")
+    got.schema("cust").dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fieldNames.toSeq shouldBe Seq("id", "status", "order")
+        s("order").dataType match {
+          case inner: org.apache.spark.sql.types.StructType =>
+            inner.fieldNames.toSeq shouldBe Seq("priority")
+          case other => fail(s"order is not a struct: $other")
+        }
+      case other => fail(s"cust is not a struct: $other")
+    }
+    val want = Tables.orders(spark, sfDir).where(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("key"),
+        struct(col("o_custkey").as("id"), col("o_orderstatus").as("status"),
+          struct(col("o_orderpriority").as("priority")).as("order")).as("cust"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("format nested round-trips the nested-from flattening losslessly") {
+    // descend into stored nested documents (flattens to dot-names),
+    // then re-nest at the boundary: the inner document must come back
+    // as a struct with the original leaf names
+    val nested = graft.operators.Jx.storedNestedOrders(spark, sfDir)
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"bugs.lines",
+        "where":{"gte":{"lines.l_quantity":45}},
+        "select":["o_orderkey","lines.l_linenumber","lines.l_quantity"],
+        "format":"nested"}""",
+      Map("bugs" -> nested))
+    got.columns.toSeq shouldBe Seq("o_orderkey", "lines")
+    val want = nested
+      .select(col("o_orderkey"), explode(col("lines")).as("l"))
+      .where(col("l.l_quantity") >= 45)
+      .select(col("o_orderkey"),
+        struct(col("l.l_linenumber").as("l_linenumber"),
+          col("l.l_quantity").as("l_quantity")).as("lines"))
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+  }
+
+  test("format nested rejects a name that is both leaf and prefix") {
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"orders",
+        "select":[{"name":"a","value":"o_orderkey"},
+                  {"name":"a.b","value":"o_custkey"}],
+        "format":"nested"}""").schema
+    }
+    e.getMessage should include("both a leaf column and a nested prefix")
+  }
 }
