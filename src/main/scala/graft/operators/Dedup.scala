@@ -179,14 +179,18 @@ object Dedup extends QueryPack {
 
   def storedPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.computeIfAbsent((s, d),
-      // maxShingleDf = 512: the gate corpora's oracle-equivalence
-      // bound. sf0.001–0.1 max shingle df ≈ 25; the sf1 pass (10×
-      // near-identical copies, BASELINE r8) pushes it to 250 — the
-      // r7 cut of 128 tripped the cut-inert assert there, exactly as
-      // documented. 512 keeps the cut provably inert across the gate
-      // family while still bounding per-shingle candidate volume;
-      // the assert continues to fail loudly past it.
-      _ => jaccardPairs(docs(s, d), 0.5, maxShingleDf = 512,
+      // gate maxShingleDf (default 1024): the gate corpora's oracle-
+      // equivalence bound. sf0.001–0.1 max shingle df ≈ 25; the sf1
+      // pass (10× near-identical copies, BASELINE r8) pushes it to
+      // 250, the sf3 spot-gate (30×) to 750 — the r7 cut of 128
+      // tripped the cut-inert assert at sf1 exactly as documented.
+      // 1024 keeps the cut provably inert across the whole gate
+      // family while still bounding per-shingle candidate volume; the
+      // assert continues to fail loudly past it, and the conf knob
+      // (`graft.dedup.gateMaxShingleDf`) lets a larger replica gate
+      // raise it without a code edit.
+      _ => jaccardPairs(docs(s, d), 0.5,
+        maxShingleDf = s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt,
         assertCutInert = true).localCheckpoint())
 
   private[graft] def clearStored(s: SparkSession): Int =

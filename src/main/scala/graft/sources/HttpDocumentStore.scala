@@ -25,9 +25,19 @@ import org.apache.spark.sql.types.StructType
   *    tombstone revision so a late redelivered OLDER upsert cannot
   *    resurrect it — ES external-versioning delete semantics.
   *  - `POST {base}/sync/begin` → epoch token; bulk pushes carry
-  *    `X-Sync-Epoch`; `POST {base}/sync/commit` (epoch body) deletes
-  *    every stored key the epoch never touched — the reference's full
-  *    reindex (index-swap semantics without the alias machinery).
+  *    `X-Sync-Epoch`; `POST {base}/sync/commit` (epoch body) makes the
+  *    store equal exactly what the epoch pushed — the reference's full
+  *    reindex. The epoch is a STAGING INDEX and commit is the ALIAS
+  *    SWAP (ES's zero-downtime reindex): scans during an open epoch
+  *    serve the live index untouched, the cutover is atomic at
+  *    commit, and an abandoned epoch (crash before commit) leaves the
+  *    live index exactly as it was — rerunning the sync is the
+  *    recovery, no cleanup required.
+  *  - `GET/PUT {base}/mapping` — index mapping/settings management
+  *    (the reference's put-mapping-before-push step): PUT stores the
+  *    mapping document, GET returns it (empty body when unset).
+  *    [[ensureMapping]] is the idempotent create-if-absent wrapper a
+  *    pipeline calls before its first push.
   *  - `GET  {base}/exists` → "true" | "false".
   *
   * `schema` is explicit: inferring it would force a driver-side read
@@ -77,6 +87,30 @@ final case class HttpDocumentStore(base: String, schema: StructType,
 
   override def exists(spark: SparkSession): Boolean =
     request("GET", s"$base/exists", "", Map.empty) == "true"
+
+  /** Store the index mapping/settings document (driver-side: a
+    * mapping is configuration, pushed once, never data-sized).
+    */
+  def putMapping(mapping: String): Unit = {
+    request("PUT", s"$base/mapping", mapping, Map.empty); ()
+  }
+
+  /** The stored mapping, or None when the index has none yet. */
+  def getMapping: Option[String] =
+    Some(request("GET", s"$base/mapping", "", Map.empty)).filter(_.nonEmpty)
+
+  /** Idempotent create-if-absent: write the mapping only when none is
+    * stored — the reference's ensure-index step before the first
+    * push. Returns true when this call created it. Never OVERWRITES
+    * an existing mapping (a silent remap of a live index is the
+    * classic way to corrupt one); changing a mapping is a deliberate
+    * [[putMapping]].
+    */
+  def ensureMapping(mapping: String): Boolean =
+    getMapping match {
+      case Some(_) => false
+      case None => putMapping(mapping); true
+    }
 }
 
 object HttpDocumentStore {
@@ -160,7 +194,7 @@ object HttpDocumentStore {
     try {
       conn.setRequestMethod(method)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      if (method == "POST") {
+      if (method == "POST" || method == "PUT") {
         conn.setDoOutput(true)
         conn.getOutputStream.write(
           body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

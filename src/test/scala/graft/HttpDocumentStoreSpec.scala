@@ -26,8 +26,11 @@ class HttpDocumentStoreSpec extends SparkSpec {
   private class MockServer(failEveryNth: Int = 0) {
     val docs = mutable.Map.empty[Long, (Long, String)] // id -> (rev, json)
     val tombstones = mutable.Map.empty[Long, Long] // id -> delete rev
-    val touched = mutable.Set.empty[Long]
+    // epoch = a STAGING INDEX; commit = the alias swap (scans keep
+    // serving `docs` until then)
+    val staged = mutable.Map.empty[Long, (Long, String)]
     var epoch: Option[String] = None
+    var mapping: String = ""
     var pushed = false
     var scanRequests = 0
     var failures = 0
@@ -59,13 +62,14 @@ class HttpDocumentStoreSpec extends SparkSpec {
     server.createContext("/bulk", (x: HttpExchange) => lock.synchronized {
       pushed = true
       val inEpoch = Option(x.getRequestHeaders.getFirst("X-Sync-Epoch"))
+      val target = if (inEpoch.isDefined && inEpoch == epoch) staged else docs
       new String(x.getRequestBody.readAllBytes(), UTF_8)
         .linesIterator.filter(_.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
           val (id, rev) = (n.get("id").asLong(), n.get("rev").asLong())
-          if (!docs.get(id).exists(_._1 >= rev) &&
-              !tombstones.get(id).exists(_ >= rev)) docs(id) = (rev, line)
-          if (inEpoch.isDefined && inEpoch == epoch) touched += id
+          if (!target.get(id).exists(_._1 >= rev) &&
+              (target.ne(docs) || !tombstones.get(id).exists(_ >= rev)))
+            target(id) = (rev, line)
         }
       respond(x, "ok")
     })
@@ -83,12 +87,19 @@ class HttpDocumentStoreSpec extends SparkSpec {
     })
     server.createContext("/sync/begin", (x: HttpExchange) => lock.synchronized {
       epoch = Some(java.util.UUID.randomUUID().toString)
-      touched.clear()
+      staged.clear() // a new staging index; any abandoned one is dropped
       respond(x, epoch.get)
     })
     server.createContext("/sync/commit", (x: HttpExchange) => lock.synchronized {
-      docs.filterInPlace((id, _) => touched.contains(id))
+      // the alias swap: the staging index becomes the live one
+      docs.clear(); docs ++= staged
+      staged.clear(); epoch = None; tombstones.clear()
       respond(x, "ok")
+    })
+    server.createContext("/mapping", (x: HttpExchange) => lock.synchronized {
+      if (x.getRequestMethod == "PUT")
+        mapping = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      respond(x, if (x.getRequestMethod == "PUT") "ok" else mapping)
     })
     server.createContext("/exists", (x: HttpExchange) => lock.synchronized {
       respond(x, pushed.toString)
@@ -156,6 +167,59 @@ class HttpDocumentStoreSpec extends SparkSpec {
       store.scan(spark).select($"id").as[Long].collect().toSet shouldBe
         (1L to 9L).toSet
       srv.failures should be >= 1 // the injection actually fired
+    } finally srv.stop()
+  }
+
+  test("mapping management: put/get round-trip, ensure is create-if-absent only") {
+    val srv = new MockServer
+    try {
+      val store = HttpDocumentStore(srv.base, schema)
+      store.getMapping shouldBe None
+      store.ensureMapping("""{"properties":{"id":{"type":"long"}}}""") shouldBe true
+      store.getMapping shouldBe Some("""{"properties":{"id":{"type":"long"}}}""")
+      // ensure never overwrites a live mapping
+      store.ensureMapping("""{"properties":{}}""") shouldBe false
+      store.getMapping shouldBe Some("""{"properties":{"id":{"type":"long"}}}""")
+      // a deliberate remap is putMapping
+      store.putMapping("""{"properties":{"v":{"type":"keyword"}}}""")
+      store.getMapping shouldBe Some("""{"properties":{"v":{"type":"keyword"}}}""")
+    } finally srv.stop()
+  }
+
+  private def rawPost(url: String, body: String, headers: Map[String, String] = Map.empty): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(UTF_8))
+      conn.getResponseCode shouldBe 200
+      new String(conn.getInputStream.readAllBytes(), UTF_8)
+    } finally conn.disconnect()
+  }
+
+  test("sync is a staged reindex: old index served until the atomic alias swap; abandoned epoch harmless") {
+    val srv = new MockServer
+    try {
+      val store = HttpDocumentStore(srv.base, schema, slices = 2, batchSize = 10)
+      store.push(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "rev"))
+      // drive the protocol by hand to observe the mid-sync state
+      val epoch = rawPost(s"${srv.base}/sync/begin", "")
+      rawPost(s"${srv.base}/bulk", """{"id": 9, "v": "staged", "rev": 5}""",
+        Map("X-Sync-Epoch" -> epoch))
+      // staging is INVISIBLE to scans until commit
+      store.scan(spark).select($"id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+      // abandon this epoch (crash before commit): begin a NEW sync —
+      // the live index is untouched and the stale staging is dropped
+      val epoch2 = rawPost(s"${srv.base}/sync/begin", "")
+      rawPost(s"${srv.base}/bulk", """{"id": 3, "v": "c", "rev": 7}""",
+        Map("X-Sync-Epoch" -> epoch2))
+      rawPost(s"${srv.base}/sync/commit", epoch2)
+      // after the swap the store equals exactly what epoch2 pushed —
+      // no leftover from the abandoned epoch, no pre-sync survivors
+      store.scan(spark).select($"id", $"v").as[(Long, String)]
+        .collect().toSet shouldBe Set((3L, "c"))
     } finally srv.stop()
   }
 
