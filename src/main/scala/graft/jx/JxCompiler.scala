@@ -94,18 +94,24 @@ object JxCompiler {
     *    low-cardinality keys, the caller's call.
     *
     * Whole-result clauses (`edges` cell-completeness, `window`,
-    * `sort`, `limit`, `format`) and whole-group aggregates
-    * (cardinality/median/percentile/union) have no incremental
-    * semantics and are rejected loudly — run those as a batch jx
-    * query over the sink table. Output mode/trigger stay with the
-    * caller's writeStream.
+    * `sort`, `limit`, the transport formats `table`/`cube`) and
+    * whole-group aggregates (cardinality/median/percentile/union)
+    * have no incremental semantics and are rejected loudly — run
+    * those as a batch jx query over the sink table. `format:
+    * "nested"` IS allowed: a stateless per-row struct assembly
+    * composes with any output mode. Output mode/trigger stay with
+    * the caller's writeStream.
     */
   def queryStream(stream: DataFrame, json: String,
       eventTime: String = "", delay: String = "10 minutes"): DataFrame = {
     val q = parse(json)
-    for (k <- Seq("edges", "window", "sort", "limit", "format"))
+    for (k <- Seq("edges", "window", "sort", "limit"))
       require(!q.has(k),
         s"jx streaming: '$k' has no incremental semantics — run it as a batch query on the sink table")
+    val fmt = q.path("format").asText("list")
+    require(fmt == "list" || fmt == "nested",
+      s"jx streaming: format '$fmt' collapses the whole result (no incremental " +
+        "semantics) — run it as a batch query on the sink table")
     if (q.has("from")) require(q.get("from").isTextual,
       "jx streaming: nested from is batch-only; pass the stream directly")
     var df = stream
@@ -117,7 +123,7 @@ object JxCompiler {
     if (aggSel.isEmpty && gbNodes.isEmpty) {
       if (plainSel.nonEmpty && !plainSel.exists(n => n.isTextual && n.asText() == "*"))
         df = df.select(plainSel.map(compileSelect): _*)
-      df
+      if (fmt == "nested") toNested(df) else df
     } else {
       aggSel.foreach { n =>
         val k = req(n, "aggregate").asText()
@@ -164,7 +170,8 @@ object JxCompiler {
       }
       val aggCols = if (aggSel.isEmpty) Seq(col("count"))
       else aggSel.map(n => col(s"`${aggName(n)}`"))
-      agged.select(keyCols ++ aggCols: _*)
+      val out = agged.select(keyCols ++ aggCols: _*)
+      if (fmt == "nested") toNested(out) else out
     }
   }
 

@@ -413,5 +413,16 @@ class StreamingSpec extends SparkSpec {
         eventTime = "ts")
     }
     e2.getMessage should include("cardinality")
+    // the transport formats reject, but "nested" is a stateless
+    // per-row struct assembly — allowed, and the stream stays a stream
+    val nested = JxCompiler.queryStream(src,
+      """{"from": "events", "where": {"gte": {"value": 90}},
+          "select": ["event_id",
+                     {"name": "meta.type", "value": "event_type"},
+                     {"name": "meta.user", "value": "user_id"}],
+          "format": "nested"}""")
+    nested.isStreaming shouldBe true
+    nested.columns.toSeq shouldBe Seq("event_id", "meta")
+    nested.schema("meta").dataType shouldBe a[org.apache.spark.sql.types.StructType]
   }
 }
