@@ -180,63 +180,102 @@ object EtlPipeline {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sink = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         batchId: Long) => {
-      val s = batch.sparkSession
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("child"), col("parent"))
-        .orderBy(col("seq").desc)
-      val collapsed = batch.toDF()
-        .select(col("child"), col("parent"), col("op"), col("seq"))
-        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-        .drop("__rn").localCheckpoint()
-      if (collapsed.head(1).nonEmpty) {
-        val prevEdges = (
-          if (edgeStore.exists(s))
-            edgeStore.scan(s).select(col("child"), col("parent"), col("op"))
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("child", LongType),
-              StructField("parent", LongType),
-              StructField("op", org.apache.spark.sql.types.StringType))))
-          ).localCheckpoint() // pin BEFORE the upsert rewrites the files
-        val prevLive = prevEdges.where(col("op") === "add")
-          .select(col("child"), col("parent"))
-        // removed = was live, batch's final op deletes it;
-        // added = batch's final op adds it and it was not live before
-        val removed = prevLive
-          .join(collapsed.where(col("op") === "delete"), Seq("child", "parent"),
-            "left_semi")
-        val added = collapsed.where(col("op") === "add")
-          .select(col("child"), col("parent"))
-          .join(prevLive, Seq("child", "parent"), "left_anti")
-        edgeStore.push(collapsed)
-        val live = edgeStore.scan(s).where(col("op") === "add")
-          .select(col("child"), col("parent")).localCheckpoint()
-        val existing = (
-          if (dest.exists(s))
-            dest.scan(s).select(col("ancestor"), col("descendant"), col("depth"))
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], closureSchema)
-          ).localCheckpoint() // diffed against twice below
-        val afterDel =
-          if (removed.head(1).isEmpty) existing
-          else Hierarchy.incrementalClosureDelete(existing, live, removed)
-        val updated = (
-          if (added.head(1).isEmpty) afterDel
-          else Hierarchy.incrementalClosure(afterDel, added)
-          ).localCheckpoint() // push diff + delete diff both read it
-        val pushDelta = updated
-          .join(existing, Seq("ancestor", "descendant", "depth"), "left_anti")
-          .withColumn("rev", lit(batchId))
-        if (pushDelta.head(1).nonEmpty) dest.push(pushDelta)
-        val delDelta = existing.select(col("ancestor"), col("descendant"))
-          .join(updated, Seq("ancestor", "descendant"), "left_anti")
-          .withColumn("rev", lit(batchId))
-        if (delDelta.head(1).nonEmpty) dest.delete(delDelta)
-      }
+      applyEdgeEvents(batch.sparkSession, batch.toDF(), dest, edgeStore, batchId)
+      ()
     }
     edgeEvents.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
       .foreachBatch(sink)
+  }
+
+  /** One run of the BATCH loop under edge ADDS AND DELETES — [[run]]
+    * upgraded to the full CRUD contract of [[runStreamWithDeletes]]
+    * (same event shape, same stores, same delta-cost patch), with the
+    * extract bookmark as the window and the committed watermark as
+    * the push version. Crash matrix inherited from [[run]]: a rerun
+    * of an uncommitted window finds the edge state already reflecting
+    * its events, every diff is empty, the commit completes —
+    * exactly-once effect on an at-least-once extract.
+    */
+  def runWithDeletes(spark: SparkSession, edgeEventsSrc: DataFrame,
+      wmCol: String, dest: DocumentStore, edgeStore: DocumentStore,
+      bookmarkPath: String): RunResult = {
+    val e = ExtractBookmark.extractSince(edgeEventsSrc, wmCol, bookmarkPath)
+    val batch = e.batch.select(col("child"), col("parent"), col("op"), col("seq"))
+    val counts = applyEdgeEvents(spark, batch, dest, edgeStore,
+      e.watermark.getOrElse(0L))
+    ExtractBookmark.commit(e, bookmarkPath)
+    RunResult(counts._1, counts._2, e.watermark)
+  }
+
+  /** The shared CRUD core of [[runWithDeletes]] / [[runStreamWithDeletes]]:
+    * fold one batch of (child, parent, op, seq) edge events into the
+    * edge-state store and patch the closure store, at delta cost.
+    * Returns (events applied, closure rows pushed). Steps (each
+    * documented on [[runStreamWithDeletes]]): collapse latest-seq per
+    * edge; diff against the PREVIOUS edge state (materialized before
+    * the upsert rewrites its files); upsert the edge state; patch the
+    * closure — scoped delete re-close then semi-naive add fold; ship
+    * the diff as keyed push + keyed delete versioned by `version`.
+    */
+  private def applyEdgeEvents(s: SparkSession, batch: DataFrame,
+      dest: DocumentStore, edgeStore: DocumentStore,
+      version: Long): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("child"), col("parent"))
+      .orderBy(col("seq").desc)
+    val collapsed = batch
+      .select(col("child"), col("parent"), col("op"), col("seq"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn").localCheckpoint()
+    val nEvents = collapsed.count()
+    if (nEvents == 0) return (0L, 0L)
+    val prevEdges = (
+      if (edgeStore.exists(s))
+        edgeStore.scan(s).select(col("child"), col("parent"), col("op"))
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("child", LongType),
+          StructField("parent", LongType),
+          StructField("op", org.apache.spark.sql.types.StringType))))
+      ).localCheckpoint() // pin BEFORE the upsert rewrites the files
+    val prevLive = prevEdges.where(col("op") === "add")
+      .select(col("child"), col("parent"))
+    // removed = was live, batch's final op deletes it;
+    // added = batch's final op adds it and it was not live before
+    val removed = prevLive
+      .join(collapsed.where(col("op") === "delete"), Seq("child", "parent"),
+        "left_semi")
+    val added = collapsed.where(col("op") === "add")
+      .select(col("child"), col("parent"))
+      .join(prevLive, Seq("child", "parent"), "left_anti")
+    edgeStore.push(collapsed)
+    val live = edgeStore.scan(s).where(col("op") === "add")
+      .select(col("child"), col("parent")).localCheckpoint()
+    val existing = (
+      if (dest.exists(s))
+        dest.scan(s).select(col("ancestor"), col("descendant"), col("depth"))
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], closureSchema)
+      ).localCheckpoint() // diffed against twice below
+    val afterDel =
+      if (removed.head(1).isEmpty) existing
+      else Hierarchy.incrementalClosureDelete(existing, live, removed)
+    val updated = (
+      if (added.head(1).isEmpty) afterDel
+      else Hierarchy.incrementalClosure(afterDel, added)
+      ).localCheckpoint() // push diff + delete diff both read it
+    val pushDelta = updated
+      .join(existing, Seq("ancestor", "descendant", "depth"), "left_anti")
+      .withColumn("rev", lit(version))
+      .localCheckpoint() // counted AND pushed; one materialization
+    val nPushed = pushDelta.count()
+    if (nPushed > 0) dest.push(pushDelta)
+    val delDelta = existing.select(col("ancestor"), col("descendant"))
+      .join(updated, Seq("ancestor", "descendant"), "left_anti")
+      .withColumn("rev", lit(version))
+    if (delDelta.head(1).nonEmpty) dest.delete(delDelta)
+    (nEvents, nPushed)
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

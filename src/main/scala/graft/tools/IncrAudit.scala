@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.operators.{Cluster, Dedup, Etl, Hierarchy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-side scale audit of the incremental-maintenance operators:
+  * each stored incremental artifact compared EXACTLY (symmetric
+  * except) against its full-recompute definition, at whatever sf dir
+  * you point it at.
+  *
+  * Why this exists: the DuckDB oracle gate covers the same contracts
+  * at sf0.01–0.1, but some oracles are single-node-infeasible at
+  * replica scales (the recursive-CTE connected components spill
+  * >79 GB at sf3) — while the ENGINE runs them fine. This audit is
+  * the scale half of the incremental story: incremental ≡ full,
+  * verified distributed-vs-distributed where DuckDB can't follow.
+  * BASELINE.md's round-9 section records the sf3 run.
+  *
+  * Usage: runMain graft.tools.IncrAudit <sfDir> — exits 1 on any
+  * mismatch.
+  */
+object IncrAudit {
+
+  private def diff(name: String, got: DataFrame, want: DataFrame): Boolean = {
+    val extra = got.except(want).count()
+    val missing = want.except(got).count()
+    val ok = extra == 0 && missing == 0
+    println(s"${if (ok) "PASS" else "FAIL"} $name: rows=${got.count()}" +
+      (if (ok) "" else s" extra=$extra missing=$missing"))
+    ok
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.util.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = Seq(
+      // q119: delta near-dup pairs folded into stored components
+      diff("components_incr ≡ connectedComponents(all pairs)",
+        Cluster.storedIncrementalComponents(spark, sfDir),
+        Cluster.connectedComponents(
+          Dedup.storedPairs(spark, sfDir).select(col("d1"), col("d2")))),
+      // q120: delta revision batches folded into the stored SCD2 history
+      diff("scd2_incr ≡ scd2History(all events)",
+        Etl.storedIncrementalScd2(spark, sfDir),
+        Etl.scd2History(graft.Tables.events(spark, sfDir))),
+      // q98: delta edges folded into the stored transitive closure
+      diff("closure_incr ≡ closure(all edges)",
+        Hierarchy.storedIncrementalClosure(spark, sfDir),
+        Hierarchy.storedClosure(spark, sfDir)),
+      // daily-KPI additive maintenance (library-level; EtlPipelineSpec
+      // pins it at gate sf — re-checked here at scale)
+      locally {
+        val ev = graft.Tables.events(spark, sfDir)
+        diff("kpi_incr ≡ dailyCounts(all events)",
+          Etl.kpiIncrement(
+            Etl.dailyCounts(ev.where(col("event_id") % 5 =!= 0)),
+            ev.where(col("event_id") % 5 === 0)),
+          Etl.dailyCounts(ev))
+      })
+    spark.stop()
+    if (results.contains(false)) sys.exit(1)
+  }
+}

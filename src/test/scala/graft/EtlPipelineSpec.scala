@@ -113,6 +113,50 @@ class EtlPipelineSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet shouldBe want
   }
 
+  test("batch runs with adds AND deletes converge, incl. the crash window") {
+    import graft.sources.ParquetStore
+    val base = tmpDir()
+    val dest = ParquetStore(s"$base/closure", Seq("ancestor", "descendant"), "rev", 4)
+    val edgeStore = ParquetStore(s"$base/edges", Seq("child", "parent"), "seq", 4)
+    val bm = s"$base/wm"
+    // run 1: the chain 1←10←12←13 (+ 11←1), seq doubles as watermark
+    val ev1 = Seq((10L, 1L, "add", 1L), (11L, 1L, "add", 2L),
+      (12L, 10L, "add", 3L), (13L, 12L, "add", 4L))
+      .toDF("child", "parent", "op", "seq")
+    val r1 = EtlPipeline.runWithDeletes(spark, ev1, "seq", dest, edgeStore, bm)
+    r1.extracted shouldBe 4
+    r1.watermark shouldBe Some(4L)
+    def closureNow() = dest.scan(spark)
+      .select($"ancestor", $"descendant", $"depth")
+      .as[(Long, Long, Int)].collect().toSet
+    closureNow() shouldBe Hierarchy.closure(
+      ev1.select($"child", $"parent")).as[(Long, Long, Int)].collect().toSet
+    // run 2: DELETE the chain's middle edge, reroute 12 under 11 —
+    // stale pairs (10,12) (10,13) must LEAVE the destination store
+    val ev2 = ev1.union(Seq((12L, 10L, "delete", 5L), (12L, 11L, "add", 6L))
+      .toDF("child", "parent", "op", "seq"))
+    val r2 = EtlPipeline.runWithDeletes(spark, ev2, "seq", dest, edgeStore, bm)
+    r2.extracted shouldBe 2
+    val finalEdges = Seq((10L, 1L), (11L, 1L), (12L, 11L), (13L, 12L))
+      .toDF("child", "parent")
+    val want = Hierarchy.closure(finalEdges).as[(Long, Long, Int)].collect().toSet
+    closureNow() shouldBe want
+    // crash window: run 2's effects landed but its commit was lost —
+    // rewind the bookmark and rerun; diffs are empty, commit completes
+    locally {
+      val p = new org.apache.hadoop.fs.Path(bm)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(r1.watermark.get.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+    val rerun = EtlPipeline.runWithDeletes(spark, ev2, "seq", dest, edgeStore, bm)
+    rerun.extracted shouldBe 2 // the window re-extracts (at-least-once)
+    rerun.pushed shouldBe 0 // ... but every diff is empty
+    rerun.watermark shouldBe r2.watermark
+    closureNow() shouldBe want
+  }
+
   test("streaming adds AND deletes converge to the batch closure of the final edge set") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.ParquetStore
