@@ -335,7 +335,7 @@ object JxCompiler {
     * leaf and a prefix, e.g. `a` and `a.b`) fails loudly — silently
     * preferring one would drop data.
     */
-  private def toNested(df: DataFrame): DataFrame = {
+  private[graft] def toNested(df: DataFrame): DataFrame = {
     def assemble(cols: Seq[(String, Column)]): Seq[Column] = {
       val split = cols.map { case (n, c) => (n.split("\\.", 2), c) }
       split.map(_._1(0)).distinct.map { seg =>

@@ -414,4 +414,61 @@ class JxPropertySpec extends SparkSpec {
       rows.forall(r => got(r._1) == evalD(dtree, r))
     })
   }
+
+  // ---- format:"nested" round-trip property: for ANY conflict-free
+  // dotted-name tree, toNested ∘ flatten is the identity on values
+  // (and sibling order is preserved within each level)
+
+  /** Random leaf-path sets as trees (so leaf/prefix conflicts are
+    * impossible by construction): each node is a leaf or an internal
+    * node with 1–3 distinctly-named children, depth ≤ 3.
+    */
+  private def genTree(depth: Int, seg: Gen[String]): Gen[List[List[String]]] =
+    if (depth == 0) Gen.const(List(Nil))
+    else Gen.frequency(
+      2 -> Gen.const(List(Nil)), // leaf
+      3 -> (for {
+        n <- Gen.choose(1, 3)
+        names <- Gen.listOfN(n, seg).map(_.distinct)
+        subs <- Gen.sequence[List[List[List[String]]], List[List[String]]](
+          names.map(_ => genTree(depth - 1, seg)))
+      } yield names.zip(subs).flatMap { case (nm, ps) => ps.map(nm :: _) }))
+
+  private def flatten(schema: org.apache.spark.sql.types.StructType,
+      prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          flatten(st, prefix + f.name + ".")
+        case _ => Seq(prefix + f.name)
+      }
+    }
+
+  test("format nested: toNested ∘ flatten is the identity on random dotted-name trees") {
+    val seg = Gen.oneOf("a", "b", "c", "d", "e")
+    check(Prop.forAll(genTree(3, seg)) { paths0 =>
+      val paths = paths0.filter(_.nonEmpty).map(_.mkString("."))
+      paths.isEmpty || {
+        val flat = (1 to 3).map(r =>
+          org.apache.spark.sql.Row.fromSeq(paths.indices.map(i => r * 100 + i)))
+        val schema = org.apache.spark.sql.types.StructType(paths.map(p =>
+          org.apache.spark.sql.types.StructField(p,
+            org.apache.spark.sql.types.IntegerType)))
+        val fdf = spark.createDataFrame(
+          java.util.Arrays.asList(flat: _*), schema)
+        val nested = JxCompiler.toNested(fdf)
+        // flattening the nested schema recovers exactly the leaf set
+        val back = flatten(nested.schema)
+        // and re-flattened values match the originals per column
+        val reflat = nested.select(back.map(p =>
+          p.split('.').foldLeft(null: org.apache.spark.sql.Column) {
+            case (null, s) => col(s"`$s`")
+            case (c, s) => c.getField(s)
+          }.as(p)): _*)
+        back.toSet == paths.toSet &&
+          reflat.select(paths.map(p => col(s"`$p`")): _*).collect().toSeq ==
+            fdf.collect().toSeq
+      }
+    })
+  }
 }
