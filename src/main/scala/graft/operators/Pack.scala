@@ -167,6 +167,57 @@ object Pack extends QueryPack {
            |FROM per_src CROSS JOIN tot""".stripMargin),
     "per-source mixture weights: sampling rates to hit a uniform token share (broadcast dim for the sample gate)")
 
+  /** Temperature-flattened mixture sampling rates — the multilingual /
+    * multi-source recipe (T5's and LLaMA's data mixing): sample so the
+    * SAMPLED corpus has per-source token mass ∝ n_s^alpha, with
+    * alpha ∈ (0,1) up-weighting rare sources without fully equalizing
+    * them (q67's uniform target is the alpha→0 limit; alpha=1 is
+    * no-op proportional sampling). Emitted per source: the exact
+    * token count, the exact share (integer sums, ONE double
+    * division), and the downsampling rate
+    * `rate_s = (n_min/n_s)^(1−alpha)` — normalized by the SMALLEST
+    * source so every rate is in (0, 1] (keep the rarest source whole,
+    * thin the heavy ones); the hash-gate sampler (q73) consumes the
+    * rates as its broadcast dim unchanged.
+    *
+    * alpha is fixed at 1/2 here so the power is `sqrt` — correctly
+    * rounded IEEE in every engine, which keeps the gate hash-exact
+    * (general `pow` differs in the last ulp across libm
+    * implementations; a deployment wanting another alpha accepts
+    * oracle tolerance or quantizes).
+    *
+    * Same scale shape as q67: one map-partial token aggregate over
+    * the corpus, a 1-row broadcast of (total, min), no other shuffle.
+    */
+  def mixtureTemperature(docsDf: DataFrame): DataFrame = {
+    val perSource = docsDf.groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tok"),
+      min(col("n_tokens")).as("min_tok"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tok")).as("share"),
+        sqrt(col("min_tok").cast("double") / col("n_tokens")).as("rate"))
+  }
+
+  val q122 = Q(
+    "q122_mix_temperature",
+    (s, d) => mixtureTemperature(docs(s, d)),
+    Some("""WITH per_src AS (
+           |  SELECT source,
+           |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source
+           |), tot AS (
+           |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tok,
+           |    CAST(MIN(n_tokens) AS BIGINT) AS min_tok FROM per_src
+           |)
+           |SELECT source, n_tokens,
+           |  CAST(n_tokens AS DOUBLE) / tot_tok AS share,
+           |  SQRT(CAST(min_tok AS DOUBLE) / n_tokens) AS rate
+           |FROM per_src CROSS JOIN tot""".stripMargin),
+    "temperature mixture sampling (alpha=1/2): per-source rates for sampled mass ∝ n^alpha, sqrt-exact cross-engine")
+
   /** Overlapping token-window chunking — the RAG/context-window prep
     * that splits long documents into `chunkLen`-token windows every
     * `stride` tokens (the final window may be short; every token is
@@ -385,5 +436,5 @@ object Pack extends QueryPack {
       .join(docsDf.select(col("doc_id"), col("text")), "doc_id")
   }
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73, q76, q104)
+  val all: Seq[Q] = Seq(q65, q66, q67, q69, q73, q76, q104, q122)
 }

@@ -205,23 +205,55 @@ object Text extends QueryPack {
            |FROM documents""".stripMargin),
     "deterministic train/val/test split via multiplicative hashing, no RNG")
 
+  /** The per-source corpus-stats ADDITIVE BASE — every column is
+    * mergeable (counts/sums add, min/max semilattice), so the nightly
+    * release report maintains incrementally and EXACTLY: aggregate
+    * each delta alone ([[corpusStatsIncrement]]), derive the report
+    * ([[corpusStatsReport]], which adds the non-mergeable avg as a
+    * view). Same family as the daily-KPI base (Etl.dailyCounts /
+    * kpiIncrement): history never rescanned, and like every additive
+    * store it is non-idempotent under redelivery by design —
+    * exactly-once lives in the extract bookmark.
+    */
+  def corpusStatsBase(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("source"), col("n_chars"),
+        size(words(col("text"))).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  /** Fold a delta batch of documents into a stored stats base at
+    * delta cost: aggregate the delta alone, merge per source.
+    */
+  def corpusStatsIncrement(stored: DataFrame, deltaDocs: DataFrame): DataFrame =
+    stored.unionByName(corpusStatsBase(deltaDocs))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("total_chars")).as("total_chars"),
+        min(col("min_tokens")).as("min_tokens"),
+        max(col("max_tokens")).as("max_tokens"))
+
+  /** The q54 report shape over a (maintained) base: adds the derived
+    * avg — one exact long division per source.
+    */
+  def corpusStatsReport(base: DataFrame): DataFrame =
+    base.select(col("source"), col("n_docs"), col("total_tokens"),
+      col("total_chars"), col("min_tokens"), col("max_tokens"),
+      (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+
   val q54 = Q(
     "q54_corpus_stats",
-    (s, d) =>
-      // Corpus reporting: per-source doc/token/char totals + length
-      // distribution — the summary pass every dataset release runs.
-      // One aggregate over the scan; all expressions codegen'd.
-      docs(s, d)
-        .select(col("source"), col("n_chars"),
-          size(words(col("text"))).as("n_tokens"))
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tokens").cast("long")).as("total_tokens"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("n_tokens")).as("min_tokens"),
-          max(col("n_tokens")).as("max_tokens"),
-          (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1))).as("avg_tokens")),
+    // Corpus reporting: per-source doc/token/char totals + length
+    // distribution — the summary pass every dataset release runs.
+    // One aggregate over the scan; all expressions codegen'd.
+    (s, d) => corpusStatsReport(corpusStatsBase(docs(s, d))),
     Some("""WITH t AS (
            |  SELECT source, n_chars,
            |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
@@ -234,6 +266,25 @@ object Text extends QueryPack {
            |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
            |FROM t GROUP BY source""".stripMargin),
     "per-source corpus statistics: doc/token/char totals + length distribution")
+
+  /** Gate entry for the incremental stats path (the q120 convention):
+    * base from one third of the corpus, the other thirds folded in as
+    * two [[corpusStatsIncrement]] batches, the report hash-checked
+    * against q54's full-scan oracle verbatim — incremental ≡ full is
+    * the contract, and every merged column is exact (adds and
+    * semilattice ops, no floats until the final derived avg).
+    */
+  val q123 = Q(
+    "q123_corpus_stats_incr",
+    (s, d) => {
+      val all = docs(s, d)
+      def part(r: Int) = all.where(col("doc_id") % 3 === r)
+      corpusStatsReport(
+        corpusStatsIncrement(corpusStatsIncrement(
+          corpusStatsBase(part(0)), part(1)), part(2)))
+    },
+    q54.oracle,
+    "incremental corpus stats: delta batches folded into the additive base ≡ full q54 recompute (q54 oracle)")
 
   /** Token-budget stratified sampling — the mixture-building pass of a
     * training-data pipeline: from each source (stratum), take
@@ -1178,5 +1229,5 @@ object Text extends QueryPack {
     "per-doc length percentile in source: cume_dist/percent_rank from rankPrep's compressed domain + equi-join, no raw-row window")
 
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118)
+    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123)
 }

@@ -102,4 +102,44 @@ class SampleSpec extends SparkSpec {
     val perSrc = one.groupBy($"source").count().select($"count").as[Long].collect()
     all(perSrc) shouldBe 1L // first doc always admitted (cum - n_tok = 0 < 1)
   }
+
+  test("temperature mixture (q122): rates in (0,1], rarest whole, sampled mass ∝ sqrt(n)") {
+    val m = graft.operators.Pack.mixtureTemperature(documents)
+      .select($"source", $"n_tokens", $"share", $"rate")
+      .as[(String, Long, Double, Double)].collect()
+    m.length should be > 1
+    val nMin = m.map(_._2).min
+    m.foreach { case (_, n, share, rate) =>
+      rate should be > 0.0
+      rate should be <= 1.0
+      // sampled mass n·rate = sqrt(n_min·n): squared over n gives n_min
+      val mass = n * rate
+      (mass * mass / n) shouldBe nMin.toDouble +- 1e-6
+      share shouldBe (n.toDouble / m.map(_._2).sum) +- 1e-12
+    }
+    // the rarest source is kept whole
+    m.filter(_._2 == nMin).foreach(_._4 shouldBe 1.0)
+    // flattening: rare sources get HIGHER sampled share than raw share
+    val tot = m.map(_._2).sum.toDouble
+    val sampledTot = m.map(r => r._2 * r._4).sum
+    m.foreach { case (_, n, _, rate) =>
+      if (n < tot / m.length) (n * rate / sampledTot) should be > (n / tot)
+    }
+  }
+
+  test("incremental corpus stats equal the full recompute on any split") {
+    val full = Text.corpusStatsReport(Text.corpusStatsBase(documents))
+      .as[(String, Long, Long, Long, Int, Int, Double)].collect().toSet
+    // a different split than the gate's mod-3 thirds: hash-based 70/30
+    val base = documents.where(xxhash64($"doc_id") % 10 < 7)
+    val delta = documents.where(xxhash64($"doc_id") % 10 >= 7)
+    val incr = Text.corpusStatsReport(
+      Text.corpusStatsIncrement(Text.corpusStatsBase(base), delta))
+      .as[(String, Long, Long, Long, Int, Int, Double)].collect().toSet
+    incr shouldBe full
+    // brand-new sources in a delta appear with their own rows
+    val renamed = delta.withColumn("source", concat(lit("new_"), $"source"))
+    val withNew = Text.corpusStatsIncrement(Text.corpusStatsBase(base), renamed)
+    withNew.where($"source".startsWith("new_")).count() should be > 0L
+  }
 }
