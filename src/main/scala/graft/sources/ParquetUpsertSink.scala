@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * ([[graft.streaming.StreamOps.streamingUpsertIngest]],
   * streamingNearDedupIngest, [[EtlPipeline.runStream]]) are safe as
   * ONE query per store; do not point two queries at one table.
+  *
+  * SCHEMA EVOLUTION (additive): a push may carry columns the stored
+  * table lacks (they appear, null for rows that never carried them)
+  * or omit stored columns (the pushed rows hold null there — an
+  * upsert replaces the WHOLE document per key, ES bulk semantics, so
+  * an omitted field is an absent field, not "keep the old value").
+  * Untouched buckets keep their old on-disk schema; reads merge
+  * per-file schemas (see [[readRaw]]). A RENAME is therefore two
+  * columns, not detected — deliberate: silently matching renamed
+  * columns is how keyed stores corrupt.
   */
 object ParquetUpsertSink {
 
@@ -57,9 +67,12 @@ object ParquetUpsertSink {
       else {
         val touched = keyed.select(col(bucketCol)).distinct()
           .collect().map(_.getInt(0))
-        val existing = spark.read.parquet(path)
+        val existing = readRaw(spark, path)
           .where(col(bucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
-        dedupLatest(existing.unionByName(keyed), keyCols, versionCol)
+        // additive schema evolution: either side may carry columns the
+        // other lacks (see the class doc) — absent cells become null
+        dedupLatest(existing.unionByName(keyed, allowMissingColumns = true),
+          keyCols, versionCol)
       }
     // materialize before overwrite: the merge reads the files the
     // dynamic overwrite is about to replace
@@ -112,7 +125,18 @@ object ParquetUpsertSink {
 
   /** Read the logical table back (bucket column dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(bucketCol)
+    readRaw(spark, path).drop(bucketCol)
+
+  /** Every physical read of the table merges per-file schemas: after
+    * an additive schema evolution, only the buckets a later merge
+    * touched carry the new column on disk — a single-footer read
+    * would pick one file's schema and silently DROP the column from
+    * (or fail on) the others. mergeSchema reads all footers (cost:
+    * numBuckets small footers, not data) and nulls absent cells,
+    * which is exactly the evolution contract.
+    */
+  private def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Full-table synchronization — the reference's RE-INDEX path (push
     * everything, delete stale): make the keyed table at `path` equal
@@ -152,7 +176,7 @@ object ParquetUpsertSink {
       .withColumn("__h", xxhash64((keyCols :+ versionCol).map(col): _*))
       .groupBy(col(bucketCol))
       .agg(bit_xor(col("__h")).as(s"fp_$tag"), count(lit(1)).as(s"n_$tag"))
-    val fpE = fingerprint(spark.read.parquet(path), "e")
+    val fpE = fingerprint(readRaw(spark, path), "e")
     val fpD = fingerprint(desired, "d")
     val drift = fpE.join(fpD, Seq(bucketCol), "full_outer")
       .where(!(col("fp_e") <=> col("fp_d")) || !(col("n_e") <=> col("n_d")))
@@ -202,7 +226,7 @@ object ParquetUpsertSink {
       .localCheckpoint() // touched-bucket probe + anti-join both read it
     val touched = del.select(col(bucketCol)).distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return
-    val existing = spark.read.parquet(path)
+    val existing = readRaw(spark, path)
       .where(col(bucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
     val cond = keyCols.map(k => existing(k) === del(k)).reduce(_ && _) &&
       existing(versionCol) <= del("__delv")

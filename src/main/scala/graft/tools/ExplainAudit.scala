@@ -89,6 +89,18 @@ object ExplainAudit {
           v += Violation(name, "local pair expansion lost (no Generate in plan)")
         if (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
           v += Violation(name, "shuffle join in plan (pair self-join regression or lost dim broadcast)")
+      case "q121_jx_format_nested" =>
+        // the re-nest is a pure projection over a pushed-down filter:
+        // no shuffle may appear, and the orderkey predicate must
+        // reach the parquet scan
+        if (plan.contains("Exchange"))
+          v += Violation(name, "shuffle in plan (nested format must be a pure projection)")
+        if (!raw"PushedFilters: \[[^\]]".r.findFirstIn(plan).isDefined)
+          v += Violation(name, "no PushedFilters on the parquet scan")
+      case "q54_corpus_stats" | "q123_corpus_stats_incr" | "q122_mix_temperature" =>
+        // release-report aggregates must keep map-side partials
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q111_rfm_segments" =>
         // quartile boundaries come from ONE rankPrep pass over the
         // stack()-unpivoted (metric, value) rows — the Generate is the

@@ -198,6 +198,38 @@ class UpsertSinkSpec extends SparkSpec {
     ParquetUpsertSink.read(spark, path).count() shouldBe 1L
   }
 
+  test("additive schema evolution: new columns merge with nulls, omitted fields null out") {
+    val dir = Files.createTempDirectory("graft-evolve").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    // v1 schema: (id, rev, payload) spread over several buckets
+    val v1 = (1L to 8L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(v1, path, Seq("id"), "rev", numBuckets = 4)
+    // v2 push adds a `lang` column but touches only keys 1 and 9 —
+    // untouched buckets keep the old on-disk schema
+    val v2 = Seq((1L, 2L, "p1b", "en"), (9L, 2L, "p9", "de"))
+      .toDF("id", "rev", "payload", "lang")
+    ParquetUpsertSink.upsert(v2, path, Seq("id"), "rev")
+    val got = ParquetUpsertSink.read(spark, path)
+    got.columns.toSet shouldBe Set("id", "rev", "payload", "lang")
+    val byId = got.select($"id", $"payload", $"lang")
+      .as[(Long, String, Option[String])].collect().map(r => r._1 -> r).toMap
+    byId(1L) shouldBe (1L, "p1b", Some("en"))
+    byId(9L) shouldBe (9L, "p9", Some("de"))
+    (2L to 8L).foreach(i => byId(i) shouldBe (i, s"p$i", None))
+    // whole-document replace: a later push OMITTING payload nulls it
+    // for the pushed key only
+    val v3 = Seq((2L, 3L, "fr")).toDF("id", "rev", "lang")
+    ParquetUpsertSink.upsert(v3, path, Seq("id"), "rev")
+    val after = ParquetUpsertSink.read(spark, path)
+      .select($"id", $"payload", $"lang")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    after(2L) shouldBe (2L, None, Some("fr"))
+    after(3L) shouldBe (3L, Some("p3"), None)
+    after.size shouldBe 9
+  }
+
   test("merges keep exactly one data file per bucket (no small-files drift)") {
     val dir = Files.createTempDirectory("graft-compact").toFile
     dir.deleteOnExit()
