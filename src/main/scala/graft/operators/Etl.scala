@@ -541,6 +541,60 @@ object Etl extends QueryPack {
     q115.oracle,
     "incremental SCD2: delta batches folded into a stored history ≡ full q115 recompute (q115 oracle)")
 
+  /** The READ API the SCD2 history exists for: each key's state AS OF
+    * an instant — the interval containing `ts` (valid_from <= ts <
+    * valid_to, open current interval unbounded). One partition-pruned
+    * filter over the history, no window, no join: at 100 TB the
+    * history lives in the upsert sink bucketed by key, and a keyed
+    * as-of lookup prunes to the probed keys' buckets; this full-scan
+    * form is the audit/report shape ("everyone's state at
+    * quarter-end"). Works identically over the maintained
+    * ([[scd2Append]]) and the recomputed ([[scd2History]]) history —
+    * the q120 contract makes them equal.
+    */
+  def scd2AsOf(history: DataFrame, ts: java.sql.Timestamp): DataFrame =
+    history.where(col("valid_from") <= lit(ts) &&
+      (col("valid_to").isNull || col("valid_to") > lit(ts)))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("is_current"))
+
+  /** Gate entry: every user's state as of the events table's midpoint
+    * instant, read from the INCREMENTALLY-maintained history (q120's
+    * artifact) — oracled by the window mirror evaluated at the same
+    * fixed instant. The instant is data-relative (min + half the span,
+    * whole-second) so the query stays meaningful at every sf.
+    */
+  val q124 = Q(
+    "q124_scd2_asof",
+    (s, d) => {
+      val bounds = ev(s, d).agg(
+        min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi"))
+      // floor integer midpoint — matches the oracle's epoch // 2
+      val mid = timestamp_seconds(((col("lo") + col("hi")) / 2).cast("long"))
+      storedIncrementalScd2(s, d)
+        .crossJoin(broadcast(bounds))
+        .where(col("valid_from") <= mid &&
+          (col("valid_to").isNull || col("valid_to") > mid))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("is_current"))
+    },
+    Some("""WITH h AS (
+           |  SELECT user_id, event_id, event_type, ts AS valid_from,
+           |    LEAD(ts, 1) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS valid_to,
+           |    LEAD(ts, 1) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) IS NULL AS is_current
+           |  FROM events
+           |), b AS (
+           |  SELECT to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) // 2) AS mid
+           |  FROM events
+           |)
+           |SELECT user_id, event_id, event_type, valid_from, is_current
+           |FROM h CROSS JOIN b
+           |WHERE valid_from <= mid AND (valid_to IS NULL OR valid_to > mid)""".stripMargin),
+    "SCD2 as-of read: every key's interval containing the corpus-midpoint instant, over the incrementally-maintained history")
+
   /** Keyed snapshot diff (q116): classify every key across two
     * adjacent 7-day activity windows as added / removed / changed /
     * unchanged — the CDC report between two incremental-extract
@@ -610,5 +664,5 @@ object Etl extends QueryPack {
     "keyed snapshot diff across two extract windows: latest-per-key states, one full-outer join, added/removed/changed/unchanged")
 
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116, q120)
+    q115, q116, q120, q124)
 }

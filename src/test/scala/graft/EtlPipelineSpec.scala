@@ -204,6 +204,32 @@ class EtlPipelineSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet shouldBe want
   }
 
+  test("scd2 as-of picks each key's containing interval, crafted and at corpus scale") {
+    import graft.operators.Etl
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // crafted: key 1 has three revisions; as-of between rev 2 and 3
+    // must return exactly rev 2; key 2's single open interval matches
+    // any later instant; key 3 starts after the probe — absent
+    val evs = Seq(
+      (1L, 100L, "a", ts(100)), (1L, 101L, "b", ts(200)), (1L, 102L, "c", ts(300)),
+      (2L, 200L, "x", ts(50)), (3L, 300L, "y", ts(999)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val asOf = Etl.scd2AsOf(Etl.scd2History(evs), ts(250))
+      .select($"user_id", $"event_id", $"is_current")
+      .as[(Long, Long, Boolean)].collect().toSet
+    asOf shouldBe Set((1L, 101L, false), (2L, 200L, true))
+    // maintained history answers as-of identically to the recomputed one
+    val all = graft.Tables.events(spark, sfDir)
+    val probe = ts(all.agg(org.apache.spark.sql.functions
+      .min(org.apache.spark.sql.functions.unix_timestamp(col("ts"))))
+      .head().getLong(0) + 3600)
+    def part(r: Int) = all.where(col("event_id") % 2 === r)
+    val maintained = Etl.scd2Append(Etl.scd2History(part(0)), part(1))
+    Etl.scd2AsOf(maintained, probe).collect().toSet shouldBe
+      Etl.scd2AsOf(Etl.scd2History(all), probe).collect().toSet
+  }
+
   test("incremental daily-KPI maintenance equals the full recompute") {
     import graft.operators.Etl
     import org.apache.spark.sql.functions.col
