@@ -396,6 +396,98 @@ object Cluster extends QueryPack {
         .localCheckpoint()
     })
 
+  /** One BATCH of the near-dedup corpus ingest — the NIGHTLY form of
+    * [[graft.streaming.StreamOps.streamingNearDedupIngest]], which
+    * wraps exactly this per micro-batch (batch/stream parity the same
+    * way EtlPipeline.runWithDeletes mirrors runStreamWithDeletes).
+    * Admits each delta document unless it near-dups a STORED doc or a
+    * smaller-id batch doc (stored-wins, then min-id — deterministic
+    * under retries), appends admitted docs + their signatures to the
+    * keyed stores (redelivery is a no-op: same keys, same version),
+    * and optionally folds the batch's pairs into the component store
+    * for dedup-group lineage. Cost per run ∝ delta × (banded
+    * candidates), never the corpus. Returns the count of docs that
+    * passed the gate THIS run — on a redelivered batch an
+    * already-stored doc passes again (its own stored signature is not
+    * a rival: canonical d1 < d2 excludes self-pairs) and its upsert
+    * is a same-key no-op, so the count is nonzero while the stores
+    * stay bit-identical; idempotence is a store property, not a
+    * counter property.
+    */
+  def nearDedupIngest(docs0: DataFrame, docsPath: String, sigsPath: String,
+      threshold: Double, numBuckets: Int = 64,
+      compsPath: Option[String] = None): Long = {
+    val docs = docs0.localCheckpoint() // one materialization per batch
+    val s = docs.sparkSession
+    require(!docs.columns.contains("_rev"),
+      "nearDedupIngest uses a scratch version column named _rev; " +
+        "rename the input's _rev column first")
+    if (docs.head(1).isEmpty) return 0L
+    val sigD = Dedup.minhashSignatures(docs).localCheckpoint()
+    val stored =
+      if (graft.sources.ParquetUpsertSink.tableExists(s, sigsPath))
+        graft.sources.ParquetUpsertSink.read(s, sigsPath)
+      else sigD.limit(0)
+    val pairs = Dedup
+      .minhashDeltaPairsFromSigs(stored, sigD, threshold)
+      .localCheckpoint() // pair set is small; verdicts reuse it twice
+    // pairs are canonical (d1 < d2) and always touch the batch: drop
+    // d2 when it is a batch doc (its neighbor d1 — stored or batch —
+    // has the smaller id), and drop d1 when d2 is stored (a batch doc
+    // near-dupping an admitted doc of larger id)
+    val storedIds = stored.select(col("doc_id"))
+    val drops = pairs.select(col("d2").as("doc_id"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .union(pairs.join(storedIds.toDF("d2"), Seq("d2"), "left_semi")
+        .select(col("d1").as("doc_id")))
+      .distinct()
+    val kept = docs.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nKept = kept.count()
+    graft.sources.ParquetUpsertSink.upsert(
+      kept.withColumn("_rev", lit(0L)), docsPath,
+      Seq("doc_id"), "_rev", numBuckets)
+    graft.sources.ParquetUpsertSink.upsert(
+      sigD.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .withColumn("_rev", lit(0L)),
+      sigsPath, Seq("doc_id"), "_rev", numBuckets)
+    // optional dedup-GROUP lineage: rejected docs stay attributable to
+    // the cluster (and so the keeper) that rejected them
+    compsPath.foreach(cp => foldComponentsIntoStore(s, cp,
+      pairs.select(col("d1"), col("d2")), numBuckets))
+    nKept
+  }
+
+  /** Fold one batch of near-dup pairs into a PERSISTED (node,
+    * component) store at delta cost via [[componentsIncrementDelta]].
+    * Exactly-once EFFECT on an at-least-once transport without batch
+    * ordering: a node's component only ever DECREASES, so the upsert
+    * version is `-component` — monotone per key — and latest-wins
+    * merge makes replayed or re-ordered batches converge; a replayed
+    * pair contracts to a self-edge and writes nothing.
+    */
+  def foldComponentsIntoStore(s: SparkSession, compsPath: String,
+      pairs: DataFrame, numBuckets: Int = 64): Unit = {
+    if (pairs.head(1).nonEmpty) {
+      val stored =
+        if (graft.sources.ParquetUpsertSink.tableExists(s, compsPath))
+          graft.sources.ParquetUpsertSink.read(s, compsPath)
+            .select(col("node"), col("component"))
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("component",
+              org.apache.spark.sql.types.LongType))))
+      val changed = componentsIncrementDelta(stored, pairs)
+        .localCheckpoint() // consumed by head(1) + the upsert; one materialization
+      if (changed.head(1).nonEmpty)
+        graft.sources.ParquetUpsertSink.upsert(
+          changed.withColumn("_rev", -col("component")), compsPath,
+          Seq("node"), "_rev", numBuckets)
+    }
+  }
+
   val q119 = Q(
     "q119_components_incr",
     (s, d) => storedIncrementalComponents(s, d),

@@ -305,46 +305,12 @@ object StreamOps extends QueryPack {
       compsPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
-      val s = batch.sparkSession
-      val docs = batch.toDF().localCheckpoint() // one materialization per batch
-      require(!docs.columns.contains("_rev"),
-        "streamingNearDedupIngest uses a scratch version column named _rev; " +
-          "rename the stream's _rev column first")
-      if (docs.head(1).nonEmpty) {
-        val sigD = graft.operators.Dedup.minhashSignatures(docs).localCheckpoint()
-        val stored =
-          if (graft.sources.ParquetUpsertSink.tableExists(s, sigsPath))
-            graft.sources.ParquetUpsertSink.read(s, sigsPath)
-          else sigD.limit(0)
-        val pairs = graft.operators.Dedup
-          .minhashDeltaPairsFromSigs(stored, sigD, threshold)
-          .localCheckpoint() // pair set is small; verdicts reuse it twice
-        // pairs are canonical (d1 < d2) and always touch the batch:
-        // drop d2 when it is a batch doc (its neighbor d1 — stored or
-        // batch — has the smaller id), and drop d1 when d2 is stored
-        // (a batch doc near-dupping an admitted doc of larger id)
-        val storedIds = stored.select(col("doc_id"))
-        val drops = pairs.select(col("d2").as("doc_id"))
-          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .union(pairs.join(storedIds.toDF("d2"), Seq("d2"), "left_semi")
-            .select(col("d1").as("doc_id")))
-          .distinct()
-        val kept = docs.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
-        graft.sources.ParquetUpsertSink.upsert(
-          kept.withColumn("_rev", lit(0L)), docsPath,
-          Seq("doc_id"), "_rev", numBuckets)
-        graft.sources.ParquetUpsertSink.upsert(
-          sigD.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .withColumn("_rev", lit(0L)),
-          sigsPath, Seq("doc_id"), "_rev", numBuckets)
-        // optional dedup-GROUP lineage: fold the batch's near-dup pairs
-        // into a stored component table at delta cost — rejected docs
-        // stay attributable to the cluster (and so the keeper) that
-        // rejected them. See [[streamingComponentsIngest]] for the
-        // store contract; same monotone -component versioning.
-        compsPath.foreach(cp => foldComponentBatch(s, cp,
-          pairs.select(col("d1"), col("d2")), numBuckets))
-      }
+      // one micro-batch = one run of the nightly batch ingest —
+      // batch/stream parity by construction (the EtlPipeline
+      // runWithDeletes/runStreamWithDeletes pattern)
+      graft.operators.Cluster.nearDedupIngest(batch.toDF(), docsPath,
+        sigsPath, threshold, numBuckets, compsPath)
+      ()
     }
     stream.writeStream
       .outputMode(OutputMode.Update())
@@ -373,33 +339,11 @@ object StreamOps extends QueryPack {
       numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      foldComponentBatch(batch.sparkSession, compsPath,
-        batch.toDF().select(col("d1"), col("d2")), numBuckets)
+      graft.operators.Cluster.foldComponentsIntoStore(batch.sparkSession,
+        compsPath, batch.toDF().select(col("d1"), col("d2")), numBuckets)
     pairStream.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
-  }
-
-  private def foldComponentBatch(s: SparkSession, compsPath: String,
-      pairs: DataFrame, numBuckets: Int): Unit = {
-    if (pairs.head(1).nonEmpty) {
-      val stored =
-        if (graft.sources.ParquetUpsertSink.tableExists(s, compsPath))
-          graft.sources.ParquetUpsertSink.read(s, compsPath)
-            .select(col("node"), col("component"))
-        else pairs.sparkSession.createDataFrame(
-          pairs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("node", LongType),
-            org.apache.spark.sql.types.StructField("component", LongType))))
-      val changed = graft.operators.Cluster
-        .componentsIncrementDelta(stored, pairs)
-        .localCheckpoint() // consumed by head(1) + the upsert; one materialization
-      if (changed.head(1).nonEmpty)
-        graft.sources.ParquetUpsertSink.upsert(
-          changed.withColumn("_rev", -col("component")), compsPath,
-          Seq("node"), "_rev", numBuckets)
-    }
   }
 
   /** Contamination firewall at ingest: each micro-batch of candidate

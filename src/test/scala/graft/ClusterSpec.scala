@@ -115,6 +115,40 @@ class ClusterSpec extends SparkSpec {
     got shouldBe full
   }
 
+  test("batch nearDedupIngest: stored-wins, in-batch collapse, redelivery no-op, component lineage") {
+    import java.nio.file.Files
+    val docsPath = Files.createTempDirectory("graft-bingest").toString + "/docs"
+    val sigsPath = Files.createTempDirectory("graft-bingest").toString + "/sigs"
+    val compsPath = Files.createTempDirectory("graft-bingest").toString + "/comps"
+    def text(tag: Int) = (0 until 20).map(j => s"t${tag}w$j").mkString(" ")
+    // nightly run 1: doc 2 duplicates doc 1; doc 3 distinct
+    val b1 = Seq((1L, text(1)), (2L, text(1)), (3L, text(3))).toDF("doc_id", "text")
+    // nightly run 2: doc 4 duplicates STORED doc 1; doc 6 duplicates
+    // in-batch doc 5
+    val b2 = Seq((4L, text(1)), (5L, text(5)), (6L, text(5))).toDF("doc_id", "text")
+    Cluster.nearDedupIngest(b1, docsPath, sigsPath, 0.5,
+      compsPath = Some(compsPath)) shouldBe 2L // {1, 3}
+    Cluster.nearDedupIngest(b2, docsPath, sigsPath, 0.5,
+      compsPath = Some(compsPath)) shouldBe 1L // {5}
+    def storedIds(p: String) = graft.sources.ParquetUpsertSink.read(spark, p)
+      .select($"doc_id").as[Long].collect().toSet
+    storedIds(docsPath) shouldBe Set(1L, 3L, 5L)
+    storedIds(sigsPath) shouldBe Set(1L, 3L, 5L)
+    // lineage: every rejected doc is attributable to its keeper's component
+    val comps = graft.sources.ParquetUpsertSink.read(spark, compsPath)
+      .select($"node", $"component").as[(Long, Long)].collect().toMap
+    comps(2L) shouldBe 1L
+    comps(4L) shouldBe 1L
+    comps(6L) shouldBe 5L
+    // redelivered nightly run: doc 5 passes the gate again (it IS the
+    // stored doc — same key, no-op upsert), 4 and 6 rejected again;
+    // the STORES are unchanged, which is the idempotence contract
+    Cluster.nearDedupIngest(b2, docsPath, sigsPath, 0.5,
+      compsPath = Some(compsPath)) shouldBe 1L
+    storedIds(docsPath) shouldBe Set(1L, 3L, 5L)
+    storedIds(sigsPath) shouldBe Set(1L, 3L, 5L)
+  }
+
   test("leak-free split: no near-dup pair ever straddles a split (q86)") {
     val docs = Tables.documents(spark, sfDir)
     val split = Cluster.leakFreeSplit(docs, 0.5)
