@@ -230,6 +230,70 @@ class UpsertSinkSpec extends SparkSpec {
     after.size shouldBe 9
   }
 
+  test("differential fuzz: random upsert/delete/sync sequences match a reference model") {
+    // The sink is the engine's most state-critical component: every
+    // pipeline's exactly-once story reduces to its latest-wins /
+    // versioned-delete / snapshot-sync contract. Interpret random op
+    // sequences twice — through the parquet sink and through a
+    // ~15-line driver-side reference model of the documented
+    // semantics — and require identical tables after every op.
+    // Small key space forces collisions; revs strictly increase per
+    // op so latest-wins is unambiguous.
+    sealed trait Op
+    case class Up(rows: Seq[(Long, String)]) extends Op
+    case class Del(keys: Seq[Long]) extends Op
+    case class Sync(rows: Seq[(Long, String)]) extends Op
+
+    val rnd = new scala.util.Random(11)
+    def someKeys() = (0 until 1 + rnd.nextInt(5)).map(_ => rnd.nextInt(10).toLong).distinct
+    def genOp(): Op = rnd.nextInt(4) match {
+      case 0 => Del(someKeys())
+      case 3 => Sync(someKeys().map(k => k -> s"s${rnd.nextInt(100)}"))
+      case _ => Up(someKeys().map(k => k -> s"p${rnd.nextInt(100)}"))
+    }
+
+    (1 to 6).foreach { seqIdx =>
+      val dir = Files.createTempDirectory(s"graft-fuzz$seqIdx").toFile
+      dir.deleteOnExit()
+      val path = dir.getPath + "/table"
+      var model = Map.empty[Long, (Long, String)] // key -> (rev, payload)
+      var rev = 0L
+      val ops = (1 to 6).map(_ => genOp())
+      ops.foreach { op =>
+        rev += 1
+        op match {
+          case Up(rows) =>
+            ParquetUpsertSink.upsert(
+              rows.map { case (k, p) => (k, rev, p) }.toDF("id", "rev", "payload"),
+              path, Seq("id"), "rev", numBuckets = 4)
+            rows.foreach { case (k, p) =>
+              if (!model.get(k).exists(_._1 >= rev)) model += k -> (rev, p)
+            }
+          case Del(keys) =>
+            ParquetUpsertSink.delete(
+              keys.map(k => (k, rev)).toDF("id", "rev"), path, Seq("id"), "rev")
+            keys.foreach { k =>
+              if (model.get(k).exists(_._1 <= rev)) model -= k
+            }
+          case Sync(rows) =>
+            ParquetUpsertSink.sync(
+              rows.map { case (k, p) => (k, rev, p) }.toDF("id", "rev", "payload"),
+              path, Seq("id"), "rev", numBuckets = 4)
+            model = rows.map { case (k, p) => k -> (rev, p) }.toMap
+        }
+        val got =
+          if (ParquetUpsertSink.tableExists(spark, path))
+            ParquetUpsertSink.read(spark, path)
+              .as[(Long, Long, String)].collect().toSet
+          else Set.empty[(Long, Long, String)]
+        val want = model.map { case (k, (r, p)) => (k, r, p) }.toSet
+        withClue(s"seq $seqIdx after $op (history ${ops.mkString(", ")}): ") {
+          got shouldBe want
+        }
+      }
+    }
+  }
+
   test("merges keep exactly one data file per bucket (no small-files drift)") {
     val dir = Files.createTempDirectory("graft-compact").toFile
     dir.deleteOnExit()
