@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Warning-clean is enforced culture: the main sources compile without
+// deprecation noise (arrays wrapped before varargs, erasure-safe
+// matches), so a new warning is a signal, not wallpaper.
+Compile / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -303,16 +303,16 @@ object JxCompiler {
     val field = df.schema.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"jx from: no column '$name' (have: ${df.columns.mkString(", ")})"))
-    val others = df.columns.filterNot(_ == name).map(c => col(s"`$c`"))
+    val others = df.columns.filterNot(_ == name).map(c => col(s"`$c`")).toSeq
     field.dataType match {
       case ArrayType(st: StructType, _) =>
         val ex = df.select(others :+ explode(col(s"`$name`")).as("__jx_inner"): _*)
-        ex.select(others ++ st.fields.map(f =>
+        ex.select(others ++ st.fields.toSeq.map(f =>
           col("__jx_inner").getField(f.name).as(s"$name.${f.name}")): _*)
       case ArrayType(_, _) =>
         df.select(others :+ explode(col(s"`$name`")).as(name): _*)
       case st: StructType =>
-        df.select(others ++ st.fields.map(f =>
+        df.select(others ++ st.fields.toSeq.map(f =>
           col(s"`$name`").getField(f.name).as(s"$name.${f.name}")): _*)
       case other => throw new IllegalArgumentException(
         s"jx from: '$name' is not a nested document (got $other)")
@@ -393,8 +393,8 @@ object JxCompiler {
     val df = graft.util.guardMaxRows(df0, maxRows,
       "jx format:\"table\" collapses the whole result into one transport row; " +
         "aggregate or limit first (or raise graft.jx.tableMaxRows)")
-    val header = array(df.columns.map(lit): _*).as("header")
-    val rowStruct = struct(df.columns.map(c => col(s"`$c`")): _*)
+    val header = array(df.columns.toSeq.map(lit): _*).as("header")
+    val rowStruct = struct(df.columns.toSeq.map(c => col(s"`$c`")): _*)
     def packed(key: Column): Column = {
       val byKey = (a: Column, b: Column) =>
         when(a.getField("k") < b.getField("k"), -1)

@@ -217,7 +217,7 @@ object Ann extends QueryPack {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
     val probes = q
-      .select(col("qid"), col("qv"), posexplode(array(cents.map(c =>
+      .select(col("qid"), col("qv"), posexplode(array(cents.toSeq.map(c =>
         cosineFast(col("qv"), lit(c))): _*)).as(Seq("cl", "cs")))
       .withColumn("pr", row_number().over(probeRank))
       .where(col("pr") <= nprobe)
@@ -517,9 +517,9 @@ object Ann extends QueryPack {
       posexplode(array((0 until m).map(j =>
         slice(col("embedding"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
     for (_ <- 0 until iters) {
-      val cbLit = array(cbs.map(cb => array(cb.map(c => lit(c)): _*)): _*)
-      val normLit = array(cbs.map(cb =>
-        array(cb.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+      val cbLit = array(cbs.toSeq.map(cb => array(cb.toSeq.map(c => lit(c)): _*)): _*)
+      val normLit = array(cbs.toSeq.map(cb =>
+        array(cb.toSeq.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
       // per-row argmin over the row's OWN subspace codebook (indexed
       // by j); same (distance, id) lexicographic rule as l2Argmin.
       // Built with ksub compile-time expressions, not a HOF lambda:
@@ -608,7 +608,7 @@ object Ann extends QueryPack {
       }: _*))
     val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
     val probes = q
-      .select(col("qid"), col("qv"), col("tbl"), posexplode(array(cents.map(c =>
+      .select(col("qid"), col("qv"), col("tbl"), posexplode(array(cents.toSeq.map(c =>
         cosineFast(col("qv"), lit(c))): _*)).as(Seq("cl", "cs")))
       .withColumn("pr", row_number().over(probeRank))
       .where(col("pr") <= nprobe)

@@ -219,7 +219,10 @@ package object util {
       if (k.productElement(0).asInstanceOf[AnyRef] eq s) {
         if (m.remove(k, v)) {
           v match {
-            case df: DataFrame => df.unpersist(blocking = false)
+            // erasure-safe: Dataset[_] covers DataFrame; unpersist is
+            // type-parameter-agnostic
+            case ds: org.apache.spark.sql.Dataset[_] =>
+              ds.unpersist(blocking = false); ()
             case _ => ()
           }
           n += 1

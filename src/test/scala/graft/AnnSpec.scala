@@ -263,7 +263,7 @@ class AnnSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sfDir)
     val cents = Ann.ivfCentroids(e, nc = 8, iters = 2)
     // nightly split: base corpus + a late-arriving delta batch
-    val cut = e.agg(max($"vec_id")).head.getLong(0) * 3 / 4
+    val cut = e.agg(max($"vec_id")).head().getLong(0) * 3 / 4
     val base = e.where($"vec_id" < cut)
     val delta = e.where($"vec_id" >= cut)
     delta.count() should be > 0L
