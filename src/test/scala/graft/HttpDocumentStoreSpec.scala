@@ -23,8 +23,9 @@ class HttpDocumentStoreSpec extends SparkSpec {
   /** Mock ES-shaped server: docs keyed by `id`, versioned by `rev`
     * (latest wins), page size 2 to force multi-page cursor chains.
     */
-  private class MockServer(failEveryNth: Int = 0) {
+  private class MockServer(failEveryNth: Int = 0, wmField: String = "") {
     val docs = mutable.Map.empty[Long, (Long, String)] // id -> (rev, json)
+    val sinceSeen = mutable.Buffer.empty[Long] // server-side range filters received
     val tombstones = mutable.Map.empty[Long, Long] // id -> delete rev
     // epoch = a STAGING INDEX; commit = the alias swap (scans keep
     // serving `docs` until then)
@@ -52,7 +53,17 @@ class HttpDocumentStoreSpec extends SparkSpec {
       }.toMap
       val (slice, slices) = (params("slice").toInt, params("slices").toInt)
       val cursor = params.get("cursor").map(_.toInt).getOrElse(0)
-      val mine = docs.toSeq.filter(_._1 % slices == slice).sortBy(_._1)
+      val since = params.get("since").map(_.toLong)
+      since.foreach(sinceSeen += _)
+      // server-side watermark range filter (the ES range-in-scroll)
+      def wmOf(json: String): Long =
+        Option(mapper.readTree(json).get(wmField)).map(_.asLong()).getOrElse(Long.MinValue)
+      val mine = docs.toSeq.filter(_._1 % slices == slice)
+        .filter { case (_, (_, json)) =>
+          // a server without a configured wm field ignores `since`
+          // (the connector's residual filter still applies it)
+          since.isEmpty || wmField.isEmpty || wmOf(json) > since.get }
+        .sortBy(_._1)
       val page = mine.slice(cursor, cursor + 2)
       if (cursor + 2 < mine.size)
         x.getResponseHeaders.set("X-Next-Cursor", (cursor + 2).toString)
@@ -220,6 +231,90 @@ class HttpDocumentStoreSpec extends SparkSpec {
       // no leftover from the abandoned epoch, no pre-sync survivors
       store.scan(spark).select($"id", $"v").as[(Long, String)]
         .collect().toSet shouldBe Set((3L, "c"))
+    } finally srv.stop()
+  }
+
+  private def dsv2(srv: MockServer, slices: Int = 2) =
+    spark.read.format("graft.sources.http.HttpStoreProvider")
+      .schema(schema).option("base", srv.base)
+      .option("wmcol", "rev").option("slices", slices.toString)
+      .load()
+
+  test("DSv2 connector: sliced scan, watermark pushdown lands server-side, pruning in plan") {
+    val srv = new MockServer(wmField = "rev")
+    try {
+      val store = HttpDocumentStore(srv.base, schema)
+      store.push((1L to 8L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "rev"))
+      val df = dsv2(srv, slices = 3)
+      // full scan: one partition per slice, all rows
+      df.rdd.getNumPartitions shouldBe 3
+      df.select($"id").as[Long].collect().toSet shouldBe (1L to 8L).toSet
+      // wm > 50 pushed: the server receives since=50 and ships only
+      // the matching docs; results exact either way (residual filter)
+      srv.sinceSeen.clear()
+      val got = df.where($"rev" > 50L).select($"id").as[Long].collect().toSet
+      got shouldBe Set(6L, 7L, 8L)
+      srv.sinceSeen.distinct.toSeq shouldBe Seq(50L)
+      // wm >= 60 pushes since=59 (exclusive translation)
+      srv.sinceSeen.clear()
+      df.where($"rev" >= 60L).select($"id").as[Long].collect().toSet shouldBe
+        Set(6L, 7L, 8L)
+      srv.sinceSeen.distinct.toSeq shouldBe Seq(59L)
+      // the plan carries the pushed filter and the pruned read schema
+      val plan = df.where($"rev" > 50L).select($"id")
+        .queryExecution.executedPlan.toString
+      plan should include("since=50 (pushed)")
+      // a non-wm filter is NOT pushed (no since), still answered right
+      srv.sinceSeen.clear()
+      df.where($"v" === "v3").select($"id").as[Long].collect().toSeq shouldBe Seq(3L)
+      srv.sinceSeen shouldBe empty
+    } finally srv.stop()
+  }
+
+  test("DSv2 connector: a server that ignores `since` still yields exact results") {
+    val srv = new MockServer() // no wm field configured: since is ignored
+    try {
+      HttpDocumentStore(srv.base, schema)
+        .push((1L to 5L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "rev"))
+      // the pushed prune does nothing server-side; the residual filter
+      // must still produce the exact answer
+      dsv2(srv).where($"rev" > 30L).select($"id").as[Long].collect().toSet shouldBe
+        Set(4L, 5L)
+    } finally srv.stop()
+  }
+
+  test("DSv2 connector: the ETL extract's bookmark predicate reaches the server") {
+    val srv = new MockServer(wmField = "m")
+    try {
+      import graft.sources.{EtlPipeline, ParquetStore}
+      val edgeSchema = StructType(Seq(
+        StructField("child", LongType), StructField("parent", LongType),
+        StructField("m", LongType), StructField("id", LongType),
+        StructField("rev", LongType)))
+      // the edge feed lives in the HTTP store (id-keyed; m = modified)
+      val feed = HttpDocumentStore(srv.base, edgeSchema)
+      feed.push(Seq((10L, 1L, 100L, 1L, 1L), (11L, 1L, 100L, 2L, 1L),
+        (12L, 10L, 150L, 3L, 1L)).toDF("child", "parent", "m", "id", "rev"))
+      val src = spark.read.format("graft.sources.http.HttpStoreProvider")
+        .schema(edgeSchema).option("base", srv.base)
+        .option("wmcol", "m").option("slices", "2").load()
+      val base = java.nio.file.Files.createTempDirectory("graft-dsv2-etl").toString
+      val dest = ParquetStore(s"$base/closure", Seq("ancestor", "descendant"), "rev", 4)
+      val r1 = EtlPipeline.run(spark, src, "m", dest, s"$base/wm")
+      r1.extracted shouldBe 3
+      // run 2: one later edge; the bookmark filter (m > 150) must
+      // arrive at the server as since=150 — delta shipping, not a
+      // full re-scan
+      feed.push(Seq((13L, 12L, 220L, 4L, 1L)).toDF("child", "parent", "m", "id", "rev"))
+      srv.sinceSeen.clear()
+      val r2 = EtlPipeline.run(spark, src, "m", dest, s"$base/wm")
+      r2.extracted shouldBe 1
+      srv.sinceSeen should contain(150L)
+      val want = graft.operators.Hierarchy.closure(
+        Seq((10L, 1L), (11L, 1L), (12L, 10L), (13L, 12L)).toDF("child", "parent"))
+        .as[(Long, Long, Int)].collect().toSet
+      dest.scan(spark).select($"ancestor", $"descendant", $"depth")
+        .as[(Long, Long, Int)].collect().toSet shouldBe want
     } finally srv.stop()
   }
 
