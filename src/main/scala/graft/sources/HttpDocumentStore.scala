@@ -13,11 +13,14 @@ import org.apache.spark.sql.types.StructType
   *    pages remain — ES's sliced scroll. Every executor slice walks
   *    its own cursor chain INDEPENDENTLY, so the scan is distributed:
   *    the driver never sees a document, and a 1000-executor cluster
-  *    reads 1000 slices in parallel. `since` is the server-side
-  *    watermark range filter (docs with wm > since only — ES's range
-  *    query inside the scroll); the DSv2 connector
-  *    ([[graft.sources.http.HttpStoreProvider]]) pushes an extract's
-  *    bookmark predicate down to it automatically.
+  *    reads 1000 slices in parallel. `since`/`until` are the
+  *    server-side watermark range filter (docs with since < wm <=
+  *    until — ES's range query inside the scroll); the DSv2
+  *    connector ([[graft.sources.http.HttpStoreProvider]]) pushes an
+  *    extract's bookmark predicate down to `since` automatically,
+  *    and its streaming source brackets each micro-batch with both.
+  *  - `GET  {base}/wm` → the store's current MAX watermark (the
+  *    streaming source's latestOffset poll); "none" when empty.
   *  - `POST {base}/bulk` — keyed bulk upsert, LATEST VERSION WINS per
   *    key on the server (ES external versioning); idempotent under
   *    redelivery, so at-least-once transports above the seam are
@@ -123,13 +126,14 @@ object HttpDocumentStore {
     * fetches at most one page, so a downstream `limit` stops early.
     */
   private[sources] def slicePages(base: String, slice: Int,
-      slices: Int, since: Option[Long] = None): Iterator[String] =
+      slices: Int, since: Option[Long] = None,
+      until: Option[Long] = None): Iterator[String] =
     // state: Some(None) = first page, Some(Some(c)) = follow cursor c,
     // None = cursor chain exhausted
     Iterator.unfold(Some(None): Option[Option[String]]) {
       case None => None
       case Some(cursor) =>
-        val (body, next) = fetchPage(base, slice, slices, cursor, since)
+        val (body, next) = fetchPage(base, slice, slices, cursor, since, until)
         val lines = body.linesIterator.filter(_.nonEmpty).toSeq
         Some((lines, next.map(c => Some(c))))
     }.flatten
@@ -165,10 +169,12 @@ object HttpDocumentStore {
   }
 
   private def fetchPage(base: String, slice: Int, slices: Int,
-      cursor: Option[String], since: Option[Long] = None): (String, Option[String]) = {
+      cursor: Option[String], since: Option[Long] = None,
+      until: Option[Long] = None): (String, Option[String]) = {
     val url = s"$base/scan?slice=$slice&slices=$slices" +
       cursor.fold("")(c => s"&cursor=$c") +
-      since.fold("")(v => s"&since=$v") // server returns wm > since only
+      since.fold("")(v => s"&since=$v") + // server returns wm > since only
+      until.fold("")(v => s"&until=$v") // ... and wm <= until
 
     withRetry(s"scan $url") {
       val conn = new java.net.URL(url).openConnection()

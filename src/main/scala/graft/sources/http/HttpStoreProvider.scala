@@ -71,7 +71,7 @@ case class HttpStoreTable(tableSchema: StructType, base: String,
   override def name(): String = s"graft-http($base)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(tableSchema, base, wmCol, slices)
 }
@@ -120,29 +120,82 @@ case class HttpScanDef(base: String, slices: Int, since: Option[Long],
     s"graft-http scan base=$base slices=$slices" +
       since.fold("")(v => s" since=$v (pushed)")
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until slices).map(i => HttpSlicePartition(i): InputPartition).toArray
+    (0 until slices).map(i =>
+      HttpSlicePartition(i, since, None): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    HttpReaderFactory(base, slices, since, required)
+    HttpReaderFactory(base, slices, required)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new HttpMicroBatchStream(base, slices, since, required)
 }
 
-case class HttpSlicePartition(slice: Int) extends InputPartition
+/** The HTTP store as a STRUCTURED STREAMING micro-batch source — the
+  * reference's ES polling loop as a real `readStream`: each trigger
+  * polls the store's max watermark (`GET /wm`) and reads the
+  * half-open bracket (lastOffset, maxWm] server-side, sliced across
+  * executors like the batch scan.
+  *
+  * Exactly-once per row under the contract the reference's extract
+  * already imposes: the watermark must be SERVER-ASSIGNED and
+  * monotone (an ES `_seq_no`-like revision — never a client clock). A
+  * writer that backfills wm values at or below a committed offset
+  * loses those rows, exactly as it would against the reference's
+  * max-modified bookmark. Offsets are plain watermark longs in the
+  * checkpoint, so a restarted query resumes the bracket where it
+  * stopped; `since`/`until` bracket BOTH ends of every batch, so a
+  * row is read in exactly one batch no matter how many triggers
+  * or restarts happen between its arrival and its read.
+  */
+class HttpMicroBatchStream(base: String, slices: Int,
+    startSince: Option[Long], required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
 
-case class HttpReaderFactory(base: String, slices: Int, since: Option[Long],
+  private case class WmOffset(wm: Long) extends Offset {
+    override def json(): String = wm.toString
+  }
+
+  override def initialOffset(): Offset =
+    WmOffset(startSince.getOrElse(Long.MinValue))
+  override def latestOffset(): Offset = {
+    val body = HttpDocumentStore.request("GET", s"$base/wm", "", Map.empty)
+    if (body == "none") initialOffset() else WmOffset(body.trim.toLong)
+  }
+  override def deserializeOffset(json: String): Offset = WmOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[WmOffset].wm, end.asInstanceOf[WmOffset].wm)
+    if (s0 >= e0) Array.empty
+    // the (since, until] bracket rides IN the partitions — the
+    // factory below is range-agnostic
+    else (0 until slices).map(i =>
+      HttpSlicePartition(i, Some(s0), Some(e0)): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    HttpReaderFactory(base, slices, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class HttpSlicePartition(slice: Int, since: Option[Long],
+    until: Option[Long]) extends InputPartition
+
+case class HttpReaderFactory(base: String, slices: Int,
     required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new HttpPartitionReader(base,
-      partition.asInstanceOf[HttpSlicePartition].slice, slices, since, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HttpSlicePartition]
+    new HttpPartitionReader(base, p.slice, slices, p.since, p.until, required)
+  }
 }
 
 /** Executor-side reader: walks one slice's cursor chain lazily (one
   * page in memory at a time) and parses only the pruned fields.
   */
 class HttpPartitionReader(base: String, slice: Int, slices: Int,
-    since: Option[Long], required: StructType)
+    since: Option[Long], until: Option[Long], required: StructType)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = HttpDocumentStore.slicePages(base, slice, slices, since)
+  private val lines = HttpDocumentStore.slicePages(base, slice, slices, since, until)
   private var current: InternalRow = _
 
   override def next(): Boolean =

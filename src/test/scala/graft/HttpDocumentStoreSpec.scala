@@ -54,15 +54,18 @@ class HttpDocumentStoreSpec extends SparkSpec {
       val (slice, slices) = (params("slice").toInt, params("slices").toInt)
       val cursor = params.get("cursor").map(_.toInt).getOrElse(0)
       val since = params.get("since").map(_.toLong)
+      val until = params.get("until").map(_.toLong)
       since.foreach(sinceSeen += _)
       // server-side watermark range filter (the ES range-in-scroll)
       def wmOf(json: String): Long =
         Option(mapper.readTree(json).get(wmField)).map(_.asLong()).getOrElse(Long.MinValue)
       val mine = docs.toSeq.filter(_._1 % slices == slice)
         .filter { case (_, (_, json)) =>
-          // a server without a configured wm field ignores `since`
+          // a server without a configured wm field ignores the range
           // (the connector's residual filter still applies it)
-          since.isEmpty || wmField.isEmpty || wmOf(json) > since.get }
+          wmField.isEmpty ||
+            ((since.isEmpty || wmOf(json) > since.get) &&
+              (until.isEmpty || wmOf(json) <= until.get)) }
         .sortBy(_._1)
       val page = mine.slice(cursor, cursor + 2)
       if (cursor + 2 < mine.size)
@@ -106,6 +109,12 @@ class HttpDocumentStoreSpec extends SparkSpec {
       docs.clear(); docs ++= staged
       staged.clear(); epoch = None; tombstones.clear()
       respond(x, "ok")
+    })
+    server.createContext("/wm", (x: HttpExchange) => lock.synchronized {
+      val wms = docs.values.map { case (_, json) =>
+        Option(mapper.readTree(json).get(wmField)).map(_.asLong())
+          .getOrElse(Long.MinValue) }
+      respond(x, if (wms.isEmpty) "none" else wms.max.toString)
     })
     server.createContext("/mapping", (x: HttpExchange) => lock.synchronized {
       if (x.getRequestMethod == "PUT")
@@ -315,6 +324,73 @@ class HttpDocumentStoreSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().toSet
       dest.scan(spark).select($"ancestor", $"descendant", $"depth")
         .as[(Long, Long, Int)].collect().toSet shouldBe want
+    } finally srv.stop()
+  }
+
+  test("DSv2 streaming source: each trigger reads the (lastWm, maxWm] bracket exactly once") {
+    val srv = new MockServer(wmField = "rev")
+    try {
+      val store = HttpDocumentStore(srv.base, schema)
+      store.push((1L to 4L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "rev"))
+      val stream = spark.readStream
+        .format("graft.sources.http.HttpStoreProvider")
+        .schema(schema).option("base", srv.base)
+        .option("wmcol", "rev").option("slices", "2").load()
+      val q = stream.writeStream.format("memory")
+        .queryName("http_stream_test").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        def got = spark.table("http_stream_test")
+          .select($"id").as[Long].collect().toSeq
+        got.sorted shouldBe (1L to 4L)
+        // new docs arrive; the next poll brackets (40, 60] only
+        store.push(Seq((5L, "v5", 50L), (6L, "v6", 60L)).toDF("id", "v", "rev"))
+        q.processAllAvailable()
+        got.sorted shouldBe (1L to 6L)
+        // no new docs: the poll sees maxWm == lastOffset, empty batch,
+        // and nothing is re-read (exactly-once per row)
+        q.processAllAvailable()
+        got.sorted shouldBe (1L to 6L)
+        got.size shouldBe 6
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
+  test("capstone: the reference's whole loop streaming — HTTP poll → closure patch → keyed push") {
+    val srv = new MockServer(wmField = "m")
+    try {
+      import graft.sources.{EtlPipeline, ParquetStore}
+      val edgeSchema = StructType(Seq(
+        StructField("child", LongType), StructField("parent", LongType),
+        StructField("m", LongType), StructField("id", LongType),
+        StructField("rev", LongType)))
+      val feed = HttpDocumentStore(srv.base, edgeSchema)
+      feed.push(Seq((10L, 1L, 100L, 1L, 1L), (11L, 1L, 100L, 2L, 1L),
+        (12L, 10L, 150L, 3L, 1L)).toDF("child", "parent", "m", "id", "rev"))
+      val base = java.nio.file.Files.createTempDirectory("graft-live").toString
+      val dest = ParquetStore(s"$base/closure", Seq("ancestor", "descendant"), "rev", 4)
+      val stream = spark.readStream
+        .format("graft.sources.http.HttpStoreProvider")
+        .schema(edgeSchema).option("base", srv.base)
+        .option("wmcol", "m").option("slices", "2").load()
+      val q = EtlPipeline.runStream(stream, dest)
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try {
+        q.processAllAvailable()
+        def closure = dest.scan(spark)
+          .select($"ancestor", $"descendant", $"depth")
+          .as[(Long, Long, Int)].collect().toSet
+        closure shouldBe graft.operators.Hierarchy.closure(
+          Seq((10L, 1L), (11L, 1L), (12L, 10L)).toDF("child", "parent"))
+          .as[(Long, Long, Int)].collect().toSet
+        // a later edge lands in the store; the NEXT poll brackets only
+        // it (wm > 150 server-side) and the closure patch folds it in
+        feed.push(Seq((13L, 12L, 220L, 4L, 1L)).toDF("child", "parent", "m", "id", "rev"))
+        q.processAllAvailable()
+        closure shouldBe graft.operators.Hierarchy.closure(
+          Seq((10L, 1L), (11L, 1L), (12L, 10L), (13L, 12L)).toDF("child", "parent"))
+          .as[(Long, Long, Int)].collect().toSet
+      } finally q.stop()
     } finally srv.stop()
   }
 
