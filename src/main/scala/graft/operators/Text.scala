@@ -1228,6 +1228,86 @@ object Text extends QueryPack {
            |FROM documents""".stripMargin),
     "per-doc length percentile in source: cume_dist/percent_rank from rankPrep's compressed domain + equi-join, no raw-row window")
 
+  /** Trained char-trigram language classifier (q125) — the
+    * profile-based upgrade over q36's marker heuristic (the
+    * fastText/textcat family shape, reduced to exact integer machinery
+    * so the whole train-and-classify pipeline is oracle-verifiable):
+    *
+    *  - TRAIN on the deterministic q53-style holdout (doc_id % 10 < 8):
+    *    per-(lang, trigram) occurrence counts — one explode + one
+    *    map-partial aggregate; the profile table is langs × distinct
+    *    trigrams (model-sized, broadcast below).
+    *  - CLASSIFY every document: its trigram occurrences join the
+    *    broadcast profiles, score(lang) = Σ profile counts over
+    *    occurrences (exact longs), predicted = top score with
+    *    lexicographic tiebreak — one narrow explode, one broadcast
+    *    join, one (doc × matched-langs) aggregate, a doc-keyed
+    *    window over ≤|langs| rows.
+    *  - EMIT the confusion matrix (true lang × predicted, n_docs) —
+    *    the eval artifact a corpus pipeline monitors.
+    *
+    * Docs shorter than 3 chars have no trigrams and drop out (inner
+    * joins on both engines — mirrored contract). At 100 TB: explode
+    * is scan-speed, profiles broadcast, the only shuffle is the
+    * per-doc score aggregate keyed by doc_id.
+    */
+  def langProfiles(train: DataFrame): DataFrame =
+    train
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("tg"))
+      .groupBy(col("lang"), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def langClassify(docsDf: DataFrame, profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occurrences = docsDf
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("tg"))
+    val scored = occurrences
+      .join(broadcast(profiles.withColumnRenamed("lang", "cand")), Seq("tg"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("cnt")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("predicted"))
+  }
+
+  val q125 = Q(
+    "q125_lang_trigram",
+    (s, d) => {
+      val all = docs(s, d)
+      val profiles = langProfiles(all.where(col("doc_id") % 10 < 8))
+      langClassify(all, profiles)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""WITH train AS (
+           |  SELECT * FROM documents WHERE doc_id % 10 < 8
+           |), prof AS (
+           |  SELECT lang AS cand, substr(text, i, 3) AS tg, COUNT(*) AS cnt
+           |  FROM train, UNNEST(generate_series(1, len(text) - 2)) t(i)
+           |  GROUP BY 1, 2
+           |), occ AS (
+           |  SELECT doc_id, lang, substr(text, i, 3) AS tg
+           |  FROM documents, UNNEST(generate_series(1, len(text) - 2)) t(i)
+           |), scored AS (
+           |  SELECT doc_id, lang, cand, SUM(cnt) AS score
+           |  FROM occ JOIN prof USING (tg)
+           |  GROUP BY 1, 2, 3
+           |), pred AS (
+           |  SELECT doc_id, lang, cand AS predicted FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, cand ASC) AS rn FROM scored)
+           |  WHERE rn = 1
+           |)
+           |SELECT lang, predicted, COUNT(*) AS n_docs
+           |FROM pred GROUP BY 1, 2""".stripMargin),
+    "trained trigram language ID: per-lang profile counts on the 80% split, broadcast-profile integer scoring, confusion matrix")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
-    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123)
+    q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123,
+    q125)
 }

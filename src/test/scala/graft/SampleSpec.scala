@@ -127,6 +127,27 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("trigram language ID (q125): crafted languages classify correctly, short docs drop") {
+    import graft.operators.Text
+    // two synthetic "languages" with disjoint character inventories
+    def aa(n: Int) = Seq.fill(n)("alpha beta gamma").mkString(" ")
+    def bb(n: Int) = Seq.fill(n)("zulu yankee xray").mkString(" ")
+    val corpus = (
+      (1L to 8L).map(i => (i, aa(3), "aa")) ++
+      (11L to 18L).map(i => (i, bb(3), "bb")) ++
+      Seq((21L, aa(2), "aa"), (22L, bb(2), "bb"), // held-out style rows
+        (23L, "xy", "aa"))) // < 3 chars: no trigrams, drops out
+      .toDF("doc_id", "text", "lang")
+    val profiles = Text.langProfiles(corpus.where($"doc_id" <= 18))
+    val pred = Text.langClassify(corpus, profiles)
+      .select($"doc_id", $"lang", $"predicted")
+      .as[(Long, String, String)].collect()
+    pred.map(_._1).toSet shouldBe ((1L to 8L) ++ (11L to 18L) ++ Seq(21L, 22L)).toSet
+    pred.foreach { case (id, lang, p) =>
+      withClue(s"doc $id: ") { p shouldBe lang }
+    }
+  }
+
   test("incremental corpus stats equal the full recompute on any split") {
     val full = Text.corpusStatsReport(Text.corpusStatsBase(documents))
       .as[(String, Long, Long, Long, Int, Int, Double)].collect().toSet
