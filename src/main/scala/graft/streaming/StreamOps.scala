@@ -388,5 +388,54 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** Streaming ingest for an ADDITIVE store — the exactly-once form
+    * the batch additive stores (Etl.kpiIncrement, the corpus-stats
+    * base) deliberately do NOT provide: a plain additive merge
+    * double-counts a redelivered micro-batch, which is why no naive
+    * "streaming KPI" exists in this library. The correct shape keys
+    * each batch's PARTIAL aggregate by its stable batchId and writes
+    * it through the latest-wins upsert sink — a replayed batch
+    * OVERWRITES its own partials instead of adding to them — and the
+    * read view ([[readDailyCounts]]) sums partials per (day, type).
+    * State per batch is days×types-sized (the partial, never raw
+    * events), and the view's aggregate runs over
+    * batches×days×types rows — compact forever if batches are
+    * minutes-to-hours; a nightly compaction can fold old partials
+    * into one batch id without changing the view.
+    *
+    * Idempotence scope: a batch REPLAYED UNDER ITS OWN ID (Spark's
+    * crash recovery — the checkpoint re-runs batch N with identical
+    * content) overwrites its own partials exactly. Replaying the
+    * whole stream under a fresh checkpoint against a non-empty store
+    * is NOT safe unless the batch boundaries repeat (a batch id that
+    * receives different content overwrites with it, and an id that
+    * receives none keeps its stale partial) — same contract as every
+    * keyed-by-batch streaming sink. StreamingSpec pins multi-batch ≡
+    * batch dailyCounts and identical-boundary replay convergence.
+    */
+  def streamingKpiIngest(events: DataFrame, path: String,
+      numBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
+      val partial = graft.operators.Etl.dailyCounts(batch.toDF())
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("_rev", lit(0L))
+      if (partial.head(1).nonEmpty)
+        graft.sources.ParquetUpsertSink.upsert(partial, path,
+          Seq("batch_id", "day", "event_type"), "_rev", numBuckets)
+    }
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
+  /** The daily-KPI view over the batch-partial store: identical
+    * schema and values to `Etl.dailyCounts` over all ingested events.
+    */
+  def readDailyCounts(spark: SparkSession, path: String): DataFrame =
+    graft.sources.ParquetUpsertSink.read(spark, path)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+
   val all: Seq[Q] = Seq(q42, q51)
 }

@@ -97,6 +97,14 @@ object ExplainAudit {
           v += Violation(name, "shuffle in plan (nested format must be a pure projection)")
         if (!raw"PushedFilters: \[[^\]]".r.findFirstIn(plan).isDefined)
           v += Violation(name, "no PushedFilters on the parquet scan")
+      case "q125_lang_trigram" =>
+        // profiles must reach the occurrence stream as a BROADCAST
+        // (model-sized dim); losing it means shuffling the whole
+        // exploded trigram stream against the profile table
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "profile join degraded (no BroadcastHashJoin)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q54_corpus_stats" | "q123_corpus_stats_incr" | "q122_mix_temperature" =>
         // release-report aggregates must keep map-side partials
         if (plan.split("HashAggregate").length <= 2)

@@ -361,6 +361,40 @@ class StreamingSpec extends SparkSpec {
     stored shouldBe batch
   }
 
+  test("streaming additive-KPI ingest: batch-keyed partials, view ≡ batch, replay converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("graft-kpi-src").toString
+    val kpiPath = Files.createTempDirectory("graft-kpi").toString + "/kpi"
+    // two micro-batches of events (split by id parity)
+    val ev = Tables.events(spark, sfDir).limit(2000).localCheckpoint()
+    ev.where($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.where($"event_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def runStream(): Unit = {
+      val ckpt = Files.createTempDirectory("graft-kpi-ck").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = StreamOps.streamingKpiIngest(stream, kpiPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runStream()
+    val want = graft.operators.Etl.dailyCounts(ev)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    def got = StreamOps.readDailyCounts(spark, kpiPath)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    got shouldBe want
+    // identical-boundary replay (fresh checkpoint, same file order):
+    // every batch overwrites its OWN partials — the view is unchanged,
+    // where a plain additive merge would have doubled every count
+    runStream()
+    got shouldBe want
+  }
+
   test("streaming jx aggregation equals the batch jx query on the same data") {
     import graft.jx.JxCompiler
     // the jx dashboard shape over a live stream: filter + calendar
