@@ -63,6 +63,47 @@ object IncrAudit {
             Etl.dailyCounts(ev.where(col("event_id") % 5 =!= 0)),
             ev.where(col("event_id") % 5 === 0)),
           Etl.dailyCounts(ev))
+      },
+      // near-dup delta pairs ≡ the full pair run restricted to
+      // delta-touching pairs (the nightly signature-store contract)
+      locally {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val base = docs.where(col("doc_id") % 10 =!= 0)
+        val delta = docs.where(col("doc_id") % 10 === 0)
+        val deltaIds = delta.select(col("doc_id")).localCheckpoint()
+        val full = Dedup.minhashPairs(docs, 0.5).select(col("d1"), col("d2"))
+          .localCheckpoint()
+        val touching = full
+          .join(deltaIds.toDF("d1"), Seq("d1"), "left_semi")
+          .unionByName(full.join(deltaIds.toDF("d2"), Seq("d2"), "left_semi"))
+          .dropDuplicates("d1", "d2")
+        diff("minhash_delta_pairs ≡ full pairs touching the delta",
+          Dedup.minhashDeltaPairs(Dedup.minhashSignatures(base), delta, 0.5)
+            .select(col("d1"), col("d2")),
+          touching)
+      },
+      // memorization store: union of per-delta window stores answers
+      // the rate identically to the one-shot computation
+      locally {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val evalSet = docs.where(col("doc_id") % 17 === 0)
+        val train = docs.where(col("doc_id") % 17 =!= 0)
+        val stored = Dedup.windowSignatures(train.where(col("doc_id") % 2 === 0))
+          .unionByName(Dedup.windowSignatures(train.where(col("doc_id") % 2 =!= 0)))
+        diff("memorization_incr ≡ one-shot rate",
+          Dedup.memorizationRateAgainst(stored, evalSet),
+          Dedup.memorizationRate(train, evalSet))
+      },
+      // IVF append under the stored quantizer ≡ full re-assign
+      locally {
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        val cents = graft.operators.Ann.storedCentroids(spark, sfDir, 16, 2)
+        diff("ivf_append ≡ full re-assign",
+          graft.operators.Ann.ivfAppend(
+            graft.operators.Ann.assignClusters(
+              emb.where(col("vec_id") % 5 =!= 0), cents),
+            emb.where(col("vec_id") % 5 === 0), cents),
+          graft.operators.Ann.assignClusters(emb, cents))
       })
     spark.stop()
     if (results.contains(false)) sys.exit(1)
