@@ -595,6 +595,49 @@ object Etl extends QueryPack {
            |WHERE valid_from <= mid AND (valid_to IS NULL OR valid_to > mid)""".stripMargin),
     "SCD2 as-of read: every key's interval containing the corpus-midpoint instant, over the incrementally-maintained history")
 
+  /** State residency (q126) — the dashboard metric the reference's
+    * consumers read off the maintained history (Bugzilla "time in
+    * state"): for each state, how many CLOSED residency intervals
+    * exist and how long they lasted. Open intervals (is_current) are
+    * excluded — their residency is still accruing. All integer
+    * MICROSECOND arithmetic (unix_micros diffs summed as longs — the
+    * q24 precedent; whole-second epochs would truncate sub-second
+    * residency differently than the oracle), one final double
+    * division, over the INCREMENTALLY-maintained q120 artifact; one
+    * aggregate, map-side partial.
+    */
+  def stateResidency(history: DataFrame): DataFrame =
+    history
+      .where(col("valid_to").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("valid_to")) -
+          unix_micros(col("valid_from"))).as("us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("us")).as("total_us"),
+        (sum(col("us")).cast("double") / count(lit(1))).as("avg_us"),
+        max(col("us")).as("max_us"))
+
+  val q126 = Q(
+    "q126_state_residency",
+    (s, d) => stateResidency(storedIncrementalScd2(s, d)),
+    Some("""WITH h AS (
+           |  SELECT user_id, event_type, ts AS valid_from,
+           |    LEAD(ts, 1) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS valid_to
+           |  FROM events
+           |)
+           |SELECT event_type,
+           |  COUNT(*) AS n_intervals,
+           |  CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) AS total_us,
+           |  CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS DOUBLE)
+           |    / COUNT(*) AS avg_us,
+           |  CAST(MAX(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) AS max_us
+           |FROM h WHERE valid_to IS NOT NULL
+           |GROUP BY 1""".stripMargin),
+    "state residency over the maintained SCD2 history: closed-interval count/total/avg/max microseconds per state")
+
   /** Keyed snapshot diff (q116): classify every key across two
     * adjacent 7-day activity windows as added / removed / changed /
     * unchanged — the CDC report between two incremental-extract
@@ -664,5 +707,5 @@ object Etl extends QueryPack {
     "keyed snapshot diff across two extract windows: latest-per-key states, one full-outer join, added/removed/changed/unchanged")
 
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116, q120, q124)
+    q115, q116, q120, q124, q126)
 }
