@@ -86,6 +86,7 @@ object Bench {
       build("cluster_centroids") { operators.Ann.storedCentroids(spark, sfDir, 8, 3) }
       build("pq_codebooks") { operators.Ann.storedCodebooks(spark, sfDir, 8, 16, 2) }
       build("pca") { operators.Ann.storedPcaProjection(spark, sfDir, 8) }
+      build("trigram_tf") { operators.Text.storedTrigramTf(spark, sfDir) }
     }
     // Machine-factor sentinel: ONE fixed cheap query (q02's shape — a
     // full-scan decimal aggregation, no stored artifacts, plan stable

@@ -42,5 +42,6 @@ object StoredArtifacts {
       operators.Ann.clearStored(s) +
       operators.Jx.clearStored(s) +
       operators.Etl.clearStored(s) +
+      operators.Text.clearStored(s) +
       util.clearReused(s)
 }

@@ -295,6 +295,7 @@ class PlanSpec extends SparkSpec {
     operators.Cluster.storedComponents(spark, sfDir)
     operators.Cluster.storedIncrementalComponents(spark, sfDir)
     operators.Etl.storedIncrementalScd2(spark, sfDir)
+    operators.Text.storedTrigramTf(spark, sfDir)
     operators.Ann.storedCentroids(spark, sfDir, 16, 2)
     operators.Ann.storedCentroids(spark, sfDir, 8, 3)
     operators.Ann.storedCodebooks(spark, sfDir, 8, 16, 2)
