@@ -43,9 +43,18 @@ import scala.jdk.CollectionConverters._
   *  - window: {name, value, aggregate, edges, sort} with aggregate in
   *    sum, count, min, max, rownum
   *  - sort: field or {value, sort: 1|-1}; limit: int
-  *  - format: "list" (default, flat rows), "table" (header + data
-  *    arrays), "cube" (edge domain arrays + per-aggregate nested
-  *    data arrays)
+  *  - format: "list" (default, flat rows), "nested" (dotted names
+  *    re-assembled into documents), "table" (header + data arrays),
+  *    "cube" (edge domain arrays + per-aggregate nested data arrays)
+  *
+  * Numeric contract: jx arithmetic runs on the engine's 64-bit types
+  * under ANSI semantics — an integer product that exceeds Long range
+  * FAILS LOUDLY (ARITHMETIC_OVERFLOW) instead of wrapping or silently
+  * widening. This is a deliberate divergence from pyLibrary's
+  * arbitrary-precision Python ints: at engine scale a silent bigint
+  * promotion does not exist, and a loud failure beats a wrapped
+  * wrong answer. Epoch-scale values (`unix`) belong in differences
+  * and unit divisions, not raw products.
   */
 object JxCompiler {
 

@@ -50,6 +50,17 @@ class JxPropertySpec extends SparkSpec {
   case class NWhen(c: B, t: N, e: N) extends N
   case class NLen(a: N) extends N // length of s — exercises string→num
   case class NUnix(a: D) extends N // {"unix": ts} — date→num bridge
+  // {"unix": ts} normalized to DAYS since the fixture base — the form
+  // the fuzzer feeds into arithmetic. Raw epoch seconds (~1.7e9) in a
+  // random mult chain leave the differential envelope two ways: the
+  // product exceeds 2^53 (the interpreter's double loses the exactness
+  // the comparison relies on) and can exceed Long.Max, where the
+  // ENGINE's contract is ANSI loud overflow (64-bit jx by design — a
+  // documented divergence from python bigints; a fuzz seed caught
+  // exactly this in r9). Day-normalized values (±~210) keep every
+  // depth-4 product exact IEEE on both sides while still exercising
+  // unix/sub/div compilation.
+  case class NUnixDay(a: D) extends N
   case class NDateDiff(a: D, b: D, unit: Option[String]) extends N
   sealed trait D // timestamp-valued expressions (whole seconds)
   case object FT extends D // field t
@@ -82,6 +93,8 @@ class JxPropertySpec extends SparkSpec {
     case NWhen(c, t, e) => s"""{"when": ${bjson(c)}, "then": ${njson(t)}, "else": ${njson(e)}}"""
     case NLen(_) => """{"length": "s"}"""
     case NUnix(a) => s"""{"unix": ${djson(a)}}"""
+    case NUnixDay(a) =>
+      s"""{"div": [{"sub": [{"unix": ${djson(a)}}, {"literal": 1698796800}]}, {"literal": 86400}]}"""
     case NDateDiff(a, b, u) =>
       val tail = u.map(x => s""", "$x"""").getOrElse("")
       s"""{"date_diff": [${djson(a)}, ${djson(b)}$tail]}"""
@@ -159,6 +172,7 @@ class JxPropertySpec extends SparkSpec {
       if (evalB(c, r).contains(true)) evalN(t, r) else evalN(e, r)
     case NLen(_) => r._4.map(_.length.toDouble)
     case NUnix(a) => evalD(a, r).map(_.toDouble)
+    case NUnixDay(a) => evalD(a, r).map(x => (x - 1698796800L).toDouble / 86400)
     case NDateDiff(a, b, u) =>
       for (x <- evalD(a, r); y <- evalD(b, r)) yield u match {
         case None => (x - y).toDouble
@@ -222,7 +236,7 @@ class JxPropertySpec extends SparkSpec {
                   args <- Gen.listOfN(k, genN(d - 1)) } yield NMinMax(isMax, args)),
       1 -> (for { c <- genB(d - 1); t <- genN(d - 1); e <- genN(d - 1) } yield NWhen(c, t, e)),
       1 -> Gen.const(NLen(FX)),
-      1 -> genD(d - 1).map(NUnix),
+      1 -> genD(d - 1).map(NUnixDay),
       1 -> (for { a <- genD(d - 1); b <- genD(d - 1)
                   u <- Gen.option(Gen.oneOf("second", "minute", "hour", "day", "week")) }
         yield NDateDiff(a, b, u)))
