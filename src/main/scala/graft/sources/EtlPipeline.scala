@@ -156,10 +156,13 @@ object EtlPipeline {
     * Per batch, all at delta cost:
     *  1. collapse the batch latest-seq per edge (an add+delete of the
     *     same edge in one batch resolves to its final op);
-    *  2. diff against the PREVIOUS edge state (materialized before
-    *     the upsert — the scan is lazy and the upsert rewrites its
-    *     files) → genuinely-removed and genuinely-new edges;
-    *  3. upsert the collapsed batch into `edgeStore` (latest-wins);
+    *  2. upsert the collapsed batch into `edgeStore` (latest-wins),
+    *     with the PREVIOUS state materialized first (the scan is lazy
+    *     and the upsert rewrites its files);
+    *  3. derive removed/added edges as the STORE TRANSITION on the
+    *     touched keys — never the batch's face value: a stale event
+    *     (older seq than the stored row) loses the latest-wins merge
+    *     and must not patch the closure;
     *  4. patch the closure: [[Hierarchy.incrementalClosureDelete]]
     *     re-closes only the deletion-affected region against the
     *     surviving edges, then [[Hierarchy.incrementalClosure]] folds
@@ -230,6 +233,7 @@ object EtlPipeline {
       .drop("__rn").localCheckpoint()
     val nEvents = collapsed.count()
     if (nEvents == 0) return (0L, 0L)
+    val batchKeys = collapsed.select(col("child"), col("parent"))
     val prevEdges = (
       if (edgeStore.exists(s))
         edgeStore.scan(s).select(col("child"), col("parent"), col("op"))
@@ -239,19 +243,27 @@ object EtlPipeline {
           StructField("parent", LongType),
           StructField("op", org.apache.spark.sql.types.StringType))))
       ).localCheckpoint() // pin BEFORE the upsert rewrites the files
-    val prevLive = prevEdges.where(col("op") === "add")
-      .select(col("child"), col("parent"))
-    // removed = was live, batch's final op deletes it;
-    // added = batch's final op adds it and it was not live before
-    val removed = prevLive
-      .join(collapsed.where(col("op") === "delete"), Seq("child", "parent"),
-        "left_semi")
-    val added = collapsed.where(col("op") === "add")
-      .select(col("child"), col("parent"))
-      .join(prevLive, Seq("child", "parent"), "left_anti")
     edgeStore.push(collapsed)
     val live = edgeStore.scan(s).where(col("op") === "add")
       .select(col("child"), col("parent")).localCheckpoint()
+    // added/removed are the STORE TRANSITION on the touched keys, not
+    // the batch's face value: a STALE event (older seq than the stored
+    // row — cross-batch reordering, redelivery) loses the latest-wins
+    // merge, and taking the batch at face value would patch the
+    // closure with an edge change the store rejected (a stale add
+    // would graft pairs through a dead edge). Restricting both sides
+    // to the batch's keys keeps the comparison delta-sized.
+    val prevLiveTouched = prevEdges.where(col("op") === "add")
+      .select(col("child"), col("parent"))
+      .join(batchKeys, Seq("child", "parent"), "left_semi")
+      .localCheckpoint() // compared twice below
+    val liveTouched = live
+      .join(batchKeys, Seq("child", "parent"), "left_semi")
+      .localCheckpoint()
+    val removed = prevLiveTouched
+      .join(liveTouched, Seq("child", "parent"), "left_anti")
+    val added = liveTouched
+      .join(prevLiveTouched, Seq("child", "parent"), "left_anti")
     val existing = (
       if (dest.exists(s))
         dest.scan(s).select(col("ancestor"), col("descendant"), col("depth"))

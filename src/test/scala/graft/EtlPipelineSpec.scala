@@ -157,6 +157,40 @@ class EtlPipelineSpec extends SparkSpec {
     closureNow() shouldBe want
   }
 
+  test("stale cross-batch events lose the latest-wins merge AND never patch the closure") {
+    import graft.sources.ParquetStore
+    val base = tmpDir()
+    val dest = ParquetStore(s"$base/closure", Seq("ancestor", "descendant"), "rev", 4)
+    val edgeStore = ParquetStore(s"$base/edges", Seq("child", "parent"), "seq", 4)
+    val bm = s"$base/wm"
+    // arrival watermark `m` (what the bookmark windows on) is SEPARATE
+    // from the per-edge revision `seq` — late arrivals have new m but
+    // stale seq. Run 1 establishes edges AND a tombstone: (12,10) was
+    // added at seq 3 then deleted at seq 5.
+    val ev1 = Seq((10L, 1L, "add", 1L, 1L), (11L, 1L, "add", 2L, 2L),
+      (12L, 10L, "add", 3L, 3L), (12L, 10L, "delete", 5L, 5L))
+      .toDF("child", "parent", "op", "seq", "m")
+    EtlPipeline.runWithDeletes(spark, ev1, "m", dest, edgeStore, bm)
+    // run 2 delivers LATE-ARRIVING STALE events: an add of the dead
+    // edge (seq 4 < tombstone 5) and a delete of a live edge (seq 0 <
+    // stored add seq 2) — both must lose the latest-wins merge and
+    // leave the closure untouched
+    val ev2 = ev1.union(Seq((12L, 10L, "add", 4L, 6L), (11L, 1L, "delete", 0L, 7L))
+      .toDF("child", "parent", "op", "seq", "m"))
+    val r2 = EtlPipeline.runWithDeletes(spark, ev2, "m", dest, edgeStore, bm)
+    r2.extracted shouldBe 2
+    r2.pushed shouldBe 0
+    val want = Hierarchy.closure(
+      Seq((10L, 1L), (11L, 1L)).toDF("child", "parent"))
+      .as[(Long, Long, Int)].collect().toSet
+    dest.scan(spark).select($"ancestor", $"descendant", $"depth")
+      .as[(Long, Long, Int)].collect().toSet shouldBe want
+    // and the edge store still shows the tombstone and the live edge
+    edgeStore.scan(spark).select($"child", $"parent", $"op", $"seq")
+      .as[(Long, Long, String, Long)].collect().toSet shouldBe Set(
+      (10L, 1L, "add", 1L), (11L, 1L, "add", 2L), (12L, 10L, "delete", 5L))
+  }
+
   test("streaming adds AND deletes converge to the batch closure of the final edge set") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.ParquetStore
