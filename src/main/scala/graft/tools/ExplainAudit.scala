@@ -117,7 +117,9 @@ object ExplainAudit {
         if (!plan.contains("Generate"))
           v += Violation(name, "single-pass metric unpivot lost (no Generate in plan)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
-           "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" =>
+           "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
+           "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |
+           "q126_state_residency" =>
         // stored-artifact consumers (closure / pair list / components /
         // contamination audit): after the session memo materializes,
         // the gate plan must READ the checkpointed artifact — the
