@@ -561,17 +561,21 @@ object Etl extends QueryPack {
   /** Gate entry: every user's state as of the events table's midpoint
     * instant, read from the INCREMENTALLY-maintained history (q120's
     * artifact) — oracled by the window mirror evaluated at the same
-    * fixed instant. The instant is data-relative (min + half the span,
-    * whole-second) so the query stays meaningful at every sf.
+    * fixed instant. The instant is data-relative (min + half the
+    * span) so the query stays meaningful at every sf. Integer
+    * MICROSECOND midpoint on both engines (the q24/q126 precedent) —
+    * a second-truncated engine midpoint vs a fractional oracle epoch
+    * can differ by one second once event timestamps carry sub-second
+    * parts, shifting boundary rows.
     */
   val q124 = Q(
     "q124_scd2_asof",
     (s, d) => {
       val bounds = ev(s, d).agg(
-        min(unix_timestamp(col("ts"))).as("lo"),
-        max(unix_timestamp(col("ts"))).as("hi"))
-      // floor integer midpoint — matches the oracle's epoch // 2
-      val mid = timestamp_seconds(((col("lo") + col("hi")) / 2).cast("long"))
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      // floor integer µs midpoint — matches the oracle's epoch_us // 2
+      val mid = timestamp_micros(((col("lo") + col("hi")) / 2).cast("long"))
       storedIncrementalScd2(s, d)
         .crossJoin(broadcast(bounds))
         .where(col("valid_from") <= mid &&
@@ -587,7 +591,7 @@ object Etl extends QueryPack {
            |      ORDER BY ts, event_id) IS NULL AS is_current
            |  FROM events
            |), b AS (
-           |  SELECT to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) // 2) AS mid
+           |  SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS mid
            |  FROM events
            |)
            |SELECT user_id, event_id, event_type, valid_from, is_current

@@ -1259,6 +1259,14 @@ object Text extends QueryPack {
     */
   private def trigramTf(docsDf: DataFrame): DataFrame =
     docsDf
+      // the length guard is load-bearing, not an optimization: Spark's
+      // sequence(start, stop) defaults to step -1 when start > stop,
+      // so a 1-char doc would yield sequence(1, -1) = [1, 0, -1] —
+      // bogus positions instead of no trigrams. DuckDB's
+      // generate_series(1, len-2) is empty for the same input; the
+      // filter keeps both engines at "docs shorter than 3 chars have
+      // no trigrams".
+      .where(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3)))).as("tg"))

@@ -216,10 +216,24 @@ object EtlPipeline {
     * edge-state store and patch the closure store, at delta cost.
     * Returns (events applied, closure rows pushed). Steps (each
     * documented on [[runStreamWithDeletes]]): collapse latest-seq per
-    * edge; diff against the PREVIOUS edge state (materialized before
-    * the upsert rewrites its files); upsert the edge state; patch the
-    * closure — scoped delete re-close then semi-naive add fold; ship
-    * the diff as keyed push + keyed delete versioned by `version`.
+    * edge; derive the INTENDED post-merge edge state IN-PLAN
+    * (latest-seq-wins over stored ∪ batch on the touched keys — the
+    * same merge the sink will apply, computed without writing it);
+    * patch the closure — scoped delete re-close then semi-naive add
+    * fold; ship the diff as keyed push + keyed delete versioned by
+    * `version`; and only THEN upsert the edge state.
+    *
+    * Write order is load-bearing (crash safety): the edge-state push
+    * comes LAST. A crash or foreachBatch redelivery anywhere before it
+    * leaves the edge store at its previous state, so the rerun
+    * re-derives the identical transition and re-applies the closure
+    * patches — dest pushes/deletes are latest-wins idempotent, so the
+    * partial first attempt is absorbed. (The old order — edge state
+    * first — had a window where a crash after the edge push made the
+    * rerun see an empty transition and skip the closure patch
+    * forever.) A crash AFTER the edge push means every dest effect
+    * already landed; the rerun's transition is empty and correctly
+    * does nothing.
     */
   private def applyEdgeEvents(s: SparkSession, batch: DataFrame,
       dest: DocumentStore, edgeStore: DocumentStore,
@@ -236,29 +250,45 @@ object EtlPipeline {
     val batchKeys = collapsed.select(col("child"), col("parent"))
     val prevEdges = (
       if (edgeStore.exists(s))
-        edgeStore.scan(s).select(col("child"), col("parent"), col("op"))
+        edgeStore.scan(s).select(col("child"), col("parent"), col("op"),
+          col("seq"))
       else s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("child", LongType),
           StructField("parent", LongType),
-          StructField("op", org.apache.spark.sql.types.StringType))))
-      ).localCheckpoint() // pin BEFORE the upsert rewrites the files
-    edgeStore.push(collapsed)
-    val live = edgeStore.scan(s).where(col("op") === "add")
-      .select(col("child"), col("parent")).localCheckpoint()
+          StructField("op", org.apache.spark.sql.types.StringType),
+          StructField("seq", LongType))))
+      ).localCheckpoint() // read for the transition AND the live union
     // added/removed are the STORE TRANSITION on the touched keys, not
     // the batch's face value: a STALE event (older seq than the stored
     // row — cross-batch reordering, redelivery) loses the latest-wins
     // merge, and taking the batch at face value would patch the
     // closure with an edge change the store rejected (a stale add
-    // would graft pairs through a dead edge). Restricting both sides
-    // to the batch's keys keeps the comparison delta-sized.
-    val prevLiveTouched = prevEdges.where(col("op") === "add")
+    // would graft pairs through a dead edge). The post state is
+    // derived IN-PLAN (the sink's own latest-seq-wins merge over
+    // stored ∪ batch), NOT by re-scanning after the upsert — the
+    // upsert hasn't happened yet; it lands last. Restricting to the
+    // batch's keys keeps the merge window delta-sized.
+    val prevTouched = prevEdges
+      .join(batchKeys, Seq("child", "parent"), "left_semi")
+      .localCheckpoint() // prev side of the transition + merge input
+    val postTouched = prevTouched.unionByName(collapsed)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
+    val prevLiveTouched = prevTouched.where(col("op") === "add")
       .select(col("child"), col("parent"))
-      .join(batchKeys, Seq("child", "parent"), "left_semi")
       .localCheckpoint() // compared twice below
-    val liveTouched = live
-      .join(batchKeys, Seq("child", "parent"), "left_semi")
+    val liveTouched = postTouched.where(col("op") === "add")
+      .select(col("child"), col("parent"))
+      .localCheckpoint()
+    // Full surviving edge set for the scoped delete re-close: the
+    // stored live edges on untouched keys ∪ the post-state live edges
+    // on touched keys — identical to what a post-upsert scan would
+    // return, without needing the upsert to have run.
+    val live = prevEdges.where(col("op") === "add")
+      .select(col("child"), col("parent"))
+      .join(batchKeys, Seq("child", "parent"), "left_anti")
+      .unionByName(liveTouched)
       .localCheckpoint()
     val removed = prevLiveTouched
       .join(liveTouched, Seq("child", "parent"), "left_anti")
@@ -287,6 +317,10 @@ object EtlPipeline {
       .join(updated, Seq("ancestor", "descendant"), "left_anti")
       .withColumn("rev", lit(version))
     if (delDelta.head(1).nonEmpty) dest.delete(delDelta)
+    // Edge state LAST — committing it is what makes the batch's
+    // transition empty on redelivery, so it must not land until every
+    // dest effect it implies has been applied (see scaladoc).
+    edgeStore.push(collapsed)
     (nEvents, nPushed)
   }
 

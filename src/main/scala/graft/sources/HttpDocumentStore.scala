@@ -152,12 +152,26 @@ object HttpDocumentStore {
   private val retryAttempts = 4
   private val retryBackoffMs = 200L
 
+  /** A non-200 response, typed so the retry loop can tell TRANSIENT
+    * (5xx, 429 — server-side hiccups worth waiting out) from
+    * PERMANENT (other 4xx — a bad request stays bad; retrying a
+    * missing endpoint 4 times with 1.4 s of backoff just delays the
+    * real error, and retrying a non-idempotent exchange on a 4xx the
+    * server already rejected is actively wrong).
+    */
+  final case class HttpStatusException(code: Int, msg: String)
+      extends RuntimeException(msg) {
+    def transient: Boolean = code >= 500 || code == 429
+  }
+
   private[sources] def withRetry[A](what: => String)(f: => A): A = {
     var attempt = 1
     while (true) {
       try return f
       catch {
-        case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+        case e: HttpStatusException if !e.transient =>
+          throw e // permanent 4xx: fail fast, no backoff
+        case e @ (_: java.io.IOException | _: HttpStatusException) =>
           if (attempt >= retryAttempts)
             throw new java.io.IOException(
               s"${what}: failed after $retryAttempts attempts", e)
@@ -182,7 +196,7 @@ object HttpDocumentStore {
       try {
         conn.setRequestMethod("GET")
         val code = conn.getResponseCode
-        require(code == 200, s"scan $url -> HTTP $code")
+        if (code != 200) throw HttpStatusException(code, s"scan $url -> HTTP $code")
         val body = new String(conn.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         (body, Option(conn.getHeaderField("X-Next-Cursor")).filter(_.nonEmpty))
@@ -212,7 +226,7 @@ object HttpDocumentStore {
           body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       val code = conn.getResponseCode
-      require(code == 200, s"$method $url -> HTTP $code")
+      if (code != 200) throw HttpStatusException(code, s"$method $url -> HTTP $code")
       new String(conn.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
     } finally conn.disconnect()

@@ -158,8 +158,10 @@ class HttpMicroBatchStream(base: String, slices: Int,
   override def initialOffset(): Offset =
     WmOffset(startSince.getOrElse(Long.MinValue))
   override def latestOffset(): Offset = {
-    val body = HttpDocumentStore.request("GET", s"$base/wm", "", Map.empty)
-    if (body == "none") initialOffset() else WmOffset(body.trim.toLong)
+    // trim BEFORE the sentinel check — a server replying "none\n"
+    // must hit the sentinel path, not NumberFormatException
+    val body = HttpDocumentStore.request("GET", s"$base/wm", "", Map.empty).trim
+    if (body == "none") initialOffset() else WmOffset(body.toLong)
   }
   override def deserializeOffset(json: String): Offset = WmOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

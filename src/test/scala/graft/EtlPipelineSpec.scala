@@ -157,6 +157,69 @@ class EtlPipelineSpec extends SparkSpec {
     closureNow() shouldBe want
   }
 
+  test("crash MID-WRITE (before/after dest effects, before the edge-state push) converges on rerun") {
+    // The advisor's window: the run dies after some stores are written
+    // but not others. The write order pins the edge state LAST, so a
+    // rerun re-derives the identical transition and the latest-wins
+    // dest absorbs whatever the dead attempt already applied. Two
+    // fault points: dest.push throws (nothing landed), and dest.delete
+    // throws (push landed, delete lost).
+    import graft.sources.{DocumentStore, ParquetStore}
+    final class FailingStore(inner: DocumentStore, failPush: Boolean,
+        failDelete: Boolean) extends DocumentStore {
+      var armed = true
+      override def scan(s: org.apache.spark.sql.SparkSession) = inner.scan(s)
+      override def exists(s: org.apache.spark.sql.SparkSession) = inner.exists(s)
+      override def sync(snapshot: org.apache.spark.sql.DataFrame): Unit =
+        inner.sync(snapshot)
+      override def push(updates: org.apache.spark.sql.DataFrame): Unit = {
+        if (armed && failPush) { armed = false; sys.error("crash before dest.push") }
+        inner.push(updates)
+      }
+      override def delete(keys: org.apache.spark.sql.DataFrame): Unit = {
+        if (armed && failDelete) { armed = false; sys.error("crash before dest.delete") }
+        inner.delete(keys)
+      }
+    }
+    for ((failPush, failDelete) <- Seq((true, false), (false, true))) {
+      val base = tmpDir()
+      val dest = ParquetStore(s"$base/closure", Seq("ancestor", "descendant"), "rev", 4)
+      val edgeStore = ParquetStore(s"$base/edges", Seq("child", "parent"), "seq", 4)
+      val bm = s"$base/wm"
+      val ev1 = Seq((10L, 1L, "add", 1L), (11L, 1L, "add", 2L),
+        (12L, 10L, "add", 3L), (13L, 12L, "add", 4L))
+        .toDF("child", "parent", "op", "seq")
+      EtlPipeline.runWithDeletes(spark, ev1, "seq", dest, edgeStore, bm)
+      // run 2 both deletes (middle edge) and adds (reroute) — it needs
+      // BOTH dest.push and dest.delete, so each fault point is hit
+      val ev2 = ev1.union(Seq((12L, 10L, "delete", 5L), (12L, 11L, "add", 6L))
+        .toDF("child", "parent", "op", "seq"))
+      val flaky = new FailingStore(dest, failPush, failDelete)
+      an[Exception] should be thrownBy
+        EtlPipeline.runWithDeletes(spark, ev2, "seq", flaky, edgeStore, bm)
+      // the dead attempt must NOT have committed the edge state: the
+      // rerun still sees the full transition and completes the patch
+      val rerun = EtlPipeline.runWithDeletes(spark, ev2, "seq", dest, edgeStore, bm)
+      rerun.extracted shouldBe 2
+      val want = Hierarchy.closure(
+        Seq((10L, 1L), (11L, 1L), (12L, 11L), (13L, 12L))
+          .toDF("child", "parent")).as[(Long, Long, Int)].collect().toSet
+      dest.scan(spark).select($"ancestor", $"descendant", $"depth")
+        .as[(Long, Long, Int)].collect().toSet shouldBe want
+      // and a further rerun of the same window is a pure no-op
+      locally {
+        val p = new org.apache.hadoop.fs.Path(bm)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write("4".getBytes("UTF-8")) finally out.close()
+      }
+      val again = EtlPipeline.runWithDeletes(spark, ev2, "seq", dest, edgeStore, bm)
+      again.pushed shouldBe 0
+      dest.scan(spark).select($"ancestor", $"descendant", $"depth")
+        .as[(Long, Long, Int)].collect().toSet shouldBe want
+    }
+  }
+
   test("stale cross-batch events lose the latest-wins merge AND never patch the closure") {
     import graft.sources.ParquetStore
     val base = tmpDir()
