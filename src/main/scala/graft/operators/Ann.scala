@@ -34,6 +34,25 @@ object Ann extends QueryPack {
     * per (session, dir, hyperparams). Library callers with their own
     * corpora call the trainers directly.
     */
+  /** Where the gate exports its trained models so the DuckDB oracle
+    * can recompute each deterministic CONSUMER step (assignment
+    * argmin, bucket probe, ADC distance, projection) from the very
+    * same model table — flipping the trained-model queries from
+    * rows-only to full rows+schema+hash verification. The oracle SQL
+    * references this path literally (it is a static string), so it is
+    * a fixed absolute location, not a per-run temp dir; each
+    * Verify/gate run overwrites it for its own sf dir, and the DuckDB
+    * compare always runs immediately after the Verify that wrote it.
+    * Doubles round-trip parquet bit-exactly (the ModelStore
+    * contract), so the oracle scores with bit-identical parameters.
+    */
+  private[graft] val gateModelDir = "/tmp/graft_gate_models"
+
+  private val exported = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  private def exportOnce(key: String, d: String)(write: String => Unit): Unit =
+    if (exported.add((d, key))) write(s"$gateModelDir/$key.parquet")
+
   private val centsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), Array[Array[Double]]]()
 
@@ -111,6 +130,12 @@ object Ann extends QueryPack {
   val q35 = Q(
     "q35_ann_lsh",
     (s, d) => {
+      // export the (deterministic, data-independent) hyperplanes so
+      // the oracle rebuilds the same buckets: plane i serves table
+      // i/4, bit i%4 — dot signs are bit-identical cross-engine (the
+      // q34 contract), so bucketing, candidates and ranks all mirror
+      exportOnce("lsh_planes_8x4", d)(p =>
+        graft.sources.ModelStore.saveCentroids(s, p, planes(8 * 4, 64)))
       val buckets = lshBuckets(emb(s, d), tables = 8, bits = 4)
       val qb = buckets.where(col("vec_id") < 10)
         .toDF("qid", "qv", "tbl", "bucket")
@@ -121,7 +146,31 @@ object Ann extends QueryPack {
         .dropDuplicates("qid", "cid")
       topK(cand.withColumn("score", cosineFast(col("qv"), col("cv"))), 5)
     },
-    None, // LSH candidate set has no SQL mirror; recall spec vs q34
+    Some(s"""WITH p AS (
+           |  SELECT i // 4 AS tbl, i % 4 AS bit, v AS plane
+           |  FROM read_parquet('$gateModelDir/lsh_planes_8x4.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), b AS (
+           |  SELECT e.vec_id, p.tbl,
+           |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.plane) > 0
+           |      THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM e CROSS JOIN p GROUP BY 1, 2
+           |), cand AS (
+           |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cid
+           |  FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+           |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+           |), scored AS (
+           |  SELECT qid, cid,
+           |    list_dot_product(q.v, c.v) /
+           |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+           |  FROM cand JOIN e q ON q.vec_id = cand.qid
+           |            JOIN e c ON c.vec_id = cand.cid
+           |)
+           |SELECT qid, cid, CAST(rnk AS INT) AS rnk, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+           |WHERE rnk <= 5""".stripMargin),
     "LSH ANN: 8 tables x 4-bit hyperplane-sign buckets, exact rerank of candidates")
 
   /** Centroid mean that is ORDER-INDEPENDENT across partition layouts:
@@ -230,8 +279,50 @@ object Ann extends QueryPack {
 
   val q43 = Q(
     "q43_ann_ivf",
-    (s, d) => ivfSearchOn(emb(s, d), storedCentroids(s, d, 16, 2), nprobe = 4, k = 5),
-    None, // probe set has no SQL mirror; recall spec vs q34
+    (s, d) => {
+      // export the trained quantizer; the oracle re-runs the
+      // deterministic consumer steps (assignment argmax with
+      // ties-to-higher-cl, probe ranking, exact rerank) from the same
+      // centroid table — Lloyd training itself has no SQL mirror, but
+      // it doesn't need one once the model is shared
+      val cents = storedCentroids(s, d, 16, 2)
+      exportOnce("ivf_centroids_16_2", d)(p =>
+        graft.sources.ModelStore.saveCentroids(s, p, cents))
+      ivfSearchOn(emb(s, d), cents, nprobe = 4, k = 5)
+    },
+    Some(s"""WITH ct AS (
+           |  SELECT i AS cl, v AS cv
+           |  FROM read_parquet('$gateModelDir/ivf_centroids_16_2.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), a AS ( -- nearest-centroid assignment: ties to HIGHER cl
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e.vec_id, e.v, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, ct.cv) /
+           |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl DESC) AS rn
+           |    FROM e CROSS JOIN ct) WHERE rn = 1
+           |), probes AS ( -- 4 nearest centroid lists per query
+           |  SELECT qid, cl FROM (
+           |    SELECT a.vec_id AS qid, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           |        list_dot_product(a.v, ct.cv) /
+           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl ASC) AS pr
+           |    FROM a CROSS JOIN ct WHERE a.vec_id < 10) WHERE pr <= 4
+           |), scored AS (
+           |  SELECT p.qid, a.vec_id AS cid,
+           |    list_dot_product(q.v, a.v) /
+           |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))) AS score
+           |  FROM probes p
+           |  JOIN a ON a.cl = p.cl AND a.vec_id <> p.qid
+           |  JOIN e q ON q.vec_id = p.qid
+           |)
+           |SELECT qid, cid, CAST(rnk AS INT) AS rnk, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+           |WHERE rnk <= 5""".stripMargin),
     "IVF ANN: 16-list spherical k-means quantizer, 4-probe exact rerank")
 
   /** Incremental IVF index maintenance: fold a DELTA batch of vectors
@@ -471,8 +562,27 @@ object Ann extends QueryPack {
 
   val q81 = Q(
     "q81_embed_cluster",
-    (s, d) => embedClustersOn(emb(s, d), storedCentroids(s, d, 8, 3)),
-    None, // trained-model assignment has no SQL mirror; AnnSpec pins the properties
+    (s, d) => {
+      val cents = storedCentroids(s, d, 8, 3)
+      exportOnce("km_centroids_8_3", d)(p =>
+        graft.sources.ModelStore.saveCentroids(s, p, cents))
+      embedClustersOn(emb(s, d), cents)
+    },
+    // the trained model exports to parquet; the oracle re-runs the
+    // deterministic assignment argmax (ties to higher cl) against it
+    Some(s"""WITH ct AS (
+           |  SELECT i AS cl, v AS cv
+           |  FROM read_parquet('$gateModelDir/km_centroids_8_3.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |)
+           |SELECT vec_id, CAST(cl AS INT) AS cluster FROM (
+           |  SELECT e.vec_id, ct.cl,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |      list_dot_product(e.v, ct.cv) /
+           |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |      DESC, ct.cl DESC) AS rn
+           |  FROM e CROSS JOIN ct) WHERE rn = 1""".stripMargin),
     "k-means topic assignment: deterministic trainer, broadcast-model argmax assign, one scan")
 
   /** (squared-L2-distance, centroid-id) structs for one subspace's
@@ -626,9 +736,86 @@ object Ann extends QueryPack {
 
   val q85 = Q(
     "q85_ann_ivfpq",
-    (s, d) => ivfPqSearchOn(emb(s, d), storedCentroids(s, d, 16, 2),
-      storedCodebooks(s, d, 8, 16, 2), nprobe = 4, k = 5, shortlist = 20),
-    None, // trained-model search has no SQL mirror; AnnSpec bounds recall
+    (s, d) => {
+      val cents = storedCentroids(s, d, 16, 2)
+      val cbs = storedCodebooks(s, d, 8, 16, 2)
+      exportOnce("ivf_centroids_16_2", d)(p =>
+        graft.sources.ModelStore.saveCentroids(s, p, cents))
+      exportOnce("pq_codebooks_8_16_2", d)(p =>
+        graft.sources.ModelStore.saveCodebooks(s, p, cbs))
+      ivfPqSearchOn(emb(s, d), cents, cbs, nprobe = 4, k = 5, shortlist = 20)
+    },
+    // Full consumer-step mirror from the exported models: coarse
+    // assignment (ties→higher cl), per-subspace code argmin
+    // (ties→lower c), probe ranking, ADC distance as the SAME ordered
+    // left fold as the native pq_adc loop (list_reduce over
+    // j-ascending terms with the 0.0 seed prepended), shortlist, and
+    // exact rerank. ‖cb‖² is list_dot_product(vec,vec) — the same
+    // sequential sum of squares the engine folds into its literal.
+    Some(s"""WITH ct AS (
+           |  SELECT i AS cl, v AS cv
+           |  FROM read_parquet('$gateModelDir/ivf_centroids_16_2.parquet/*.parquet')
+           |), cb AS (
+           |  SELECT j, c, v AS vec, list_dot_product(v, v) AS nrm
+           |  FROM read_parquet('$gateModelDir/pq_codebooks_8_16_2.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), a AS (
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e.vec_id, e.v, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, ct.cv) /
+           |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl DESC) AS rn
+           |    FROM e CROSS JOIN ct) WHERE rn = 1
+           |), sub AS (
+           |  SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv
+           |  FROM e CROSS JOIN (SELECT UNNEST(range(0, 8)) AS j) js
+           |), codes AS (
+           |  SELECT vec_id, j, c AS code FROM (
+           |    SELECT s.vec_id, s.j, cb.c,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+           |        list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, cb.vec) + cb.nrm
+           |        ASC, cb.c ASC) AS rn
+           |    FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1
+           |), probes AS (
+           |  SELECT qid, cl FROM (
+           |    SELECT e.vec_id AS qid, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, ct.cv) /
+           |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl ASC) AS pr
+           |    FROM e CROSS JOIN ct WHERE e.vec_id < 10) WHERE pr <= 4
+           |), cand AS (
+           |  SELECT p.qid, a.vec_id AS cid
+           |  FROM probes p JOIN a ON a.cl = p.cl WHERE a.vec_id <> p.qid
+           |), adist AS (
+           |  SELECT qid, cid,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+           |      (x, y) -> x + y) AS ad
+           |  FROM (
+           |    SELECT cd.qid, cd.cid, k.j,
+           |      list_dot_product(qs.sv, qs.sv) - 2.0*list_dot_product(qs.sv, cb.vec) + cb.nrm AS t
+           |    FROM cand cd
+           |    JOIN codes k ON k.vec_id = cd.cid
+           |    JOIN sub qs ON qs.vec_id = cd.qid AND qs.j = k.j
+           |    JOIN cb ON cb.j = k.j AND cb.c = k.code)
+           |  GROUP BY 1, 2
+           |), short AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY ad ASC, cid ASC) AS sr FROM adist) WHERE sr <= 20
+           |), scored AS (
+           |  SELECT s.qid, s.cid,
+           |    list_dot_product(q.v, c.v) /
+           |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+           |  FROM short s JOIN e q ON q.vec_id = s.qid
+           |               JOIN e c ON c.vec_id = s.cid
+           |)
+           |SELECT qid, cid, CAST(rnk AS INT) AS rnk, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+           |WHERE rnk <= 5""".stripMargin),
     "IVF-PQ ANN: coarse-list pruning + native ADC lookup scoring + exact rerank of the shortlist")
 
   /** Per-group centroid drift — how far each group's embedding
@@ -739,20 +926,36 @@ object Ann extends QueryPack {
     new PCA().setInputCol("__fv").setOutputCol("__pc").setK(k).fit(fv)
   }
 
+  /** The fitted basis as k dim-length column vectors — the exportable
+    * model-parameter array (the same shape ModelStore.saveCentroids
+    * persists), and what [[pcaProjectOn]] broadcasts as literals.
+    */
+  private[graft] def pcaBasis(
+      model: org.apache.spark.ml.feature.PCAModel): Array[Array[Double]] = {
+    val pc = model.pc
+    Array.tabulate(pc.numCols)(i => Array.tabulate(pc.numRows)(r => pc(r, i)))
+  }
+
   /** Project with an already-fitted (or loaded) basis — bit-identical
     * whether the model came from [[pcaFit]] in-session or off disk
-    * (ModelStoreSpec pins it): the projection is a deterministic
-    * broadcast matrix-vector multiply per row.
+    * (ModelStoreSpec pins it). The projection is k sequential
+    * broadcast-literal dot products per row via the native codegen'd
+    * dot expression — NOT ML's BLAS gemv, deliberately: BLAS kernels
+    * may block/vectorize the accumulation, while the sequential loop
+    * is the engine-wide numeric contract (CosineSimilarity ≡
+    * list_dot_product) that lets the DuckDB oracle recompute the
+    * projection bit-exactly from the exported basis.
     */
   def pcaProjectOn(df: DataFrame, model: org.apache.spark.ml.feature.PCAModel,
       whiten: Boolean = false): DataFrame = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val fv = df.withColumn("__fv",
-      array_to_vector(col("embedding").cast("array<double>")))
-    val proj = model.transform(fv)
-      .select(col("vec_id"), col("label"), vector_to_array(col("__pc")).as("proj"))
+    import org.apache.spark.ml.functions.array_to_vector
+    val basis = pcaBasis(model)
+    val proj = df.select(col("vec_id"), col("label"),
+      array(basis.toSeq.map(bi => dotFast(col("embedding"), lit(bi))): _*).as("proj"))
     if (!whiten) proj
     else {
+      val fv = df.withColumn("__fv",
+        array_to_vector(col("embedding").cast("array<double>")))
       // whitening: scale each component to ~unit variance.
       // explainedVariance holds RATIOS (eigenvalue / trace); the
       // trace comes from one Summarizer variance aggregate over the
@@ -778,30 +981,51 @@ object Ann extends QueryPack {
   private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), DataFrame]()
 
+  private val pcaModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), org.apache.spark.ml.feature.PCAModel]()
+
+  /** The fitted gate-corpus basis itself — memoized so the projection
+    * and the gate's model EXPORT (the oracle's input) share one model
+    * instance (the fit's trailing bits are layout-dependent, so
+    * exporting a refit would not mirror the projection).
+    */
+  def storedPcaModel(s: SparkSession, d: String, k: Int): org.apache.spark.ml.feature.PCAModel =
+    pcaModelMemo.computeIfAbsent((s, d, k), _ => pcaFit(emb(s, d), k))
+
   def storedPcaProjection(s: SparkSession, d: String, k: Int): DataFrame =
-    pcaMemo.computeIfAbsent((s, d, k), _ => pcaProject(emb(s, d), k).localCheckpoint())
+    pcaMemo.computeIfAbsent((s, d, k),
+      _ => pcaProjectOn(emb(s, d), storedPcaModel(s, d, k)).localCheckpoint())
 
   private[graft] def clearStored(s: SparkSession): Int =
     graft.util.evictSession(centsMemo, s) + graft.util.evictSession(cbsMemo, s) +
-      graft.util.evictSession(pcaMemo, s)
+      graft.util.evictSession(pcaMemo, s) + graft.util.evictSession(pcaModelMemo, s)
 
   val q92 = Q(
     "q92_pca_project",
-    // The library call returns the raw array<double> projection; the
-    // GATE row serializes it for the driver's pandas comparator
-    // (which cannot sort/hash ndarray cells — the q57 precedent) and
-    // adds a scalar geometry invariant (projection norm) so the row
-    // is a clean rows-count check, not an err. Oracle stays None:
-    // eigenvector sign/trailing bits are layout-dependent; AnnSpec
-    // pins the invariant geometry (distance preservation, variance
-    // order, component decorrelation).
-    (s, d) => storedPcaProjection(s, d, 8).select(
-      col("vec_id"), col("label"),
-      to_json(col("proj")).as("proj_json"),
-      sqrt(aggregate(col("proj"), lit(0.0d), (a, x) => a + x * x))
-        .as("proj_norm")),
-    None,
-    "PCA projection to 8 dims: treeAggregate covariance fit, broadcast matrix multiply per row")
+    // The fit's eigenvector signs/trailing bits are layout-dependent
+    // — which is exactly why the ORACLE takes the exported basis as
+    // its input instead of refitting: given the same basis table, the
+    // projection is k sequential dot products, bit-identical
+    // cross-engine (the q34 contract). The gate row explodes the
+    // projection to scalar (pos, v) cells so the driver's pandas
+    // comparator hashes plain doubles (it cannot sort/hash ndarray
+    // cells — the q57 precedent). AnnSpec still pins the invariant
+    // geometry of the fit itself.
+    (s, d) => {
+      exportOnce("pca_basis_8", d)(p => graft.sources.ModelStore
+        .saveCentroids(s, p, pcaBasis(storedPcaModel(s, d, 8))))
+      storedPcaProjection(s, d, 8).select(col("vec_id"), col("label"),
+        posexplode(col("proj")).as(Seq("pos", "v")))
+    },
+    Some(s"""WITH b AS (
+           |  SELECT i, v FROM read_parquet('$gateModelDir/pca_basis_8.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+           |)
+           |SELECT e.vec_id, e.label, CAST(b.i AS INT) AS pos,
+           |  list_dot_product(e.ev, b.v) AS v
+           |FROM e CROSS JOIN b""".stripMargin),
+    "PCA projection to 8 dims: treeAggregate covariance fit, broadcast-literal sequential dot products per row")
 
   /** SemDeDup (Abbas et al., 2023): semantic dedup at scale by
     * restricting the quadratic near-neighbor search to WITHIN k-means
@@ -843,10 +1067,37 @@ object Ann extends QueryPack {
 
   val q105 = Q(
     "q105_semdedup",
-    (s, d) => semanticDedupOn(emb(s, d), storedCentroids(s, d, 8, 3), 0.4),
-    None, // trained-model candidate generation has no SQL mirror;
-    // AnnSpec pins survivors ⊇ the exact global rule, ≡ per-cluster
-    // brute force, and determinism
+    (s, d) => {
+      val cents = storedCentroids(s, d, 8, 3)
+      exportOnce("km_centroids_8_3", d)(p =>
+        graft.sources.ModelStore.saveCentroids(s, p, cents))
+      semanticDedupOn(emb(s, d), cents, 0.4)
+    },
+    // consumer-step oracle from the exported model (the q81 table):
+    // same assignment argmax, then the min-id keeper rule over
+    // within-cluster cosine pairs — AnnSpec still pins the
+    // approximation contract vs the exact global rule
+    Some(s"""WITH ct AS (
+           |  SELECT i AS cl, v AS cv
+           |  FROM read_parquet('$gateModelDir/km_centroids_8_3.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), a AS (
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e.vec_id, e.v, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, ct.cv) /
+           |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl DESC) AS rn
+           |    FROM e CROSS JOIN ct) WHERE rn = 1
+           |), dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM a x JOIN a b ON x.cl = b.cl AND x.vec_id < b.vec_id
+           |  WHERE list_dot_product(x.v, b.v) /
+           |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+           |)
+           |SELECT a.vec_id, CAST(a.cl AS INT) AS cluster FROM a
+           |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin),
     "SemDeDup: k-means-clustered semantic dedup — within-cluster cosine pairs, min-id keeper")
 
   /** Hard-negative mining (q117): for each query vector, the top-k
