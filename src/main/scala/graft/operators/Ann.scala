@@ -185,21 +185,55 @@ object Ann extends QueryPack {
   private def detMean(v: Column): Column =
     (sum(floor(v * 1e9).cast("long")).cast("double") / 1e9) / count(lit(1))
 
+  /** Deterministic hash sample for quantizer TRAINING: at most
+    * ~`maxRows` vectors chosen by a stride condition on
+    * xxhash64(vec_id) — a pure scan-level filter, reproducible across
+    * runs/layouts/partitionings (no RNG, no sample() seed coupling to
+    * partition boundaries), and unbiased w.r.t. vec_id locality.
+    *
+    * Why: Lloyd training runs `iters` full passes; at 100 TB that is
+    * iters full corpus scans before the index exists, for a model
+    * whose quality saturates at a few hundred points per centroid
+    * (Lloyd fits nc × dim parameters). Capping the TRAINING set keeps
+    * those passes bounded while the encode/assign pass — the only
+    * step that must see every row — still scans the corpus once.
+    * Corpora at or under the cap train on everything (identical
+    * models to the uncapped path; the gate/bench scales never
+    * change).
+    */
+  private[graft] def trainingSample(df: DataFrame, maxRows: Long): DataFrame = {
+    val n = df.count()
+    if (n <= maxRows) df
+    else df.where(pmod(xxhash64(col("vec_id")), lit(n / maxRows + 1)) === 0)
+  }
+
+  /** Default training cap — ≥ a few hundred points per centroid for
+    * every nc the engine ships, far above every test/gate/bench
+    * corpus (those train on everything), and small enough that a
+    * 100 TB corpus pays `iters` scans of 200k rows, not of itself.
+    */
+  private[graft] val defaultTrainMaxRows = 200000L
+
   /** Spherical-k-means coarse quantizer for IVF: deterministic init
-    * (the `nc` lowest vec_ids), then `iters` Lloyd rounds. Each round
-    * is one fully distributed assign pass (broadcast-literal centroid
-    * scores, argmax via array_max over (score, id) structs) and one
+    * (the `nc` lowest vec_ids of the TRAINING SAMPLE — see
+    * [[trainingSample]]; corpora under the cap sample to themselves),
+    * then `iters` Lloyd rounds over the sample. Each round is one
+    * distributed assign pass (broadcast-literal centroid scores,
+    * argmax via array_max over (score, id) structs) and one
     * per-dimension mean aggregate (layout-independent, see
     * [[detMean]]). Only the centroid MODEL (nc × dim doubles) ever
     * reaches the driver — that is a model parameter, the same object
     * a trained IVF index ships to every executor; the data never
     * collects.
     */
-  private[graft] def ivfCentroids(df: DataFrame, nc: Int, iters: Int): Array[Array[Double]] = {
-    val init: Array[Array[Double]] = df.orderBy(col("vec_id")).limit(nc)
+  private[graft] def ivfCentroids(df: DataFrame, nc: Int, iters: Int,
+      trainMaxRows: Long = defaultTrainMaxRows): Array[Array[Double]] = {
+    val train = trainingSample(df, trainMaxRows)
+      .transform(graft.util.reused) // init + every Lloyd round read it
+    val init: Array[Array[Double]] = train.orderBy(col("vec_id")).limit(nc)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    lloydRounds(df, init, iters)
+    lloydRounds(train, init, iters)
   }
 
   /** `iters` Lloyd rounds from an explicit starting model — the
@@ -349,11 +383,12 @@ object Ann extends QueryPack {
     * unchanged (refresh is explicitly a no-op until asked to move).
     * After a refresh the assignment table must be rebuilt (the model
     * changed); that full re-assign is the deliberate, scheduled cost
-    * — never paid on the append path.
+    * — never paid on the append path. Refresh rounds run over the
+    * same deterministic training sample as the cold trainer.
     */
   def ivfRefresh(df: DataFrame, cents: Array[Array[Double]],
-      iters: Int): Array[Array[Double]] =
-    lloydRounds(df, cents, iters)
+      iters: Int, trainMaxRows: Long = defaultTrainMaxRows): Array[Array[Double]] =
+    lloydRounds(trainingSample(df, trainMaxRows), cents, iters)
 
   /** Exact all-pairs cosine near-dup WITHOUT a broadcast cartesian:
     * block theta-join. Each vector is assigned one of `blocks` hash
@@ -615,15 +650,21 @@ object Ann extends QueryPack {
     * only full scan PQ needs.
     */
   private[graft] def pqCodebooks(df: DataFrame, m: Int, ksub: Int, iters: Int,
-      dim: Int = 64): Array[Array[Array[Double]]] = {
+      dim: Int = 64,
+      trainMaxRows: Long = defaultTrainMaxRows): Array[Array[Array[Double]]] = {
     val dsub = dim / m
     require(dsub * m == dim, s"dim=$dim must divide into m=$m subspaces")
-    val seed = df.orderBy(col("vec_id")).limit(ksub)
+    // train on the deterministic hash sample (see [[trainingSample]]):
+    // the codebooks fit m·ksub·dsub parameters — the ENCODE pass is
+    // the only step that must see every row, and it runs elsewhere
+    val train = trainingSample(df, trainMaxRows)
+      .transform(graft.util.reused) // seed + every Lloyd round read it
+    val seed = train.orderBy(col("vec_id")).limit(ksub)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
-    val subs = df.select(col("vec_id"),
+    val subs = train.select(col("vec_id"),
       posexplode(array((0 until m).map(j =>
         slice(col("embedding"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
     for (_ <- 0 until iters) {
