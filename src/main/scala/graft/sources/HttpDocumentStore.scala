@@ -164,7 +164,7 @@ object HttpDocumentStore {
     def transient: Boolean = code >= 500 || code == 429
   }
 
-  private[sources] def withRetry[A](what: => String)(f: => A): A = {
+  private[graft] def withRetry[A](what: => String)(f: => A): A = {
     var attempt = 1
     while (true) {
       try return f
@@ -209,7 +209,7 @@ object HttpDocumentStore {
     * partial bulk push must kill the task (Spark retries it), never
     * drop documents silently.
     */
-  private[sources] def request(method: String, url: String, body: String,
+  private[graft] def request(method: String, url: String, body: String,
       headers: Map[String, String]): String =
     withRetry(s"$method $url")(requestOnce(method, url, body, headers))
 
