@@ -1,0 +1,161 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.sources.{DocumentSource, DocumentStore, EsDocumentStore,
+  EtlPipeline, ExtractBookmark, HttpDocumentStore, JsonLinesStore, ParquetStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The engine as a RUNNABLE, config-driven program — the reference's
+  * CLI shape (MoDevETL runs as a settings.json-fed main: source
+  * index, destination index, batch knobs; pyLibrary startup parses
+  * the file and the loop runs). `graft.Main` takes one JSON config
+  * path and executes the selected pipeline:
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar etl.json
+  * }}}
+  *
+  * Config document:
+  * {{{
+  * {
+  *   "mode": "closure",            // see below
+  *   "source": {"type":"parquet","path":"/data/edges"},
+  *   "wmCol": "modified_ts",
+  *   "dest": {"type":"parquet","path":"/data/closure",
+  *            "keyCols":["ancestor","descendant"],"versionCol":"rev"},
+  *   "edgeStore": {...},           // closure-deletes mode only
+  *   "bookmark": "/data/closure.wm"
+  * }
+  * }}}
+  *
+  * Modes (each one run of the batch loop; schedule externally):
+  *  - `"closure"` — the reference's MAIN LOOP ([[EtlPipeline.run]]):
+  *    extract edges since the bookmark, patch the stored transitive
+  *    closure, push the delta keyed latest-wins, commit.
+  *  - `"closure-deletes"` — the full CRUD loop
+  *    ([[EtlPipeline.runWithDeletes]]); needs `edgeStore`.
+  *  - `"replicate"` — push_to_es.py without the hierarchy step:
+  *    incremental extract → keyed latest-wins push of the rows
+  *    themselves. Rows must carry the dest's key/version columns.
+  *  - `"sync"` — full reindex: the dest becomes exactly the source's
+  *    current rows ([[DocumentStore.sync]]; no bookmark involved).
+  *
+  * Store specs (`source` accepts any of these plus read-only types;
+  * `dest`/`edgeStore` need a [[DocumentStore]]):
+  *  - `{"type":"parquet","path":...,"keyCols":[...],"versionCol":...,
+  *    "numBuckets":64}` — the engine-native bucketed sink (keyCols/
+  *    versionCol optional for a plain source read).
+  *  - `{"type":"es","base":"http://host:9200","alias":...,
+  *    "keyCols":[...],"versionCol":...,"schema":"id BIGINT, ..."}` —
+  *    a real Elasticsearch endpoint ([[EsDocumentStore]]).
+  *  - `{"type":"http","base":...,"schema":...}` — the engine's own
+  *    HTTP store protocol ([[HttpDocumentStore]]).
+  *  - `{"type":"jsonl","path":...}` — NDJSON export, source-only.
+  *
+  * Prints one JSON result line (extracted/pushed/watermark) on
+  * success; any failure exits non-zero with the error on stderr —
+  * the exit code is the scheduler's signal, same as the reference.
+  */
+object Main {
+  private val mapper = new ObjectMapper()
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: graft.Main <config.json>")
+    val cfg = mapper.readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(args(0))),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val spark = util.configure(SparkSession.builder()
+      .master(opt(cfg, "master").getOrElse("local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val result = run(spark, cfg)
+    println(result)
+  }
+
+  /** One pipeline run from a parsed config — the testable core of
+    * [[main]]. Returns the JSON result line.
+    */
+  def run(spark: SparkSession, cfg: JsonNode): String = {
+    val mode = req(cfg, "mode")
+    val source = sourceOf(spark, cfg.get("source"))
+    def dest = storeOf(cfg.get("dest"))
+    def wmCol = req(cfg, "wmCol")
+    def bookmark = req(cfg, "bookmark")
+    mode match {
+      case "closure" =>
+        val r = EtlPipeline.run(spark, source.scan(spark), wmCol, dest, bookmark)
+        resultJson(r.extracted, r.pushed, r.watermark)
+      case "closure-deletes" =>
+        val edgeStore = storeOf(cfg.get("edgeStore"))
+        val r = EtlPipeline.runWithDeletes(spark, source.scan(spark), wmCol,
+          dest, edgeStore, bookmark)
+        resultJson(r.extracted, r.pushed, r.watermark)
+      case "replicate" =>
+        val e = ExtractBookmark.extractSince(source.scan(spark), wmCol, bookmark)
+        val n = e.batch.count()
+        if (n > 0) dest.push(e.batch)
+        ExtractBookmark.commit(e, bookmark)
+        resultJson(n, n, e.watermark)
+      case "sync" =>
+        val snapshot = source.scan(spark)
+        dest.sync(snapshot)
+        val n = snapshot.count()
+        resultJson(n, n, None)
+      case other => sys.error(
+        s"unknown mode '$other' (closure | closure-deletes | replicate | sync)")
+    }
+  }
+
+  private def sourceOf(spark: SparkSession, spec: JsonNode): DocumentSource =
+    req(spec, "type") match {
+      case "jsonl" => JsonLinesStore(req(spec, "path"))
+      case "parquet" if !spec.has("keyCols") =>
+        // plain parquet dir read — no keyed-sink layout assumed
+        new DocumentSource {
+          override def scan(s: SparkSession): DataFrame =
+            s.read.parquet(req(spec, "path"))
+        }
+      case _ => storeOf(spec)
+    }
+
+  private def storeOf(spec: JsonNode): DocumentStore = {
+    require(spec != null, "missing store spec")
+    req(spec, "type") match {
+      case "parquet" =>
+        ParquetStore(req(spec, "path"), strList(spec, "keyCols"),
+          req(spec, "versionCol"),
+          opt(spec, "numBuckets").map(_.toInt).getOrElse(64))
+      case "es" =>
+        EsDocumentStore(req(spec, "base"), req(spec, "alias"),
+          strList(spec, "keyCols"), req(spec, "versionCol"),
+          StructType.fromDDL(req(spec, "schema")),
+          slices = opt(spec, "slices").map(_.toInt).getOrElse(8),
+          batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500))
+      case "http" =>
+        HttpDocumentStore(req(spec, "base"),
+          StructType.fromDDL(req(spec, "schema")),
+          slices = opt(spec, "slices").map(_.toInt).getOrElse(8),
+          batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500))
+      case other => sys.error(s"unknown store type '$other' (parquet | es | http)")
+    }
+  }
+
+  private def req(n: JsonNode, field: String): String = {
+    require(n != null && n.hasNonNull(field), s"config missing '$field'")
+    n.get(field).asText()
+  }
+
+  private def opt(n: JsonNode, field: String): Option[String] =
+    if (n.hasNonNull(field)) Some(n.get(field).asText()) else None
+
+  private def strList(n: JsonNode, field: String): Seq[String] = {
+    require(n.hasNonNull(field), s"config missing '$field'")
+    val a = n.get(field)
+    (0 until a.size()).map(a.get(_).asText())
+  }
+
+  private def resultJson(extracted: Long, pushed: Long, wm: Option[Long]): String =
+    s"""{"extracted":$extracted,"pushed":$pushed,"watermark":${wm.getOrElse("null")}}"""
+}

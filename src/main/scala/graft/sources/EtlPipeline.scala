@@ -324,9 +324,4 @@ object EtlPipeline {
     (nEvents, nPushed)
   }
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName != "_graft_buckets")
-  }
 }

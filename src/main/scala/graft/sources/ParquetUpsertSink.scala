@@ -57,7 +57,13 @@ object ParquetUpsertSink {
     * skip them during pruning, and silently duplicate keys.
     */
   def upsert(updates: DataFrame, path: String, keyCols: Seq[String],
-      versionCol: String, numBuckets: Int = 64): Unit = {
+      versionCol: String, numBuckets: Int = 64): Unit =
+    withWriteLock(updates.sparkSession, path) {
+      doUpsert(updates, path, keyCols, versionCol, numBuckets)
+    }
+
+  private def doUpsert(updates: DataFrame, path: String, keyCols: Seq[String],
+      versionCol: String, numBuckets: Int): Unit = {
     val spark = updates.sparkSession
     val exists = tableExists(spark, path)
     val buckets = if (exists) readBucketCount(spark, path) else numBuckets
@@ -163,10 +169,16 @@ object ParquetUpsertSink {
     * already imposes. Same single-writer rule as [[upsert]].
     */
   def sync(snapshot: DataFrame, path: String, keyCols: Seq[String],
-      versionCol: String, numBuckets: Int = 64): Unit = {
+      versionCol: String, numBuckets: Int = 64): Unit =
+    withWriteLock(snapshot.sparkSession, path) {
+      doSync(snapshot, path, keyCols, versionCol, numBuckets)
+    }
+
+  private def doSync(snapshot: DataFrame, path: String, keyCols: Seq[String],
+      versionCol: String, numBuckets: Int): Unit = {
     val spark = snapshot.sparkSession
     if (!tableExists(spark, path)) {
-      upsert(snapshot, path, keyCols, versionCol, numBuckets)
+      doUpsert(snapshot, path, keyCols, versionCol, numBuckets)
       return
     }
     val buckets = readBucketCount(spark, path)
@@ -214,6 +226,12 @@ object ParquetUpsertSink {
     * of a whole batch converges.
     */
   def delete(keys: DataFrame, path: String, keyCols: Seq[String],
+      versionCol: String): Unit =
+    withWriteLock(keys.sparkSession, path) {
+      doDelete(keys, path, keyCols, versionCol)
+    }
+
+  private def doDelete(keys: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String): Unit = {
     val spark = keys.sparkSession
     if (!tableExists(spark, path)) return
@@ -246,6 +264,66 @@ object ParquetUpsertSink {
       fs.delete(root, true)
   }
 
+  private val lockName = "_graft_lock"
+
+  /** Enforce the sink's SINGLE-WRITER contract instead of just
+    * documenting it: every mutation ([[upsert]]/[[sync]]/[[delete]])
+    * runs under an exclusive lock sidecar, acquired by the atomic
+    * create-if-absent of `_graft_lock` at the table root (HDFS/local
+    * `create(overwrite=false)` — one filesystem RPC, no read-check
+    * race). A second concurrent writer fails LOUDLY at acquisition —
+    * before touching a byte — rather than interleaving dynamic
+    * partition-overwrite bucket rewrites with the first (the silent-
+    * corruption mode dynamic overwrite permits; ES gets this for free
+    * from per-doc versioning, a shared-filesystem store has to bring
+    * its own fence). The underscore prefix keeps Spark's parquet
+    * reader from seeing the sidecar as data.
+    *
+    * Crash behavior: a writer that dies mid-mutation leaves its lock
+    * behind, and every later writer fails with the holder's identity
+    * until an operator confirms the holder is dead and calls
+    * [[forceUnlock]] (or removes the file). Deliberately NOT a TTL —
+    * auto-expiring a lock under a live-but-slow writer would
+    * re-create exactly the two-writer interleave the lock exists to
+    * prevent.
+    */
+  private def withWriteLock[A](spark: SparkSession, path: String)(body: => A): A = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(root, lockName)
+    val holder = s"pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"ts=${java.time.Instant.now()}"
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val heldBy =
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+              fs.open(lock)), java.nio.charset.StandardCharsets.UTF_8)
+            catch { case _: Exception => "<unreadable>" }
+          sys.error(s"$path is locked by another writer [$heldBy]. " +
+            "The parquet upsert sink is single-writer: concurrent merges " +
+            "would interleave bucket rewrites and corrupt the store. If " +
+            s"the holder crashed, remove $path/$lockName " +
+            "(ParquetUpsertSink.forceUnlock) and rerun.")
+      }
+    try out.write(holder.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try body
+    finally fs.delete(lock, false)
+  }
+
+  /** Operator override for a crashed writer's abandoned lock. Returns
+    * true when a lock file was actually removed.
+    */
+  def forceUnlock(spark: SparkSession, path: String): Boolean = {
+    val lock = new org.apache.hadoop.fs.Path(path, lockName)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
+  }
+
   private def withBucket(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
     df.withColumn(bucketCol, pmod(hash(keyCols.map(col): _*), lit(n)).cast("int"))
 
@@ -260,6 +338,10 @@ object ParquetUpsertSink {
   private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    // only DATA makes a table: the _graft_lock/_graft_buckets sidecars
+    // (and Spark's _SUCCESS etc.) don't — withWriteLock creates the
+    // root dir + lock before a first write, and that must still read
+    // as "no table yet"
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$bucketCol="))
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** The config-driven entrypoint: the reference's settings.json-fed
+  * CLI shape, smoke-driven end-to-end against real stores.
+  */
+class MainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def tmp() = Files.createTempDirectory("graft-main").toString
+
+  test("closure mode runs the reference's main loop from one config file") {
+    val base = tmp()
+    Seq((10L, 1L, 1L), (12L, 10L, 2L), (13L, 12L, 3L))
+      .toDF("child", "parent", "m").write.parquet(s"$base/edges")
+    val cfg = s"""{
+      "mode": "closure",
+      "source": {"type": "parquet", "path": "$base/edges"},
+      "wmCol": "m",
+      "dest": {"type": "parquet", "path": "$base/closure",
+               "keyCols": ["ancestor", "descendant"], "versionCol": "rev",
+               "numBuckets": 4},
+      "bookmark": "$base/wm"
+    }"""
+    val cfgPath = s"$base/etl.json"
+    Files.write(java.nio.file.Paths.get(cfgPath), cfg.getBytes(UTF_8))
+    // the REAL entrypoint: file in, pipeline runs (session via getOrCreate)
+    Main.main(Array(cfgPath))
+    val got = spark.read.parquet(s"$base/closure")
+      .select($"ancestor", $"descendant", $"depth")
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe graft.operators.Hierarchy.closure(
+      Seq((10L, 1L), (12L, 10L), (13L, 12L)).toDF("child", "parent"))
+      .as[(Long, Long, Int)].collect().toSet
+    // second run: bookmark committed, nothing new — a no-op
+    val r2 = Main.run(spark, mapper.readTree(cfg))
+    r2 should include(""""extracted":0""")
+  }
+
+  test("replicate mode: incremental extract + keyed latest-wins push") {
+    val base = tmp()
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "rev")
+      .write.parquet(s"$base/src")
+    val cfg = mapper.readTree(s"""{
+      "mode": "replicate",
+      "source": {"type": "parquet", "path": "$base/src"},
+      "wmCol": "rev",
+      "dest": {"type": "parquet", "path": "$base/dst",
+               "keyCols": ["id"], "versionCol": "rev", "numBuckets": 4},
+      "bookmark": "$base/wm"
+    }""")
+    Main.run(spark, cfg) should include(""""extracted":2""")
+    // append a newer revision of key 2 + a new key; only those move
+    Seq((2L, "b2", 3L), (3L, "c", 4L)).toDF("id", "v", "rev")
+      .write.mode("append").parquet(s"$base/src")
+    Main.run(spark, cfg) should include(""""extracted":2""")
+    spark.read.parquet(s"$base/dst").select($"id", $"v")
+      .as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "b2"), (3L, "c"))
+  }
+
+  test("sync mode + config validation failures are loud") {
+    val base = tmp()
+    Seq((1L, "a", 1L)).toDF("id", "v", "rev").write.parquet(s"$base/src")
+    val cfg = mapper.readTree(s"""{
+      "mode": "sync",
+      "source": {"type": "parquet", "path": "$base/src"},
+      "dest": {"type": "parquet", "path": "$base/dst",
+               "keyCols": ["id"], "versionCol": "rev"}
+    }""")
+    Main.run(spark, cfg) should include(""""pushed":1""")
+    spark.read.parquet(s"$base/dst").count() shouldBe 1L
+    val bad = intercept[Exception] {
+      Main.run(spark, mapper.readTree("""{"mode":"nope","source":{"type":"jsonl","path":"x"}}"""))
+    }
+    bad.getMessage should include("unknown mode")
+    val missing = intercept[Exception] {
+      Main.run(spark, mapper.readTree("""{"source":{"type":"jsonl","path":"x"}}"""))
+    }
+    missing.getMessage should include("missing 'mode'")
+  }
+}

@@ -318,4 +318,46 @@ class UpsertSinkSpec extends SparkSpec {
     // and the merge result is still correct
     ParquetUpsertSink.read(spark, path).count() shouldBe 400L
   }
+
+  test("single-writer lock: a concurrent second writer fails loudly, never corrupts") {
+    val dir = Files.createTempDirectory("graft-lock").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val rows = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(rows, path, Seq("id"), "rev", numBuckets = 4)
+    // a successful mutation releases its lock: the next one proceeds
+    ParquetUpsertSink.upsert(Seq((3L, 1L, "c")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.read(spark, path).count() shouldBe 3L
+
+    // simulate a writer HOLDING the lock (as a concurrent merge, or a
+    // crashed one, would): every mutation must refuse — before
+    // touching any data — with the holder's identity in the error
+    val lock = new org.apache.hadoop.fs.Path(path, "_graft_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("pid=9999 host=other-writer".getBytes("UTF-8")); out.close()
+    val before = ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet
+    val e1 = intercept[RuntimeException] {
+      ParquetUpsertSink.upsert(Seq((4L, 1L, "d")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev")
+    }
+    e1.getMessage should include("locked by another writer")
+    e1.getMessage should include("other-writer")
+    an[RuntimeException] should be thrownBy
+      ParquetUpsertSink.sync(rows, path, Seq("id"), "rev")
+    an[RuntimeException] should be thrownBy
+      ParquetUpsertSink.delete(Seq((1L, 9L)).toDF("id", "rev"), path, Seq("id"), "rev")
+    // nothing was written while locked out
+    ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet shouldBe before
+
+    // operator override for a dead holder: forceUnlock, then writes flow
+    ParquetUpsertSink.forceUnlock(spark, path) shouldBe true
+    ParquetUpsertSink.forceUnlock(spark, path) shouldBe false // idempotent
+    ParquetUpsertSink.upsert(Seq((4L, 1L, "d")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.read(spark, path).count() shouldBe 4L
+  }
 }
