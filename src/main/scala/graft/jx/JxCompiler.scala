@@ -130,13 +130,14 @@ object JxCompiler {
     val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
     val gbNodes = if (q.has("groupby")) asList(q.get("groupby")) else Nil
     if (aggSel.isEmpty && gbNodes.isEmpty) {
-      if (plainSel.nonEmpty && !plainSel.exists(n => n.isTextual && n.asText() == "*"))
+      if (isLeavesSelect(plainSel)) df = leavesOf(df) // stateless projection
+      else if (plainSel.nonEmpty && !plainSel.exists(n => n.isTextual && n.asText() == "*"))
         df = df.select(plainSel.map(compileSelect): _*)
       if (fmt == "nested") toNested(df) else df
     } else {
       aggSel.foreach { n =>
         val k = req(n, "aggregate").asText()
-        require(!Set("cardinality", "median", "percentile", "union").contains(k),
+        require(!Set("cardinality", "median", "percentile", "union", "list").contains(k),
           s"jx streaming: aggregate '$k' needs the whole group (no mergeable streaming state) — " +
             "use the batch path on the sink table")
       }
@@ -251,6 +252,10 @@ object JxCompiler {
               .agg(aggs.headOption.getOrElse(count(lit(1)).as("count")), aggs.drop(1): _*)
           else df.agg(aggs.head, aggs.tail: _*)
         df = agged
+      } else if (isLeavesSelect(plainSel)) {
+        require(plainSel.length == 1,
+          "jx select: 'leaves' selects every leaf — combine via a pipelined query, not a mixed list")
+        df = leavesOf(df)
       } else if (plainSel.nonEmpty && !plainSel.exists(_.asText() == "*")) {
         df = df.select(plainSel.map(compileSelect): _*)
       }
@@ -294,7 +299,9 @@ object JxCompiler {
       tables.getOrElse(n, Tables.load(spark, dir, n))
     if (tables.contains(path) || !path.contains(".")) table(path)
     else {
-      val segs = path.split("\\.").toSeq
+      // split on UNESCAPED dots only: `a\.b` is one literal segment
+      // (a key containing a dot), not a descent step
+      val segs = path.split("(?<!\\\\)\\.").toSeq.map(unescapeDots)
       var df = table(segs.head)
       var prefix = ""
       segs.tail.foreach { seg =>
@@ -464,12 +471,48 @@ object JxCompiler {
   private def edgeName(n: JsonNode): String =
     if (!n.isTextual && n.has("name")) n.get("name").asText() else fieldName(n)
 
+  /** pyLibrary's escaped-dot syntax: `a\.b` (JSON `"a\\.b"`) names a
+    * LITERAL key containing a dot, vs `a.b` the nested path. In this
+    * engine's flat model both resolve to the dot-named column `a.b` —
+    * the record bridge names a descended path and a literal dotted
+    * key identically — so resolution just strips the escapes; the
+    * place the distinction is LOAD-BEARING is [[resolveFrom]], which
+    * must not descend through an escaped dot.
+    */
+  private def unescapeDots(name: String): String = name.replace("\\.", ".")
+
   /** Field reference: names containing dots target the flattened
     * dot-named columns the record bridge produces (backquoted so the
-    * analyzer does not re-parse them as struct paths).
+    * analyzer does not re-parse them as struct paths); `\.` escapes
+    * resolve to the same literal dotted name.
     */
-  private def fcol(name: String): Column =
-    if (name.contains(".")) col(s"`$name`") else col(name)
+  private def fcol(name: String): Column = {
+    val n = unescapeDots(name)
+    if (n.contains(".")) col(s"`$n`") else col(n)
+  }
+
+  /** `select: "leaves"`: every LEAF of the record, struct columns
+    * recursively expanded to their dot-named leaf fields — pyLibrary's
+    * deep select (`.leaves()`), the inverse of `format: "nested"`
+    * (spec pins the round-trip). Arrays stay values (jx descends into
+    * inner-document ARRAYS only via `from` paths, where the row
+    * multiplicity change is explicit). A pure projection: codegen'd,
+    * no shuffle, scale-free.
+    */
+  private[graft] def leavesOf(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(c: Column, dt: org.apache.spark.sql.types.DataType,
+        name: String): Seq[Column] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f =>
+        expand(c.getField(f.name), f.dataType, s"$name.${f.name}"))
+      case _ => Seq(c.as(name))
+    }
+    df.select(df.schema.fields.toSeq.flatMap(f =>
+      expand(col(s"`${f.name}`"), f.dataType, f.name)): _*)
+  }
+
+  private def isLeavesSelect(sel: Seq[JsonNode]): Boolean =
+    sel.exists(n => n.isTextual && n.asText() == "leaves")
 
   /** jx expression → Catalyst Column. */
   def compileExpr(n: JsonNode): Column = n match {
@@ -974,6 +1017,14 @@ object JxCompiler {
       // returns an unordered set; emitted sorted so results are
       // deterministic (and hashable by the gate).
       case "union" => array_sort(collect_set(value.get))
+      // jx list: the group's values with DUPLICATES preserved (vs
+      // union's set). pyLibrary keeps arrival order; a distributed
+      // group has no stable row order (collect_list order is
+      // partition-layout-dependent), so the engine emits the MULTISET
+      // sorted — duplicate counts intact, deterministic across
+      // layouts/retries. Callers needing a meaningful order sort by a
+      // real column and carry it in the values.
+      case "list" => array_sort(collect_list(value.get))
       // jx stats moments (pyLibrary's stats aggregate): SAMPLE
       // variance/std from exact decimal sums — Spark's var_samp
       // accumulates doubles in partition order (non-associative

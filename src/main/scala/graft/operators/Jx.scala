@@ -798,7 +798,42 @@ object Jx extends QueryPack {
            |FROM orders WHERE o_orderkey < 1000""".stripMargin),
     "jx format nested: dotted select names re-assembled into documents, struct JSON vs struct_pack oracle")
 
+  /** jx `select: "leaves"` (q127): pyLibrary's deep select — every
+    * leaf of the document, struct columns recursively expanded to
+    * dot-named leaf fields. Exercised as the INVERSE of q121's
+    * `format: "nested"` through the pipelined-from path: the inner
+    * query re-nests dotted names into documents, the outer filters on
+    * a top-level field and re-flattens with `leaves` — so the gate
+    * pins the leaves ∘ nested round-trip against the flat oracle.
+    */
+  val q127Json: String =
+    """{
+      |  "from": {
+      |    "from": "orders",
+      |    "where": {"lt": {"o_orderkey": 1000}},
+      |    "select": [
+      |      {"name": "key", "value": "o_orderkey"},
+      |      {"name": "cust.id", "value": "o_custkey"},
+      |      {"name": "cust.status", "value": "o_orderstatus"},
+      |      {"name": "cust.order.priority", "value": "o_orderpriority"}
+      |    ],
+      |    "format": "nested"
+      |  },
+      |  "where": {"lt": {"key": 500}},
+      |  "select": "leaves"
+      |}""".stripMargin
+
+  val q127 = Q(
+    "q127_jx_leaves",
+    (s, d) => JxCompiler.query(s, d, q127Json),
+    Some("""SELECT o_orderkey AS key,
+           |  o_custkey AS "cust.id",
+           |  o_orderstatus AS "cust.status",
+           |  o_orderpriority AS "cust.order.priority"
+           |FROM orders WHERE o_orderkey < 1000 AND o_orderkey < 500""".stripMargin),
+    "jx select leaves: deep leaf expansion as the inverse of format nested, pipelined")
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q45, q56, q57, q64, q70, q77, q93, q94, q95, q96, q97,
-      q99, q100, q101, q102, q106, q121)
+      q99, q100, q101, q102, q106, q121, q127)
 }

@@ -1117,4 +1117,68 @@ class JxSpec extends SparkSpec {
     }
     e.getMessage should include("both a leaf column and a nested prefix")
   }
+
+  test("select leaves: deep leaf expansion, and leaves ∘ nested = identity") {
+    // leaves over struct columns: recursively dot-named
+    val got = run("""{
+      "from": {"from":"orders", "where":{"lt":{"o_orderkey":100}},
+        "select":[{"name":"key","value":"o_orderkey"},
+                  {"name":"cust.id","value":"o_custkey"},
+                  {"name":"cust.order.priority","value":"o_orderpriority"}],
+        "format":"nested"},
+      "select": "leaves"}""")
+    got.columns.toSeq shouldBe Seq("key", "cust.id", "cust.order.priority")
+    val want = Tables.orders(spark, sfDir).where(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .as[(Long, Long, String)].collect().toSet
+    got.as[(Long, Long, String)].collect().toSet shouldBe want
+    // on an already-flat record, leaves is the identity projection
+    val flat = run("""{"from":"orders","where":{"lt":{"o_orderkey":100}},"select":"leaves"}""")
+    flat.columns.toSeq shouldBe Tables.orders(spark, sfDir).columns.toSeq
+    // 'leaves' does not combine with other select terms
+    val e = intercept[IllegalArgumentException] {
+      run("""{"from":"orders","select":["leaves","o_orderkey"]}""").schema
+    }
+    e.getMessage should include("selects every leaf")
+  }
+
+  test("escaped dotted names address literal dotted keys; from still splits on real dots") {
+    // a record whose KEY literally contains a dot — pyLibrary's a\.b
+    val weird = Seq((1L, "x"), (2L, "y")).toDF("bug.id", "status")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"weird",
+        "where":{"eq":{"bug\\.id":2}},
+        "select":[{"name":"renamed","value":"bug\\.id"},"status"]}""",
+      Map("weird" -> weird))
+    got.as[(Long, String)].collect().toSeq shouldBe Seq((2L, "y"))
+    // unescaped form addresses the same flat column (the record
+    // bridge names descended paths and literal dotted keys alike)
+    JxCompiler.queryOn(spark, sfDir,
+      """{"from":"weird","where":{"eq":{"bug.id":1}},"select":["status"]}""",
+      Map("weird" -> weird))
+      .as[String].collect().toSeq shouldBe Seq("x")
+  }
+
+  test("list aggregate: duplicates preserved (vs union's set), emitted sorted") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 1L), ("b", 3L))
+      .toDF("k", "v")
+    val got = JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","groupby":["k"],
+        "select":[{"name":"vals","aggregate":"list","value":"v"},
+                  {"name":"set","aggregate":"union","value":"v"}],
+        "sort":["k"]}""",
+      Map("t" -> df))
+      .as[(String, Seq[Long], Seq[Long])].collect().toSeq
+    got shouldBe Seq(
+      ("a", Seq(1L, 1L, 2L), Seq(1L, 2L)), // list keeps the dup, union drops it
+      ("b", Seq(3L), Seq(3L)))
+    // layout-independence: a different partitioning yields the same lists
+    JxCompiler.queryOn(spark, sfDir,
+      """{"from":"t","groupby":["k"],
+        "select":[{"name":"vals","aggregate":"list","value":"v"}],
+        "sort":["k"]}""",
+      Map("t" -> df.repartition(7)))
+      .as[(String, Seq[Long])].collect().toSeq shouldBe Seq(
+      ("a", Seq(1L, 1L, 2L)), ("b", Seq(3L)))
+  }
 }
