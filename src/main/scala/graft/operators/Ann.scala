@@ -53,6 +53,26 @@ object Ann extends QueryPack {
   private def exportOnce(key: String, d: String)(write: String => Unit): Unit =
     if (exported.add((d, key))) write(s"$gateModelDir/$key.parquet")
 
+  /** Export every gate model for `d` — called by [[graft.Verify]]
+    * AFTER planning, never from a query builder: builders are pinned
+    * action-free at plan-construction time (PlanSpec), and a write
+    * job inside one would violate that. Running the oracles of
+    * q35/q43/q81/q85/q92/q105 against a Verify dump requires this to
+    * have run against the same dir (Verify always does).
+    */
+  def exportGateModels(s: SparkSession, d: String): Unit = {
+    exportOnce("lsh_planes_8x4", d)(p =>
+      graft.sources.ModelStore.saveCentroids(s, p, planes(8 * 4, 64)))
+    exportOnce("ivf_centroids_16_2", d)(p =>
+      graft.sources.ModelStore.saveCentroids(s, p, storedCentroids(s, d, 16, 2)))
+    exportOnce("km_centroids_8_3", d)(p =>
+      graft.sources.ModelStore.saveCentroids(s, p, storedCentroids(s, d, 8, 3)))
+    exportOnce("pq_codebooks_8_16_2", d)(p =>
+      graft.sources.ModelStore.saveCodebooks(s, p, storedCodebooks(s, d, 8, 16, 2)))
+    exportOnce("pca_basis_8", d)(p => graft.sources.ModelStore
+      .saveCentroids(s, p, pcaBasis(storedPcaModel(s, d, 8))))
+  }
+
   private val centsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), Array[Array[Double]]]()
 
@@ -130,12 +150,6 @@ object Ann extends QueryPack {
   val q35 = Q(
     "q35_ann_lsh",
     (s, d) => {
-      // export the (deterministic, data-independent) hyperplanes so
-      // the oracle rebuilds the same buckets: plane i serves table
-      // i/4, bit i%4 — dot signs are bit-identical cross-engine (the
-      // q34 contract), so bucketing, candidates and ranks all mirror
-      exportOnce("lsh_planes_8x4", d)(p =>
-        graft.sources.ModelStore.saveCentroids(s, p, planes(8 * 4, 64)))
       val buckets = lshBuckets(emb(s, d), tables = 8, bits = 4)
       val qb = buckets.where(col("vec_id") < 10)
         .toDF("qid", "qv", "tbl", "bucket")
@@ -313,17 +327,7 @@ object Ann extends QueryPack {
 
   val q43 = Q(
     "q43_ann_ivf",
-    (s, d) => {
-      // export the trained quantizer; the oracle re-runs the
-      // deterministic consumer steps (assignment argmax with
-      // ties-to-higher-cl, probe ranking, exact rerank) from the same
-      // centroid table — Lloyd training itself has no SQL mirror, but
-      // it doesn't need one once the model is shared
-      val cents = storedCentroids(s, d, 16, 2)
-      exportOnce("ivf_centroids_16_2", d)(p =>
-        graft.sources.ModelStore.saveCentroids(s, p, cents))
-      ivfSearchOn(emb(s, d), cents, nprobe = 4, k = 5)
-    },
+    (s, d) => ivfSearchOn(emb(s, d), storedCentroids(s, d, 16, 2), nprobe = 4, k = 5),
     Some(s"""WITH ct AS (
            |  SELECT i AS cl, v AS cv
            |  FROM read_parquet('$gateModelDir/ivf_centroids_16_2.parquet/*.parquet')
@@ -597,12 +601,7 @@ object Ann extends QueryPack {
 
   val q81 = Q(
     "q81_embed_cluster",
-    (s, d) => {
-      val cents = storedCentroids(s, d, 8, 3)
-      exportOnce("km_centroids_8_3", d)(p =>
-        graft.sources.ModelStore.saveCentroids(s, p, cents))
-      embedClustersOn(emb(s, d), cents)
-    },
+    (s, d) => embedClustersOn(emb(s, d), storedCentroids(s, d, 8, 3)),
     // the trained model exports to parquet; the oracle re-runs the
     // deterministic assignment argmax (ties to higher cl) against it
     Some(s"""WITH ct AS (
@@ -777,15 +776,8 @@ object Ann extends QueryPack {
 
   val q85 = Q(
     "q85_ann_ivfpq",
-    (s, d) => {
-      val cents = storedCentroids(s, d, 16, 2)
-      val cbs = storedCodebooks(s, d, 8, 16, 2)
-      exportOnce("ivf_centroids_16_2", d)(p =>
-        graft.sources.ModelStore.saveCentroids(s, p, cents))
-      exportOnce("pq_codebooks_8_16_2", d)(p =>
-        graft.sources.ModelStore.saveCodebooks(s, p, cbs))
-      ivfPqSearchOn(emb(s, d), cents, cbs, nprobe = 4, k = 5, shortlist = 20)
-    },
+    (s, d) => ivfPqSearchOn(emb(s, d), storedCentroids(s, d, 16, 2),
+      storedCodebooks(s, d, 8, 16, 2), nprobe = 4, k = 5, shortlist = 20),
     // Full consumer-step mirror from the exported models: coarse
     // assignment (ties→higher cl), per-subspace code argmin
     // (ties→lower c), probe ranking, ADC distance as the SAME ordered
@@ -1052,12 +1044,8 @@ object Ann extends QueryPack {
     // comparator hashes plain doubles (it cannot sort/hash ndarray
     // cells — the q57 precedent). AnnSpec still pins the invariant
     // geometry of the fit itself.
-    (s, d) => {
-      exportOnce("pca_basis_8", d)(p => graft.sources.ModelStore
-        .saveCentroids(s, p, pcaBasis(storedPcaModel(s, d, 8))))
-      storedPcaProjection(s, d, 8).select(col("vec_id"), col("label"),
-        posexplode(col("proj")).as(Seq("pos", "v")))
-    },
+    (s, d) => storedPcaProjection(s, d, 8).select(col("vec_id"), col("label"),
+      posexplode(col("proj")).as(Seq("pos", "v"))),
     Some(s"""WITH b AS (
            |  SELECT i, v FROM read_parquet('$gateModelDir/pca_basis_8.parquet/*.parquet')
            |), e AS (
@@ -1108,12 +1096,7 @@ object Ann extends QueryPack {
 
   val q105 = Q(
     "q105_semdedup",
-    (s, d) => {
-      val cents = storedCentroids(s, d, 8, 3)
-      exportOnce("km_centroids_8_3", d)(p =>
-        graft.sources.ModelStore.saveCentroids(s, p, cents))
-      semanticDedupOn(emb(s, d), cents, 0.4)
-    },
+    (s, d) => semanticDedupOn(emb(s, d), storedCentroids(s, d, 8, 3), 0.4),
     // consumer-step oracle from the exported model (the q81 table):
     // same assignment argmax, then the min-id keeper rule over
     // within-cluster cosine pairs — AnnSpec still pins the
