@@ -21,6 +21,7 @@ object Verify {
     // explicit dump step here, NOT a query-builder side effect:
     // builders stay action-free at plan time (PlanSpec pins it)
     operators.Ann.exportGateModels(spark, sfDir)
+    operators.Dedup.exportGateSignatures(spark, sfDir)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

@@ -24,6 +24,30 @@ object Dedup extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  private val sigExported = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Export the deterministic signature tables the q32/q33 oracles
+    * consume — called by [[graft.Verify]] after planning, never from
+    * a query builder (the Ann.exportGateModels contract: builders are
+    * action-free at plan time). Seeded xxhash64 has no DuckDB mirror,
+    * so the HASH step ships as data while the candidate banding and
+    * the exact verify are recomputed independently by the oracle.
+    */
+  def exportGateSignatures(s: SparkSession, d: String): Unit = {
+    def once(key: String)(write: String => Unit): Unit =
+      if (sigExported.add((d, key)))
+        write(s"${graft.operators.Ann.gateModelDir}/$key.parquet")
+    once("minhash_buckets_32_8") { p =>
+      minhashSignatures(docs(s, d), 32, 8)
+        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    once("simhash_64") { p =>
+      simhashValues(docs(s, d))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+  }
+
   /** (doc_id, shingle) — every complete word n-gram of each document,
     * with duplicates (one row per occurrence).
     *
@@ -486,7 +510,37 @@ object Dedup extends QueryPack {
   val q32 = Q(
     "q32_dedup_minhash",
     (s, d) => minhashPairs(docs(s, d), 0.5),
-    None, // xxhash64 has no DuckDB mirror; recall spec-tested vs q31
+    // Consumer-step oracle (the r10 q35/q43 pattern): seeded xxhash64
+    // has no DuckDB mirror, so Verify exports the deterministic BAND
+    // BUCKET table (doc_id, band, bh) and the oracle recomputes
+    // everything downstream of the hashing independently — the
+    // band-bucket candidate join AND the exact Jaccard verification
+    // from the q31 shingle CTEs. The hash step is shared data; the
+    // candidate logic and the verify math are independently mirrored.
+    Some(s"""WITH b AS (
+           |  SELECT doc_id, band, bh
+           |  FROM read_parquet('${graft.operators.Ann.gateModelDir}/minhash_buckets_32_8.parquet/*.parquet')
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM b x JOIN b y ON x.band = y.band AND x.bh = y.bh
+           |  WHERE x.doc_id < y.doc_id
+           |), toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT c.d1, c.d2, COUNT(*) AS c
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.d1
+           |  JOIN sh b2 ON b2.doc_id = c.d2 AND b2.shingle = a.shingle
+           |  GROUP BY 1, 2
+           |)
+           |SELECT d1, d2, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+           |FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
     "MinHash+LSH banded near-dup: 8 buckets/doc, exact-verify candidates")
 
   /** SimHash candidate pairs: 64-bit simhash split into `64/chunkBits`
@@ -505,6 +559,17 @@ object Dedup extends QueryPack {
     * candidate volume on billion-doc corpora. Pass chunkBits
     * explicitly to pin either regime (specs pin 8-bit behavior).
     */
+  /** Per-doc 64-bit SimHash — the deterministic signature q33's
+    * banding consumes (seeded xxhash64 token hashes through the
+    * native mergeable vote aggregate; order-independent, so the
+    * exported copy equals the in-query recompute bit-for-bit).
+    */
+  def simhashValues(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), explode(words(col("text"))).as("t"))
+    .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    .groupBy(col("doc_id"))
+    .agg(graft.functions.simhashAgg(col("h")).as("sh"))
+
   def simhashPairs(df: DataFrame, maxHamming: Int, chunkBits: Int = 0,
       nDocs: Long = -1L): DataFrame = {
     val bits =
@@ -540,11 +605,7 @@ object Dedup extends QueryPack {
     // group; see graft.expressions.SimHashAgg) — one expression where
     // the composed formulation needs 64 conditional-sum columns.
     // FunctionsSpec pins the three formulations to each other.
-    val hashed = df
-      .select(col("doc_id"), explode(words(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.simhashAgg(col("h")).as("sh"))
+    val hashed = simhashValues(df)
     // LAZY persist, not localCheckpoint: the vote aggregation feeds
     // both self-join sides, and one side broadcast-exchanges — the
     // exchanges differ canonically, so ReuseExchange cannot dedupe
@@ -581,7 +642,25 @@ object Dedup extends QueryPack {
     // plan-construction); 8-bit chunks are the complete regime for the
     // test corpus and any corpus to ~2M docs
     (s, d) => simhashPairs(docs(s, d), maxHamming = 5, chunkBits = 8),
-    None, // xxhash64-based simhash has no DuckDB mirror; spec-tested
+    // Consumer-step oracle: Verify exports the per-doc 64-bit simhash
+    // (deterministic vote aggregate); the oracle independently
+    // recomputes the 8-bit chunk banding, the pigeonhole candidate
+    // join, and the XOR-popcount hamming verify. `(sh >> k) & 255`
+    // matches shiftrightunsigned+mask for every chunk: the mask keeps
+    // only the 8 in-word bits, so arithmetic-shift sign fill never
+    // reaches the compare.
+    Some(s"""WITH s AS (
+           |  SELECT doc_id, sh
+           |  FROM read_parquet('${graft.operators.Ann.gateModelDir}/simhash_64.parquet/*.parquet')
+           |), ch AS (
+           |  SELECT doc_id, sh, i AS pos, (sh >> (i * 8)) & 255 AS cv
+           |  FROM s CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) t
+           |)
+           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           |FROM ch a JOIN ch b ON a.pos = b.pos AND a.cv = b.cv
+           |WHERE a.doc_id < b.doc_id
+           |  AND bit_count(xor(a.sh, b.sh)) <= 5""".stripMargin),
     "SimHash near-dup: scale-aware chunk buckets, hamming<=5 (pigeonhole-complete at test scale)")
 
   /** Passage-level exact dedup (RefinedWeb/MassiveText-style): each

@@ -32,6 +32,13 @@ import pyarrow.compute as pc
 SRC = "/root/testdata/sf0.1"
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 SHIFT = 100_000_000
+# Parquet can't split below row-group granularity: the driver's files
+# are ONE row group each, so a replicated fact table read as a single
+# 150k-row group runs every narrow scan pipeline on ONE core — the
+# r10 sf3 bench showed regex-heavy document scans at 25x instead of
+# 3x purely from this. 8k-row groups let Spark parallelize the scan
+# the way any production-written parquet would.
+ROW_GROUP = 8192
 
 
 def shifted(table, col, r):
@@ -46,14 +53,15 @@ def main():
     import os
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
-        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{out}/{t}.parquet")
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{out}/{t}.parquet",
+                       row_group_size=ROW_GROUP)
         print(f"{t}: copied")
 
     def fan(name, transform):
         src = pq.read_table(f"{SRC}/{name}.parquet")
         parts = [transform(src, r) for r in range(copies)]
         merged = pa.concat_tables(parts)
-        pq.write_table(merged, f"{out}/{name}.parquet")
+        pq.write_table(merged, f"{out}/{name}.parquet", row_group_size=ROW_GROUP)
         print(f"{name}: {src.num_rows} -> {merged.num_rows}")
 
     fan("orders", lambda t, r: shifted(t, "o_orderkey", r))
