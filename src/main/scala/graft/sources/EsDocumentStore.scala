@@ -159,13 +159,8 @@ final case class EsDocumentStore(base: String, alias: String,
   /** Max value of `field` over the store (empty → None) via a
     * server-side max aggregation — the watermark poll.
     */
-  def maxWatermark(field: String): Option[Long] = {
-    if (!headOk(s"$base/$alias")) return None
-    val body = request("POST", s"$base/$alias/_search",
-      s"""{"size":0,"aggs":{"wm":{"max":{"field":"$field"}}}}""", jsonHeaders)
-    Option(mapper.readTree(body).at("/aggregations/wm/value"))
-      .filter(v => v.isNumber).map(_.asLong())
-  }
+  def maxWatermark(field: String): Option[Long] =
+    EsDocumentStore.maxWatermarkAt(base, alias, field)
 
   private def ensureIndex(): Unit =
     if (!headOk(s"$base/$alias")) {
@@ -207,6 +202,18 @@ final case class EsDocumentStore(base: String, alias: String,
 object EsDocumentStore {
   private val mapper = new ObjectMapper()
   private val jsonHeaders = Map("Content-Type" -> "application/json")
+
+  /** Static watermark poll (max aggregation) — shared by the store's
+    * instance method and the DSv2 streaming source's latestOffset.
+    */
+  private[sources] def maxWatermarkAt(base: String, index: String,
+      field: String): Option[Long] = {
+    if (!headOk(s"$base/$index")) return None
+    val body = request("POST", s"$base/$index/_search",
+      s"""{"size":0,"aggs":{"wm":{"max":{"field":"$field"}}}}""", jsonHeaders)
+    Option(mapper.readTree(body).at("/aggregations/wm/value"))
+      .filter(v => v.isNumber).map(_.asLong())
+  }
 
   private def actionLine(action: String, index: String, id: String,
       version: Long): String = {

@@ -210,7 +210,7 @@ class HttpPartitionReader(base: String, slice: Int, slices: Int,
   override def close(): Unit = ()
 }
 
-private[http] object HttpRows {
+private[sources] object HttpRows {
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
     case _ => false
