@@ -494,5 +494,61 @@ object Cluster extends QueryPack {
     q52.oracle,
     "incremental components: delta pairs folded into a stored component table ≡ full recompute (q52 oracle)")
 
-  val all: Seq[Q] = Seq(q52, q61, q86, q119)
+  /** Duplication-cluster size distribution (q128) — the report a
+    * dedup-pipeline owner reads before shipping: how many duplicate
+    * clusters exist at each size, and how many documents they cover
+    * (size 2 = simple pairs; a heavy tail of large clusters means
+    * templated boilerplate the mixture weights must discount, and the
+    * biggest cluster's doc count bounds the worst-case keeper loss).
+    *
+    * Scale shape: two map-side-combinable aggregates over the STORED
+    * component table (size per component, then clusters per size) —
+    * the report never touches pairs or documents, costs two tiny
+    * shuffles of ≤|clusters| rows, and is insensitive to how hot the
+    * underlying near-dup graph is.
+    */
+  def clusterSizeReport(components: DataFrame): DataFrame =
+    components
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+
+  val q128 = Q(
+    "q128_cluster_sizes",
+    (s, d) => clusterSizeReport(storedComponents(s, d)),
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT d1, d2
+           |  FROM co JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           |), nodes AS (
+           |  SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs
+           |), und AS (
+           |  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs
+           |), reach AS (
+           |  SELECT n AS node, n AS r FROM nodes
+           |  UNION
+           |  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+           |), comp AS (
+           |  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+           |), csz AS (
+           |  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+           |)
+           |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+           |  CAST(SUM(sz) AS BIGINT) AS n_docs
+           |FROM csz GROUP BY 1""".stripMargin),
+    "dedup-cluster size distribution: clusters and docs covered per size, over the stored component table")
+
+  val all: Seq[Q] = Seq(q52, q61, q86, q119, q128)
 }
