@@ -40,6 +40,13 @@ import org.apache.spark.sql.types.StructType
   *    themselves. Rows must carry the dest's key/version columns.
   *  - `"sync"` — full reindex: the dest becomes exactly the source's
   *    current rows ([[DocumentStore.sync]]; no bookmark involved).
+  *  - `"closure-stream"` / `"closure-deletes-stream"` — the same
+  *    loops as Structured Streaming ([[EtlPipeline.runStream]] /
+  *    [[runStreamWithDeletes]]): `source` must be a STREAMING spec
+  *    (`parquet-stream` file source, or `es-stream` / `http-stream`
+  *    over the DSv2 connectors), `checkpoint` is required, and
+  *    `trigger` picks drain-and-exit (`"availableNow"`, the default —
+  *    the scheduled-run shape) or a live `"processingTime=30s"` loop.
   *
   * Store specs (`source` accepts any of these plus read-only types;
   * `dest`/`edgeStore` need a [[DocumentStore]]):
@@ -72,6 +79,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val result = run(spark, cfg)
     println(result)
+    // a processingTime stream returns live from run(); the CLI owns it
+    spark.streams.active.foreach(_.awaitTermination())
   }
 
   /** One pipeline run from a parsed config — the testable core of
@@ -79,7 +88,8 @@ object Main {
     */
   def run(spark: SparkSession, cfg: JsonNode): String = {
     val mode = req(cfg, "mode")
-    val source = sourceOf(spark, cfg.get("source"))
+    // lazy: the stream modes resolve their source via streamSourceOf
+    def source = sourceOf(spark, cfg.get("source"))
     def dest = storeOf(cfg.get("dest"))
     def wmCol = req(cfg, "wmCol")
     def bookmark = req(cfg, "bookmark")
@@ -103,8 +113,81 @@ object Main {
         dest.sync(snapshot)
         val n = snapshot.count()
         resultJson(n, n, None)
+      case "closure-stream" =>
+        val q = startStream(spark, cfg,
+          edges => EtlPipeline.runStream(edges, dest))
+        s"""{"stream":"closure","stopped":${!q.isActive}}"""
+      case "closure-deletes-stream" =>
+        val edgeStore = storeOf(cfg.get("edgeStore"))
+        val q = startStream(spark, cfg,
+          edges => EtlPipeline.runStreamWithDeletes(edges, dest, edgeStore))
+        s"""{"stream":"closure-deletes","stopped":${!q.isActive}}"""
       case other => sys.error(
-        s"unknown mode '$other' (closure | closure-deletes | replicate | sync)")
+        s"unknown mode '$other' (closure | closure-deletes | replicate | " +
+          "sync | closure-stream | closure-deletes-stream)")
+    }
+  }
+
+  /** Wire a streaming source spec → the pipeline's DataStreamWriter →
+    * a started query. `availableNow` (default) drains what exists and
+    * returns after termination — the scheduled-run shape; a
+    * `processingTime=...` trigger returns the LIVE query (the caller
+    * owns its lifecycle — main() blocks on awaitTermination).
+    */
+  private def startStream(spark: SparkSession, cfg: JsonNode,
+      pipe: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = req(cfg, "checkpoint")
+    val trigger = opt(cfg, "trigger").getOrElse("availableNow")
+    val src = streamSourceOf(spark, cfg.get("source"))
+    val w = pipe(src).option("checkpointLocation", ckpt)
+    trigger match {
+      case "availableNow" =>
+        val q = w.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q
+      case t if t.startsWith("processingTime=") =>
+        w.trigger(Trigger.ProcessingTime(t.stripPrefix("processingTime="))).start()
+      case other => sys.error(
+        s"unknown trigger '$other' (availableNow | processingTime=<interval>)")
+    }
+  }
+
+  private def streamSourceOf(spark: SparkSession, spec: JsonNode): DataFrame = {
+    require(spec != null, "missing streaming source spec")
+    req(spec, "type") match {
+      case "parquet-stream" =>
+        val reader = spark.readStream
+        val withSchema = opt(spec, "schema") match {
+          case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
+          case None =>
+            // file streams need a schema; derive it from the existing
+            // files once, driver-side (configuration-time, not per batch)
+            reader.schema(spark.read.parquet(req(spec, "path")).schema)
+        }
+        withSchema
+          .option("maxFilesPerTrigger",
+            opt(spec, "maxFilesPerTrigger").getOrElse("10"))
+          .parquet(req(spec, "path"))
+      case "es-stream" =>
+        spark.readStream.format("graft.sources.es.EsStoreProvider")
+          .schema(StructType.fromDDL(req(spec, "schema")))
+          .option("base", req(spec, "base"))
+          .option("index", req(spec, "index"))
+          .option("wmcol", req(spec, "wmcol"))
+          .option("slices", opt(spec, "slices").getOrElse("8"))
+          .load()
+      case "http-stream" =>
+        spark.readStream.format("graft.sources.http.HttpStoreProvider")
+          .schema(StructType.fromDDL(req(spec, "schema")))
+          .option("base", req(spec, "base"))
+          .option("wmcol", req(spec, "wmcol"))
+          .option("slices", opt(spec, "slices").getOrElse("8"))
+          .load()
+      case other => sys.error(
+        s"unknown streaming source type '$other' " +
+          "(parquet-stream | es-stream | http-stream)")
     }
   }
 

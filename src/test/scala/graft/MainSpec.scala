@@ -64,6 +64,39 @@ class MainSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b2"), (3L, "c"))
   }
 
+  test("closure-stream mode: the streaming loop from one config, ES-wire destination") {
+    val base = tmp()
+    val f = new EsFixture
+    try {
+      Seq((10L, 1L, 1L), (12L, 10L, 2L)).toDF("child", "parent", "seq")
+        .coalesce(1).write.parquet(s"$base/edges")
+      val cfg = mapper.readTree(s"""{
+        "mode": "closure-stream",
+        "source": {"type": "parquet-stream", "path": "$base/edges",
+                   "maxFilesPerTrigger": "1"},
+        "dest": {"type": "es", "base": "${f.base}", "alias": "docs",
+                 "keyCols": ["ancestor", "descendant"], "versionCol": "rev",
+                 "schema": "ancestor BIGINT, descendant BIGINT, depth INT, rev BIGINT"},
+        "checkpoint": "$base/ckpt"
+      }""")
+      Main.run(spark, cfg) should include(""""stopped":true""")
+      // a second batch of edges lands; the drained checkpoint resumes
+      Seq((13L, 12L, 3L)).toDF("child", "parent", "seq")
+        .coalesce(1).write.mode("append").parquet(s"$base/edges")
+      Main.run(spark, cfg) should include(""""stopped":true""")
+      val want = graft.operators.Hierarchy.closure(
+        Seq((10L, 1L), (12L, 10L), (13L, 12L)).toDF("child", "parent"))
+        .as[(Long, Long, Int)].collect().toSet
+      graft.sources.EsDocumentStore(f.base, "docs",
+        Seq("ancestor", "descendant"), "rev",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ancestor BIGINT, descendant BIGINT, depth INT, rev BIGINT"))
+        .scan(spark).select($"ancestor", $"descendant", $"depth")
+        .as[(Long, Long, Int)].collect().toSet shouldBe want
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
+
   test("sync mode + config validation failures are loud") {
     val base = tmp()
     Seq((1L, "a", 1L)).toDF("id", "v", "rev").write.parquet(s"$base/src")
