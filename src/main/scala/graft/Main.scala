@@ -1,6 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
 import graft.sources.{DocumentSource, DocumentStore, EsDocumentStore,
   EtlPipeline, ExtractBookmark, HttpDocumentStore, JsonLinesStore, ParquetStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -73,9 +74,19 @@ object Main {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(args(0))),
         java.nio.charset.StandardCharsets.UTF_8))
-    val spark = util.configure(SparkSession.builder()
+    // engine-required settings only (util.configure) — no local-
+    // harness tuning like the 4 MB scan split, which on a cluster
+    // would drown TB-scale scans in task overhead. `sparkConf` in the
+    // config passes arbitrary spark.* settings through (note: builder
+    // configs override spark-submit --conf, so config-file wins).
+    val builder = util.configure(SparkSession.builder()
       .master(opt(cfg, "master").getOrElse("local[*]")))
-      .getOrCreate()
+    val withConf = Option(cfg.get("sparkConf")).filter(_.isObject)
+      .map { o =>
+        o.fields().asScala.foldLeft(builder)((b, e) =>
+          b.config(e.getKey, e.getValue.asText()))
+      }.getOrElse(builder)
+    val spark = withConf.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val result = run(spark, cfg)
     println(result)
@@ -199,6 +210,32 @@ object Main {
         new DocumentSource {
           override def scan(s: SparkSession): DataFrame =
             s.read.parquet(req(spec, "path"))
+        }
+      // a remote source with a declared watermark column reads
+      // through the DSv2 connector: the extract's `wm > bookmark`
+      // predicate then pushes down as a server-side range inside the
+      // scroll — WITHOUT this, every incremental run would scroll the
+      // ENTIRE remote index and filter client-side
+      case "es" if spec.hasNonNull("wmCol") =>
+        new DocumentSource {
+          override def scan(s: SparkSession): DataFrame = s.read
+            .format("graft.sources.es.EsStoreProvider")
+            .schema(StructType.fromDDL(req(spec, "schema")))
+            .option("base", req(spec, "base"))
+            .option("index", req(spec, "alias"))
+            .option("wmcol", req(spec, "wmCol"))
+            .option("slices", opt(spec, "slices").getOrElse("8"))
+            .load()
+        }
+      case "http" if spec.hasNonNull("wmCol") =>
+        new DocumentSource {
+          override def scan(s: SparkSession): DataFrame = s.read
+            .format("graft.sources.http.HttpStoreProvider")
+            .schema(StructType.fromDDL(req(spec, "schema")))
+            .option("base", req(spec, "base"))
+            .option("wmcol", req(spec, "wmCol"))
+            .option("slices", opt(spec, "slices").getOrElse("8"))
+            .load()
         }
       case _ => storeOf(spec)
     }

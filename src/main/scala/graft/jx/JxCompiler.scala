@@ -130,7 +130,11 @@ object JxCompiler {
     val plainSel = sel.filterNot(n => n.isObject && n.has("aggregate"))
     val gbNodes = if (q.has("groupby")) asList(q.get("groupby")) else Nil
     if (aggSel.isEmpty && gbNodes.isEmpty) {
-      if (isLeavesSelect(plainSel)) df = leavesOf(df) // stateless projection
+      if (isLeavesSelect(plainSel)) {
+        require(plainSel.length == 1, // same contract as the batch path
+          "jx select: 'leaves' selects every leaf — combine via a pipelined query, not a mixed list")
+        df = leavesOf(df) // stateless projection
+      }
       else if (plainSel.nonEmpty && !plainSel.exists(n => n.isTextual && n.asText() == "*"))
         df = df.select(plainSel.map(compileSelect): _*)
       if (fmt == "nested") toNested(df) else df

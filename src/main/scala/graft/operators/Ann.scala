@@ -1029,9 +1029,16 @@ object Ann extends QueryPack {
     pcaMemo.computeIfAbsent((s, d, k),
       _ => pcaProjectOn(emb(s, d), storedPcaModel(s, d, k)).localCheckpoint())
 
-  private[graft] def clearStored(s: SparkSession): Int =
+  private[graft] def clearStored(s: SparkSession): Int = {
+    // the export memo is keyed (dir, key) — not session — but a
+    // cleared session means the models WILL retrain, so stale export
+    // files must not shadow them: drop every export marker (re-export
+    // is one tiny parquet write) or a same-JVM rerun would oracle
+    // fresh results against the previous run's models
+    exported.clear()
     graft.util.evictSession(centsMemo, s) + graft.util.evictSession(cbsMemo, s) +
       graft.util.evictSession(pcaMemo, s) + graft.util.evictSession(pcaModelMemo, s)
+  }
 
   val q92 = Q(
     "q92_pca_project",

@@ -217,10 +217,13 @@ object Dedup extends QueryPack {
         maxShingleDf = s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt,
         assertCutInert = true).localCheckpoint())
 
-  private[graft] def clearStored(s: SparkSession): Int =
+  private[graft] def clearStored(s: SparkSession): Int = {
+    sigExported.clear() // stale export files must not shadow retrained
+    // signatures on a same-JVM rerun (the Ann.clearStored rationale)
     graft.util.evictSession(pairsMemo, s) +
       graft.util.evictSession(contamMemo, s) +
       graft.util.evictSession(winsMemo, s)
+  }
 
   val q31 = Q(
     "q31_dedup_jaccard",

@@ -106,7 +106,15 @@ final case class EsDocumentStore(base: String, alias: String,
 
   override def sync(snapshot: DataFrame): Unit = {
     val staging = s"$alias-${System.currentTimeMillis()}"
-    request("PUT", s"$base/$staging", "{}", jsonHeaders) // create staging index
+    // carry the live generation's EXPLICIT mapping onto the staging
+    // index — without this every reindex silently downgrades pinned
+    // field types to whatever dynamic mapping the bulk infers, and
+    // ensureMapping never notices (the dynamic mapping is non-empty)
+    val createBody = getMapping match {
+      case Some(m) => s"""{"mappings":$m}"""
+      case None => "{}"
+    }
+    request("PUT", s"$base/$staging", createBody, jsonHeaders)
     bulkTo(staging, "index", snapshot)
     // atomic cutover: one _aliases call removes the old generation
     // from the alias and adds the staging one — readers never see a
@@ -260,26 +268,57 @@ object EsDocumentStore {
     }
   }
 
-  private def headOk(url: String): Boolean = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setRequestMethod("HEAD")
-      conn.getResponseCode == 200
-    } finally conn.disconnect()
-  }
+  /** Existence probe: ONLY 404 means absent. Any other non-200 —
+    * including transient 5xx/429 — retries and then fails LOUDLY: an
+    * exists() that silently answered false on a server hiccup would
+    * make the pipeline treat a populated store as empty (an
+    * edge-state scan skipped mid-CRUD-batch loses closure deletes
+    * permanently — the exact class of bug the crash-matrix work
+    * exists to prevent).
+    */
+  private def headOk(url: String): Boolean =
+    HttpDocumentStore.withRetry(s"HEAD $url") {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("HEAD")
+        conn.getResponseCode match {
+          case 200 => true
+          case 404 => false
+          case code => throw HttpDocumentStore.HttpStatusException(
+            code, s"HEAD $url -> HTTP $code")
+        }
+      } finally conn.disconnect()
+    }
 
   private def request(method: String, url: String, body: String,
       headers: Map[String, String]): String =
     HttpDocumentStore.request(method, url, body, headers)
 
+  /** Best-effort release of a server-side scroll context — scroll
+    * contexts pin index segments until their keepalive expires, and a
+    * default cluster caps them (max_open_scroll_context=500), so an
+    * early-terminated read must free its context instead of leaking
+    * it for the keepalive window.
+    */
+  private[sources] def releaseScroll(base: String, scrollId: String): Unit =
+    try {
+      request("DELETE", s"$base/_search/scroll",
+        s"""{"scroll_id":["${escape(scrollId)}"]}""", jsonHeaders); ()
+    } catch { case _: Exception => () }
+
   /** Lazy page walk of one scroll slice — executor-side; each `next`
     * fetches at most one page (a downstream `limit` stops early), and
-    * the scroll context is released at exhaustion.
+    * the scroll context is released at exhaustion. `onScrollId` fires
+    * on every server-assigned scroll id so a caller with a close()
+    * hook (the DSv2 reader) can [[releaseScroll]] when it stops
+    * early — the iterator itself only reaches its cleanup when fully
+    * consumed.
     */
   private[sources] def scrollSlice(base: String, index: String, slice: Int,
       slices: Int, pageSize: Int, wmField: Option[String],
-      since: Option[Long], until: Option[Long]): Iterator[String] = {
+      since: Option[Long], until: Option[Long],
+      onScrollId: String => Unit = _ => ()): Iterator[String] = {
     val query = (wmField, since, until) match {
       case (Some(f), lo, hi) if lo.isDefined || hi.isDefined =>
         val bounds = lo.map(v => s""""gt":$v""").toSeq ++
@@ -304,15 +343,11 @@ object EsDocumentStore {
         }
         val root = mapper.readTree(body)
         val scrollId = Option(root.get("_scroll_id")).map(_.asText())
+        scrollId.foreach(onScrollId)
         val hits = root.at("/hits/hits")
         val docs = (0 until hits.size()).map(i => hits.get(i).get("_source").toString)
         if (docs.isEmpty) {
-          // release the server-side scroll context (best effort)
-          scrollId.foreach { id =>
-            try request("DELETE", s"$base/_search/scroll",
-              s"""{"scroll_id":["${escape(id)}"]}""", jsonHeaders)
-            catch { case _: Exception => () }
-          }
+          scrollId.foreach(releaseScroll(base, _))
           Some((Seq.empty[String], None))
         } else Some((docs, scrollId.map(id => Some(id))))
     }.flatten

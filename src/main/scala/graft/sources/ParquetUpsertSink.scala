@@ -257,11 +257,17 @@ object ParquetUpsertSink {
     touched.filterNot(still).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b"), true)
     }
-    // a delete that empties the WHOLE table must drop the sidecar too,
-    // or tableExists stays true and the next scan reads a dir with no
-    // parquet in it
+    // a delete that empties the WHOLE table drops the bucket sidecar
+    // too (a fresh first write may pick a new bucket count). NEVER
+    // delete the table ROOT here: we are inside withWriteLock, and
+    // removing the root would remove our own held _graft_lock — a
+    // concurrent writer could then acquire a "fresh" lock that OUR
+    // finally-delete would destroy, reopening the multi-writer
+    // interleave the lock exists to prevent. tableExists keys on
+    // bucket dirs, so a root holding only sidecars reads as "no
+    // table".
     if (!fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$bucketCol=")))
-      fs.delete(root, true)
+      fs.delete(metaPath(path), false)
   }
 
   private val lockName = "_graft_lock"
@@ -309,10 +315,15 @@ object ParquetUpsertSink {
             s"the holder crashed, remove $path/$lockName " +
             "(ParquetUpsertSink.forceUnlock) and rerun.")
       }
-    try out.write(holder.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try body
-    finally fs.delete(lock, false)
+    // from here the lock EXISTS: everything — including the tiny
+    // holder-info write — runs under the finally-delete, so a
+    // transient failure writing the holder string cannot strand a
+    // lock that blocks every future writer until manual forceUnlock
+    try {
+      try out.write(holder.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   /** Operator override for a crashed writer's abandoned lock. Returns

@@ -182,7 +182,10 @@ case class EsReaderFactory(base: String, index: String, slices: Int,
 }
 
 /** Executor-side reader: one scroll slice walked lazily, `_source`
-  * parsed to the pruned schema.
+  * parsed to the pruned schema. close() releases the slice's live
+  * scroll context — an early-terminated read (LIMIT, task abort)
+  * must not pin index segments for the keepalive window (default
+  * clusters cap open scroll contexts at 500).
   */
 class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
     pageSize: Int, wmCol: Option[String], since: Option[Long],
@@ -190,8 +193,9 @@ class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
+  @volatile private var liveScrollId: String = _
   private val lines = EsDocumentStore.scrollSlice(base, index, slice, slices,
-    pageSize, wmCol, since, until)
+    pageSize, wmCol, since, until, onScrollId = id => liveScrollId = id)
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -201,5 +205,8 @@ class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
       true
     }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    val id = liveScrollId
+    if (id != null) EsDocumentStore.releaseScroll(base, id)
+  }
 }

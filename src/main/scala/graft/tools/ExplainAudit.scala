@@ -137,7 +137,7 @@ object ExplainAudit {
     val check = args.contains("--check")
     val names = args.filterNot(_ == "--check")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = graft.util.configure(SparkSession.builder()
+    val spark = graft.util.configureLocalHarness(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()

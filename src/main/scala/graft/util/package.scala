@@ -246,18 +246,24 @@ package object util {
       // groups ≈ 32 MB per task: cheap insurance against sorting every
       // exploded token row by group key.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      // Local-harness scan-split sizing (the playbook's "size
-      // maxPartitionBytes to the target SF" rule, applied to THIS
-      // harness): the default 128 MB means every testdata table under
-      // 128 MB scans as ONE task regardless of row groups — the r10
-      // sf3 bench measured regex-heavy document pipelines at 25x
-      // instead of 3x purely from that single-core scan. 4 MB splits
-      // a 17 MB documents file into ~5 input tasks (each ~12 MB
-      // decompressed — well above task overhead) while lineitem at
-      // sf3 (309 MB) fans to ~78 tasks across 32 cores. On a real
-      // cluster reading 100 TB the table files dwarf any setting and
-      // the default is fine — this knob is the LOCAL fit; a
-      // deployment overrides it in its own session builder.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
+
+  /** The harness session: [[configure]] plus the LOCAL scan-split
+    * sizing (the playbook's "size maxPartitionBytes to the target SF"
+    * rule applied to this box). The default 128 MB means every
+    * testdata table under 128 MB scans as ONE task regardless of row
+    * groups — the r10 sf3 bench measured regex-heavy document
+    * pipelines at 25x instead of 3x purely from that single-core
+    * scan; 4 MB splits a 17 MB documents file into ~5 input tasks
+    * while sf3 lineitem (309 MB) fans to ~78 across 32 cores.
+    *
+    * Deliberately NOT part of [[configure]]: graft.Main is a
+    * production entrypoint, and a builder-level .config would
+    * override spark-submit --conf — a cluster job reading TB-scale
+    * sources under a forced 4 MB split would drown in scheduler
+    * overhead. Verify/Bench/specs call this; deployments get the
+    * Spark default (or their own --conf / config-file setting).
+    */
+  def configureLocalHarness(b: SparkSession.Builder): SparkSession.Builder =
+    configure(b).config("spark.sql.files.maxPartitionBytes", "4m")
 }

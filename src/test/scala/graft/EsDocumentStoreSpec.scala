@@ -158,6 +158,22 @@ class EsDocumentStoreSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  test("sync carries the pinned mapping onto the staging generation") {
+    val f = new EsFixture
+    try {
+      val s = store(f)
+      s.ensureMapping("""{"properties":{"id":{"type":"long"}}}""") shouldBe true
+      s.push(Seq((1L, "a", 1L)).toDF("id", "v", "rev"))
+      s.sync(Seq((2L, "b", 2L)).toDF("id", "v", "rev"))
+      // the reindex rolled the physical index — the explicit mapping
+      // must survive the roll, or every sync silently downgrades
+      // pinned field types to dynamic inference
+      s.getMapping shouldBe Some("""{"properties":{"id":{"type":"long"}}}""")
+      s.ensureMapping("""{"properties":{}}""") shouldBe false // still create-if-absent
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
+
   test("watermark poll via max aggregation, and the bracketed incremental scan") {
     val f = new EsFixture
     try {

@@ -268,6 +268,10 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
                 val spec = mapper.readTree(b)
                 val als = spec.path("aliases").fieldNames()
                 while (als.hasNext) aliases(als.next()) = name
+                // create-with-mappings — the real API accepts the
+                // mapping document inline at index creation
+                if (spec.hasNonNull("mappings"))
+                  mappings(name) = spec.get("mappings").toString
               }
               respond(x, s"""{"acknowledged":true,"index":"$name"}""")
             }

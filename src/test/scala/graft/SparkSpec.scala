@@ -8,7 +8,7 @@ import org.scalatest.matchers.should.Matchers
   * keeps the suite fast; specs must not mutate session state.
   */
 trait SparkSpec extends AnyFunSuite with Matchers {
-  lazy val spark: SparkSession = util.configure(SparkSession.builder()
+  lazy val spark: SparkSession = util.configureLocalHarness(SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .appName("graft-test"))

@@ -359,5 +359,20 @@ class UpsertSinkSpec extends SparkSpec {
     ParquetUpsertSink.upsert(Seq((4L, 1L, "d")).toDF("id", "rev", "payload"),
       path, Seq("id"), "rev")
     ParquetUpsertSink.read(spark, path).count() shouldBe 4L
+
+    // emptying the WHOLE table via delete must not rip out the table
+    // root from under the held lock (that would let two successors
+    // acquire simultaneously): after the delete the table reads as
+    // absent, NO lock file lingers, and a fresh upsert just works
+    ParquetUpsertSink.delete(
+      Seq((1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L)).toDF("id", "rev"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.tableExists(spark, path) shouldBe false
+    val fs2 = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.exists(lock) shouldBe false // released normally, not leaked
+    ParquetUpsertSink.upsert(Seq((5L, 1L, "e")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet shouldBe Set((5L, 1L, "e"))
   }
 }
