@@ -34,7 +34,16 @@ import org.apache.spark.sql.types.StructType
   *  - `POST {base}/sync/begin` → epoch token; bulk pushes carry
   *    `X-Sync-Epoch`; `POST {base}/sync/commit` (epoch body) makes the
   *    store equal exactly what the epoch pushed — the reference's full
-  *    reindex. The epoch is a STAGING INDEX and commit is the ALIAS
+  *    reindex. Server contract for begin/commit under the client's
+  *    transient-5xx retry: both must be IDEMPOTENT per epoch — begin
+  *    returns a fresh epoch (a retried begin that reached the server
+  *    merely abandons an empty staging index, harmless by the
+  *    abandoned-epoch rule), and commit of an already-committed or
+  *    unknown epoch must be a no-op success, never a second swap (the
+  *    alias-swap analogy: swapping to the same index twice is
+  *    idempotent). A server that cannot promise idempotent commit
+  *    must return a permanent 4xx on the duplicate, which the client
+  *    fails fast on. The epoch is a STAGING INDEX and commit is the ALIAS
   *    SWAP (ES's zero-downtime reindex): scans during an open epoch
   *    serve the live index untouched, the cutover is atomic at
   *    commit, and an abandoned epoch (crash before commit) leaves the

@@ -416,6 +416,35 @@ class JxPropertySpec extends SparkSpec {
     })
   }
 
+  test("compiled list/union aggregates ≡ sorted multiset/set evaluator on random where+groupby") {
+    // the r10 `list` aggregate's contract is a SORTED MULTISET
+    // (duplicates intact, layout-independent order) vs `union`'s
+    // sorted set — fuzz both against a direct evaluation over the
+    // fixture rows, under random filters and both group shapes
+    check(Prop.forAll(Gen.option(genB(3)), Gen.oneOf(true, false)) { (w, groupByS) =>
+      val wj = w.map(b => s""""where": ${bjson(b)}, """).getOrElse("")
+      val gb = if (groupByS) """"groupby": ["s"], """ else ""
+      val q = s"""{"from": "fx", $wj$gb"select": [
+        {"name": "ls", "value": "y", "aggregate": "list"},
+        {"name": "un", "value": "y", "aggregate": "union"}]}"""
+      val kept = rows.filter(r => w.forall(b => evalB(b, r).contains(true)))
+      val groups: Map[Option[String], Seq[Row]] =
+        if (groupByS) kept.groupBy(_._4)
+        else Map(None -> kept) // global aggregate: always one row
+      val want = groups.map { case (k, rs) =>
+        (if (groupByS) k else None) ->
+          (rs.map(_._3).sorted, rs.map(_._3).distinct.sorted)
+      }
+      val compiled = JxCompiler.queryOn(spark, sfDir, q, Map("fx" -> df))
+      val got = compiled.collect().map { r =>
+        val off = if (groupByS) 1 else 0
+        val k = if (groupByS) Option(r.get(0)).map(_.toString) else None
+        k -> ((r.getSeq[Long](off).toSeq, r.getSeq[Long](off + 1).toSeq))
+      }.toMap
+      got == want
+    })
+  }
+
   test("compiled date pipeline ≡ java.time interpreter on random date trees") {
     // whole-second epoch read-back via the jx unix bridge: date_add
     // shifts, calendar floors (Monday weeks, 1st-of-month), literals
