@@ -97,6 +97,50 @@ class MainSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  test("capstone: ES-polled stream source -> closure -> ES destination, one config") {
+    // the reference's whole deployment shape in one Main invocation:
+    // edges live in an ES index, the engine polls them as a stream
+    // (max-agg watermark offsets), patches the closure, and pushes
+    // the delta into an ES destination — both ends the real wire
+    val base = tmp()
+    val fSrc = new EsFixture
+    val fDst = new EsFixture
+    try {
+      val edgeSchema = "child BIGINT, parent BIGINT, seq BIGINT"
+      val srcStore = graft.sources.EsDocumentStore(fSrc.base, "edges",
+        Seq("child", "parent"), "seq",
+        org.apache.spark.sql.types.StructType.fromDDL(edgeSchema))
+      srcStore.push(Seq((10L, 1L, 1L), (12L, 10L, 2L))
+        .toDF("child", "parent", "seq"))
+      val cfg = mapper.readTree(s"""{
+        "mode": "closure-stream",
+        "source": {"type": "es-stream", "base": "${fSrc.base}",
+                   "index": "edges", "wmcol": "seq",
+                   "schema": "$edgeSchema"},
+        "dest": {"type": "es", "base": "${fDst.base}", "alias": "closure",
+                 "keyCols": ["ancestor", "descendant"], "versionCol": "rev",
+                 "schema": "ancestor BIGINT, descendant BIGINT, depth INT, rev BIGINT"},
+        "checkpoint": "$base/ckpt"
+      }""")
+      Main.run(spark, cfg) should include(""""stopped":true""")
+      // more edges arrive in the source index; the next scheduled run
+      // resumes from the committed watermark offset
+      srcStore.push(Seq((13L, 12L, 3L)).toDF("child", "parent", "seq"))
+      Main.run(spark, cfg) should include(""""stopped":true""")
+      val want = graft.operators.Hierarchy.closure(
+        Seq((10L, 1L), (12L, 10L), (13L, 12L)).toDF("child", "parent"))
+        .as[(Long, Long, Int)].collect().toSet
+      graft.sources.EsDocumentStore(fDst.base, "closure",
+        Seq("ancestor", "descendant"), "rev",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ancestor BIGINT, descendant BIGINT, depth INT, rev BIGINT"))
+        .scan(spark).select($"ancestor", $"descendant", $"depth")
+        .as[(Long, Long, Int)].collect().toSet shouldBe want
+      fSrc.badRequests shouldBe 0
+      fDst.badRequests shouldBe 0
+    } finally { fSrc.stop(); fDst.stop() }
+  }
+
   test("sync mode + config validation failures are loud") {
     val base = tmp()
     Seq((1L, "a", 1L)).toDF("id", "v", "rev").write.parquet(s"$base/src")
