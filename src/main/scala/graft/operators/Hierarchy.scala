@@ -470,5 +470,43 @@ object Hierarchy extends QueryPack {
         |GROUP BY 1""".stripMargin),
     "per-node subtree node count + measure total over the closure, self included")
 
-  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98)
+  /** Hierarchy shape report (q129) — the tree-health dashboard the
+    * reference's consumers read off the maintained closure (how deep
+    * do dependency chains run, how much fan-out lives at each level):
+    * per BFS depth, the number of (ancestor, descendant) pairs, how
+    * many distinct ancestors have a descendant at that depth, and the
+    * widest single subtree slice (max descendants one node has at
+    * exactly that depth).
+    *
+    * Scale shape: one map-side-combinable aggregate over the STORED
+    * closure to (depth, ancestor) counts (≤ |closure| rows in, tiny
+    * out), then a second aggregate over ≤ nodes×depths rows — the
+    * report never re-walks edges and costs two small shuffles.
+    */
+  def depthReport(closure: DataFrame): DataFrame =
+    closure
+      .groupBy(col("depth"), col("ancestor"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("depth"))
+      .agg(sum(col("n")).as("n_pairs"),
+        count(lit(1)).as("n_ancestors"),
+        max(col("n")).as("max_breadth"))
+
+  val q129 = Q(
+    "q129_hierarchy_depths",
+    (s, d) => depthReport(storedClosure(s, d)),
+    Some(oracleReach +
+      """
+        |, cl AS (
+        |  SELECT ancestor, descendant, MIN(depth) AS depth
+        |  FROM reach GROUP BY ancestor, descendant
+        |), per AS (
+        |  SELECT depth, ancestor, COUNT(*) AS n FROM cl GROUP BY 1, 2
+        |)
+        |SELECT depth, CAST(SUM(n) AS BIGINT) AS n_pairs,
+        |  COUNT(*) AS n_ancestors, CAST(MAX(n) AS BIGINT) AS max_breadth
+        |FROM per GROUP BY 1""".stripMargin),
+    "hierarchy shape report: pairs, populated ancestors and max subtree breadth per BFS depth")
+
+  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98, q129)
 }
