@@ -115,8 +115,14 @@ object Main {
         resultJson(r.extracted, r.pushed, r.watermark)
       case "replicate" =>
         val e = ExtractBookmark.extractSince(source.scan(spark), wmCol, bookmark)
-        val n = e.batch.count()
-        if (n > 0) dest.push(e.batch)
+        // pin the batch BEFORE the count/push double evaluation: a
+        // live remote source can grow between the two jobs, and an
+        // unpinned plan would push rows beyond the counted set — and
+        // beyond the committed watermark (re-read later: idempotent
+        // but miscounted). The EtlPipeline pattern.
+        val batch = e.batch.localCheckpoint()
+        val n = batch.count()
+        if (n > 0) dest.push(batch)
         ExtractBookmark.commit(e, bookmark)
         resultJson(n, n, e.watermark)
       case "sync" =>
@@ -182,19 +188,21 @@ object Main {
             opt(spec, "maxFilesPerTrigger").getOrElse("10"))
           .parquet(req(spec, "path"))
       case "es-stream" =>
-        spark.readStream.format("graft.sources.es.EsStoreProvider")
-          .schema(StructType.fromDDL(req(spec, "schema")))
-          .option("base", req(spec, "base"))
-          .option("index", req(spec, "index"))
-          .option("wmcol", req(spec, "wmcol"))
-          .option("slices", opt(spec, "slices").getOrElse("8"))
+        withHeaderOptions(spec,
+          spark.readStream.format("graft.sources.es.EsStoreProvider")
+            .schema(StructType.fromDDL(req(spec, "schema")))
+            .option("base", req(spec, "base"))
+            .option("index", req(spec, "index"))
+            .option("wmcol", req(spec, "wmcol"))
+            .option("slices", opt(spec, "slices").getOrElse("8")))
           .load()
       case "http-stream" =>
-        spark.readStream.format("graft.sources.http.HttpStoreProvider")
-          .schema(StructType.fromDDL(req(spec, "schema")))
-          .option("base", req(spec, "base"))
-          .option("wmcol", req(spec, "wmcol"))
-          .option("slices", opt(spec, "slices").getOrElse("8"))
+        withHeaderOptions(spec,
+          spark.readStream.format("graft.sources.http.HttpStoreProvider")
+            .schema(StructType.fromDDL(req(spec, "schema")))
+            .option("base", req(spec, "base"))
+            .option("wmcol", req(spec, "wmcol"))
+            .option("slices", opt(spec, "slices").getOrElse("8")))
           .load()
       case other => sys.error(
         s"unknown streaming source type '$other' " +
@@ -218,23 +226,25 @@ object Main {
       // ENTIRE remote index and filter client-side
       case "es" if spec.hasNonNull("wmCol") =>
         new DocumentSource {
-          override def scan(s: SparkSession): DataFrame = s.read
-            .format("graft.sources.es.EsStoreProvider")
-            .schema(StructType.fromDDL(req(spec, "schema")))
-            .option("base", req(spec, "base"))
-            .option("index", req(spec, "alias"))
-            .option("wmcol", req(spec, "wmCol"))
-            .option("slices", opt(spec, "slices").getOrElse("8"))
+          override def scan(s: SparkSession): DataFrame =
+            withHeaderOptions(spec, s.read
+              .format("graft.sources.es.EsStoreProvider")
+              .schema(StructType.fromDDL(req(spec, "schema")))
+              .option("base", req(spec, "base"))
+              .option("index", req(spec, "alias"))
+              .option("wmcol", req(spec, "wmCol"))
+              .option("slices", opt(spec, "slices").getOrElse("8")))
             .load()
         }
       case "http" if spec.hasNonNull("wmCol") =>
         new DocumentSource {
-          override def scan(s: SparkSession): DataFrame = s.read
-            .format("graft.sources.http.HttpStoreProvider")
-            .schema(StructType.fromDDL(req(spec, "schema")))
-            .option("base", req(spec, "base"))
-            .option("wmcol", req(spec, "wmCol"))
-            .option("slices", opt(spec, "slices").getOrElse("8"))
+          override def scan(s: SparkSession): DataFrame =
+            withHeaderOptions(spec, s.read
+              .format("graft.sources.http.HttpStoreProvider")
+              .schema(StructType.fromDDL(req(spec, "schema")))
+              .option("base", req(spec, "base"))
+              .option("wmcol", req(spec, "wmCol"))
+              .option("slices", opt(spec, "slices").getOrElse("8")))
             .load()
         }
       case _ => storeOf(spec)
@@ -252,15 +262,41 @@ object Main {
           strList(spec, "keyCols"), req(spec, "versionCol"),
           StructType.fromDDL(req(spec, "schema")),
           slices = opt(spec, "slices").map(_.toInt).getOrElse(8),
-          batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500))
+          batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500),
+          headers = headersOf(spec))
       case "http" =>
         HttpDocumentStore(req(spec, "base"),
           StructType.fromDDL(req(spec, "schema")),
           slices = opt(spec, "slices").map(_.toInt).getOrElse(8),
-          batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500))
+          batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500),
+          headers = headersOf(spec))
       case other => sys.error(s"unknown store type '$other' (parquet | es | http)")
     }
   }
+
+  /** `"headers": {"Authorization": "ApiKey ...", ...}` on an es/http
+    * store spec — merged into every request the store makes. Values
+    * are CREDENTIALS: parsed here and handed straight to the store,
+    * never logged and never echoed in the result line or errors.
+    */
+  private def headersOf(spec: JsonNode): Map[String, String] =
+    Option(spec.get("headers")).filter(_.isObject).map { o =>
+      val out = Map.newBuilder[String, String]
+      o.properties().asScala.foreach(e => out += (e.getKey -> e.getValue.asText()))
+      out.result()
+    }.getOrElse(Map.empty)
+
+  /** Fold the spec's headers into `header.<name>` DSv2 options so the
+    * connector carries them on every exchange.
+    */
+  private def withHeaderOptions(spec: JsonNode,
+      r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
+    headersOf(spec).foldLeft(r) { case (acc, (k, v)) => acc.option(s"header.$k", v) }
+
+  private def withHeaderOptions(spec: JsonNode,
+      r: org.apache.spark.sql.streaming.DataStreamReader)
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    headersOf(spec).foldLeft(r) { case (acc, (k, v)) => acc.option(s"header.$k", v) }
 
   private def req(n: JsonNode, field: String): String = {
     require(n != null && n.hasNonNull(field), s"config missing '$field'")

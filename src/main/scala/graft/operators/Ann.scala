@@ -48,10 +48,18 @@ object Ann extends QueryPack {
     */
   private[graft] val gateModelDir = "/tmp/graft_gate_models"
 
-  private val exported = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  /** key → dataset dir whose model currently sits at the key's fixed
+    * path. The path is keyed only by model key (the oracle SQL is a
+    * static string), so serving a DIFFERENT dir must overwrite the
+    * file — memoizing (dir, key) pairs would let a second dir's
+    * Verify skip re-export and score the oracle against the first
+    * dir's stale model. Re-export on every dir change; skip only
+    * repeat requests for the dir already on disk.
+    */
+  private val exported = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def exportOnce(key: String, d: String)(write: String => Unit): Unit =
-    if (exported.add((d, key))) write(s"$gateModelDir/$key.parquet")
+    exported.compute(key, (k, prev) => { if (prev != d) write(s"$gateModelDir/$k.parquet"); d })
 
   /** Export every gate model for `d` — called by [[graft.Verify]]
     * AFTER planning, never from a query builder: builders are pinned

@@ -24,7 +24,9 @@ object Dedup extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  private val sigExported = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  /** key → dir currently on disk (see Ann.exportOnce: fixed paths
+    * mean a dir change must overwrite, never memo-skip). */
+  private val sigExported = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Export the deterministic signature tables the q32/q33 oracles
     * consume — called by [[graft.Verify]] after planning, never from
@@ -35,8 +37,9 @@ object Dedup extends QueryPack {
     */
   def exportGateSignatures(s: SparkSession, d: String): Unit = {
     def once(key: String)(write: String => Unit): Unit =
-      if (sigExported.add((d, key)))
-        write(s"${graft.operators.Ann.gateModelDir}/$key.parquet")
+      sigExported.compute(key, (k, prev) => {
+        if (prev != d) write(s"${graft.operators.Ann.gateModelDir}/$k.parquet"); d
+      })
     once("minhash_buckets_32_8") { p =>
       minhashSignatures(docs(s, d), 32, 8)
         .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bh")))

@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, to_json, struct}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, regexp_replace, struct, to_json, when}
 import org.apache.spark.sql.types.StructType
 
 /** [[DocumentStore]] speaking the REAL Elasticsearch 7/8 REST wire
@@ -49,20 +49,34 @@ import org.apache.spark.sql.types.StructType
   *
   * Addressing model (the push_to_es.py deployment pattern): `alias`
   * is the STABLE name readers and writers use; physical indices are
-  * `{alias}-{epoch}` generations behind it. The first push creates
-  * generation 1 and the alias; [[sync]] rolls the generation. Keys:
-  * the document `_id` is the `keyCols` values joined with `":"` (ES
-  * ids are strings); `versionCol` must be a non-negative long (ES
-  * external versions are unsigned).
+  * `{alias}-{epoch}[-{uniq}]` generations behind it. The first push
+  * creates generation 1 and the alias; [[sync]] rolls the generation
+  * (and sweeps any orphaned generation a crashed earlier sync left
+  * behind). Keys: the document `_id` is the `keyCols` values joined
+  * with `":"` after percent-escaping `%`/`:` inside each value (the
+  * join must be INJECTIVE — see `composedId`); `versionCol` must be
+  * a non-negative long (ES external versions are unsigned).
+  *
+  * `headers` are merged into EVERY request the store makes (scroll,
+  * bulk, mapping, alias, watermark, existence) — the auth seam:
+  * `Authorization: ApiKey ...` / basic auth / any custom header a
+  * fronting proxy needs. Values are credentials: they ride each
+  * request and are never logged or echoed in errors.
   *
   * Reference: MoDevETL push_to_es.py (bulk index with external
   * versioning, ensure-mapping, batch push); extract.py (scroll read).
   */
 final case class EsDocumentStore(base: String, alias: String,
     keyCols: Seq[String], versionCol: String, schema: StructType,
-    slices: Int = 8, pageSize: Int = 500, batchSize: Int = 500)
+    slices: Int = 8, pageSize: Int = 500, batchSize: Int = 500,
+    headers: Map[String, String] = Map.empty)
     extends DocumentStore {
   import EsDocumentStore._
+
+  /** Protocol headers win over configured auth headers — an auth map
+    * must not be able to break a bulk's NDJSON content type. */
+  private def hdr(proto: Map[String, String]): Map[String, String] =
+    headers ++ proto
 
   override def scan(spark: SparkSession): DataFrame =
     scanSince(spark, None, None)
@@ -73,11 +87,11 @@ final case class EsDocumentStore(base: String, alias: String,
     */
   def scanSince(spark: SparkSession, wmField: Option[String],
       since: Option[Long], until: Option[Long] = None): DataFrame = {
-    val (b, a, n, ps) = (base, alias, slices, pageSize)
+    val (b, a, n, ps, hs) = (base, alias, slices, pageSize, headers)
     val (wf, lo, hi) = (wmField, since, until)
     val lines = spark.createDataset(
       spark.sparkContext.parallelize(0 until n, n)
-        .flatMap(slice => scrollSlice(b, a, slice, n, ps, wf, lo, hi)))(
+        .flatMap(slice => scrollSlice(b, a, slice, n, ps, wf, lo, hi, headers = hs)))(
       Encoders.STRING)
     spark.read.schema(schema).json(lines)
   }
@@ -89,23 +103,47 @@ final case class EsDocumentStore(base: String, alias: String,
 
   override def delete(keys: DataFrame): Unit = {
     ensureIndex()
-    val (b, bs, kc, vc) = (base, batchSize, keyCols, versionCol)
+    val (b, bs, vc, hs) = (base, batchSize, versionCol, headers)
     val target = alias
     keys
-      .select(concat_ws(":", kc.map(c => col(c).cast("string")): _*).as("__id"),
-        col(vc).cast("long").as("__v"))
+      .select(composedId(keys).as("__id"), col(vc).cast("long").as("__v"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.grouped(bs).foreach { chunk =>
-          val body = chunk.map { r =>
-            actionLine("delete", target, r.getString(0), r.getLong(1))
-          }.mkString("", "\n", "\n")
-          checkBulkResponse(postBulk(b, body))
+          bulkWithRetry(b, hs, chunk.map(r =>
+            actionLine("delete", target, r.getString(0), r.getLong(1))).toIndexedSeq)
         }
       }
   }
 
+  /** Injective composite `_id`: each key value is percent-escaped
+    * (`%`→`%25`, `:`→`%3A`) before the `":"` join, so distinct key
+    * tuples can NEVER share an `_id` — a raw join would merge
+    * ("a:b","c") with ("a","b:c") and latest-wins would silently
+    * collapse unrelated documents. A NULL key column fails the task
+    * loudly (concat_ws would silently SKIP it, aliasing (k,NULL)
+    * with (k)): a document with no key has no identity under the
+    * keyed-merge contract, exactly as the parquet sink requires
+    * non-null keys.
+    */
+  private def composedId(df: DataFrame): org.apache.spark.sql.Column =
+    concat_ws(":", keyCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, raise_error(lit(
+        s"EsDocumentStore: null key column '$c' cannot compose an ES _id")))
+        .otherwise(regexp_replace(regexp_replace(s, "%", "%25"), ":", "%3A"))
+    }: _*)
+
   override def sync(snapshot: DataFrame): Unit = {
-    val staging = s"$alias-${System.currentTimeMillis()}"
+    // GC first: a crash in an EARLIER sync between cutover and delete
+    // (or a failed post-cutover DELETE) leaves orphan generations that
+    // nothing else ever removes — every sync starts by sweeping
+    // generation-shaped indices not currently behind the alias
+    sweepStaleGenerations()
+    // uniquified staging name: millis alone can collide when two
+    // syncs race within one tick — the second PUT would 400 and both
+    // would then bulk into ONE staging index
+    val staging = s"$alias-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // carry the live generation's EXPLICIT mapping onto the staging
     // index — without this every reindex silently downgrades pinned
     // field types to whatever dynamic mapping the bulk infers, and
@@ -114,29 +152,66 @@ final case class EsDocumentStore(base: String, alias: String,
       case Some(m) => s"""{"mappings":$m}"""
       case None => "{}"
     }
-    request("PUT", s"$base/$staging", createBody, jsonHeaders)
+    request("PUT", s"$base/$staging", createBody, hdr(jsonHeaders))
     bulkTo(staging, "index", snapshot)
-    // atomic cutover: one _aliases call removes the old generation
-    // from the alias and adds the staging one — readers never see a
+    // atomic cutover: one _aliases call removes EVERY index currently
+    // behind the alias (an earlier partial failure can leave more
+    // than one) and adds the staging one — readers never see a
     // half-synced store, and a crash before this line leaves the old
-    // generation live (the abandoned staging index is inert)
-    val old = resolveAlias()
+    // generation live (the abandoned staging index is inert and the
+    // next sync's sweep collects it)
+    val old = resolveAliasAll()
     val actions =
-      old.map(o => s"""{"remove":{"index":"$o","alias":"$alias"}}""").toSeq :+
-        s"""{"add":{"index":"$staging","alias":"$alias"}}"""
+      old.map(o => s"""{"remove":{"index":"${escape(o)}","alias":"${escape(alias)}"}}""") :+
+        s"""{"add":{"index":"$staging","alias":"${escape(alias)}"}}"""
     request("POST", s"$base/_aliases",
-      s"""{"actions":[${actions.mkString(",")}]}""", jsonHeaders)
-    old.foreach(o => request("DELETE", s"$base/$o", "", Map.empty))
+      s"""{"actions":[${actions.mkString(",")}]}""", hdr(jsonHeaders))
+    // best-effort: a failure here is NOT a sync failure (the cutover
+    // already happened); the orphan is collected by the next sweep
+    old.foreach(o =>
+      try { request("DELETE", s"$base/$o", "", hdr(Map.empty)); () }
+      catch { case _: Exception => () })
   }
 
-  override def exists(spark: SparkSession): Boolean = headOk(s"$base/$alias")
+  /** Generation-shaped names this store may own: `{alias}-{epoch}` or
+    * `{alias}-{epoch}-{uniq}` — NEVER a sibling store whose alias
+    * merely starts with ours (`docs-v2-1` does not match `docs`'s
+    * pattern because `v2` is not an epoch).
+    */
+  private val generationName = java.util.regex.Pattern.compile(
+    java.util.regex.Pattern.quote(alias) + "-\\d+(-[0-9a-f]{1,8})?")
+
+  private def sweepStaleGenerations(): Unit = {
+    val live = resolveAliasAll().toSet
+    listIndices(s"$alias-*")
+      .filter(n => generationName.matcher(n).matches() && !live.contains(n))
+      .foreach(o =>
+        try { request("DELETE", s"$base/$o", "", hdr(Map.empty)); () }
+        catch { case _: Exception => () })
+  }
+
+  /** Concrete index names matching an ES wildcard expression — `GET
+    * /{expr}` returns one field per matching index (empty object when
+    * none match).
+    */
+  private def listIndices(expr: String): Seq[String] =
+    try {
+      val names = mapper.readTree(
+        request("GET", s"$base/$expr", "", hdr(Map.empty))).fieldNames()
+      val out = Seq.newBuilder[String]
+      while (names.hasNext) out += names.next()
+      out.result()
+    } catch { case _: Exception => Seq.empty }
+
+  override def exists(spark: SparkSession): Boolean =
+    headOk(s"$base/$alias", headers)
 
   /** PUT the index mapping (creating generation 1 if absent) — the
     * reference's put-mapping-before-push step, driver-side.
     */
   def putMapping(mapping: String): Unit = {
     ensureIndex()
-    request("PUT", s"$base/$alias/_mapping", mapping, jsonHeaders); ()
+    request("PUT", s"$base/$alias/_mapping", mapping, hdr(jsonHeaders)); ()
   }
 
   /** The stored mapping, or None when the index doesn't exist or has
@@ -144,9 +219,9 @@ final case class EsDocumentStore(base: String, alias: String,
     * this returns the inner mappings document.
     */
   def getMapping: Option[String] =
-    if (!headOk(s"$base/$alias")) None
+    if (!headOk(s"$base/$alias", headers)) None
     else {
-      val body = request("GET", s"$base/$alias/_mapping", "", Map.empty)
+      val body = request("GET", s"$base/$alias/_mapping", "", hdr(Map.empty))
       val root = mapper.readTree(body)
       val inner = root.elements()
       if (!inner.hasNext) None
@@ -168,21 +243,28 @@ final case class EsDocumentStore(base: String, alias: String,
     * server-side max aggregation — the watermark poll.
     */
   def maxWatermark(field: String): Option[Long] =
-    EsDocumentStore.maxWatermarkAt(base, alias, field)
+    EsDocumentStore.maxWatermarkAt(base, alias, field, headers)
 
   private def ensureIndex(): Unit =
-    if (!headOk(s"$base/$alias")) {
+    if (!headOk(s"$base/$alias", headers)) {
       val gen1 = s"$alias-1"
       request("PUT", s"$base/$gen1",
-        s"""{"aliases":{"$alias":{}}}""", jsonHeaders)
+        s"""{"aliases":{"${escape(alias)}":{}}}""", hdr(jsonHeaders))
       ()
     }
 
-  private def resolveAlias(): Option[String] = {
-    if (!headOk(s"$base/$alias")) return None
-    val body = request("GET", s"$base/_alias/$alias", "", Map.empty)
+  /** ALL concrete indices behind the alias — more than one is an
+    * abnormal-but-possible state (a partial alias edit by an earlier
+    * failed cutover); resolving only the first would leave the rest
+    * permanently glued to the alias.
+    */
+  private def resolveAliasAll(): Seq[String] = {
+    if (!headOk(s"$base/$alias", headers)) return Seq.empty
+    val body = request("GET", s"$base/_alias/$alias", "", hdr(Map.empty))
     val names = mapper.readTree(body).fieldNames()
-    if (names.hasNext) Some(names.next()) else None
+    val out = Seq.newBuilder[String]
+    while (names.hasNext) out += names.next()
+    out.result()
   }
 
   /** Executor-side bulk of `df` into `target` as `action` docs: the
@@ -190,18 +272,15 @@ final case class EsDocumentStore(base: String, alias: String,
     * external version; the source line is the row's JSON.
     */
   private def bulkTo(target: String, action: String, df: DataFrame): Unit = {
-    val (b, bs, kc, vc) = (base, batchSize, keyCols, versionCol)
+    val (b, bs, vc, hs) = (base, batchSize, versionCol, headers)
     df
-      .select(concat_ws(":", kc.map(c => col(c).cast("string")): _*).as("__id"),
-        col(vc).cast("long").as("__v"),
-        to_json(struct(df.columns.map(col): _*)).as("__src"))
+      .select(composedId(df).as("__id"), col(vc).cast("long").as("__v"),
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("__src"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.grouped(bs).foreach { chunk =>
-          val body = chunk.map { r =>
+          bulkWithRetry(b, hs, chunk.map(r =>
             actionLine(action, target, r.getString(0), r.getLong(1)) + "\n" +
-              r.getString(2)
-          }.mkString("", "\n", "\n")
-          checkBulkResponse(postBulk(b, body))
+              r.getString(2)).toIndexedSeq)
         }
       }
   }
@@ -215,10 +294,11 @@ object EsDocumentStore {
     * instance method and the DSv2 streaming source's latestOffset.
     */
   private[sources] def maxWatermarkAt(base: String, index: String,
-      field: String): Option[Long] = {
-    if (!headOk(s"$base/$index")) return None
+      field: String, headers: Map[String, String] = Map.empty): Option[Long] = {
+    if (!headOk(s"$base/$index", headers)) return None
     val body = request("POST", s"$base/$index/_search",
-      s"""{"size":0,"aggs":{"wm":{"max":{"field":"$field"}}}}""", jsonHeaders)
+      s"""{"size":0,"aggs":{"wm":{"max":{"field":"$field"}}}}""",
+      headers ++ jsonHeaders)
     Option(mapper.readTree(body).at("/aggregations/wm/value"))
       .filter(v => v.isNumber).map(_.asLong())
   }
@@ -238,24 +318,65 @@ object EsDocumentStore {
       case c => c.toString
     }
 
-  private def postBulk(base: String, body: String): String =
+  private def postBulk(base: String, body: String,
+      headers: Map[String, String]): String =
     HttpDocumentStore.request("POST", s"$base/_bulk", body,
-      Map("Content-Type" -> "application/x-ndjson"))
+      headers ++ Map("Content-Type" -> "application/x-ndjson"))
 
-  /** Walk one ES bulk response: `errors:false` is wholesale success;
-    * otherwise per-item statuses decide — 2xx ok, 409 is a version
-    * conflict (the latest-wins LOSER under external versioning: an
-    * expected outcome of redelivery/stale events, exactly like the
-    * parquet sink's dedupLatest dropping the older row), 404 on a
-    * delete is a missing key (contractual no-op). Anything else is a
-    * real per-document failure and must kill the task — Spark retries
-    * it, and the bulk is idempotent under external versioning.
+  /** How long a PER-ITEM transient rejection (429/503 inside an HTTP
+    * 200 bulk response — ES's thread-pool pushback shape) is worth
+    * retrying before the task dies. Retries resend ONLY the rejected
+    * action lines: external versioning makes the resend idempotent,
+    * and re-posting the already-accepted items would just burn server
+    * write capacity during the very overload the 429 signals.
     */
-  private[sources] def checkBulkResponse(body: String): Unit = {
+  private val bulkItemAttempts = 4
+  private val bulkItemBackoffMs = 200L
+
+  /** Post `entries` (complete NDJSON action units: an action line,
+    * plus its source line for index actions) as one bulk, retrying
+    * the transiently-rejected subset with exponential backoff. A
+    * permanent per-item failure (e.g. 400 mapper_parsing) throws
+    * IMMEDIATELY — a bad document stays bad, and delaying the real
+    * error behind backoff helps nobody. Items still 429ing after the
+    * attempts fail the task loudly; Spark's coarse retry takes over
+    * (idempotent under external versioning).
+    */
+  private[sources] def bulkWithRetry(base: String,
+      headers: Map[String, String], entries: IndexedSeq[String]): Unit = {
+    var pending = entries
+    var attempt = 1
+    while (pending.nonEmpty) {
+      val resp = postBulk(base, pending.mkString("", "\n", "\n"), headers)
+      val retry = retryableItems(resp)
+      if (retry.isEmpty) return
+      if (attempt >= bulkItemAttempts)
+        sys.error(s"bulk: ${retry.size} items still transiently rejected " +
+          s"(429/503) after $bulkItemAttempts attempts")
+      Thread.sleep(bulkItemBackoffMs << (attempt - 1)) // 200/400/800 ms
+      pending = retry.map(pending).toIndexedSeq
+      attempt += 1
+    }
+  }
+
+  /** Walk one ES bulk response and return the ORDINALS of items worth
+    * retrying. `errors:false` is wholesale success; otherwise per-item
+    * statuses decide — 2xx ok, 409 is a version conflict (the
+    * latest-wins LOSER under external versioning: an expected outcome
+    * of redelivery/stale events, exactly like the parquet sink's
+    * dedupLatest dropping the older row), 404 on a delete is a
+    * missing key (contractual no-op), and 429/503 is the server's
+    * per-item pushback (es_rejected_execution under load) — TRANSIENT,
+    * returned for [[bulkWithRetry]]'s backoff loop. Anything else is a
+    * real per-document failure and throws immediately — Spark retries
+    * the task, and the bulk is idempotent under external versioning.
+    */
+  private[sources] def retryableItems(body: String): Seq[Int] = {
     val root = mapper.readTree(body)
-    if (!root.path("errors").asBoolean(false)) return
-    val items = root.path("items")
-    val it = items.elements()
+    if (!root.path("errors").asBoolean(false)) return Seq.empty
+    val retry = Seq.newBuilder[Int]
+    val it = root.path("items").elements()
+    var i = 0
     while (it.hasNext) {
       val item: JsonNode = it.next()
       val op = item.elements().next() // {"index":{...}} or {"delete":{...}}
@@ -263,10 +384,25 @@ object EsDocumentStore {
       val isDelete = item.has("delete")
       val ok = (status >= 200 && status < 300) || status == 409 ||
         (isDelete && status == 404)
-      if (!ok)
-        sys.error(s"bulk item failed: status=$status ${op.path("error")}")
+      if (!ok) {
+        if (status == 429 || status == 503) retry += i
+        else sys.error(s"bulk item failed: status=$status ${op.path("error")}")
+      }
+      i += 1
     }
+    retry.result()
   }
+
+  /** r10-compat shape: succeed, or throw on any failed item (used by
+    * callers without a resend path — transient rejections surface as
+    * task failures there).
+    */
+  private[sources] def checkBulkResponse(body: String): Unit =
+    retryableItems(body) match {
+      case Seq() => ()
+      case xs => sys.error(s"bulk: ${xs.size} items transiently rejected " +
+        "with no per-item resend path")
+    }
 
   /** Existence probe: ONLY 404 means absent. Any other non-200 —
     * including transient 5xx/429 — retries and then fails LOUDLY: an
@@ -276,12 +412,14 @@ object EsDocumentStore {
     * permanently — the exact class of bug the crash-matrix work
     * exists to prevent).
     */
-  private def headOk(url: String): Boolean =
+  private def headOk(url: String,
+      headers: Map[String, String] = Map.empty): Boolean =
     HttpDocumentStore.withRetry(s"HEAD $url") {
       val conn = new java.net.URL(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
         conn.setRequestMethod("HEAD")
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
         conn.getResponseCode match {
           case 200 => true
           case 404 => false
@@ -301,10 +439,11 @@ object EsDocumentStore {
     * early-terminated read must free its context instead of leaking
     * it for the keepalive window.
     */
-  private[sources] def releaseScroll(base: String, scrollId: String): Unit =
+  private[sources] def releaseScroll(base: String, scrollId: String,
+      headers: Map[String, String] = Map.empty): Unit =
     try {
       request("DELETE", s"$base/_search/scroll",
-        s"""{"scroll_id":["${escape(scrollId)}"]}""", jsonHeaders); ()
+        s"""{"scroll_id":["${escape(scrollId)}"]}""", headers ++ jsonHeaders); ()
     } catch { case _: Exception => () }
 
   /** Lazy page walk of one scroll slice — executor-side; each `next`
@@ -318,7 +457,8 @@ object EsDocumentStore {
   private[sources] def scrollSlice(base: String, index: String, slice: Int,
       slices: Int, pageSize: Int, wmField: Option[String],
       since: Option[Long], until: Option[Long],
-      onScrollId: String => Unit = _ => ()): Iterator[String] = {
+      onScrollId: String => Unit = _ => (),
+      headers: Map[String, String] = Map.empty): Iterator[String] = {
     val query = (wmField, since, until) match {
       case (Some(f), lo, hi) if lo.isDefined || hi.isDefined =>
         val bounds = lo.map(v => s""""gt":$v""").toSeq ++
@@ -337,9 +477,10 @@ object EsDocumentStore {
       case Some(cursor) =>
         val body = cursor match {
           case None => request("POST",
-            s"$base/$index/_search?scroll=1m", first, jsonHeaders)
+            s"$base/$index/_search?scroll=1m", first, headers ++ jsonHeaders)
           case Some(id) => request("POST", s"$base/_search/scroll",
-            s"""{"scroll":"1m","scroll_id":"${escape(id)}"}""", jsonHeaders)
+            s"""{"scroll":"1m","scroll_id":"${escape(id)}"}""",
+            headers ++ jsonHeaders)
         }
         val root = mapper.readTree(body)
         val scrollId = Option(root.get("_scroll_id")).map(_.asText())
@@ -347,7 +488,7 @@ object EsDocumentStore {
         val hits = root.at("/hits/hits")
         val docs = (0 until hits.size()).map(i => hits.get(i).get("_source").toString)
         if (docs.isEmpty) {
-          scrollId.foreach(releaseScroll(base, _))
+          scrollId.foreach(releaseScroll(base, _, headers))
           Some((Seq.empty[String], None))
         } else Some((docs, scrollId.map(id => Some(id))))
     }.flatten

@@ -63,57 +63,67 @@ import org.apache.spark.sql.types.StructType
   * failed fetch.
   */
 final case class HttpDocumentStore(base: String, schema: StructType,
-    slices: Int = 8, batchSize: Int = 500) extends DocumentStore {
+    slices: Int = 8, batchSize: Int = 500,
+    headers: Map[String, String] = Map.empty) extends DocumentStore {
   import HttpDocumentStore._
 
+  /** Configured auth/custom headers ride EVERY request this store
+    * makes (scan page, wm poll, bulk, delete, sync, mapping, exists);
+    * protocol headers (Content-Type, X-Sync-Epoch) win on collision
+    * so auth config can never break the wire format. Values are
+    * credentials — never logged, never echoed in errors.
+    */
+  private def hdr(proto: Map[String, String]): Map[String, String] =
+    headers ++ proto
+
   override def scan(spark: SparkSession): DataFrame = {
-    val (b, n) = (base, slices)
+    val (b, n, hs) = (base, slices, headers)
     val lines = spark.createDataset(
       spark.sparkContext.parallelize(0 until n, n)
-        .flatMap(slice => slicePages(b, slice, n)))(Encoders.STRING)
+        .flatMap(slice => slicePages(b, slice, n, headers = hs)))(Encoders.STRING)
     spark.read.schema(schema).json(lines)
   }
 
   override def push(updates: DataFrame): Unit = {
-    val (b, bs) = (base, batchSize)
+    val (b, bs, hs) = (base, batchSize, headers)
     updates.toJSON.foreachPartition { it: Iterator[String] =>
       it.grouped(bs).foreach(chunk =>
-        request("POST", s"$b/bulk", chunk.mkString("\n"), Map.empty))
+        request("POST", s"$b/bulk", chunk.mkString("\n"), hs))
     }
   }
 
   override def delete(keys: DataFrame): Unit = {
-    val (b, bs) = (base, batchSize)
+    val (b, bs, hs) = (base, batchSize, headers)
     keys.toJSON.foreachPartition { it: Iterator[String] =>
       it.grouped(bs).foreach(chunk =>
-        request("POST", s"$b/delete", chunk.mkString("\n"), Map.empty))
+        request("POST", s"$b/delete", chunk.mkString("\n"), hs))
     }
   }
 
   override def sync(snapshot: DataFrame): Unit = {
-    val epoch = request("POST", s"$base/sync/begin", "", Map.empty)
-    val (b, bs) = (base, batchSize)
+    val epoch = request("POST", s"$base/sync/begin", "", hdr(Map.empty))
+    val (b, bs, hs) = (base, batchSize, headers)
     snapshot.toJSON.foreachPartition { it: Iterator[String] =>
       it.grouped(bs).foreach(chunk =>
         request("POST", s"$b/bulk", chunk.mkString("\n"),
-          Map("X-Sync-Epoch" -> epoch)))
+          hs ++ Map("X-Sync-Epoch" -> epoch)))
     }
-    request("POST", s"$base/sync/commit", epoch, Map.empty)
+    request("POST", s"$base/sync/commit", epoch, hdr(Map.empty))
   }
 
   override def exists(spark: SparkSession): Boolean =
-    request("GET", s"$base/exists", "", Map.empty) == "true"
+    request("GET", s"$base/exists", "", hdr(Map.empty)) == "true"
 
   /** Store the index mapping/settings document (driver-side: a
     * mapping is configuration, pushed once, never data-sized).
     */
   def putMapping(mapping: String): Unit = {
-    request("PUT", s"$base/mapping", mapping, Map.empty); ()
+    request("PUT", s"$base/mapping", mapping, hdr(Map.empty)); ()
   }
 
   /** The stored mapping, or None when the index has none yet. */
   def getMapping: Option[String] =
-    Some(request("GET", s"$base/mapping", "", Map.empty)).filter(_.nonEmpty)
+    Some(request("GET", s"$base/mapping", "", hdr(Map.empty))).filter(_.nonEmpty)
 
   /** Idempotent create-if-absent: write the mapping only when none is
     * stored — the reference's ensure-index step before the first
@@ -136,13 +146,15 @@ object HttpDocumentStore {
     */
   private[sources] def slicePages(base: String, slice: Int,
       slices: Int, since: Option[Long] = None,
-      until: Option[Long] = None): Iterator[String] =
+      until: Option[Long] = None,
+      headers: Map[String, String] = Map.empty): Iterator[String] =
     // state: Some(None) = first page, Some(Some(c)) = follow cursor c,
     // None = cursor chain exhausted
     Iterator.unfold(Some(None): Option[Option[String]]) {
       case None => None
       case Some(cursor) =>
-        val (body, next) = fetchPage(base, slice, slices, cursor, since, until)
+        val (body, next) =
+          fetchPage(base, slice, slices, cursor, since, until, headers)
         val lines = body.linesIterator.filter(_.nonEmpty).toSeq
         Some((lines, next.map(c => Some(c))))
     }.flatten
@@ -193,7 +205,8 @@ object HttpDocumentStore {
 
   private def fetchPage(base: String, slice: Int, slices: Int,
       cursor: Option[String], since: Option[Long] = None,
-      until: Option[Long] = None): (String, Option[String]) = {
+      until: Option[Long] = None,
+      headers: Map[String, String] = Map.empty): (String, Option[String]) = {
     val url = s"$base/scan?slice=$slice&slices=$slices" +
       cursor.fold("")(c => s"&cursor=$c") +
       since.fold("")(v => s"&since=$v") + // server returns wm > since only
@@ -204,6 +217,7 @@ object HttpDocumentStore {
         .asInstanceOf[java.net.HttpURLConnection]
       try {
         conn.setRequestMethod("GET")
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
         val code = conn.getResponseCode
         if (code != 200) throw HttpStatusException(code, s"scan $url -> HTTP $code")
         val body = new String(conn.getInputStream.readAllBytes(),

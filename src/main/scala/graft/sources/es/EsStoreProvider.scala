@@ -63,23 +63,43 @@ class EsStoreProvider extends TableProvider {
     EsStoreTable(schema, base, index,
       Option(properties.get("wmcol")).filter(_.nonEmpty),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
-      Option(properties.get("pagesize")).map(_.toInt).getOrElse(500))
+      Option(properties.get("pagesize")).map(_.toInt).getOrElse(500),
+      EsStoreProvider.headerOptions(properties))
+  }
+}
+
+object EsStoreProvider {
+  /** `option("header.Authorization", "ApiKey ...")`-style options
+    * become request headers on EVERY exchange the connector makes
+    * (search, scroll page, scroll release, watermark poll) — the auth
+    * seam. Names arrive lowercased through Spark's case-insensitive
+    * option map; HTTP header names are case-insensitive, so that is
+    * harmless. Values are credentials and never logged.
+    */
+  private[sources] def headerOptions(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    properties.forEach((k, v) =>
+      if (k.toLowerCase.startsWith("header.")) out += (k.substring(7) -> v))
+    out.result()
   }
 }
 
 case class EsStoreTable(tableSchema: StructType, base: String, index: String,
-    wmCol: Option[String], slices: Int, pageSize: Int)
+    wmCol: Option[String], slices: Int, pageSize: Int,
+    headers: Map[String, String] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"graft-es($base/$index)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EsScanBuilder(tableSchema, base, index, wmCol, slices, pageSize)
+    new EsScanBuilder(tableSchema, base, index, wmCol, slices, pageSize, headers)
 }
 
 class EsScanBuilder(schema: StructType, base: String, index: String,
-    wmCol: Option[String], slices: Int, pageSize: Int)
+    wmCol: Option[String], slices: Int, pageSize: Int,
+    headers: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var since: Option[Long] = None
@@ -96,7 +116,10 @@ class EsScanBuilder(schema: StructType, base: String, index: String,
         case GreaterThan(c, v: Long) if c == wc =>
           since = Some(since.fold(v)(math.max(_, v)))
           pushed :+= GreaterThan(c, v)
-        case GreaterThanOrEqual(c, v: Long) if c == wc =>
+        case GreaterThanOrEqual(c, v: Long) if c == wc && v != Long.MinValue =>
+          // v−1 would WRAP at Long.MinValue, pushing a range that
+          // excludes every row — the filter is a tautology anyway, so
+          // it stays residual-only (the guard skips the pushdown)
           since = Some(since.fold(v - 1)(math.max(_, v - 1)))
           pushed :+= GreaterThanOrEqual(c, v)
         case _ => ()
@@ -110,11 +133,12 @@ class EsScanBuilder(schema: StructType, base: String, index: String,
     required = requiredSchema
 
   override def build(): Scan =
-    EsScanDef(base, index, slices, pageSize, wmCol, since, required)
+    EsScanDef(base, index, slices, pageSize, wmCol, since, required, headers)
 }
 
 case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
-    wmCol: Option[String], since: Option[Long], required: StructType)
+    wmCol: Option[String], since: Option[Long], required: StructType,
+    headers: Map[String, String] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -125,10 +149,11 @@ case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
     (0 until slices).map(i =>
       EsSlicePartition(i, since, None): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    EsReaderFactory(base, index, slices, pageSize, wmCol, required)
+    EsReaderFactory(base, index, slices, pageSize, wmCol, required, headers)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EsMicroBatchStream(base, index, slices, pageSize, wmCol, since, required)
+    new EsMicroBatchStream(base, index, slices, pageSize, wmCol, since,
+      required, headers)
 }
 
 /** Streaming micro-batch source over the ES wire: latestOffset is the
@@ -138,7 +163,7 @@ case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
   */
 class EsMicroBatchStream(base: String, index: String, slices: Int,
     pageSize: Int, wmCol: Option[String], startSince: Option[Long],
-    required: StructType)
+    required: StructType, headers: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -153,7 +178,7 @@ class EsMicroBatchStream(base: String, index: String, slices: Int,
   override def initialOffset(): Offset =
     WmOffset(startSince.getOrElse(Long.MinValue))
   override def latestOffset(): Offset =
-    EsDocumentStore.maxWatermarkAt(base, index, wmCol.get)
+    EsDocumentStore.maxWatermarkAt(base, index, wmCol.get, headers)
       .map(WmOffset(_)).getOrElse(initialOffset())
   override def deserializeOffset(json: String): Offset = WmOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -163,7 +188,7 @@ class EsMicroBatchStream(base: String, index: String, slices: Int,
       EsSlicePartition(i, Some(s0), Some(e0)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    EsReaderFactory(base, index, slices, pageSize, wmCol, required)
+    EsReaderFactory(base, index, slices, pageSize, wmCol, required, headers)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -172,12 +197,13 @@ case class EsSlicePartition(slice: Int, since: Option[Long],
     until: Option[Long]) extends InputPartition
 
 case class EsReaderFactory(base: String, index: String, slices: Int,
-    pageSize: Int, wmCol: Option[String], required: StructType)
+    pageSize: Int, wmCol: Option[String], required: StructType,
+    headers: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EsSlicePartition]
     new EsPartitionReader(base, index, p.slice, slices, pageSize, wmCol,
-      p.since, p.until, required)
+      p.since, p.until, required, headers)
   }
 }
 
@@ -189,13 +215,15 @@ case class EsReaderFactory(base: String, index: String, slices: Int,
   */
 class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
     pageSize: Int, wmCol: Option[String], since: Option[Long],
-    until: Option[Long], required: StructType)
+    until: Option[Long], required: StructType,
+    headers: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   @volatile private var liveScrollId: String = _
   private val lines = EsDocumentStore.scrollSlice(base, index, slice, slices,
-    pageSize, wmCol, since, until, onScrollId = id => liveScrollId = id)
+    pageSize, wmCol, since, until, onScrollId = id => liveScrollId = id,
+    headers = headers)
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -207,6 +235,6 @@ class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
   override def get(): InternalRow = current
   override def close(): Unit = {
     val id = liveScrollId
-    if (id != null) EsDocumentStore.releaseScroll(base, id)
+    if (id != null) EsDocumentStore.releaseScroll(base, id, headers)
   }
 }

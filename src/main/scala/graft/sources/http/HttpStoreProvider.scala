@@ -62,22 +62,25 @@ class HttpStoreProvider extends TableProvider {
         "(supported: long, int, double, string, boolean; send timestamps as epoch longs)"))
     HttpStoreTable(schema, base,
       Option(properties.get("wmcol")).filter(_.nonEmpty),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8),
+      graft.sources.es.EsStoreProvider.headerOptions(properties))
   }
 }
 
 case class HttpStoreTable(tableSchema: StructType, base: String,
-    wmCol: Option[String], slices: Int) extends Table with SupportsRead {
+    wmCol: Option[String], slices: Int,
+    headers: Map[String, String] = Map.empty) extends Table with SupportsRead {
   override def name(): String = s"graft-http($base)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HttpScanBuilder(tableSchema, base, wmCol, slices)
+    new HttpScanBuilder(tableSchema, base, wmCol, slices, headers)
 }
 
 class HttpScanBuilder(schema: StructType, base: String,
-    wmCol: Option[String], slices: Int)
+    wmCol: Option[String], slices: Int,
+    headers: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var since: Option[Long] = None
@@ -96,7 +99,9 @@ class HttpScanBuilder(schema: StructType, base: String,
         case GreaterThan(c, v: Long) if c == wc =>
           since = Some(since.fold(v)(math.max(_, v)))
           pushed :+= GreaterThan(c, v)
-        case GreaterThanOrEqual(c, v: Long) if c == wc =>
+        case GreaterThanOrEqual(c, v: Long) if c == wc && v != Long.MinValue =>
+          // v−1 would wrap at Long.MinValue and push a row-excluding
+          // range; the tautological filter stays residual-only
           since = Some(since.fold(v - 1)(math.max(_, v - 1)))
           pushed :+= GreaterThanOrEqual(c, v)
         case _ => ()
@@ -109,11 +114,13 @@ class HttpScanBuilder(schema: StructType, base: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = HttpScanDef(base, slices, since, required)
+  override def build(): Scan =
+    HttpScanDef(base, slices, since, required, headers)
 }
 
 case class HttpScanDef(base: String, slices: Int, since: Option[Long],
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    headers: Map[String, String] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -123,10 +130,10 @@ case class HttpScanDef(base: String, slices: Int, since: Option[Long],
     (0 until slices).map(i =>
       HttpSlicePartition(i, since, None): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    HttpReaderFactory(base, slices, required)
+    HttpReaderFactory(base, slices, required, headers)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new HttpMicroBatchStream(base, slices, since, required)
+    new HttpMicroBatchStream(base, slices, since, required, headers)
 }
 
 /** The HTTP store as a STRUCTURED STREAMING micro-batch source — the
@@ -147,7 +154,8 @@ case class HttpScanDef(base: String, slices: Int, since: Option[Long],
   * or restarts happen between its arrival and its read.
   */
 class HttpMicroBatchStream(base: String, slices: Int,
-    startSince: Option[Long], required: StructType)
+    startSince: Option[Long], required: StructType,
+    headers: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -160,7 +168,7 @@ class HttpMicroBatchStream(base: String, slices: Int,
   override def latestOffset(): Offset = {
     // trim BEFORE the sentinel check — a server replying "none\n"
     // must hit the sentinel path, not NumberFormatException
-    val body = HttpDocumentStore.request("GET", s"$base/wm", "", Map.empty).trim
+    val body = HttpDocumentStore.request("GET", s"$base/wm", "", headers).trim
     if (body == "none") initialOffset() else WmOffset(body.toLong)
   }
   override def deserializeOffset(json: String): Offset = WmOffset(json.toLong)
@@ -173,7 +181,7 @@ class HttpMicroBatchStream(base: String, slices: Int,
       HttpSlicePartition(i, Some(s0), Some(e0)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    HttpReaderFactory(base, slices, required)
+    HttpReaderFactory(base, slices, required, headers)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -182,10 +190,12 @@ case class HttpSlicePartition(slice: Int, since: Option[Long],
     until: Option[Long]) extends InputPartition
 
 case class HttpReaderFactory(base: String, slices: Int,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    headers: Map[String, String] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpSlicePartition]
-    new HttpPartitionReader(base, p.slice, slices, p.since, p.until, required)
+    new HttpPartitionReader(base, p.slice, slices, p.since, p.until, required,
+      headers)
   }
 }
 
@@ -193,11 +203,13 @@ case class HttpReaderFactory(base: String, slices: Int,
   * page in memory at a time) and parses only the pruned fields.
   */
 class HttpPartitionReader(base: String, slice: Int, slices: Int,
-    since: Option[Long], until: Option[Long], required: StructType)
+    since: Option[Long], until: Option[Long], required: StructType,
+    headers: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = HttpDocumentStore.slicePages(base, slice, slices, since, until)
+  private val lines =
+    HttpDocumentStore.slicePages(base, slice, slices, since, until, headers)
   private var current: InternalRow = _
 
   override def next(): Boolean =

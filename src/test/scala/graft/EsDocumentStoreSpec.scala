@@ -212,4 +212,118 @@ class EsDocumentStoreSpec extends SparkSpec {
       f.badRequests shouldBe 0
     } finally f.stop()
   }
+
+  test("per-item 429 pushback mid-bulk: only the rejected actions are resent, push completes") {
+    val f = new EsFixture
+    try {
+      val s = store(f)
+      f.rejectNextBulkItems = 2
+      s.push(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+        .toDF("id", "v", "rev").repartition(1))
+      // the first bulk saw 2 transient rejections; the retry resent
+      // ONLY those two and the push still completed — no task death
+      f.itemRejections shouldBe 2
+      s.scan(spark).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b"), (3L, "c"))
+      f.bulkRequests should be >= 2
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
+
+  test("a permanent per-item 400 fails fast — no backoff delay for a document that stays bad") {
+    val f = new EsFixture
+    try {
+      val s = store(f)
+      f.failItemIds += "2"
+      val t0 = System.nanoTime()
+      intercept[Exception] {
+        s.push(Seq((1L, "a", 1L), (2L, "bad", 1L)).toDF("id", "v", "rev")
+          .repartition(1))
+      }
+      // failed without burning the 429 backoff schedule (200+400+800ms)
+      (System.nanoTime() - t0) / 1e9 should be < 30.0
+      f.itemRejections shouldBe 0
+      // the good doc in the same bulk still landed (applied before the throw)
+      f.liveDocs.keySet shouldBe Set("1")
+    } finally f.stop()
+  }
+
+  test("composite _id is injective: colon/percent inside key values never collide; null key fails loudly") {
+    val f = new EsFixture
+    try {
+      val sch = StructType(Seq(StructField("k1", StringType),
+        StructField("k2", StringType), StructField("rev", LongType)))
+      val s = EsDocumentStore(f.base, "docs", Seq("k1", "k2"), "rev", sch,
+        slices = 2, pageSize = 2, batchSize = 3)
+      // a raw ":"-join would merge the first two rows onto one _id
+      s.push(Seq(("a:b", "c", 1L), ("a", "b:c", 1L), ("50%", "x:y", 1L))
+        .toDF("k1", "k2", "rev"))
+      s.scan(spark).count() shouldBe 3
+      f.liveDocs.keySet shouldBe Set("a%3Ab:c", "a:b%3Ac", "50%25:x%3Ay")
+      // NULL key: concat_ws would silently SKIP it, aliasing (a,NULL)
+      // with (a) — the store must refuse instead
+      val err = intercept[Exception] {
+        s.push(Seq((null.asInstanceOf[String], "x", 9L)).toDF("k1", "k2", "rev"))
+      }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      msgs should include("null key column")
+      s.scan(spark).count() shouldBe 3
+    } finally f.stop()
+  }
+
+  test("sync sweeps orphaned generations; sibling stores' indices are never touched") {
+    import scala.collection.mutable
+    val f = new EsFixture
+    try {
+      val s = store(f)
+      s.push(Seq((1L, "a", 1L)).toDF("id", "v", "rev")) // docs-1 + alias
+      // a crashed earlier sync: staging generation that never cut over
+      f.indices("docs-1699999999999-ab12cd34") =
+        mutable.Map("9" -> (1L, """{"id":9,"v":"orphan","rev":1}"""))
+      // a failed post-cutover DELETE: old generation no longer aliased
+      f.indices("docs-7") =
+        mutable.Map("8" -> (1L, """{"id":8,"v":"stale","rev":1}"""))
+      // a SIBLING store whose alias merely starts with ours
+      f.indices("docs-v2-1") =
+        mutable.Map("7" -> (1L, """{"id":7,"v":"keep","rev":1}"""))
+      s.sync(Seq((2L, "b", 2L)).toDF("id", "v", "rev"))
+      f.indices.keySet should not contain "docs-1699999999999-ab12cd34"
+      f.indices.keySet should not contain "docs-7"
+      f.indices.keySet should not contain "docs-1" // post-cutover delete
+      f.indices.keySet should contain("docs-v2-1")
+      s.scan(spark).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        Set((2L, "b"))
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
+
+  test("configured auth headers ride EVERY request type the store makes") {
+    val f = new EsFixture
+    try {
+      val auth = "ApiKey c2VjcmV0MTIz"
+      val s = EsDocumentStore(f.base, "docs", Seq("id"), "rev", schema,
+        slices = 2, pageSize = 2, batchSize = 3,
+        headers = Map("Authorization" -> auth))
+      s.exists(spark) shouldBe false                       // HEAD
+      s.ensureMapping("""{"properties":{"id":{"type":"long"}}}""") // PUT index + _mapping
+      s.push((1L to 5L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "rev")) // _bulk
+      s.maxWatermark("rev") shouldBe Some(1L)              // _search agg
+      s.scan(spark).count() shouldBe 5                     // scroll chain + DELETE scroll
+      s.delete(Seq((5L, 2L)).toDF("id", "rev"))            // _bulk delete
+      s.sync(Seq((1L, "a", 3L)).toDF("id", "v", "rev"))    // wildcard GET, _alias, _aliases, PUT, DELETE
+      val unauthed = f.requestsSeen.filterNot(_._3.contains(auth))
+      withClue(s"requests missing the auth header: $unauthed") {
+        unauthed shouldBe empty
+      }
+      // and the sweep genuinely exercised the whole surface
+      val kinds = f.requestsSeen.map(r => (r._1, r._2.takeWhile(_ != '?'))).toSet
+      kinds should contain allOf (
+        ("HEAD", "/docs"), ("POST", "/_bulk"), ("POST", "/docs/_search"),
+        ("POST", "/_search/scroll"), ("DELETE", "/_search/scroll"),
+        ("GET", "/docs/_mapping"), ("POST", "/_aliases"), ("GET", "/_alias/docs"),
+        ("GET", "/docs-*"))
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
 }

@@ -28,6 +28,15 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
     var bulkRequests = 0
     var failures = 0
     var badRequests = 0
+    // per-item transient-rejection injection: the next bulk request
+    // 429s its first N actions (not applied) — ES's rejected_execution
+    // pushback shape; reset to 0 after firing
+    var rejectNextBulkItems = 0
+    var itemRejections = 0
+    // ids that permanently 400 (mapper_parsing) on every bulk
+    val failItemIds = mutable.Set.empty[String]
+    // (method, path, Authorization header) per request — auth specs
+    val requestsSeen = mutable.Buffer.empty[(String, String, Option[String])]
     private val lock = new Object
 
     private def resolve(name: String): Option[String] =
@@ -66,6 +75,8 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
       val items = mutable.Buffer.empty[String]
       var i = 0
       var errors = false
+      var rejectLeft = rejectNextBulkItems
+      rejectNextBulkItems = 0
       while (i < lines.length) {
         val action = mapper.readTree(lines(i))
         val op =
@@ -88,7 +99,16 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
         val gte = vt == "external_gte"
         def wins(stored: Long): Boolean =
           if (gte) version >= stored else version > stored
-        op match {
+        if (rejectLeft > 0) {
+          // transient per-item pushback: NOT applied, item status 429
+          rejectLeft -= 1; itemRejections += 1; errors = true
+          items += s"""{"$op":{"_index":"$target","_id":"$id","status":429,"error":{"type":"es_rejected_execution_exception"}}}"""
+          if (op == "index") i += 1 // skip the unapplied source line
+        } else if (failItemIds.contains(id)) {
+          errors = true
+          items += s"""{"$op":{"_index":"$target","_id":"$id","status":400,"error":{"type":"mapper_parsing_exception"}}}"""
+          if (op == "index") i += 1
+        } else op match {
           case "index" =>
             i += 1
             if (i >= lines.length)
@@ -222,8 +242,25 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
     server.createContext("/", (x: HttpExchange) => lock.synchronized {
       val path = x.getRequestURI.getPath.stripPrefix("/")
       val method = x.getRequestMethod
+      requestsSeen +=
+        ((method, s"/$path", Option(x.getRequestHeaders.getFirst("Authorization"))))
       try {
         (method, path.split("/").toList) match {
+          // wildcard index listing — real ES expands the expression
+          // and returns one field per matching concrete index (empty
+          // object, 200, when nothing matches)
+          case ("GET", name :: Nil) if name.contains("*") =>
+            val re = java.util.regex.Pattern.compile(
+              name.split("\\*", -1).map(java.util.regex.Pattern.quote)
+                .mkString(".*"))
+            val body = indices.keys.toSeq.sorted
+              .filter(n => re.matcher(n).matches())
+              .map { n =>
+                val als = aliases.collect {
+                  case (a, i) if i == n => s""""$a":{}""" }.mkString(",")
+                s""""$n":{"aliases":{$als}}"""
+              }.mkString(",")
+            respond(x, s"{$body}")
           case ("POST", "_bulk" :: Nil) => handleBulk(x)
           case ("POST", "_search" :: "scroll" :: Nil) =>
             scrollContinuations += 1

@@ -118,4 +118,57 @@ class EsStoreProviderSpec extends SparkSpec {
           .option("base", f.base).option("index", "docs").load()
     } finally f.stop()
   }
+
+  test("wm >= Long.MinValue is a tautology: no pushdown, no underflow, every row returned") {
+    val f = new EsFixture
+    try {
+      store(f).push(Seq((1L, "a", 5L), (2L, "b", 9L)).toDF("id", "v", "m"))
+      // v−1 would wrap to Long.MaxValue and push a range excluding
+      // every row — the guard keeps the filter residual-only
+      read(f).where($"m" >= Long.MinValue).count() shouldBe 2
+      f.rangesSeen.filter(_.contains("9223372036854775807")) shouldBe empty
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
+
+  test("header.* options ride every exchange the connector makes (search, scroll, wm poll)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val f = new EsFixture
+    try {
+      val auth = "Basic Z3JhZnQ6aHVudGVyMg=="
+      store(f).push((1L to 5L).map(i => (i, s"v$i", i)).toDF("id", "v", "m"))
+      f.requestsSeen.clear()
+      val authed = spark.read
+        .format("graft.sources.es.EsStoreProvider")
+        .schema(schema)
+        .option("base", f.base).option("index", "docs")
+        .option("wmcol", "m").option("slices", "2").option("pagesize", "2")
+        .option("header.Authorization", auth)
+        .load()
+      authed.where($"m" > 2L).count() shouldBe 3
+      // streaming too: the watermark poll and the bracketed batch scan
+      val outDir = java.nio.file.Files.createTempDirectory("graft-esauth").toString
+      val q = spark.readStream
+        .format("graft.sources.es.EsStoreProvider")
+        .schema(schema)
+        .option("base", f.base).option("index", "docs")
+        .option("wmcol", "m").option("slices", "2").option("pagesize", "2")
+        .option("header.Authorization", auth)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-esauthc").toString)
+        .option("path", s"$outDir/t")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$outDir/t").count() shouldBe 5
+      val unauthed = f.requestsSeen.filterNot(_._3.contains(auth))
+      withClue(s"requests missing the auth header: $unauthed") {
+        unauthed shouldBe empty
+      }
+      f.requestsSeen.map(r => (r._1, r._2.takeWhile(_ != '?'))).toSet should
+        contain allOf (("POST", "/docs/_search"), ("POST", "/_search/scroll"))
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
 }

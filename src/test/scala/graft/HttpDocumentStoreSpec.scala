@@ -35,6 +35,8 @@ class HttpDocumentStoreSpec extends SparkSpec {
     var pushed = false
     var scanRequests = 0
     var failures = 0
+    // (path, Authorization header) for every served request — auth specs
+    val authSeen = mutable.Buffer.empty[(String, Option[String])]
     private val lock = new Object
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -125,6 +127,8 @@ class HttpDocumentStoreSpec extends SparkSpec {
       respond(x, pushed.toString)
     })
     private def respond(x: HttpExchange, body: String): Unit = {
+      authSeen += ((x.getRequestURI.getPath,
+        Option(x.getRequestHeaders.getFirst("Authorization"))))
       val b = body.getBytes(UTF_8)
       x.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length)
       if (b.nonEmpty) x.getResponseBody.write(b)
@@ -403,5 +407,38 @@ class HttpDocumentStoreSpec extends SparkSpec {
       store.scan(spark).select($"id", $"v").as[(Long, String)]
         .collect().toSet shouldBe Set((2L, "b2"), (4L, "d"))
     } finally srv.stop()
+  }
+
+  test("configured auth headers ride every store request and every DSv2 exchange") {
+    val m = new MockServer(wmField = "m")
+    val wmSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("rev", LongType), StructField("m", LongType)))
+    try {
+      val auth = "Bearer dG9rZW4tMTIz"
+      val s = HttpDocumentStore(m.base, wmSchema, slices = 2, batchSize = 2,
+        headers = Map("Authorization" -> auth))
+      s.push(Seq((1L, "a", 1L, 1L), (2L, "b", 2L, 2L), (3L, "c", 3L, 3L))
+        .toDF("id", "v", "rev", "m"))
+      s.exists(spark) shouldBe true
+      s.scan(spark).count() shouldBe 3
+      s.delete(Seq((3L, 4L)).toDF("id", "rev"))
+      s.putMapping("""{"m":1}""")
+      s.getMapping shouldBe Some("""{"m":1}""")
+      s.sync(Seq((1L, "a", 5L, 5L)).toDF("id", "v", "rev", "m"))
+      // the DSv2 batch read + streaming wm poll carry header.* options
+      spark.read.format("graft.sources.http.HttpStoreProvider")
+        .schema(wmSchema)
+        .option("base", m.base).option("wmcol", "m").option("slices", "2")
+        .option("header.Authorization", auth)
+        .load().where($"m" > 0L).count() shouldBe 1
+      val unauthed = m.authSeen.filterNot(_._2.contains(auth))
+      withClue(s"requests missing the auth header: $unauthed") {
+        unauthed shouldBe empty
+      }
+      m.authSeen.map(_._1).toSet should contain allOf (
+        "/scan", "/bulk", "/delete", "/sync/begin", "/sync/commit",
+        "/mapping", "/exists")
+    } finally m.stop()
   }
 }

@@ -161,4 +161,35 @@ class MainSpec extends SparkSpec {
     }
     missing.getMessage should include("missing 'mode'")
   }
+
+  test("credentials in the config reach the store as headers and never leak into output") {
+    val base = tmp()
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "rev")
+      .write.parquet(s"$base/src")
+    val f = new EsFixture
+    try {
+      val secret = "ApiKey dG9wLXNlY3JldA=="
+      val cfg = mapper.readTree(s"""{
+        "mode": "replicate",
+        "source": {"type": "parquet", "path": "$base/src"},
+        "wmCol": "rev",
+        "dest": {"type": "es", "base": "${f.base}", "alias": "docs",
+                 "keyCols": ["id"], "versionCol": "rev",
+                 "schema": "id BIGINT, v STRING, rev BIGINT",
+                 "headers": {"Authorization": "$secret"}},
+        "bookmark": "$base/wm"
+      }""")
+      val out = Main.run(spark, cfg)
+      out should include(""""extracted":2""")
+      // the credential reached every request the push made...
+      val unauthed = f.requestsSeen.filterNot(_._3.contains(secret))
+      withClue(s"requests missing the auth header: $unauthed") {
+        unauthed shouldBe empty
+      }
+      f.requestsSeen.map(_._1).toSet should contain("POST")
+      // ...and never the result line (the only thing Main prints)
+      out should not include "dG9wLXNlY3JldA"
+      f.liveDocs.keySet shouldBe Set("1", "2")
+    } finally f.stop()
+  }
 }
