@@ -409,22 +409,46 @@ object Relational extends QueryPack {
 
   val q47 = Q(
     "q47_approx_stats",
-    (s, d) =>
+    (s, d) => {
       // The 100 TB defaults for distinct counting and quantiles:
-      // HLL++ and t-digest sketches are MERGEABLE, so the shuffle
-      // carries a fixed-size sketch per group instead of raw values
-      // (exact countDistinct triggers an Expand; exact percentile
-      // buffers whole groups). No DuckDB mirror exists for either
-      // sketch — error bounds vs exact are spec-tested in
-      // FunctionsSpec ("approx aggregates are close to exact").
+      // HLL++ and approx-percentile sketches are MERGEABLE, so the
+      // shuffle carries a fixed-size sketch per group instead of raw
+      // values (exact countDistinct triggers an Expand; exact
+      // percentile buffers whole groups). Production callers take the
+      // estimates straight (`nd_est`/`p50_est` below); the GATE row
+      // additionally audits them against engine-computed exact values
+      // — the consumer-step pattern: the output carries the exact
+      // values plus per-group WITHIN-BOUND verdicts, the DuckDB
+      // oracle recomputes the exact values and emits literal-true
+      // verdicts, so the row hash-matches iff the sketches hold their
+      // bound. Bounds: HLL++ within 3·rsd (rsd=0.023 → 6.9%; sketches
+      // are deterministic for fixed data, so the gate cannot flake);
+      // p50 within the exact [p45, p55] rank band (approx_percentile
+      // at accuracy 10000 guarantees rank error ≤ 1e-4). The exact
+      // columns exist ONLY in this audit wrapper, not the production
+      // aggregate shape.
+      val bound = 3 * 0.023
       li(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          graft.functions.approxCountDistinct(col("l_partkey")).as("nd_parts"),
-          graft.functions.approxPercentile(col("l_quantity"), 0.5).as("p50_qty"),
-          count(lit(1)).as("n")),
-    None,
-    "mergeable sketch aggregates (HLL++ distinct, t-digest percentile)")
+          graft.functions.approxCountDistinct(col("l_partkey")).as("nd_est"),
+          graft.functions.approxPercentile(col("l_quantity"), 0.5).as("p50_est"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("nd_exact"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), array(0.45D, 0.55D))")
+            .as("p_band"))
+        .select(col("l_returnflag"), col("n"), col("nd_exact"),
+          (abs(col("nd_est") - col("nd_exact")) <=
+            col("nd_exact").cast("double") * bound).as("nd_ok"),
+          (col("p50_est") >= element_at(col("p_band"), 1) &&
+            col("p50_est") <= element_at(col("p_band"), 2)).as("p50_ok"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+           |  COUNT(DISTINCT l_partkey) AS nd_exact,
+           |  TRUE AS nd_ok, TRUE AS p50_ok
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    "mergeable sketch aggregates (HLL++ distinct, t-digest percentile) " +
+      "with an in-row exactness audit")
 
   /** Market-basket co-occurrence with lift: part pairs ordered
     * together, support-thresholded, scored by
