@@ -467,15 +467,27 @@ object Relational extends QueryPack {
     * self-join pays three plus its sorts. The support threshold
     * prunes the pair aggregate before the dimension joins; per-part
     * order counts are a part-dimension-sized broadcast (parts ≪
-    * facts). Skewed mega-baskets are the one hazard at 100 TB — cap
-    * basket size upstream (the k² fanout is per-row local, so one
-    * 10⁶-item basket is a straggler row, not a shuffle explosion);
-    * TPC-H baskets are bounded by construction.
+    * facts). Skewed mega-baskets are the one hazard at 100 TB: the k²
+    * fanout is per-row local, so one 10⁶-item basket is a multi-hour
+    * straggler row holding a 10¹²-pair array in one task —
+    * `maxBasketSize` ENFORCES the cap in-plan (each basket keeps its
+    * `maxBasketSize` smallest part keys; the co-occurrence statistics
+    * — part counts, order total — are computed over the SAME capped
+    * baskets, so lift stays internally consistent). Run
+    * [[basketTruncationReport]] alongside a capped job: silently
+    * dropping tail items without counting how often reads as
+    * "covered everything" when it didn't. The cap defaults off; TPC-H
+    * baskets are bounded by construction (the gate runs uncapped).
     */
-  def basketPairs(lineitem: DataFrame, minSupport: Int): DataFrame = {
+  def basketPairs(lineitem: DataFrame, minSupport: Int,
+      maxBasketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val raw = lineitem.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     val baskets = reused(
-      lineitem.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+      if (maxBasketSize == Int.MaxValue) raw
+      else raw.select(col("l_orderkey"),
+        slice(col("ps"), 1, maxBasketSize).as("ps")))
     val partCnt = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
     val nOrders = baskets.agg(count(lit(1)).as("n_orders_total"))
@@ -496,6 +508,24 @@ object Relational extends QueryPack {
         (col("n_pair") * col("n_orders_total")).cast("double") / (col("c1") * col("c2")))
       .select(col("p1"), col("p2"), col("n_pair"), col("c1"), col("c2"), col("lift"))
   }
+
+  /** The LOUD half of a capped [[basketPairs]] run: one row —
+    * (n_baskets, n_truncated, max_basket, capped_pair_fanout) — an
+    * ops job logs next to the pair output so a cap that is silently
+    * chopping real signal (n_truncated creeping up) is visible, and
+    * an uncapped mega-basket is caught BEFORE it becomes a straggler
+    * (max_basket tells you the worst k² a task will pay). One extra
+    * aggregate over the same basket build; no pair expansion.
+    */
+  def basketTruncationReport(lineitem: DataFrame, maxBasketSize: Int): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("k"))
+      .agg(
+        count(lit(1)).as("n_baskets"),
+        sum(when(col("k") > maxBasketSize, 1L).otherwise(0L)).as("n_truncated"),
+        max(col("k")).as("max_basket"),
+        sum(expr(s"least(k, ${maxBasketSize}L) * (least(k, ${maxBasketSize}L) - 1) div 2"))
+          .as("capped_pair_fanout"))
 
   val q110 = Q(
     "q110_basket_pairs",

@@ -412,6 +412,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("basketPairs maxBasketSize: planted mega-basket fanout bounded; cap above max is inert (q110)") {
+    // 3 normal orders + one mega-basket of 60 distinct parts
+    val normal = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 3L))
+    val mega = (100L until 160L).map(p => (9L, p))
+    val df = spark.createDataFrame(normal ++ mega).toDF("l_orderkey", "l_partkey")
+
+    // capped: the mega-basket contributes C(8,2)=28 pairs, not C(60,2)=1770
+    val capped = operators.Relational.basketPairs(df, minSupport = 1, maxBasketSize = 8)
+      .select($"p1", $"p2", $"n_pair").as[(Long, Long, Long)].collect()
+    val megaPairs = capped.count { case (p1, _, _) => p1 >= 100L }
+    megaPairs shouldBe 28
+    // the kept keys are the smallest 8 (sorted-array slice → deterministic)
+    capped.filter(_._1 >= 100L).flatMap(t => Seq(t._1, t._2)).toSet shouldBe
+      (100L until 108L).toSet
+    // normal baskets are untouched by the cap
+    capped.filter(_._1 < 100L).map(t => (t._1, t._2)).toSet shouldBe
+      Set((1L, 2L), (1L, 3L), (2L, 3L))
+
+    // a cap above the data's max basket is a no-op: identical output
+    val unc = operators.Relational.basketPairs(df, 1)
+      .orderBy($"p1", $"p2")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val wide = operators.Relational.basketPairs(df, 1, maxBasketSize = 1000)
+      .orderBy($"p1", $"p2")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    wide shouldBe unc
+
+    // the loud half: the report counts what the cap chopped
+    val rep = operators.Relational.basketTruncationReport(df, 8)
+      .as[(Long, Long, Long, Long)].collect().head
+    rep shouldBe ((4L, 1L, 60L, 28L + 1L + 1L + 1L))
+  }
+
   test("rfmSegments ≡ brute-force quartile scoring on 10 random order sets (q111)") {
     (1 to 10).foreach { trial =>
       val nCust = 2 + rnd.nextInt(12)
