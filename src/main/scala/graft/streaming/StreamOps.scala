@@ -28,6 +28,18 @@ case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
   * check of streaming logic (q42's DuckDB oracle verifies the batch
   * application; StreamingSpec verifies the stream application agrees
   * with batch on the same files).
+  *
+  * State store at deployment scale: set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  * — the default HDFS-backed provider keeps every state key in
+  * executor HEAP, which caps dedup/session state at what the JVM can
+  * hold; RocksDB keeps state on local SSD with incremental
+  * checkpointing, the right default once keys run to the billions
+  * (exact streaming dedup over a 100 TB corpus). Every stateful
+  * operator here is provider-agnostic; StreamingSpec re-runs the
+  * three state shapes (windowed agg, dropDuplicates,
+  * flatMapGroupsWithState) under RocksDB and pins batch-equivalence.
   */
 object StreamOps extends QueryPack {
 

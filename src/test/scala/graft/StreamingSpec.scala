@@ -459,4 +459,63 @@ class StreamingSpec extends SparkSpec {
     nested.columns.toSeq shouldBe Seq("event_id", "meta")
     nested.schema("meta").dataType shouldBe a[org.apache.spark.sql.types.StructType]
   }
+
+  test("stateful operators hold under the RocksDB state store (deployment default for large key spaces)") {
+    // The default HDFS-backed state store keeps every key in executor
+    // heap — fine for the suite, wrong for a 100 TB deployment where
+    // dedup/session state is billions of keys. RocksDB spills state
+    // to local disk with incremental checkpointing; this re-runs the
+    // three state shapes (agg state, dedup state,
+    // flatMapGroupsWithState) under it and pins batch-equivalence.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // windowed aggregation state ≡ batch
+      val dir1 = stageEvents()
+      val q1 = StreamOps.streamingWindowedCounts(
+        StreamOps.readEventStream(spark, dir1, eventsSchema))
+        .writeStream.format("memory").queryName("rocks_q42")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination(120000)
+      val streamed = spark.table("rocks_q42")
+        .select($"win_start", $"event_type", $"n_events", $"total_value")
+      val batch = StreamOps.windowedCounts(Tables.events(spark, sfDir))
+        .select($"win_start", $"event_type", $"n_events", $"total_value")
+      streamed.except(batch).count() shouldBe 0L
+      batch.except(streamed).count() shouldBe 0L
+
+      // dedup state under redelivery: exact distinct survives
+      val dir2 = stageEvents()
+      val first = new java.io.File(dir2).listFiles().head
+      Files.copy(first.toPath, Paths.get(dir2, "redelivered-" + first.getName),
+        StandardCopyOption.REPLACE_EXISTING)
+      val q2 = StreamOps.streamingDedup(
+        StreamOps.readEventStream(spark, dir2, eventsSchema))
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+      val expect = Tables.events(spark, sfDir).select("event_id").distinct().count()
+      spark.table("rocks_dedup").count() shouldBe expect
+
+      // flatMapGroupsWithState session state: emitted sessions are
+      // well-formed and cover the input (closed sessions all flush)
+      val dir3 = stageEvents()
+      val q3 = StreamOps.streamingSessionize(
+        StreamOps.readEventStream(spark, dir3, eventsSchema))
+        .writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination(120000)
+      val sess = spark.table("rocks_sess").as[graft.streaming.SessionOut].collect()
+      sess.length should be > 0
+      sess.foreach { so =>
+        so.sess_end_us should be >= so.sess_start_us
+        so.n_events.toLong should be >= 1L
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
