@@ -171,4 +171,23 @@ class EsStoreProviderSpec extends SparkSpec {
       f.badRequests shouldBe 0
     } finally f.stop()
   }
+
+  test("a jx where-clause over an ES-backed table executes IN ES (the reference's jx-on-ES shape)") {
+    val f = new EsFixture
+    try {
+      store(f).push(Seq((1L, "a", 5L), (2L, "b", 9L), (3L, "c", 12L))
+        .toDF("id", "v", "m"))
+      // the reference compiles jx {where} into the ES query it sends;
+      // here the SAME composition falls out of layering: jx compiles
+      // where -> Catalyst filter, the DSv2 provider pushes the range
+      // into the scroll body, ES evaluates it
+      val out = graft.jx.JxCompiler.queryOn(spark, sfDir,
+        """{"from": "bugs", "select": ["id", "v"],
+           "where": {"gt": {"m": 8}}, "sort": "id"}""",
+        Map("bugs" -> read(f)))
+      out.as[(Long, String)].collect().toSeq shouldBe Seq((2L, "b"), (3L, "c"))
+      f.rangesSeen.exists(_.contains("\"gt\":8")) shouldBe true
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
 }
