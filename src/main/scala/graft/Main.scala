@@ -41,13 +41,17 @@ import org.apache.spark.sql.types.StructType
   *    themselves. Rows must carry the dest's key/version columns.
   *  - `"sync"` — full reindex: the dest becomes exactly the source's
   *    current rows ([[DocumentStore.sync]]; no bookmark involved).
-  *  - `"closure-stream"` / `"closure-deletes-stream"` — the same
-  *    loops as Structured Streaming ([[EtlPipeline.runStream]] /
-  *    [[runStreamWithDeletes]]): `source` must be a STREAMING spec
+  *  - `"closure-stream"` / `"closure-deletes-stream"` /
+  *    `"replicate-stream"` — the same loops as Structured Streaming
+  *    ([[EtlPipeline.runStream]] / [[runStreamWithDeletes]] /
+  *    [[EtlPipeline.replicateStream]]): `source` must be a STREAMING spec
   *    (`parquet-stream` file source, or `es-stream` / `http-stream`
   *    over the DSv2 connectors), `checkpoint` is required, and
   *    `trigger` picks drain-and-exit (`"availableNow"`, the default —
   *    the scheduled-run shape) or a live `"processingTime=30s"` loop.
+  *    (`sync-stream` is rejected by design: sync is a point-in-time
+  *    snapshot + atomic cutover, and a stream has no snapshot
+  *    boundary — see [[EtlPipeline.replicateStream]].)
   *
   * Store specs (`source` accepts any of these plus read-only types;
   * `dest`/`edgeStore` need a [[DocumentStore]]):
@@ -139,9 +143,18 @@ object Main {
         val q = startStream(spark, cfg,
           edges => EtlPipeline.runStreamWithDeletes(edges, dest, edgeStore))
         s"""{"stream":"closure-deletes","stopped":${!q.isActive}}"""
+      case "replicate-stream" =>
+        val q = startStream(spark, cfg,
+          rows => EtlPipeline.replicateStream(rows, dest))
+        s"""{"stream":"replicate","stopped":${!q.isActive}}"""
+      case "sync-stream" => sys.error(
+        "sync cannot be a stream: sync is a point-in-time snapshot made " +
+          "live by one atomic cutover, and an unbounded stream has no " +
+          "snapshot boundary — drain with replicate-stream, then run " +
+          "batch 'sync' when a consistent snapshot is wanted")
       case other => sys.error(
         s"unknown mode '$other' (closure | closure-deletes | replicate | " +
-          "sync | closure-stream | closure-deletes-stream)")
+          "sync | closure-stream | closure-deletes-stream | replicate-stream)")
     }
   }
 

@@ -113,6 +113,32 @@ object EtlPipeline {
     runStream(edges,
       ParquetStore(destDir, Seq("ancestor", "descendant"), "rev", numBuckets))
 
+  /** push_to_es.py WITHOUT the hierarchy step, as a stream — Main's
+    * "replicate" mode on Structured Streaming: each micro-batch's
+    * rows push keyed latest-wins into the destination. Rows must
+    * carry the dest's key/version columns (the batch replicate
+    * contract); the streaming checkpoint replaces the extract
+    * bookmark, and at-least-once redelivery is absorbed by the
+    * store's external versioning, so the composition is idempotent.
+    *
+    * There is deliberately NO "sync-stream": sync is a POINT-IN-TIME
+    * snapshot made live by one atomic cutover, and an unbounded
+    * stream has no snapshot boundary — cutting over on whatever
+    * prefix happened to arrive would serve readers a store that
+    * equals no state the source ever had. Drain the stream
+    * (replicate-stream), then run batch "sync" when a consistent
+    * snapshot is wanted.
+    */
+  def replicateStream(rows: DataFrame, dest: DocumentStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => {
+        val b = batch.toDF()
+        if (b.head(1).nonEmpty) dest.push(b)
+      })
+
   /** Streaming loop against any [[DocumentStore]] (same seam as the
     * batch overload; the version is the checkpoint's stable batchId).
     */

@@ -192,4 +192,32 @@ class MainSpec extends SparkSpec {
       f.liveDocs.keySet shouldBe Set("1", "2")
     } finally f.stop()
   }
+
+  test("replicate-stream drains the source into a keyed latest-wins dest; sync-stream rejects") {
+    val base = tmp()
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "rev")
+      .write.parquet(s"$base/src")
+    def cfg(mode: String) = mapper.readTree(s"""{
+      "mode": "$mode",
+      "source": {"type": "parquet-stream", "path": "$base/src"},
+      "dest": {"type": "parquet", "path": "$base/dst",
+               "keyCols": ["id"], "versionCol": "rev", "numBuckets": 4},
+      "checkpoint": "$base/ckpt"
+    }""")
+    Main.run(spark, cfg("replicate-stream")) should include(""""stream":"replicate"""")
+    graft.sources.ParquetUpsertSink.read(spark, s"$base/dst")
+      .select($"id", $"v")
+      .as[(Long, String)].collect().toSet shouldBe Set((1L, "a"), (2L, "b"))
+    // a later run picks up only new files (checkpoint = the bookmark),
+    // and a newer revision of key 2 wins in the dest
+    Seq((2L, "b2", 3L), (3L, "c", 1L)).toDF("id", "v", "rev")
+      .write.mode("append").parquet(s"$base/src")
+    Main.run(spark, cfg("replicate-stream"))
+    graft.sources.ParquetUpsertSink.read(spark, s"$base/dst")
+      .select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "b2"), (3L, "c"))
+    // sync-stream is a documented rejection, not a silent fallback
+    val err = intercept[RuntimeException] { Main.run(spark, cfg("sync-stream")) }
+    err.getMessage should include("snapshot boundary")
+  }
 }
