@@ -61,7 +61,10 @@ import org.apache.spark.sql.types.StructType
   * bulk, mapping, alias, watermark, existence) — the auth seam:
   * `Authorization: ApiKey ...` / basic auth / any custom header a
   * fronting proxy needs. Values are credentials: they ride each
-  * request and are never logged or echoed in errors.
+  * request and are never logged or echoed in errors. TLS: an
+  * `https://` base goes through the JVM's standard JSSE stack — a
+  * cluster with a private CA is deployment config
+  * (`-Djavax.net.ssl.trustStore=...`), not code.
   *
   * Reference: MoDevETL push_to_es.py (bulk index with external
   * versioning, ensure-mapping, batch push); extract.py (scroll read).

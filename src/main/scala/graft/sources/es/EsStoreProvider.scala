@@ -164,8 +164,9 @@ case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
 class EsMicroBatchStream(base: String, index: String, slices: Int,
     pageSize: Int, wmCol: Option[String], startSince: Option[Long],
     required: StructType, headers: Map[String, String] = Map.empty)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   require(wmCol.nonEmpty,
     "graft es source: streaming reads need the 'wmcol' option (the watermark " +
@@ -180,6 +181,19 @@ class EsMicroBatchStream(base: String, index: String, slices: Int,
   override def latestOffset(): Offset =
     EsDocumentStore.maxWatermarkAt(base, index, wmCol.get, headers)
       .map(WmOffset(_)).getOrElse(initialOffset())
+
+  /** Trigger.AvailableNow drains to the watermark observed at QUERY
+    * START and terminates — without this, a store whose writers keep
+    * advancing the watermark would keep an "available now" drain
+    * alive forever (Spark otherwise falls back to one unbounded
+    * batch with a warning).
+    */
+  @volatile private var availableNowTarget: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(latestOffset())
+
   override def deserializeOffset(json: String): Offset = WmOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s0, e0) = (start.asInstanceOf[WmOffset].wm, end.asInstanceOf[WmOffset].wm)

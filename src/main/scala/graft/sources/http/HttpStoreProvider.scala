@@ -156,8 +156,9 @@ case class HttpScanDef(base: String, slices: Int, since: Option[Long],
 class HttpMicroBatchStream(base: String, slices: Int,
     startSince: Option[Long], required: StructType,
     headers: Map[String, String] = Map.empty)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class WmOffset(wm: Long) extends Offset {
     override def json(): String = wm.toString
@@ -171,6 +172,15 @@ class HttpMicroBatchStream(base: String, slices: Int,
     val body = HttpDocumentStore.request("GET", s"$base/wm", "", headers).trim
     if (body == "none") initialOffset() else WmOffset(body.toLong)
   }
+  /** Trigger.AvailableNow drains to the watermark observed at QUERY
+    * START and terminates (see EsMicroBatchStream — same contract).
+    */
+  @volatile private var availableNowTarget: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(latestOffset())
+
   override def deserializeOffset(json: String): Offset = WmOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s0, e0) = (start.asInstanceOf[WmOffset].wm, end.asInstanceOf[WmOffset].wm)
