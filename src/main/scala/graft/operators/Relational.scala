@@ -428,20 +428,34 @@ object Relational extends QueryPack {
       // columns exist ONLY in this audit wrapper, not the production
       // aggregate shape.
       val bound = 3 * 0.023
-      li(s, d)
+      // Pass 1 — the PRODUCTION shape: one sketch aggregate, 3 rows out.
+      val sk = li(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           graft.functions.approxCountDistinct(col("l_partkey")).as("nd_est"),
-          graft.functions.approxPercentile(col("l_quantity"), 0.5).as("p50_est"),
+          graft.functions.approxPercentile(col("l_quantity"), 0.5).as("p50_est"))
+      // Pass 2 — the audit: broadcast the 3-row estimates back onto the
+      // facts and verify by RANK COUNTING (how many values sit at or
+      // below the estimate), all hash aggregates — NEVER an exact
+      // percentile, whose per-group sort buffer is the very cost the
+      // sketch exists to avoid (a first cut used `percentile(...)` and
+      // cost 16.9 s at sf0.1 vs ~0.3 s for the sketches; this shape is
+      // ~1 s). The estimate is in-band iff its rank interval
+      // (n_lt, n_le] intersects [0.45·n, 0.55·n].
+      li(s, d)
+        .join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
           count(lit(1)).as("n"),
           countDistinct(col("l_partkey")).as("nd_exact"),
-          expr("percentile(CAST(l_quantity AS DOUBLE), array(0.45D, 0.55D))")
-            .as("p_band"))
+          first(col("nd_est")).as("nd_est"),
+          sum(when(col("l_quantity") <= col("p50_est"), 1L).otherwise(0L)).as("n_le"),
+          sum(when(col("l_quantity") < col("p50_est"), 1L).otherwise(0L)).as("n_lt"))
         .select(col("l_returnflag"), col("n"), col("nd_exact"),
           (abs(col("nd_est") - col("nd_exact")) <=
             col("nd_exact").cast("double") * bound).as("nd_ok"),
-          (col("p50_est") >= element_at(col("p_band"), 1) &&
-            col("p50_est") <= element_at(col("p_band"), 2)).as("p50_ok"))
+          (col("n_lt").cast("double") <= col("n") * 0.55 &&
+            col("n_le").cast("double") >= col("n") * 0.45).as("p50_ok"))
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n,
            |  COUNT(DISTINCT l_partkey) AS nd_exact,

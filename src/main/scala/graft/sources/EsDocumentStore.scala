@@ -249,12 +249,7 @@ final case class EsDocumentStore(base: String, alias: String,
     EsDocumentStore.maxWatermarkAt(base, alias, field, headers)
 
   private def ensureIndex(): Unit =
-    if (!headOk(s"$base/$alias", headers)) {
-      val gen1 = s"$alias-1"
-      request("PUT", s"$base/$gen1",
-        s"""{"aliases":{"${escape(alias)}":{}}}""", hdr(jsonHeaders))
-      ()
-    }
+    EsDocumentStore.ensureIndexAt(base, alias, headers)
 
   /** ALL concrete indices behind the alias — more than one is an
     * abnormal-but-possible state (a partial alias edit by an earlier
@@ -306,7 +301,18 @@ object EsDocumentStore {
       .filter(v => v.isNumber).map(_.asLong())
   }
 
-  private def actionLine(action: String, index: String, id: String,
+  /** Create generation 1 + the alias if the alias resolves to nothing
+    * (idempotent; shared by the store and the DSv2 write path). */
+  private[sources] def ensureIndexAt(base: String, alias: String,
+      headers: Map[String, String]): Unit =
+    if (!headOk(s"$base/$alias", headers)) {
+      request("PUT", s"$base/$alias-1",
+        s"""{"aliases":{"${escape(alias)}":{}}}""",
+        headers ++ jsonHeaders)
+      ()
+    }
+
+  private[sources] def actionLine(action: String, index: String, id: String,
       version: Long): String = {
     require(version >= 0, s"ES external versions are unsigned; got $version")
     s"""{"$action":{"_index":"${escape(index)}","_id":"${escape(id)}",""" +

@@ -64,7 +64,11 @@ class EsStoreProvider extends TableProvider {
       Option(properties.get("wmcol")).filter(_.nonEmpty),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
       Option(properties.get("pagesize")).map(_.toInt).getOrElse(500),
-      EsStoreProvider.headerOptions(properties))
+      EsStoreProvider.headerOptions(properties),
+      Option(properties.get("keycols")).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
+      Option(properties.get("versioncol")).filter(_.nonEmpty),
+      Option(properties.get("batchsize")).map(_.toInt).getOrElse(500))
   }
 }
 
@@ -87,14 +91,144 @@ object EsStoreProvider {
 
 case class EsStoreTable(tableSchema: StructType, base: String, index: String,
     wmCol: Option[String], slices: Int, pageSize: Int,
-    headers: Map[String, String] = Map.empty)
-    extends Table with SupportsRead {
+    headers: Map[String, String] = Map.empty,
+    keyCols: Seq[String] = Seq.empty, versionCol: Option[String] = None,
+    batchSize: Int = 500)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-es($base/$index)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsScanBuilder(tableSchema, base, index, wmCol, slices, pageSize, headers)
+
+  /** DSv2 WRITE: `df.write.format(...).option("keycols","id")
+    * .option("versioncol","rev").mode("append").save()` — every
+    * partition bulks its rows latest-wins (external_gte) straight to
+    * the cluster with the per-item 429 retry underneath. Append-only
+    * by design: "overwrite" is [[graft.sources.EsDocumentStore.sync]]
+    * (a staged reindex behind an atomic alias swap), not a TRUNCATE a
+    * writer could half-finish. A failed/retried write task re-sends
+    * its rows — idempotent under external versioning, the same
+    * contract as every push in the engine.
+    */
+  override def newWriteBuilder(info:
+      org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(keyCols.nonEmpty,
+      "graft es sink: 'keycols' option is required (comma-separated key columns)")
+    val vc = versionCol.getOrElse(sys.error(
+      "graft es sink: 'versioncol' option is required (non-negative long)"))
+    val ws = info.schema()
+    keyCols.foreach(k => require(ws.fieldNames.contains(k),
+      s"graft es sink: key column '$k' not in write schema ${ws.fieldNames.mkString(",")}"))
+    require(ws.fieldNames.contains(vc),
+      s"graft es sink: version column '$vc' not in write schema")
+    ws.fields.foreach(f => require(HttpRows.supported(f.dataType),
+      s"graft es sink: unsupported field type ${f.name}: ${f.dataType.simpleString}"))
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            EsBatchWrite(base, index, keyCols, vc, ws, batchSize, headers)
+        }
+    }
+  }
+}
+
+case class EsBatchWrite(base: String, index: String, keyCols: Seq[String],
+    versionCol: String, writeSchema: StructType, batchSize: Int,
+    headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, once per write: generation 1 + alias if absent
+    EsDocumentStore.ensureIndexAt(base, index, headers)
+    EsWriterFactory(base, index, keyCols.toArray, versionCol, writeSchema,
+      batchSize, headers)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // rows already bulked stay: a Spark retry re-sends them and
+  // external_gte keeps latest-wins idempotent (same as push())
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class EsWriterFactory(base: String, index: String, keyCols: Array[String],
+    versionCol: String, writeSchema: StructType, batchSize: Int,
+    headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EsDataWriter(base, index, keyCols, versionCol, writeSchema,
+      batchSize, headers)
+}
+
+private object EsWriteCommit
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Executor-side writer: buffers `batchSize` action units and bulks
+  * them with the per-item transient retry. Key/version extraction
+  * mirrors EsDocumentStore.composedId (percent-escaped injective
+  * join; null keys fail loudly).
+  */
+class EsDataWriter(base: String, index: String, keyCols: Array[String],
+    versionCol: String, writeSchema: StructType, batchSize: Int,
+    headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.types._
+
+  private val keyIdx = keyCols.map(writeSchema.fieldIndex)
+  private val verIdx = writeSchema.fieldIndex(versionCol)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def scalarString(row: InternalRow, i: Int): String =
+    writeSchema.fields(i).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case other => throw new IllegalStateException(
+        s"unreachable: $other rejected at newWriteBuilder")
+    }
+
+  private def composeId(row: InternalRow): String =
+    keyIdx.zip(keyCols).map { case (i, n) =>
+      require(!row.isNullAt(i),
+        s"graft es sink: null key column '$n' cannot compose an ES _id")
+      scalarString(row, i).replace("%", "%25").replace(":", "%3A")
+    }.mkString(":")
+
+  private def version(row: InternalRow): Long = {
+    require(!row.isNullAt(verIdx),
+      s"graft es sink: null version column '$versionCol'")
+    writeSchema.fields(verIdx).dataType match {
+      case LongType => row.getLong(verIdx)
+      case IntegerType => row.getInt(verIdx).toLong
+      case other => sys.error(
+        s"graft es sink: version column '$versionCol' must be integral, got $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buf += EsDocumentStore.actionLine("index", index, composeId(row), version(row)) +
+      "\n" + HttpRows.json(row, writeSchema)
+    if (buf.size >= batchSize) flush()
+  }
+
+  private def flush(): Unit =
+    if (buf.nonEmpty) {
+      EsDocumentStore.bulkWithRetry(base, headers, buf.toIndexedSeq)
+      buf.clear()
+    }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush(); EsWriteCommit
+  }
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
 }
 
 class EsScanBuilder(schema: StructType, base: String, index: String,

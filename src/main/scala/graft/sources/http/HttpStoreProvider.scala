@@ -63,19 +63,86 @@ class HttpStoreProvider extends TableProvider {
     HttpStoreTable(schema, base,
       Option(properties.get("wmcol")).filter(_.nonEmpty),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
-      graft.sources.es.EsStoreProvider.headerOptions(properties))
+      graft.sources.es.EsStoreProvider.headerOptions(properties),
+      Option(properties.get("batchsize")).map(_.toInt).getOrElse(500))
   }
 }
 
 case class HttpStoreTable(tableSchema: StructType, base: String,
     wmCol: Option[String], slices: Int,
-    headers: Map[String, String] = Map.empty) extends Table with SupportsRead {
+    headers: Map[String, String] = Map.empty,
+    batchSize: Int = 500) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-http($base)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(tableSchema, base, wmCol, slices, headers)
+
+  /** DSv2 WRITE: each partition POSTs its rows to `{base}/bulk` as
+    * NDJSON in `batchsize` chunks — the server's keyed latest-wins
+    * makes a retried task's re-send idempotent (the same contract as
+    * [[graft.sources.HttpDocumentStore.push]]). Append-only: a full
+    * replace is the store's epoch sync, not a TRUNCATE.
+    */
+  override def newWriteBuilder(info:
+      org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val ws = info.schema()
+    ws.fields.foreach(f => require(HttpRows.supported(f.dataType),
+      s"graft http sink: unsupported field type ${f.name}: ${f.dataType.simpleString}"))
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            HttpBatchWrite(base, ws, batchSize, headers)
+        }
+    }
+  }
+}
+
+case class HttpBatchWrite(base: String, writeSchema: StructType,
+    batchSize: Int, headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    HttpWriterFactory(base, writeSchema, batchSize, headers)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class HttpWriterFactory(base: String, writeSchema: StructType,
+    batchSize: Int, headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new HttpDataWriter(base, writeSchema, batchSize, headers)
+}
+
+private object HttpWriteCommit
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class HttpDataWriter(base: String, writeSchema: StructType,
+    batchSize: Int, headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+  override def write(row: InternalRow): Unit = {
+    buf += HttpRows.json(row, writeSchema)
+    if (buf.size >= batchSize) flush()
+  }
+  private def flush(): Unit =
+    if (buf.nonEmpty) {
+      HttpDocumentStore.request("POST", s"$base/bulk",
+        buf.mkString("\n"), headers)
+      buf.clear()
+    }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush(); HttpWriteCommit
+  }
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
 }
 
 class HttpScanBuilder(schema: StructType, base: String,
@@ -236,6 +303,48 @@ private[sources] object HttpRows {
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
     case _ => false
+  }
+
+  /** The inverse of [[parse]]: one InternalRow as a JSON object over
+    * the same supported scalar types (SQL NULL → JSON null). Used by
+    * the DSv2 WRITE path — executor-side, no Jackson allocation per
+    * row.
+    */
+  def json(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      val f = schema.fields(i)
+      sb.append('"').append(f.name).append("\":")
+      if (row.isNullAt(i)) sb.append("null")
+      else f.dataType match {
+        case LongType => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType => sb.append(row.getDouble(i))
+        case BooleanType => sb.append(row.getBoolean(i))
+        case StringType =>
+          sb.append('"')
+          val str = row.getUTF8String(i).toString
+          var j = 0
+          while (j < str.length) {
+            str.charAt(j) match {
+              case '"' => sb.append("\\\"")
+              case '\\' => sb.append("\\\\")
+              case c if c < ' ' => sb.append("\\u%04x".format(c.toInt))
+              case c => sb.append(c)
+            }
+            j += 1
+          }
+          sb.append('"')
+        case other => throw new IllegalStateException(
+          s"unreachable: ${f.name}: $other rejected at getTable")
+      }
+      i += 1
+    }
+    sb.append('}')
+    sb.toString
   }
 
   def parse(node: JsonNode, schema: StructType): InternalRow = {

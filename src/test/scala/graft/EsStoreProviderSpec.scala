@@ -190,4 +190,29 @@ class EsStoreProviderSpec extends SparkSpec {
       f.badRequests shouldBe 0
     } finally f.stop()
   }
+
+  test("DSv2 batch write: df.write bulks latest-wins through the ES wire; config errors loud") {
+    val f = new EsFixture
+    try {
+      def write(rows: Seq[(Long, String, Long)]): Unit =
+        rows.toDF("id", "v", "m").write
+          .format("graft.sources.es.EsStoreProvider")
+          .option("base", f.base).option("index", "docs")
+          .option("keycols", "id").option("versioncol", "m")
+          .option("batchsize", "2")
+          .mode("append").save()
+      write(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+      // newer wins, stale redelivery absorbed as a 409, new key lands
+      write(Seq((2L, "b2", 2L), (2L, "old", 1L), (4L, "d", 1L)))
+      read(f).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d"))
+      f.badRequests shouldBe 0
+      // missing keycols / versioncol fail at plan time, loudly
+      an[Exception] should be thrownBy
+        Seq((9L, "x", 1L)).toDF("id", "v", "m").write
+          .format("graft.sources.es.EsStoreProvider")
+          .option("base", f.base).option("index", "docs")
+          .mode("append").save()
+    } finally f.stop()
+  }
 }

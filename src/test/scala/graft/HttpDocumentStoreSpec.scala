@@ -441,4 +441,20 @@ class HttpDocumentStoreSpec extends SparkSpec {
         "/mapping", "/exists")
     } finally m.stop()
   }
+
+  test("DSv2 batch write posts NDJSON bulks the server merges latest-wins") {
+    val m = new MockServer
+    try {
+      def write(rows: Seq[(Long, String, Long)]): Unit =
+        rows.toDF("id", "v", "rev").write
+          .format("graft.sources.http.HttpStoreProvider")
+          .option("base", m.base).option("batchsize", "2")
+          .mode("append").save()
+      write(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+      write(Seq((2L, "b2", 2L), (2L, "old", 1L)))
+      val store = HttpDocumentStore(m.base, schema, slices = 2)
+      store.scan(spark).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b2"), (3L, "c"))
+    } finally m.stop()
+  }
 }
