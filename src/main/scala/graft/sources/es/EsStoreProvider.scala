@@ -100,7 +100,8 @@ case class EsStoreTable(tableSchema: StructType, base: String, index: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsScanBuilder(tableSchema, base, index, wmCol, slices, pageSize, headers)
 
@@ -133,9 +134,42 @@ case class EsStoreTable(tableSchema: StructType, base: String, index: String,
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             EsBatchWrite(base, index, keyCols, vc, ws, batchSize, headers)
+          // writeStream straight into the cluster: each micro-batch's
+          // partitions bulk as they produce rows; a replayed epoch
+          // re-sends them and external versioning keeps the stored
+          // state exactly-once — the same contract every batch push
+          // in the engine relies on (no sink-side epoch log needed)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            EsStreamingWrite(base, index, keyCols, vc, ws, batchSize, headers)
         }
     }
   }
+}
+
+case class EsStreamingWrite(base: String, index: String, keyCols: Seq[String],
+    versionCol: String, writeSchema: StructType, batchSize: Int,
+    headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    EsDocumentStore.ensureIndexAt(base, index, headers)
+    EsStreamingWriterFactory(base, index, keyCols.toArray, versionCol,
+      writeSchema, batchSize, headers)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class EsStreamingWriterFactory(base: String, index: String,
+    keyCols: Array[String], versionCol: String, writeSchema: StructType,
+    batchSize: Int, headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EsDataWriter(base, index, keyCols, versionCol, writeSchema,
+      batchSize, headers)
 }
 
 case class EsBatchWrite(base: String, index: String, keyCols: Seq[String],

@@ -77,7 +77,8 @@ case class HttpStoreTable(tableSchema: StructType, base: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(tableSchema, base, wmCol, slices, headers)
 
@@ -98,9 +99,33 @@ case class HttpStoreTable(tableSchema: StructType, base: String,
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             HttpBatchWrite(base, ws, batchSize, headers)
+          // streaming sink: idempotent under epoch replay because the
+          // server's keyed latest-wins absorbs re-sent rows
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            HttpStreamingWrite(base, ws, batchSize, headers)
         }
     }
   }
+}
+
+case class HttpStreamingWrite(base: String, writeSchema: StructType,
+    batchSize: Int, headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    HttpStreamingWriterFactory(base, writeSchema, batchSize, headers)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class HttpStreamingWriterFactory(base: String, writeSchema: StructType,
+    batchSize: Int, headers: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new HttpDataWriter(base, writeSchema, batchSize, headers)
 }
 
 case class HttpBatchWrite(base: String, writeSchema: StructType,

@@ -215,4 +215,38 @@ class EsStoreProviderSpec extends SparkSpec {
           .mode("append").save()
     } finally f.stop()
   }
+
+  test("DSv2 streaming write: micro-batches land latest-wins; full replay is state-idempotent") {
+    import org.apache.spark.sql.streaming.Trigger
+    val f = new EsFixture
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-essink").toString
+      val srcSchema = StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType), StructField("m", LongType)))
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "m")
+        .write.mode("append").parquet(dir)
+      def drain(ckpt: String): Unit = {
+        val q = spark.readStream.schema(srcSchema).parquet(dir)
+          .writeStream.format("graft.sources.es.EsStoreProvider")
+          .option("base", f.base).option("index", "docs")
+          .option("keycols", "id").option("versioncol", "m")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-essinkc").toString
+      drain(ckpt)
+      Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "v", "m")
+        .write.mode("append").parquet(dir)
+      drain(ckpt) // checkpoint resume: only the new file replays
+      read(f).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b2"), (3L, "c"))
+      // a FRESH checkpoint re-sends EVERYTHING — the at-least-once
+      // worst case — and external versioning leaves the state identical
+      drain(java.nio.file.Files.createTempDirectory("graft-essinkc2").toString)
+      read(f).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b2"), (3L, "c"))
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
 }
