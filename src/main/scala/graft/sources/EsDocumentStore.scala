@@ -72,8 +72,12 @@ import org.apache.spark.sql.types.StructType
 final case class EsDocumentStore(base: String, alias: String,
     keyCols: Seq[String], versionCol: String, schema: StructType,
     slices: Int = 8, pageSize: Int = 500, batchSize: Int = 500,
-    headers: Map[String, String] = Map.empty)
+    headers: Map[String, String] = Map.empty,
+    readMode: String = "scroll")
     extends DocumentStore {
+  require(readMode == "scroll" || readMode == "pit",
+    s"readMode must be scroll|pit, got '$readMode'")
+
   import EsDocumentStore._
 
   /** Protocol headers win over configured auth headers — an auth map
@@ -90,11 +94,15 @@ final case class EsDocumentStore(base: String, alias: String,
     */
   def scanSince(spark: SparkSession, wmField: Option[String],
       since: Option[Long], until: Option[Long] = None): DataFrame = {
-    val (b, a, n, ps, hs) = (base, alias, slices, pageSize, headers)
+    val (b, a, n, ps, hs, rm) = (base, alias, slices, pageSize, headers, readMode)
     val (wf, lo, hi) = (wmField, since, until)
     val lines = spark.createDataset(
       spark.sparkContext.parallelize(0 until n, n)
-        .flatMap(slice => scrollSlice(b, a, slice, n, ps, wf, lo, hi, headers = hs)))(
+        .flatMap(slice =>
+          if (rm == "pit")
+            pitSlice(b, a, slice, n, ps, wf, lo, hi, headers = hs)
+          else
+            scrollSlice(b, a, slice, n, ps, wf, lo, hi, headers = hs)))(
       Encoders.STRING)
     spark.read.schema(schema).json(lines)
   }
@@ -454,6 +462,70 @@ object EsDocumentStore {
       request("DELETE", s"$base/_search/scroll",
         s"""{"scroll_id":["${escape(scrollId)}"]}""", headers ++ jsonHeaders); ()
     } catch { case _: Exception => () }
+
+  /** Best-effort release of a point-in-time context (the PIT analogue
+    * of [[releaseScroll]]).
+    */
+  private[sources] def releasePit(base: String, pitId: String,
+      headers: Map[String, String] = Map.empty): Unit =
+    try {
+      request("DELETE", s"$base/_point_in_time",
+        s"""{"id":"${escape(pitId)}"}""", headers ++ jsonHeaders); ()
+    } catch { case _: Exception => () }
+
+  /** Lazy page walk of one slice via ES 8's PIT + `search_after` —
+    * the API Elastic recommends over scroll for deep pagination
+    * (scroll contexts are heavyweight server state; a PIT is a cheap
+    * shared snapshot and the cursor lives CLIENT-side as the last
+    * hit's sort values). Semantics match [[scrollSlice]]: consistent
+    * snapshot, slice-per-partition, optional server-side watermark
+    * range. Sorting is `_shard_doc` (the PIT-native tiebreak);
+    * `search_after` carries the previous page's last sort values
+    * verbatim, so the walk is stateless on the server between pages.
+    * `onPitId` lets a caller with a close() hook release the PIT on
+    * early termination.
+    */
+  private[sources] def pitSlice(base: String, index: String, slice: Int,
+      slices: Int, pageSize: Int, wmField: Option[String],
+      since: Option[Long], until: Option[Long],
+      onPitId: String => Unit = _ => (),
+      headers: Map[String, String] = Map.empty): Iterator[String] = {
+    val pitId = Option(mapper.readTree(
+      request("POST", s"$base/$index/_pit?keep_alive=1m", "",
+        headers ++ jsonHeaders)).get("id")).map(_.asText())
+      .getOrElse(sys.error(s"PIT open on $index returned no id"))
+    onPitId(pitId)
+    val query = (wmField, since, until) match {
+      case (Some(f), lo, hi) if lo.isDefined || hi.isDefined =>
+        val bounds = lo.map(v => s""""gt":$v""").toSeq ++
+          hi.map(v => s""""lte":$v""").toSeq
+        s"""{"range":{"$f":{${bounds.mkString(",")}}}}"""
+      case _ => """{"match_all":{}}"""
+    }
+    val sliceClause =
+      if (slices > 1) s""""slice":{"id":$slice,"max":$slices},""" else ""
+    // state: Some(None) = first page, Some(Some(sortJson)) = continue
+    // after those sort values, None = exhausted
+    Iterator.unfold(Some(None): Option[Option[String]]) {
+      case None => None
+      case Some(after) =>
+        val afterClause = after.fold("")(a => s""","search_after":$a""")
+        val body = request("POST", s"$base/_search",
+          s"""{$sliceClause"size":$pageSize,"pit":{"id":"${escape(pitId)}","keep_alive":"1m"},""" +
+            s""""sort":[{"_shard_doc":"asc"}],"query":$query$afterClause}""",
+          headers ++ jsonHeaders)
+        val root = mapper.readTree(body)
+        val hits = root.at("/hits/hits")
+        if (hits.size() == 0) {
+          releasePit(base, pitId, headers)
+          Some((Seq.empty[String], None))
+        } else {
+          val docs = (0 until hits.size()).map(i => hits.get(i).get("_source").toString)
+          val lastSort = hits.get(hits.size() - 1).get("sort").toString
+          Some((docs, Some(Some(lastSort))))
+        }
+    }.flatten
+  }
 
   /** Lazy page walk of one scroll slice — executor-side; each `next`
     * fetches at most one page (a downstream `limit` stops early), and

@@ -243,7 +243,12 @@ object HttpDocumentStore {
     try {
       conn.setRequestMethod(method)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      if (method == "POST" || method == "PUT") {
+      // any non-GET body must actually ship — ES's scroll/PIT release
+      // are DELETEs WITH a JSON body, and a release whose body never
+      // left the client silently leaks server contexts until their
+      // keepalive (found by the PIT spec's pits-empty assertion)
+      if (method == "POST" || method == "PUT" ||
+          (body.nonEmpty && method != "GET")) {
         conn.setDoOutput(true)
         conn.getOutputStream.write(
           body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

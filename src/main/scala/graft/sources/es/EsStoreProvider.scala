@@ -45,7 +45,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .load()
   * }}}
   */
-class EsStoreProvider extends TableProvider {
+class EsStoreProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `spark.read.format("graft-es")` — registered via
+    * META-INF/services like every built-in source. */
+  override def shortName(): String = "graft-es"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     throw new IllegalArgumentException(
@@ -68,7 +72,8 @@ class EsStoreProvider extends TableProvider {
       Option(properties.get("keycols")).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
       Option(properties.get("versioncol")).filter(_.nonEmpty),
-      Option(properties.get("batchsize")).map(_.toInt).getOrElse(500))
+      Option(properties.get("batchsize")).map(_.toInt).getOrElse(500),
+      Option(properties.get("readmode")).getOrElse("scroll"))
   }
 }
 
@@ -93,7 +98,7 @@ case class EsStoreTable(tableSchema: StructType, base: String, index: String,
     wmCol: Option[String], slices: Int, pageSize: Int,
     headers: Map[String, String] = Map.empty,
     keyCols: Seq[String] = Seq.empty, versionCol: Option[String] = None,
-    batchSize: Int = 500)
+    batchSize: Int = 500, readMode: String = "scroll")
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-es($base/$index)"
@@ -102,8 +107,11 @@ case class EsStoreTable(tableSchema: StructType, base: String, index: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
+  require(readMode == "scroll" || readMode == "pit",
+    s"graft es source: readmode must be scroll|pit, got '$readMode'")
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EsScanBuilder(tableSchema, base, index, wmCol, slices, pageSize, headers)
+    new EsScanBuilder(tableSchema, base, index, wmCol, slices, pageSize,
+      headers, readMode)
 
   /** DSv2 WRITE: `df.write.format(...).option("keycols","id")
     * .option("versioncol","rev").mode("append").save()` — every
@@ -267,7 +275,7 @@ class EsDataWriter(base: String, index: String, keyCols: Array[String],
 
 class EsScanBuilder(schema: StructType, base: String, index: String,
     wmCol: Option[String], slices: Int, pageSize: Int,
-    headers: Map[String, String] = Map.empty)
+    headers: Map[String, String] = Map.empty, readMode: String = "scroll")
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var since: Option[Long] = None
@@ -301,12 +309,13 @@ class EsScanBuilder(schema: StructType, base: String, index: String,
     required = requiredSchema
 
   override def build(): Scan =
-    EsScanDef(base, index, slices, pageSize, wmCol, since, required, headers)
+    EsScanDef(base, index, slices, pageSize, wmCol, since, required, headers,
+      readMode)
 }
 
 case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
     wmCol: Option[String], since: Option[Long], required: StructType,
-    headers: Map[String, String] = Map.empty)
+    headers: Map[String, String] = Map.empty, readMode: String = "scroll")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -317,7 +326,8 @@ case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
     (0 until slices).map(i =>
       EsSlicePartition(i, since, None): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    EsReaderFactory(base, index, slices, pageSize, wmCol, required, headers)
+    EsReaderFactory(base, index, slices, pageSize, wmCol, required, headers,
+      readMode)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new EsMicroBatchStream(base, index, slices, pageSize, wmCol, since,
@@ -380,12 +390,12 @@ case class EsSlicePartition(slice: Int, since: Option[Long],
 
 case class EsReaderFactory(base: String, index: String, slices: Int,
     pageSize: Int, wmCol: Option[String], required: StructType,
-    headers: Map[String, String] = Map.empty)
+    headers: Map[String, String] = Map.empty, readMode: String = "scroll")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EsSlicePartition]
     new EsPartitionReader(base, index, p.slice, slices, pageSize, wmCol,
-      p.since, p.until, required, headers)
+      p.since, p.until, required, headers, readMode)
   }
 }
 
@@ -398,14 +408,21 @@ case class EsReaderFactory(base: String, index: String, slices: Int,
 class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
     pageSize: Int, wmCol: Option[String], since: Option[Long],
     until: Option[Long], required: StructType,
-    headers: Map[String, String] = Map.empty)
+    headers: Map[String, String] = Map.empty, readMode: String = "scroll")
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   @volatile private var liveScrollId: String = _
-  private val lines = EsDocumentStore.scrollSlice(base, index, slice, slices,
-    pageSize, wmCol, since, until, onScrollId = id => liveScrollId = id,
-    headers = headers)
+  @volatile private var livePitId: String = _
+  private val lines =
+    if (readMode == "pit")
+      EsDocumentStore.pitSlice(base, index, slice, slices,
+        pageSize, wmCol, since, until, onPitId = id => livePitId = id,
+        headers = headers)
+    else
+      EsDocumentStore.scrollSlice(base, index, slice, slices,
+        pageSize, wmCol, since, until, onScrollId = id => liveScrollId = id,
+        headers = headers)
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -416,7 +433,9 @@ class EsPartitionReader(base: String, index: String, slice: Int, slices: Int,
     }
   override def get(): InternalRow = current
   override def close(): Unit = {
-    val id = liveScrollId
-    if (id != null) EsDocumentStore.releaseScroll(base, id, headers)
+    val sid = liveScrollId
+    if (sid != null) EsDocumentStore.releaseScroll(base, sid, headers)
+    val pid = livePitId
+    if (pid != null) EsDocumentStore.releasePit(base, pid, headers)
   }
 }

@@ -47,7 +47,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * — the jx date family consumes them via timestamp_seconds). Missing
   * fields and explicit JSON nulls read as SQL NULL.
   */
-class HttpStoreProvider extends TableProvider {
+class HttpStoreProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `spark.read.format("graft-http")`. */
+  override def shortName(): String = "graft-http"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     throw new IllegalArgumentException(

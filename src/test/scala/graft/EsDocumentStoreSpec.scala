@@ -64,6 +64,7 @@ class EsDocumentStoreSpec extends SparkSpec {
       // continued via _search/scroll, nothing got a 400
       f.bulkRequests should be >= 3 // 9 docs / batchSize 3
       f.scrollContinuations should be >= 1 // pageSize 2 forces chains
+      f.scrolls shouldBe empty // contexts released, not leaked to keepalive
       f.badRequests shouldBe 0
     } finally f.stop()
   }
@@ -323,6 +324,24 @@ class EsDocumentStoreSpec extends SparkSpec {
         ("POST", "/_search/scroll"), ("DELETE", "/_search/scroll"),
         ("GET", "/docs/_mapping"), ("POST", "/_aliases"), ("GET", "/_alias/docs"),
         ("GET", "/docs-*"))
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
+
+  test("PIT + search_after read mode: identical results to scroll, snapshot isolation, context released") {
+    val f = new EsFixture
+    try {
+      store(f).push((1L to 9L).map(i => (i, s"v$i", i)).toDF("id", "v", "rev"))
+      val sp = EsDocumentStore(f.base, "docs", Seq("id"), "rev", schema,
+        slices = 2, pageSize = 2, batchSize = 3, readMode = "pit")
+      sp.scan(spark).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
+        (1L to 9L).map(i => (i, s"v$i")).toSet
+      f.pitSearches should be >= 2 // pageSize 2 forces search_after chains
+      f.pits shouldBe empty // released at exhaustion
+      // watermark bracket rides inside the PIT search body too
+      sp.scanSince(spark, Some("rev"), Some(3L), Some(7L))
+        .select($"id").as[Long].collect().toSet shouldBe Set(4L, 5L, 6L, 7L)
+      f.rangesSeen.exists(r => r.contains("\"gt\":3") && r.contains("\"lte\":7")) shouldBe true
       f.badRequests shouldBe 0
     } finally f.stop()
   }

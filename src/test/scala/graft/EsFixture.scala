@@ -20,6 +20,9 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
     val mappings = mutable.Map.empty[String, String] // index -> mapping json
     // scrollId -> remaining pages (each page = seq of source docs)
     val scrolls = mutable.Map.empty[String, mutable.Queue[Seq[String]]]
+    // pitId -> frozen (docId, source) snapshot taken at PIT open
+    val pits = mutable.Map.empty[String, Seq[(String, String)]]
+    var pitSearches = 0
     var searchRequests = 0
     // range specs received inside scroll bodies — lets a spec assert
     // that a watermark predicate really landed server-side
@@ -206,6 +209,65 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
       respond(x, hitsPage(scrollId, first, target))
     }
 
+    /** `POST /_search` with a `pit` body — ES 8 PIT + search_after.
+      * Validates the PIT-native shape: no index in the path, _shard_doc
+      * sort, size present; slice/range/search_after honored against
+      * the FROZEN snapshot (writes after PIT open are invisible, like
+      * the real thing). Sort values are the doc ids; search_after
+      * resumes strictly after them.
+      */
+    private def handlePitSearch(x: HttpExchange): Unit = {
+      searchRequests += 1
+      pitSearches += 1
+      if (failEveryNth > 0 && searchRequests % failEveryNth == 0) {
+        failures += 1
+        x.sendResponseHeaders(503, -1); x.close(); return
+      }
+      val body = mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
+      val pitId = body.at("/pit/id").asText("")
+      if (pitId.isEmpty) return fail400(x, "pit search missing pit.id")
+      val snap = pits.get(pitId) match {
+        case Some(v) => v
+        case None => return respond(x,
+          """{"error":{"type":"search_context_missing_exception"},"status":404}""", 404)
+      }
+      if (!body.has("size")) return fail400(x, "pit search missing size")
+      val size = body.get("size").asInt()
+      if (body.at("/sort/0/_shard_doc").asText("") != "asc" &&
+          body.at("/sort/0").asText("") != "_shard_doc")
+        return fail400(x, "pit search must sort by _shard_doc")
+      val (sliceId, sliceMax) =
+        if (body.has("slice"))
+          (body.at("/slice/id").asInt(), body.at("/slice/max").asInt())
+        else (0, 1)
+      if (sliceId < 0 || sliceMax < 1 || sliceId >= sliceMax)
+        return fail400(x, "bad slice spec")
+      val query = body.get("query")
+      if (query == null) return fail400(x, "pit search missing query")
+      if (query.has("range")) rangesSeen += query.get("range").toString
+      def inRange(src: String): Boolean =
+        if (query.has("match_all")) true
+        else if (query.has("range")) {
+          val f = query.get("range").fieldNames().next()
+          val spec = query.at(s"/range/$f")
+          val v = Option(mapper.readTree(src).get(f)).map(_.asLong())
+            .getOrElse(Long.MinValue)
+          (!spec.has("gt") || v > spec.get("gt").asLong()) &&
+            (!spec.has("lte") || v <= spec.get("lte").asLong())
+        } else false
+      val after = Option(body.get("search_after")).map(_.get(0).asText())
+      val mine = snap
+        .filter { case (id, _) => math.floorMod(id.hashCode, sliceMax) == sliceId }
+        .filter { case (_, src) => inRange(src) }
+        .sortBy(_._1)
+        .dropWhile { case (id, _) => after.exists(id <= _) }
+        .take(size)
+      val hits = mine.map { case (id, src) =>
+        s"""{"_index":"pit","_id":"$id","_source":$src,"sort":["$id"]}"""
+      }.mkString(",")
+      respond(x, s"""{"pit_id":"$pitId","hits":{"total":{"value":0},"hits":[$hits]}}""")
+    }
+
     private def hitsPage(scrollId: String, docs: Seq[String], index: String): String = {
       val hits = docs.map(src =>
         s"""{"_index":"$index","_id":"x","_source":$src}""").mkString(",")
@@ -286,6 +348,20 @@ private[graft] class EsFixture(failEveryNth: Int = 0) {
             val b = mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
             val it = b.get("scroll_id").elements()
             while (it.hasNext) scrolls.remove(it.next().asText())
+            respond(x, """{"succeeded":true}""")
+          case ("POST", name :: "_pit" :: Nil) =>
+            resolve(name) match {
+              case None => respond(x,
+                """{"error":{"type":"index_not_found_exception"},"status":404}""", 404)
+              case Some(idx) =>
+                val id = java.util.UUID.randomUUID().toString
+                pits(id) = docsOf(idx).toSeq.map { case (k, (_, src)) => (k, src) }
+                respond(x, s"""{"id":"$id"}""")
+            }
+          case ("POST", "_search" :: Nil) => handlePitSearch(x)
+          case ("DELETE", "_point_in_time" :: Nil) =>
+            val b = mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
+            pits.remove(b.get("id").asText())
             respond(x, """{"succeeded":true}""")
           case ("POST", "_aliases" :: Nil) => handleAliases(x)
           case ("GET", "_alias" :: name :: Nil) =>

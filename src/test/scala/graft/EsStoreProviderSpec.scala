@@ -249,4 +249,22 @@ class EsStoreProviderSpec extends SparkSpec {
       f.badRequests shouldBe 0
     } finally f.stop()
   }
+
+  test("short name + readmode=pit: format(\"graft-es\") scans via PIT with range pushdown") {
+    val f = new EsFixture
+    try {
+      store(f).push((1L to 9L).map(i => (i, s"v$i", i)).toDF("id", "v", "m"))
+      val df = spark.read.format("graft-es").schema(schema)
+        .option("base", f.base).option("index", "docs")
+        .option("wmcol", "m").option("slices", "2").option("pagesize", "2")
+        .option("readmode", "pit")
+        .load()
+      df.where($"m" > 6L).select($"id").as[Long].collect().toSet shouldBe
+        Set(7L, 8L, 9L)
+      f.pitSearches should be >= 1
+      f.rangesSeen.exists(_.contains("\"gt\":6")) shouldBe true
+      f.pits shouldBe empty
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
 }
