@@ -207,7 +207,8 @@ object Main {
             .option("base", req(spec, "base"))
             .option("index", req(spec, "index"))
             .option("wmcol", req(spec, "wmcol"))
-            .option("slices", opt(spec, "slices").getOrElse("8")))
+            .option("slices", opt(spec, "slices").getOrElse("8"))
+            .option("readmode", opt(spec, "readMode").getOrElse("scroll")))
           .load()
       case "http-stream" =>
         withHeaderOptions(spec,
@@ -246,7 +247,8 @@ object Main {
               .option("base", req(spec, "base"))
               .option("index", req(spec, "alias"))
               .option("wmcol", req(spec, "wmCol"))
-              .option("slices", opt(spec, "slices").getOrElse("8")))
+              .option("slices", opt(spec, "slices").getOrElse("8"))
+              .option("readmode", opt(spec, "readMode").getOrElse("scroll")))
             .load()
         }
       case "http" if spec.hasNonNull("wmCol") =>
@@ -276,7 +278,8 @@ object Main {
           StructType.fromDDL(req(spec, "schema")),
           slices = opt(spec, "slices").map(_.toInt).getOrElse(8),
           batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500),
-          headers = headersOf(spec))
+          headers = headersOf(spec),
+          readMode = opt(spec, "readMode").getOrElse("scroll"))
       case "http" =>
         HttpDocumentStore(req(spec, "base"),
           StructType.fromDDL(req(spec, "schema")),

@@ -454,7 +454,7 @@ object Relational extends QueryPack {
         .select(col("l_returnflag"), col("n"), col("nd_exact"),
           (abs(col("nd_est") - col("nd_exact")) <=
             col("nd_exact").cast("double") * bound).as("nd_ok"),
-          (col("n_lt").cast("double") <= col("n") * 0.55 &&
+          (col("n_lt").cast("double") < col("n") * 0.55 &&
             col("n_le").cast("double") >= col("n") * 0.45).as("p50_ok"))
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n,

@@ -184,18 +184,40 @@ final case class EsDocumentStore(base: String, alias: String,
       catch { case _: Exception => () })
   }
 
-  /** Generation-shaped names this store may own: `{alias}-{epoch}` or
-    * `{alias}-{epoch}-{uniq}` — NEVER a sibling store whose alias
-    * merely starts with ours (`docs-v2-1` does not match `docs`'s
-    * pattern because `v2` is not an epoch).
+  /** Generation-shaped names this store may own — EXACTLY the shapes
+    * this code creates: `{alias}-{n}` (ensureIndex's gen-1 / legacy
+    * epoch numbers, <=12 digits) or `{alias}-{millis13+}[-{hex8}]`
+    * (sync staging). NEVER a sibling store whose alias merely starts
+    * with ours: alias `docs-2`'s gen-1 index `docs-2-1` must not
+    * match `docs`'s pattern, so a short numeric epoch may NOT carry a
+    * uniquifier suffix (only millis-shaped ones do — `docs-2-1`
+    * parses as epoch "2" + suffix "1" under a laxer pattern and
+    * would be DELETED).
     */
   private val generationName = java.util.regex.Pattern.compile(
-    java.util.regex.Pattern.quote(alias) + "-\\d+(-[0-9a-f]{1,8})?")
+    java.util.regex.Pattern.quote(alias) + "-(\\d{1,12}|(\\d{13,})(-[0-9a-f]{8})?)")
+
+  /** How old a millis-named generation must be before the sweep may
+    * collect it — a CONCURRENT sync's in-flight staging index matches
+    * the generation pattern and is not yet behind the alias; deleting
+    * it mid-bulk would destroy that sync (the very race the staging
+    * uniquifier exists to survive). One hour is far beyond any bulk's
+    * lifetime and far below the next scheduled run.
+    */
+  private[sources] val sweepMinAgeMs: Long = 60L * 60 * 1000
 
   private def sweepStaleGenerations(): Unit = {
     val live = resolveAliasAll().toSet
+    val now = System.currentTimeMillis()
     listIndices(s"$alias-*")
-      .filter(n => generationName.matcher(n).matches() && !live.contains(n))
+      .filter { n =>
+        val m = generationName.matcher(n)
+        m.matches() && !live.contains(n) &&
+          // group 2 = the millis epoch when millis-shaped; absent for
+          // gen-1 style names, which are created ALIASED (atomic PUT
+          // with alias) and so are only ever unaliased after cutover
+          Option(m.group(2)).forall(ms => now - ms.toLong > sweepMinAgeMs)
+      }
       .foreach(o =>
         try { request("DELETE", s"$base/$o", "", hdr(Map.empty)); () }
         catch { case _: Exception => () })
@@ -410,16 +432,6 @@ object EsDocumentStore {
     retry.result()
   }
 
-  /** r10-compat shape: succeed, or throw on any failed item (used by
-    * callers without a resend path — transient rejections surface as
-    * task failures there).
-    */
-  private[sources] def checkBulkResponse(body: String): Unit =
-    retryableItems(body) match {
-      case Seq() => ()
-      case xs => sys.error(s"bulk: ${xs.size} items transiently rejected " +
-        "with no per-item resend path")
-    }
 
   /** Existence probe: ONLY 404 means absent. Any other non-200 —
     * including transient 5xx/429 — retries and then fails LOUDLY: an

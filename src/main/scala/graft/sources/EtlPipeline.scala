@@ -135,7 +135,10 @@ object EtlPipeline {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) => {
-        val b = batch.toDF()
+        // pin before the emptiness probe + push double evaluation — a
+        // remote-bracket re-read can differ between the two jobs (a
+        // doc's wm moves past the bracket); the runStream pattern
+        val b = batch.toDF().localCheckpoint()
         if (b.head(1).nonEmpty) dest.push(b)
       })
 

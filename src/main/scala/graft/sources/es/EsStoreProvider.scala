@@ -331,7 +331,7 @@ case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new EsMicroBatchStream(base, index, slices, pageSize, wmCol, since,
-      required, headers)
+      required, headers, readMode)
 }
 
 /** Streaming micro-batch source over the ES wire: latestOffset is the
@@ -341,7 +341,8 @@ case class EsScanDef(base: String, index: String, slices: Int, pageSize: Int,
   */
 class EsMicroBatchStream(base: String, index: String, slices: Int,
     pageSize: Int, wmCol: Option[String], startSince: Option[Long],
-    required: StructType, headers: Map[String, String] = Map.empty)
+    required: StructType, headers: Map[String, String] = Map.empty,
+    readMode: String = "scroll")
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -380,7 +381,8 @@ class EsMicroBatchStream(base: String, index: String, slices: Int,
       EsSlicePartition(i, Some(s0), Some(e0)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    EsReaderFactory(base, index, slices, pageSize, wmCol, required, headers)
+    EsReaderFactory(base, index, slices, pageSize, wmCol, required, headers,
+      readMode)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

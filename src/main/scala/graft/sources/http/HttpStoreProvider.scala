@@ -338,6 +338,19 @@ private[sources] object HttpRows {
     * the DSv2 WRITE path — executor-side, no Jackson allocation per
     * row.
     */
+  private def appendEscaped(sb: java.lang.StringBuilder, str: String): Unit = {
+    var j = 0
+    while (j < str.length) {
+      str.charAt(j) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append("\\u%04x".format(c.toInt))
+        case c => sb.append(c)
+      }
+      j += 1
+    }
+  }
+
   def json(row: InternalRow, schema: StructType): String = {
     val sb = new java.lang.StringBuilder(64)
     sb.append('{')
@@ -345,7 +358,12 @@ private[sources] object HttpRows {
     while (i < schema.length) {
       if (i > 0) sb.append(',')
       val f = schema.fields(i)
-      sb.append('"').append(f.name).append("\":")
+      // field names escape too: Spark allows quotes/backslashes in
+      // backticked column names, and an unescaped name corrupts the
+      // whole NDJSON line
+      sb.append('"')
+      appendEscaped(sb, f.name)
+      sb.append("\":")
       if (row.isNullAt(i)) sb.append("null")
       else f.dataType match {
         case LongType => sb.append(row.getLong(i))
@@ -354,17 +372,7 @@ private[sources] object HttpRows {
         case BooleanType => sb.append(row.getBoolean(i))
         case StringType =>
           sb.append('"')
-          val str = row.getUTF8String(i).toString
-          var j = 0
-          while (j < str.length) {
-            str.charAt(j) match {
-              case '"' => sb.append("\\\"")
-              case '\\' => sb.append("\\\\")
-              case c if c < ' ' => sb.append("\\u%04x".format(c.toInt))
-              case c => sb.append(c)
-            }
-            j += 1
-          }
+          appendEscaped(sb, row.getUTF8String(i).toString)
           sb.append('"')
         case other => throw new IllegalStateException(
           s"unreachable: ${f.name}: $other rejected at getTable")

@@ -37,7 +37,9 @@ object PairAudit {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(n)(spark, dir).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      s""""$n":{"rows":$c,"sec":${"%.2f".format(secs)}}"""
+      // Locale.ROOT: a comma-decimal default locale would break the JSON
+      val secStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(secs))
+      s""""$n":{"rows":$c,"sec":$secStr}"""
     }
     println(s"""{"dir":"$dir",${counts.mkString(",")}}""")
   }

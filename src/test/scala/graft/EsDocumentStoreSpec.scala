@@ -285,14 +285,25 @@ class EsDocumentStoreSpec extends SparkSpec {
       // a failed post-cutover DELETE: old generation no longer aliased
       f.indices("docs-7") =
         mutable.Map("8" -> (1L, """{"id":8,"v":"stale","rev":1}"""))
-      // a SIBLING store whose alias merely starts with ours
+      // SIBLING stores whose alias merely starts with ours — including
+      // the nasty NUMERIC sibling: alias "docs-2"'s gen-1 index
+      // "docs-2-1" must not parse as docs' epoch "2" + uniq "1"
       f.indices("docs-v2-1") =
         mutable.Map("7" -> (1L, """{"id":7,"v":"keep","rev":1}"""))
+      f.indices("docs-2-1") =
+        mutable.Map("6" -> (1L, """{"id":6,"v":"keep","rev":1}"""))
+      // a CONCURRENT sync's in-flight staging (fresh millis): matches
+      // the generation shape but is younger than the sweep age gate
+      val fresh = s"docs-${System.currentTimeMillis()}-0123abcd"
+      f.indices(fresh) =
+        mutable.Map("5" -> (1L, """{"id":5,"v":"inflight","rev":1}"""))
       s.sync(Seq((2L, "b", 2L)).toDF("id", "v", "rev"))
       f.indices.keySet should not contain "docs-1699999999999-ab12cd34"
       f.indices.keySet should not contain "docs-7"
       f.indices.keySet should not contain "docs-1" // post-cutover delete
       f.indices.keySet should contain("docs-v2-1")
+      f.indices.keySet should contain("docs-2-1")
+      f.indices.keySet should contain(fresh)
       s.scan(spark).select($"id", $"v").as[(Long, String)].collect().toSet shouldBe
         Set((2L, "b"))
       f.badRequests shouldBe 0
