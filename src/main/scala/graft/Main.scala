@@ -277,6 +277,7 @@ object Main {
           strList(spec, "keyCols"), req(spec, "versionCol"),
           StructType.fromDDL(req(spec, "schema")),
           slices = opt(spec, "slices").map(_.toInt).getOrElse(8),
+          pageSize = opt(spec, "pageSize").map(_.toInt).getOrElse(500),
           batchSize = opt(spec, "batchSize").map(_.toInt).getOrElse(500),
           headers = headersOf(spec),
           readMode = opt(spec, "readMode").getOrElse("scroll"))

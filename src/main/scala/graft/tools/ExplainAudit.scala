@@ -61,6 +61,15 @@ object ExplainAudit {
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "equi-join lost (nested loop or worse)")
+      case "q47_approx_stats" =>
+        // the exactness audit must stay hash-aggregate + broadcast:
+        // an exact percentile would reintroduce a per-group Sort
+        // buffer (the 16.9s regression r11 caught), and the 3-row
+        // estimate join must never shuffle
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "estimate join lost its broadcast")
+        if (plan.contains("WindowExec") || plan.contains("percentile("))
+          v += Violation(name, "exact percentile crept back into the audit")
       case "q108_keyword_search" =>
         // top-k must be per-partition heaps, never a global sort or a
         // single-partition window
