@@ -356,4 +356,16 @@ class EsDocumentStoreSpec extends SparkSpec {
       f.badRequests shouldBe 0
     } finally f.stop()
   }
+
+  test("PIT read retries absorb transient 503s like the scroll path") {
+    val f = new EsFixture(failEveryNth = 3)
+    try {
+      store(f).push((1L to 9L).map(i => (i, s"v$i", i)).toDF("id", "v", "rev"))
+      val sp = EsDocumentStore(f.base, "docs", Seq("id"), "rev", schema,
+        slices = 2, pageSize = 2, batchSize = 3, readMode = "pit")
+      sp.scan(spark).select($"id").as[Long].collect().toSet shouldBe (1L to 9L).toSet
+      f.failures should be >= 1
+      f.pits shouldBe empty
+    } finally f.stop()
+  }
 }
