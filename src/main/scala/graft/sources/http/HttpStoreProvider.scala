@@ -327,7 +327,7 @@ class HttpPartitionReader(base: String, slice: Int, slices: Int,
   override def close(): Unit = ()
 }
 
-private[sources] object HttpRows {
+private[graft] object HttpRows {
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
     case _ => false

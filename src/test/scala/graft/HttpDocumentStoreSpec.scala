@@ -457,4 +457,36 @@ class HttpDocumentStoreSpec extends SparkSpec {
         Set((1L, "a"), (2L, "b2"), (3L, "c"))
     } finally m.stop()
   }
+
+  test("HttpRows.json ∘ parse is the identity, including hostile names and values") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.http.HttpRows
+    val om = new ObjectMapper()
+    val rnd = new scala.util.Random(7)
+    val hostile = Seq("plain", "with \"quotes\"", "back\\slash", "tab\there",
+      "new\nline", "null", "", "percent%colon:", "\u0001ctl")
+    val sch = StructType(Seq(
+      StructField("a \"quoted\" name", StringType), StructField("n", LongType),
+      StructField("i", org.apache.spark.sql.types.IntegerType),
+      StructField("d", org.apache.spark.sql.types.DoubleType),
+      StructField("b", org.apache.spark.sql.types.BooleanType)))
+    (1 to 50).foreach { _ =>
+      val row = new GenericInternalRow(Array[Any](
+        if (rnd.nextInt(5) == 0) null
+        else UTF8String.fromString(hostile(rnd.nextInt(hostile.size))),
+        if (rnd.nextInt(5) == 0) null else rnd.nextLong(),
+        if (rnd.nextInt(5) == 0) null else rnd.nextInt(),
+        if (rnd.nextInt(5) == 0) null else rnd.nextDouble(),
+        if (rnd.nextInt(5) == 0) null else rnd.nextBoolean()))
+      val back = HttpRows.parse(om.readTree(HttpRows.json(row, sch)), sch)
+      (0 until sch.length).foreach { i =>
+        withClue(s"field $i: ") {
+          back.isNullAt(i) shouldBe row.isNullAt(i)
+          if (!row.isNullAt(i)) back.get(i, sch.fields(i).dataType) shouldBe
+            row.get(i, sch.fields(i).dataType)
+        }
+      }
+    }
+  }
 }
