@@ -267,4 +267,30 @@ class EsStoreProviderSpec extends SparkSpec {
       f.badRequests shouldBe 0
     } finally f.stop()
   }
+
+  test("streaming read under readmode=pit: brackets drain via PIT searches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val f = new EsFixture
+    try {
+      store(f).push(Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L))
+        .toDF("id", "v", "m"))
+      val outDir = java.nio.file.Files.createTempDirectory("graft-espit-out").toString
+      val q = spark.readStream.format("graft-es").schema(schema)
+        .option("base", f.base).option("index", "docs")
+        .option("wmcol", "m").option("slices", "2").option("pagesize", "2")
+        .option("readmode", "pit")
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-espit-ck").toString)
+        .option("path", s"$outDir/t")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$outDir/t").count() shouldBe 3
+      f.pitSearches should be >= 1
+      f.scrollContinuations shouldBe 0 // no scroll fallback
+      f.pits shouldBe empty
+      f.badRequests shouldBe 0
+    } finally f.stop()
+  }
 }
