@@ -220,4 +220,51 @@ class MainSpec extends SparkSpec {
     val err = intercept[RuntimeException] { Main.run(spark, cfg("sync-stream")) }
     err.getMessage should include("snapshot boundary")
   }
+
+  test("r11 capstone: authenticated PIT-read ES source -> replicate-stream -> authenticated ES dest") {
+    val base = tmp()
+    val fSrc = new EsFixture
+    val fDst = new EsFixture
+    try {
+      val srcAuth = "ApiKey c3JjLXNpZGU="
+      val dstAuth = "ApiKey ZHN0LXNpZGU="
+      val seed = graft.sources.EsDocumentStore(fSrc.base, "bugs", Seq("id"),
+        "rev", org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, v STRING, rev BIGINT"))
+      seed.push(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "rev"))
+      fSrc.requestsSeen.clear()
+      val cfg = mapper.readTree(s"""{
+        "mode": "replicate-stream",
+        "source": {"type": "es-stream", "base": "${fSrc.base}",
+                   "index": "bugs", "wmcol": "rev",
+                   "schema": "id BIGINT, v STRING, rev BIGINT",
+                   "readMode": "pit",
+                   "headers": {"Authorization": "$srcAuth"}},
+        "dest": {"type": "es", "base": "${fDst.base}", "alias": "docs",
+                 "keyCols": ["id"], "versionCol": "rev",
+                 "schema": "id BIGINT, v STRING, rev BIGINT",
+                 "headers": {"Authorization": "$dstAuth"}},
+        "checkpoint": "$base/ckpt"
+      }""")
+      Main.run(spark, cfg) should include(""""stream":"replicate"""")
+      fDst.liveDocs.keySet shouldBe Set("1", "2")
+      // the source really read via PIT, and EVERY request on both
+      // sides carried its own credential
+      fSrc.pitSearches should be >= 1
+      fSrc.scrollContinuations shouldBe 0
+      val srcUnauthed = fSrc.requestsSeen.filterNot(_._3.contains(srcAuth))
+      withClue(s"source requests missing auth: $srcUnauthed") {
+        srcUnauthed shouldBe empty
+      }
+      val dstUnauthed = fDst.requestsSeen.filterNot(_._3.contains(dstAuth))
+      withClue(s"dest requests missing auth: $dstUnauthed") {
+        dstUnauthed shouldBe empty
+      }
+      // a second run drains nothing new (checkpointed offsets), stays green
+      Main.run(spark, cfg) should include(""""stream":"replicate"""")
+      fDst.liveDocs.keySet shouldBe Set("1", "2")
+      fSrc.badRequests shouldBe 0
+      fDst.badRequests shouldBe 0
+    } finally { fSrc.stop(); fDst.stop() }
+  }
 }
