@@ -228,13 +228,8 @@ final case class EsDocumentStore(base: String, alias: String,
     * none match).
     */
   private def listIndices(expr: String): Seq[String] =
-    try {
-      val names = mapper.readTree(
-        request("GET", s"$base/$expr", "", hdr(Map.empty))).fieldNames()
-      val out = Seq.newBuilder[String]
-      while (names.hasNext) out += names.next()
-      out.result()
-    } catch { case _: Exception => Seq.empty }
+    try topLevelNames(request("GET", s"$base/$expr", "", hdr(Map.empty)))
+    catch { case _: Exception => Seq.empty }
 
   override def exists(spark: SparkSession): Boolean =
     headOk(s"$base/$alias", headers)
@@ -288,11 +283,7 @@ final case class EsDocumentStore(base: String, alias: String,
     */
   private def resolveAliasAll(): Seq[String] = {
     if (!headOk(s"$base/$alias", headers)) return Seq.empty
-    val body = request("GET", s"$base/_alias/$alias", "", hdr(Map.empty))
-    val names = mapper.readTree(body).fieldNames()
-    val out = Seq.newBuilder[String]
-    while (names.hasNext) out += names.next()
-    out.result()
+    topLevelNames(request("GET", s"$base/_alias/$alias", "", hdr(Map.empty)))
   }
 
   /** Executor-side bulk of `df` into `target` as `action` docs: the
@@ -321,6 +312,15 @@ object EsDocumentStore {
   /** Static watermark poll (max aggregation) — shared by the store's
     * instance method and the DSv2 streaming source's latestOffset.
     */
+  /** Top-level field names of a JSON object body — the shape of both
+    * `GET /_alias/{a}` and wildcard index listings. */
+  private def topLevelNames(body: String): Seq[String] = {
+    val names = mapper.readTree(body).fieldNames()
+    val out = Seq.newBuilder[String]
+    while (names.hasNext) out += names.next()
+    out.result()
+  }
+
   private[sources] def maxWatermarkAt(base: String, index: String,
       field: String, headers: Map[String, String] = Map.empty): Option[Long] = {
     if (!headOk(s"$base/$index", headers)) return None

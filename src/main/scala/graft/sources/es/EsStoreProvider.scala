@@ -68,7 +68,7 @@ class EsStoreProvider extends TableProvider
       Option(properties.get("wmcol")).filter(_.nonEmpty),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
       Option(properties.get("pagesize")).map(_.toInt).getOrElse(500),
-      EsStoreProvider.headerOptions(properties),
+      graft.sources.ConnectorOptions.headers(properties),
       Option(properties.get("keycols")).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
       Option(properties.get("versioncol")).filter(_.nonEmpty),
@@ -77,22 +77,6 @@ class EsStoreProvider extends TableProvider
   }
 }
 
-object EsStoreProvider {
-  /** `option("header.Authorization", "ApiKey ...")`-style options
-    * become request headers on EVERY exchange the connector makes
-    * (search, scroll page, scroll release, watermark poll) — the auth
-    * seam. Names arrive lowercased through Spark's case-insensitive
-    * option map; HTTP header names are case-insensitive, so that is
-    * harmless. Values are credentials and never logged.
-    */
-  private[sources] def headerOptions(
-      properties: java.util.Map[String, String]): Map[String, String] = {
-    val out = Map.newBuilder[String, String]
-    properties.forEach((k, v) =>
-      if (k.toLowerCase.startsWith("header.")) out += (k.substring(7) -> v))
-    out.result()
-  }
-}
 
 case class EsStoreTable(tableSchema: StructType, base: String, index: String,
     wmCol: Option[String], slices: Int, pageSize: Int,
@@ -221,37 +205,42 @@ class EsDataWriter(base: String, index: String, keyCols: Array[String],
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.types._
 
-  private val keyIdx = keyCols.map(writeSchema.fieldIndex)
+  // per-column extractors resolved ONCE at writer construction — the
+  // datatype dispatch must not re-run per row in the hot write loop
+  private val keyExtract: Array[InternalRow => String] =
+    keyCols.map { n =>
+      val i = writeSchema.fieldIndex(n)
+      val get: InternalRow => String = writeSchema.fields(i).dataType match {
+        case StringType => r => r.getUTF8String(i).toString
+        case LongType => r => r.getLong(i).toString
+        case IntegerType => r => r.getInt(i).toString
+        case DoubleType => r => r.getDouble(i).toString
+        case BooleanType => r => r.getBoolean(i).toString
+        case other => throw new IllegalStateException(
+          s"unreachable: $other rejected at newWriteBuilder")
+      }
+      (r: InternalRow) => {
+        require(!r.isNullAt(i),
+          s"graft es sink: null key column '$n' cannot compose an ES _id")
+        get(r).replace("%", "%25").replace(":", "%3A")
+      }
+    }
   private val verIdx = writeSchema.fieldIndex(versionCol)
+  private val verIsLong = writeSchema.fields(verIdx).dataType match {
+    case LongType => true
+    case IntegerType => false
+    case other => sys.error(
+      s"graft es sink: version column '$versionCol' must be integral, got $other")
+  }
   private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
 
-  private def scalarString(row: InternalRow, i: Int): String =
-    writeSchema.fields(i).dataType match {
-      case StringType => row.getUTF8String(i).toString
-      case LongType => row.getLong(i).toString
-      case IntegerType => row.getInt(i).toString
-      case DoubleType => row.getDouble(i).toString
-      case BooleanType => row.getBoolean(i).toString
-      case other => throw new IllegalStateException(
-        s"unreachable: $other rejected at newWriteBuilder")
-    }
-
   private def composeId(row: InternalRow): String =
-    keyIdx.zip(keyCols).map { case (i, n) =>
-      require(!row.isNullAt(i),
-        s"graft es sink: null key column '$n' cannot compose an ES _id")
-      scalarString(row, i).replace("%", "%25").replace(":", "%3A")
-    }.mkString(":")
+    keyExtract.map(_(row)).mkString(":")
 
   private def version(row: InternalRow): Long = {
     require(!row.isNullAt(verIdx),
       s"graft es sink: null version column '$versionCol'")
-    writeSchema.fields(verIdx).dataType match {
-      case LongType => row.getLong(verIdx)
-      case IntegerType => row.getInt(verIdx).toLong
-      case other => sys.error(
-        s"graft es sink: version column '$versionCol' must be integral, got $other")
-    }
+    if (verIsLong) row.getLong(verIdx) else row.getInt(verIdx).toLong
   }
 
   override def write(row: InternalRow): Unit = {

@@ -66,7 +66,7 @@ class HttpStoreProvider extends TableProvider
     HttpStoreTable(schema, base,
       Option(properties.get("wmcol")).filter(_.nonEmpty),
       Option(properties.get("slices")).map(_.toInt).getOrElse(8),
-      graft.sources.es.EsStoreProvider.headerOptions(properties),
+      graft.sources.ConnectorOptions.headers(properties),
       Option(properties.get("batchsize")).map(_.toInt).getOrElse(500))
   }
 }
