@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, PqAdcDistance, SimHashAgg}
+import graft.expressions.{BloomAgg, BloomMightContain, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, PqAdcDistance, SimHashAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -72,6 +72,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         else CmEstimate(children.head, children(1),
           intLit(children(2), "cm_estimate depth"),
           intLit(children(3), "cm_estimate width"))
+      }))
+    // bloom_agg(keyHash[, numBits, numHashes]) / bloom_contains(filter,
+    // keyHash[, numBits, numHashes]): like Count-Min, the size params
+    // must be int literals — they fix the aggregation buffer layout
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1 || children.size == 3,
+          "bloom_agg expects (keyHash) or (keyHash, numBits, numHashes)")
+        if (children.size == 1) BloomAgg(children.head).toAggregateExpression()
+        else BloomAgg(children.head, intLit(children(1), "bloom_agg numBits"),
+          intLit(children(2), "bloom_agg numHashes")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 || children.size == 4,
+          "bloom_contains expects (filter, keyHash) or (filter, keyHash, numBits, numHashes)")
+        if (children.size == 2) BloomMightContain(children.head, children(1))
+        else BloomMightContain(children.head, children(1),
+          intLit(children(2), "bloom_contains numBits"),
+          intLit(children(3), "bloom_contains numHashes"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

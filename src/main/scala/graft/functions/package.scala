@@ -81,6 +81,24 @@ package object functions {
       depth: Int = 4, width: Int = 1024): Column =
     call_function("cm_estimate", sketch, tokenHash, lit(depth), lit(width))
 
+  /** Native mergeable Bloom-filter aggregate over 64-bit key hashes
+    * (see [[graft.expressions.BloomAgg]]): a fixed numBits bitset per
+    * group — the set-membership sketch for corpus-scale
+    * decontamination (build over the small eval side, broadcast,
+    * membership-test the corpus with zero shuffle). No false
+    * negatives ever; false positives at ≈(1−e^(−k·n/m))^k. Probe with
+    * [[bloomContains]] under the same numBits/numHashes.
+    */
+  def bloomAgg(keyHash: Column, numBits: Int = 65536, numHashes: Int = 4): Column =
+    call_function("bloom_agg", keyHash, lit(numBits), lit(numHashes))
+
+  /** Membership probe of a [[bloomAgg]] filter: true = might contain
+    * (FP possible at the designed rate), false = definitely absent.
+    */
+  def bloomContains(filter: Column, keyHash: Column,
+      numBits: Int = 65536, numHashes: Int = 4): Column =
+    call_function("bloom_contains", filter, keyHash, lit(numBits), lit(numHashes))
+
   /** Sum of squares of an array column in double precision. */
   def norm2(a: Column): Column =
     fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))

@@ -1052,5 +1052,119 @@ object Dedup extends QueryPack {
            |GROUP BY bands.band""".stripMargin),
     "dedup threshold sweep: cumulative pair/doc counts per Jaccard band off one q31 run")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89, q91)
+  /** Exact duplicated-SPAN detection at 8-gram granularity — the
+    * substring-dedup signal of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better"): a word 8-gram
+    * appearing in ≥2 distinct documents marks a verbatim copied span
+    * (long enough that chance collision in natural text is
+    * negligible), independent of whole-document similarity. Reports
+    * per affected document how much of it is copied material.
+    *
+    * Scale shape: one ngrams pass, gram-keyed doc-frequency aggregate
+    * (partial-agg'd; output is |distinct grams|, not occurrences),
+    * then one shuffle join of occurrences against gram-df and a
+    * doc-keyed aggregate — everything linear in corpus size, never
+    * pairwise. Grams travel as 64-bit xxhash64 keys (the q31 collision
+    * argument: birthday bound needs ~2^32 distinct grams); the oracle
+    * joins on the gram strings themselves. Counts/booleans only —
+    * hash-stable audit columns.
+    */
+  val q131 = Q(
+    "q131_dup_spans",
+    (s, d) => {
+      val g8 = ngrams(Tables.documents(s, d), 8)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
+      val gramDf = g8.dropDuplicates("gh", "doc_id")
+        .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      g8.join(gramDf, "gh")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("dup_spans"))
+        .where(col("dup_spans") > 0)
+        .withColumn("mostly_copied", col("dup_spans") * lit(4L) >= col("n_spans"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), g AS (
+           |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+           |), gdf AS (
+           |  SELECT sh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1
+           |)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           |  SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 4 >= COUNT(*) AS mostly_copied
+           |FROM g JOIN gdf USING (sh)
+           |GROUP BY doc_id
+           |HAVING SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) > 0""".stripMargin),
+    "cross-doc duplicated 8-gram spans (Lee et al. substring dedup signal): per-doc copied-span counts, linear gram-join plan")
+
+  /** Bloom-filter decontamination with an in-row exactness audit (the
+    * q47 consumer-step pattern): build a native [[graft.functions.bloomAgg]]
+    * filter over the EVAL side's 5-gram min-fingerprints, probe every
+    * training document, and emit per-source counts plus two verdict
+    * booleans the oracle mirrors as literal TRUE — no false negatives
+    * (a Bloom guarantee: any exact member must probe true) and a
+    * bounded false-positive rate (≤5% of non-members +1 slack; the
+    * filter is sized 2^20 bits / 4 hashes, ≥14 bits per key out to
+    * replica-sf3 eval cardinality, design rate ≪1%).
+    *
+    * Scale shape: this is the operator that makes decontamination
+    * 100 TB-shaped — the exact arm (broadcast eval fingerprint set)
+    * exists HERE to audit the sketch; the production path ships only
+    * the 128 KiB filter to executors and membership-tests the corpus
+    * with zero shuffle and no join at all. Both arms are one scan of
+    * the train side; the eval side is scanned once for the filter and
+    * once for the exact set.
+    */
+  val q133 = Q(
+    "q133_bloom_contain",
+    (s, d) => {
+      import graft.functions.{bloomAgg, bloomContains, fingerprint}
+      val bits = 1 << 20
+      val fps = Tables.documents(s, d)
+        .select(col("source"),
+          substring(col("source"), 4, 10).cast("int").as("sn"),
+          fingerprint(col("text")).as("fp"))
+      val evalFps = fps.where(col("sn") >= 10).select(col("fp")).distinct()
+      val bloom = evalFps.agg(bloomAgg(xxhash64(col("fp")), bits).as("bf"))
+      fps.where(col("sn") < 10)
+        .join(broadcast(evalFps.withColumn("m", lit(1))), Seq("fp"), "left")
+        .crossJoin(broadcast(bloom))
+        .select(col("source"), col("m").isNotNull.as("exact"),
+          bloomContains(col("bf"), xxhash64(col("fp")), bits).as("bh"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("exact"), lit(1L)).otherwise(lit(0L))).as("n_members"),
+          (sum(when(col("exact") && !col("bh"), lit(1L)).otherwise(lit(0L))) === lit(0L))
+            .as("bloom_no_false_neg"),
+          (sum(when(!col("exact") && col("bh"), lit(1L)).otherwise(lit(0L))) * lit(20L) <=
+            sum(when(!col("exact"), lit(1L)).otherwise(lit(0L))) + lit(20L))
+            .as("bloom_fp_bounded"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS sn,
+           |    string_split_regex(trim(text), '\s+') w
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id, source, sn, md5(array_to_string(w[i:i+4], ' ')) AS h
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 4)) t(i)
+           |), fp AS (
+           |  SELECT doc_id, source, sn, MIN(h) AS fp FROM g GROUP BY 1, 2, 3
+           |), ev AS (
+           |  SELECT DISTINCT fp FROM fp WHERE sn >= 10
+           |)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           |  TRUE AS bloom_no_false_neg,
+           |  TRUE AS bloom_fp_bounded
+           |FROM fp LEFT JOIN ev USING (fp)
+           |WHERE sn < 10
+           |GROUP BY source""".stripMargin),
+    "Bloom decontamination audit: native bloom_agg over eval fingerprints probed across the train corpus; no-false-negative + bounded-FP verdicts the oracle mirrors")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89, q91,
+    q131, q133)
 }

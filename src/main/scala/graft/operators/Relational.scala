@@ -683,6 +683,94 @@ object Relational extends QueryPack {
            |FROM scored""".stripMargin),
     "RFM quartile segmentation: exact order-statistic boundaries via rankPrep (no global row_number), broadcast scoring")
 
+  /** Table profiling (the Deequ-style data-QA primitive): per-column
+    * row/null/distinct-cardinality facts over the fact table, with the
+    * HLL++ estimate audited in-row against the exact cardinality (the
+    * q47 consumer-step pattern — the verdict boolean is TRUE iff the
+    * sketch is within 10%, ≈4σ at rsd 2.3%, and the oracle mirrors it
+    * as a literal).
+    *
+    * Scale shape: one column-pruned scan per profiled column (each
+    * scan reads exactly one parquet column — ReadSchema is the proof),
+    * unioned one-row results. The exact count-distinct arm exists to
+    * audit the sketch at gate scale; the 100 TB profiler keeps only
+    * the HLL arm — one pass, all columns, fixed-size mergeable
+    * sketches, no Expand and no second shuffle.
+    */
+  val q130 = Q(
+    "q130_table_profile",
+    (s, d) => {
+      import graft.functions.approxCountDistinct
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+      cols.map { name =>
+        val c = col(name)
+        li.select(c)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+            countDistinct(c).as("n_distinct"),
+            approxCountDistinct(c).as("hll"))
+          .select(
+            lit(name).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+            (abs(col("hll") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
+              .as("hll_ok"))
+      }.reduce(_.union(_))
+    },
+    Some(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, TRUE AS hll_ok
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+    "Deequ-style table profile: per-column null/cardinality facts, HLL++ audited in-row against exact distinct")
+
+  /** Blocked fuzzy record linkage over the part-NAME dictionary:
+    * near-identical product names (edit distance ≤ 2) found without an
+    * all-pairs comparison. Classic entity-resolution shape (Fellegi-
+    * Sunter blocking): compare within a blocking key only — here the
+    * name's final word — so candidate pairs are Σ_block |block|²
+    * over a DICTIONARY, not the row table.
+    *
+    * Scale shape: the fact table collapses to distinct names first
+    * (one partial-agg'd groupBy — the dictionary is ≪ rows and grows
+    * with the vocabulary, not the data), so the quadratic-per-block
+    * fuzzy compare runs on a constant-size side. levenshtein is a
+    * codegen'd built-in evaluated as the post-equijoin filter; the
+    * equi-join itself is on the block key. A skewed block (every name
+    * the same noun) degrades to dictionary² — still never rows² — and
+    * the q31-style df-cut would apply if a real vocabulary needed it.
+    */
+  val q132 = Q(
+    "q132_name_linkage",
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("name_a"), col("n_parts").as("parts_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("n_parts").as("parts_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .where(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"),
+          col("parts_a"), col("parts_b"))
+    },
+    Some("""WITH n AS (
+           |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1
+           |), b AS (
+           |  SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM n
+           |)
+           |SELECT a.p_name AS name_a, c.p_name AS name_b,
+           |  CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist,
+           |  a.n_parts AS parts_a, c.n_parts AS parts_b
+           |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+           |WHERE levenshtein(a.p_name, c.p_name) <= 2""".stripMargin),
+    "blocked fuzzy record linkage: edit-distance ≤ 2 name pairs within last-word blocks over the distinct-name dictionary")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47, q110, q111)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47, q110, q111,
+    q130, q132)
 }

@@ -1345,7 +1345,52 @@ object Text extends QueryPack {
            |FROM pred GROUP BY 1, 2""".stripMargin),
     "trained trigram language ID: per-lang profile counts on the 80% split, broadcast-profile integer scoring, confusion matrix")
 
+  /** Corpus heavy-hitters via the native Count-Min sketch, with an
+    * in-row exactness audit (the q47 consumer-step pattern): the
+    * sketch's estimate for each top token is emitted as two verdict
+    * booleans the oracle mirrors as literal TRUE — the overestimate-
+    * only guarantee (est ≥ exact, unconditional for Count-Min) and
+    * the CM error bound with 4× headroom (excess ≤ 11/1024 of the
+    * total token mass; expected excess is 1/1024 per row, min over
+    * 4 rows, so the slack is ~4·e/width — Markov puts the failure
+    * odds below (4e)^-4).
+    *
+    * Scale shape: the sketch arm aggregates the token stream into ONE
+    * 32 KB mergeable buffer (map-side partial, vector-add merge) — at
+    * 100 TB that is the whole point: per-token frequency estimates
+    * with no per-token state. The exact arm (groupBy token) exists to
+    * audit the sketch at gate scale; top-k is TakeOrdered (per-
+    * partition heaps), and the sketch joins in as a broadcast 1-row
+    * frame.
+    */
+  val q134 = Q(
+    "q134_cms_heavyhitters",
+    (s, d) => {
+      import graft.functions.{cmEstimate, countMinAgg}
+      val toks = docs(s, d).select(explode(words(col("text"))).as("t"))
+      val sketch = toks.agg(
+        countMinAgg(xxhash64(col("t"))).as("cm"),
+        count(lit(1)).as("total"))
+      val top = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t").asc).limit(20)
+      val est = cmEstimate(col("cm"), xxhash64(col("t")))
+      top.crossJoin(broadcast(sketch))
+        .select(col("t"), col("n"),
+          (est >= col("n")).as("est_ge_exact"),
+          ((est - col("n")) * lit(1024L) <= col("total") * lit(11L))
+            .as("overestimate_bounded"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS t
+           |  FROM documents
+           |)
+           |SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+           |  TRUE AS est_ge_exact, TRUE AS overestimate_bounded
+           |FROM toks GROUP BY t
+           |ORDER BY n DESC, t ASC LIMIT 20""".stripMargin),
+    "Count-Min heavy-hitters on the gate: top-20 tokens with sketch-vs-exact verdict booleans (overestimate-only + CM error bound)")
+
   val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
     q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123,
-    q125)
+    q125, q134)
 }

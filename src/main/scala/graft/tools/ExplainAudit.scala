@@ -125,6 +125,45 @@ object ExplainAudit {
         // to three per-metric rank passes over the customer frame
         if (!plan.contains("Generate"))
           v += Violation(name, "single-pass metric unpivot lost (no Generate in plan)")
+      case "q130_table_profile" =>
+        // per-column profile: each scan reads exactly its one column
+        // (an unprofiled column in the plan means pruning broke) and
+        // the distinct-count must use the two-phase rewrite, never an
+        // Expand (the N× row multiplication the profiler must avoid)
+        if (plan.contains("Expand"))
+          v += Violation(name, "Expand in plan (distinct-count rewrite lost)")
+        if (plan.contains("l_extendedprice"))
+          v += Violation(name, "column pruning lost (unprofiled column in scan)")
+      case "q131_dup_spans" =>
+        // occurrences join gram-df on the 64-bit gram hash — an EQUI
+        // join (any strategy); a nested loop means the hash key was lost
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "gram-df equi-join lost (nested loop or worse)")
+      case "q132_name_linkage" =>
+        // the fuzzy compare must ride a block-key EQUI join with
+        // levenshtein as the post-join filter — levenshtein inside a
+        // nested-loop condition over unblocked names is the all-pairs
+        // regression blocking exists to prevent
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "block-key equi-join lost (all-pairs nested loop)")
+        if (!plan.contains("levenshtein"))
+          v += Violation(name, "levenshtein filter missing from plan")
+      case "q133_bloom_contain" =>
+        // the exact arm joins the broadcast eval fingerprint set; the
+        // bloom arm must be the native aggregate (1-row broadcast)
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "eval fingerprint set lost its broadcast")
+        if (!plan.contains("bloom_agg"))
+          v += Violation(name, "native bloom_agg missing from plan")
+      case "q134_cms_heavyhitters" =>
+        // top-k is per-partition heaps; the sketch joins as a 1-row
+        // broadcast — a Window or a global Sort is the regression
+        if (!plan.contains("TakeOrderedAndProject"))
+          v += Violation(name, "top-k degraded (no TakeOrderedAndProject)")
+        if (plan.contains("Window"))
+          v += Violation(name, "window in plan (top-k should be TakeOrdered)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |

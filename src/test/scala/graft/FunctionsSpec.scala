@@ -184,4 +184,45 @@ class FunctionsSpec extends SparkSpec {
       a.indices.foreach(i => a(i) += b(i)); a
     }.toSeq shouldBe sketchOf(1)
   }
+
+  test("bloom filter: no false negatives ever, definite absence, layout-independent merge") {
+    import graft.functions.{bloomAgg, bloomContains}
+    import org.apache.spark.sql.functions.xxhash64
+    val members = (1 to 200).map(i => s"key$i")
+    val absent = (1 to 200).map(i => s"other$i")
+    val df = members.toDF("k").withColumn("h", xxhash64($"k"))
+
+    def probe(keys: Seq[String], bits: Int, hashes: Int): Map[String, Boolean] = {
+      val bf = df.agg(bloomAgg($"h", bits, hashes).as("bf"))
+      keys.toDF("k").withColumn("h", xxhash64($"k")).crossJoin(bf)
+        .select($"k", bloomContains($"bf", $"h", bits, hashes).as("in"))
+        .as[(String, Boolean)].collect().toMap
+    }
+
+    // the Bloom guarantee is one-sided and UNCONDITIONAL: every
+    // inserted key probes true at any sizing — even a brutally
+    // undersized filter (64 bits for 200 keys, saturated) never
+    // loses a member
+    probe(members, 65536, 4).values.forall(identity) shouldBe true
+    probe(members, 64, 4).values.forall(identity) shouldBe true
+    // generous sizing (≥16 bits/key): non-members probe false —
+    // "false" is a definite absence verdict, which is what makes the
+    // filter usable as a decontamination pre-screen
+    probe(absent, 65536, 4).values.exists(identity) shouldBe false
+
+    // the filter is a deterministic function of the key SET, not the
+    // partition layout: different partial-merge trees OR to the same
+    // bits, and half-filters OR'd equal the whole-corpus filter
+    def filterOf(parts: Int): Seq[Long] = {
+      df.repartition(parts).agg(bloomAgg($"h", 1024, 4).as("bf"))
+        .select($"bf").as[Seq[Long]].head()
+    }
+    filterOf(1) shouldBe filterOf(8)
+    val halves = df.withColumn("g", ($"h" % 2 === 0).cast("int"))
+      .groupBy($"g").agg(bloomAgg($"h", 1024, 4).as("bf"))
+      .select($"bf").as[Seq[Long]].collect()
+    halves.map(_.toArray).reduce { (a, b) =>
+      a.indices.foreach(i => a(i) |= b(i)); a
+    }.toSeq shouldBe filterOf(1)
+  }
 }
