@@ -1121,12 +1121,20 @@ object Dedup extends QueryPack {
   val q133 = Q(
     "q133_bloom_contain",
     (s, d) => {
-      import graft.functions.{bloomAgg, bloomContains, fingerprint}
+      import graft.functions.{bloomAgg, bloomContains}
       val bits = 1 << 20
+      // Fingerprints via the shared codegen n-gram pipeline (the q39
+      // form — explode/lead/concat_ws stay in whole-stage codegen; the
+      // per-row HOF fingerprint() is CodegenFallback-interpreted and
+      // was 5x slower here). The agg subtree is IDENTICAL under every
+      // consumer branch (the sn filters land on the meta side of the
+      // join), so ReuseExchange evaluates the gram pass once.
+      val fp = ngrams(Tables.documents(s, d), 5)
+        .groupBy(col("doc_id")).agg(min(md5(col("shingle"))).as("fp"))
       val fps = Tables.documents(s, d)
-        .select(col("source"),
-          substring(col("source"), 4, 10).cast("int").as("sn"),
-          fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), col("source"),
+          substring(col("source"), 4, 10).cast("int").as("sn"))
+        .join(fp, Seq("doc_id"))
       val evalFps = fps.where(col("sn") >= 10).select(col("fp")).distinct()
       val bloom = evalFps.agg(bloomAgg(xxhash64(col("fp")), bits).as("bf"))
       fps.where(col("sn") < 10)

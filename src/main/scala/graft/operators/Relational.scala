@@ -690,32 +690,39 @@ object Relational extends QueryPack {
     * sketch is within 10%, ≈4σ at rsd 2.3%, and the oracle mirrors it
     * as a literal).
     *
-    * Scale shape: one column-pruned scan per profiled column (each
-    * scan reads exactly one parquet column — ReadSchema is the proof),
-    * unioned one-row results. The exact count-distinct arm exists to
-    * audit the sketch at gate scale; the 100 TB profiler keeps only
-    * the HLL arm — one pass, all columns, fixed-size mergeable
-    * sketches, no Expand and no second shuffle.
+    * Scale shape: ONE scan of the five profiled columns (pruned —
+    * ReadSchema carries exactly those five), unpivoted by a local
+    * Generate into (col_name, value) pairs, then two hash aggregates:
+    * (col_name, value) — map-side combine collapses the 5n pair
+    * stream to the distinct-value dictionary before the only
+    * full-width shuffle — and (col_name) for the facts. Exact
+    * distinct is a COUNT over the dictionary (no per-column Expand,
+    * no per-column job), and the HLL++ sketch is legitimately
+    * computed over the deduped value stream: HLL is multiplicity-
+    * insensitive, so the sketch is bit-identical to one built from
+    * the raw stream.
     */
   val q130 = Q(
     "q130_table_profile",
     (s, d) => {
       import graft.functions.approxCountDistinct
-      val li = Tables.lineitem(s, d)
       val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
-      cols.map { name =>
-        val c = col(name)
-        li.select(c)
-          .agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
-            countDistinct(c).as("n_distinct"),
-            approxCountDistinct(c).as("hll"))
-          .select(
-            lit(name).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-            (abs(col("hll") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
-              .as("hll_ok"))
-      }.reduce(_.union(_))
+      val pairs = Tables.lineitem(s, d)
+        .select(explode(array(cols.map(n =>
+          struct(lit(n).as("col_name"), col(n).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      pairs
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+          count(col("v")).as("n_distinct"),
+          approxCountDistinct(col("v")).as("hll"))
+        .select(
+          col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          (abs(col("hll") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
+            .as("hll_ok"))
     },
     Some(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
       .map { c =>
