@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.ApproxPercentileRewrite(() =>
         session.conf.get("spark.graft.approxPercentileRewrite", "false").toBoolean)
     }
+    // Sibling guardrail for the other non-scalable exact aggregate:
+    // COUNT(DISTINCT x) → HLL++ under spark.graft.approxDistinctRewrite.
+    ext.injectOptimizerRule { session =>
+      graft.plans.ApproxDistinctRewrite(
+        () => session.conf.get("spark.graft.approxDistinctRewrite", "false").toBoolean,
+        () => session.conf.get("spark.graft.approxDistinctRsd", "0.023").toDouble)
+    }
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
