@@ -77,6 +77,31 @@ object Dedup extends QueryPack {
   def shingleSets(df: DataFrame): DataFrame =
     ngrams(df, 3).dropDuplicates("doc_id", "shingle")
 
+  /** (doc_id, fp) — the min-of-md5 word-5-gram document fingerprint
+    * (winnowing-style, = graft.functions.fingerprint) via the shared
+    * codegen n-gram pipeline; docs with fewer than 5 words have no
+    * complete gram and emit no row. Shared by q133's decontamination
+    * audit and the streaming bloom gate.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    ngrams(docs, 5).groupBy(col("doc_id")).agg(min(md5(col("shingle"))).as("fp"))
+
+  /** Publish the frozen eval-side decontamination artifacts a release
+    * builds ONCE: `dir/fps` — the distinct eval fingerprint set (the
+    * exact arm), and `dir/bloom` — a 1-row table holding the native
+    * [[graft.functions.bloomAgg]] filter over those fingerprints (the
+    * pre-screen arm, numBits/8 bytes total). Consumers broadcast
+    * both; the bloom row is what makes the common path of a 100 TB
+    * scan stateless (see StreamOps.streamingBloomDecontaminate).
+    */
+  def exportEvalFingerprints(eval: DataFrame, dir: String, numBits: Int = 1 << 20): Unit = {
+    import graft.functions.bloomAgg
+    val fps = fingerprints(eval).select(col("fp")).distinct()
+    fps.write.mode("overwrite").parquet(s"$dir/fps")
+    fps.agg(bloomAgg(xxhash64(col("fp")), numBits).as("bf"), count(lit(1)).as("n_keys"))
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
   /** Exact Jaccard over word-3-gram sets for all pairs sharing at least
     * one *non-ubiquitous* shingle, thresholded. Co-occurrence counting
     * via shingle join: |A∩B| = shared shingles, |A∪B| = nA + nB − |A∩B|.
@@ -1129,8 +1154,7 @@ object Dedup extends QueryPack {
       // was 5x slower here). The agg subtree is IDENTICAL under every
       // consumer branch (the sn filters land on the meta side of the
       // join), so ReuseExchange evaluates the gram pass once.
-      val fp = ngrams(Tables.documents(s, d), 5)
-        .groupBy(col("doc_id")).agg(min(md5(col("shingle"))).as("fp"))
+      val fp = fingerprints(Tables.documents(s, d))
       val fps = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           substring(col("source"), 4, 10).cast("int").as("sn"))

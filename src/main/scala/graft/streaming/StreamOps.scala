@@ -400,6 +400,63 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** Two-tier fingerprint decontamination at ingest — the broadcast-
+    * SKETCH form of the contamination firewall. Each micro-batch of
+    * candidate training docs is fingerprinted (codegen ngram
+    * pipeline) and probed against the frozen eval-side Bloom filter
+    * published by `Dedup.exportEvalFingerprints` (a 1-row ~128 KiB
+    * broadcast): a probe-false doc is DEFINITELY not an eval
+    * fingerprint match (the no-false-negative guarantee) and is
+    * admitted with no further work; only probe-true suspects reach
+    * the exact arm (broadcast join against the eval fingerprint set),
+    * which drops exact members and admits the false positives.
+    * Final admitted set is therefore IDENTICAL to an exact
+    * fingerprint anti-join — the sketch changes cost, not semantics:
+    * at the design FP rate the common path of a 100 TB stream is a
+    * stateless codegen scan with no join at all.
+    *
+    * Docs with fewer than 5 words have no fingerprint — nothing to
+    * match — and are admitted (left join keeps them, null fp probes
+    * as non-suspect). Survivors land in the keyed upsert sink, so
+    * redelivery is a no-op (same exactly-once-effective argument as
+    * [[streamingUpsertIngest]]).
+    */
+  def streamingBloomDecontaminate(stream: DataFrame, artifactsDir: String,
+      cleanPath: String, numBits: Int = 1 << 20, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.bloomContains
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val s = batch.sparkSession
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      require(!docs.columns.contains("_rev"),
+        "streamingBloomDecontaminate uses a scratch version column named _rev; " +
+          "rename the stream's _rev column first")
+      if (docs.head(1).nonEmpty) {
+        val bloom = s.read.parquet(s"$artifactsDir/bloom").select(col("bf"))
+        val fps = graft.operators.Dedup.fingerprints(docs)
+        val probed = docs
+          .join(fps, Seq("doc_id"), "left")
+          .crossJoin(broadcast(bloom))
+          .withColumn("suspect",
+            col("fp").isNotNull &&
+              coalesce(bloomContains(col("bf"), xxhash64(col("fp")), numBits), lit(false)))
+        val evalFps = s.read.parquet(s"$artifactsDir/fps")
+        // suspects that are EXACT members drop; bloom false positives
+        // survive the anti-join and are admitted like everyone else
+        val kept = probed.where(!col("suspect"))
+          .unionByName(probed.where(col("suspect"))
+            .join(broadcast(evalFps), Seq("fp"), "left_anti"))
+          .drop("fp", "bf", "suspect")
+        graft.sources.ParquetUpsertSink.upsert(
+          kept.withColumn("_rev", lit(0L)), cleanPath,
+          Seq("doc_id"), "_rev", numBuckets)
+      }
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   /** Streaming ingest for an ADDITIVE store — the exactly-once form
     * the batch additive stores (Etl.kpiIncrement, the corpus-stats
     * base) deliberately do NOT provide: a plain additive merge

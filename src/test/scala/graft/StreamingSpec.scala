@@ -210,6 +210,47 @@ class StreamingSpec extends SparkSpec {
     dropped should not be empty // the gate corpus does contain leaks
   }
 
+  test("streaming bloom decontamination: admitted set ≡ exact fingerprint anti-join, redelivery no-op") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = org.apache.spark.sql.functions
+      .substring(col("source"), 4, 10).cast("int")
+    val train = docs.where(srcNum < 10)
+    val eval = docs.where(srcNum >= 10)
+    // the frozen eval artifacts a release publishes once: exact
+    // fingerprint set + the 1-row bloom pre-screen
+    val artDir = Files.createTempDirectory("graft-bloomgate-art").toString
+    graft.operators.Dedup.exportEvalFingerprints(eval, artDir)
+    // stage train docs in two files + one redelivery
+    val dir = Files.createTempDirectory("graft-bloomgate-src").toString
+    train.repartition(2).write.mode("append").parquet(dir)
+    train.limit(20).write.mode("append").parquet(dir)
+    val table = Files.createTempDirectory("graft-bloomgate-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-bloomgate-ck").toString
+
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val query = StreamOps
+      .streamingBloomDecontaminate(stream, artDir, table)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch equivalent: exact fingerprint anti-join against the eval set
+    val evalFps = graft.operators.Dedup.fingerprints(eval)
+      .select($"fp").distinct()
+    val want = train.join(
+        graft.operators.Dedup.fingerprints(train).join(evalFps, "fp"),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    got shouldBe want
+    // the gate corpus plants cross-boundary near-dup fingerprint hits
+    (train.select($"doc_id").as[Long].collect().toSet -- want) should not be empty
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
