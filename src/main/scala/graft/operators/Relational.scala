@@ -733,6 +733,84 @@ object Relational extends QueryPack {
       }.mkString("\nUNION ALL\n")),
     "Deequ-style table profile: per-column null/cardinality facts, HLL++ audited in-row against exact distinct")
 
+  /** Mergeable profile artifact — the INCREMENTAL form of q130's
+    * table profile: per profiled column one row (col_name, n_rows,
+    * n_nulls, sk) where the counts are additive and the distinct
+    * sketch is a Datasketches HLL. Counts merge LOSSLESSLY; the HLL
+    * union is register-max in dense mode, but in the small-
+    * cardinality coupon regime a merged sketch's estimate can differ
+    * slightly from a direct build's — both stay within the design
+    * rsd (~1.6% at lgK 12), which is the contract consumers get. A
+    * nightly pipeline profiles only the delta slice and folds it in
+    * at delta cost; the full-table recompute is never needed again.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(n =>
+        struct(lit(n).as("col_name"), col(n).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+        hll_sketch_agg(col("v")).as("sk"))
+
+  /** Fold any number of [[tableProfile]] artifacts (unioned rows) into
+    * one: counts add, sketches union. Merging the artifact of a delta
+    * slice into the stored artifact IS the nightly maintenance step.
+    */
+  def mergeProfiles(profiles: DataFrame): DataFrame =
+    profiles.groupBy(col("col_name"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        hll_union_agg(col("sk")).as("sk"))
+
+  /** Read view of a profile artifact: estimated distinct cardinality
+    * alongside the exact additive facts.
+    */
+  def profileReport(profile: DataFrame): DataFrame =
+    profile.select(col("col_name"), col("n_rows"), col("n_nulls"),
+      hll_sketch_estimate(col("sk")).as("n_distinct_est"))
+
+  /** Incremental profile maintenance ON the gate: the orders table is
+    * profiled as two disjoint slices (order-key parity — the stand-in
+    * for yesterday's artifact + today's delta), merged with
+    * [[mergeProfiles]], and the merged estimate audited in-row
+    * against the exact dictionary count (verdict TRUE iff within 10%;
+    * Datasketches HLL at default lgK=12 is ~1.6% rsd). The oracle
+    * mirrors the exact facts and literal-TRUE verdicts — additive
+    * counts must land EXACTLY (n_rows/n_nulls are lossless under
+    * merge), only the sketch gets a band.
+    */
+  val q135 = Q(
+    "q135_profile_incr",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val orders = Tables.orders(s, d)
+      val merged = mergeProfiles(
+        tableProfile(orders.where(pmod(col("o_orderkey"), lit(2)) === 0), cols)
+          .unionByName(tableProfile(orders.where(pmod(col("o_orderkey"), lit(2)) === 1), cols)))
+      val est = profileReport(merged)
+      val exact = orders
+        .select(explode(array(cols.map(n =>
+          struct(lit(n).as("col_name"), col(n).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name")).agg(count(col("v")).as("n_distinct"))
+      est.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          (abs(col("n_distinct_est") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
+            .as("incr_ok"))
+    },
+    Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, TRUE AS incr_ok
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+    "incremental profile maintenance: two disjoint slices merged via additive counts + Datasketches HLL union, audited against exact")
+
   /** Blocked fuzzy record linkage over the part-NAME dictionary:
     * near-identical product names (edit distance ≤ 2) found without an
     * all-pairs comparison. Classic entity-resolution shape (Fellegi-
@@ -779,5 +857,5 @@ object Relational extends QueryPack {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q29, q47, q110, q111,
-    q130, q132)
+    q130, q132, q135)
 }

@@ -134,6 +134,15 @@ object ExplainAudit {
           v += Violation(name, "Expand in plan (distinct-count rewrite lost)")
         if (plan.contains("l_extendedprice"))
           v += Violation(name, "column pruning lost (unprofiled column in scan)")
+      case "q135_profile_incr" =>
+        // slice profiles must stay mergeable SKETCH aggregates — an
+        // Expand or a Window here means the distinct estimate
+        // regressed to an exact formulation that can't maintain at
+        // delta cost
+        if (plan.contains("Expand"))
+          v += Violation(name, "Expand in plan (mergeable sketch lost)")
+        if (!plan.contains("hll_union_agg"))
+          v += Violation(name, "hll_union_agg missing (artifact merge lost)")
       case "q131_dup_spans" =>
         // occurrences join gram-df on the 64-bit gram hash — an EQUI
         // join (any strategy); a nested loop means the hash key was lost

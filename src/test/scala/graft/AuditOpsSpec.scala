@@ -106,6 +106,48 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("q135 incremental profile: counts lossless under merge, estimates inside the rsd band") {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val orders = Tables.orders(spark, sfDir)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val full = asMap(Relational.profileReport(Relational.tableProfile(orders, cols)))
+    // three-way split this time (the gate uses two) — the additive
+    // facts must merge LOSSLESSLY at any arity/layout; the sketch
+    // estimate gets the design band, not bit-equality (in the small-
+    // cardinality coupon regime union-of-parts and direct-build can
+    // legitimately differ by a hair)
+    val slices = (0 to 2).map(i =>
+      Relational.tableProfile(orders.where(pmod(col("o_orderkey"), lit(3)) === i), cols))
+    val merged = asMap(Relational.profileReport(
+      Relational.mergeProfiles(slices.reduce(_.unionByName(_)))))
+    merged.keySet shouldBe full.keySet
+    cols.foreach { c =>
+      val (fr, fn, fe) = full(c)
+      val (mr, mn, me) = merged(c)
+      withClue(s"$c: ") {
+        (mr, mn) shouldBe ((fr, fn)) // counts are exact under merge
+        val exact = orders.select(c).na.drop().distinct().count()
+        math.abs(me - exact).toDouble / exact should be < 0.1
+        math.abs(fe - exact).toDouble / exact should be < 0.1
+      }
+    }
+    // gate verdicts all true and exact facts match direct aggregates
+    val gate = Relational.q135.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    gate.keySet shouldBe cols.toSet
+    gate.foreach { case (c, (nRows, nNulls, nDistinct, ok)) =>
+      withClue(s"$c: ") {
+        nRows shouldBe orders.count()
+        nNulls shouldBe orders.where(col(c).isNull).count()
+        nDistinct shouldBe orders.select(c).na.drop().distinct().count()
+        ok shouldBe true
+      }
+    }
+  }
+
   test("q134 CMS heavy hitters: top-20 set matches exact counts; sketch verdicts all true") {
     val got = Text.q134.build(spark, sfDir)
       .select($"t", $"n", $"est_ge_exact", $"overestimate_bounded")
