@@ -135,8 +135,14 @@ object Dedup extends QueryPack {
     * is raising maxShingleDf (the oracle-equivalence knob), not the
     * pair math.
     */
-  def jaccardPairs(df: DataFrame, threshold: Double,
-      maxShingleDf: Int = 128, assertCutInert: Boolean = false): DataFrame = {
+  /** Exact per-pair shingle co-occurrence under the df-cut:
+    * (d1, d2, c, n1, n2) for unordered pairs d1 < d2 sharing at least
+    * one non-hot shingle — the shared core of [[jaccardPairs]]
+    * (resemblance) and [[containmentPairs]] (the asymmetric measure).
+    * The counts are EXACT (hot shingles re-enter via the per-doc
+    * sorted-array intersect); the cut bounds candidate volume only.
+    */
+  private[graft] def coocCounts(df: DataFrame, maxShingleDf: Int): DataFrame = {
     // Join/shuffle on the 64-bit hash of the shingle, not the string:
     // same co-occurrence counts (a cross-doc hash collision would need
     // ~2^32 distinct shingles to become likely), but the self-join
@@ -175,7 +181,7 @@ object Dedup extends QueryPack {
     val noHot = array().cast("array<bigint>")
     val a = rare.toDF("d1", "shingle")
     val b = rare.toDF("d2", "shingle")
-    val pairs = a.join(b, "shingle")
+    a.join(b, "shingle")
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("cr"))
@@ -185,6 +191,12 @@ object Dedup extends QueryPack {
         size(array_intersect(coalesce(col("h1"), noHot), coalesce(col("h2"), noHot))))
       .join(sz.toDF("d1", "n1"), "d1")
       .join(sz.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("c"), col("n1"), col("n2"))
+  }
+
+  def jaccardPairs(df: DataFrame, threshold: Double,
+      maxShingleDf: Int = 128, assertCutInert: Boolean = false): DataFrame = {
+    val pairs = coocCounts(df, maxShingleDf)
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .where(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
@@ -194,14 +206,18 @@ object Dedup extends QueryPack {
       // UNCUT measure, and the builder's equivalence argument is
       // "corpus max shingle df ≤ maxShingleDf, so the cut is inert".
       // That was ASSUMED; here it is CHECKED in-plan at gate time: a
-      // 1-row max-df frame (reusing the hotKeys aggregation's
-      // exchange — near-free) broadcast-equi-joins the pairs on a
+      // 1-row max-df frame (the shingle-df subplan is canonically
+      // identical to coocCounts' hotKeys aggregation, so ReuseExchange
+      // dedupes it — near-free) broadcast-equi-joins the pairs on a
       // constant-but-NON-FOLDABLE key (a literal key would fold and
       // degrade to the BNLJ the plan specs forbid, same reasoning as
       // graft.util.guardMaxRows) and assert_true fails the JOB loudly
       // if a future gate corpus pushes df past the cut — the fix is
       // raising maxShingleDf, not trusting a silently-divergent gate.
-      val chk = shingleDf.agg(max(col("df")).as("_maxdf"))
+      val chk = shingleSets(df)
+        .select(xxhash64(col("shingle")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df")).as("_maxdf"))
         .select(pmod(xxhash64(col("_maxdf")), lit(1)).cast("int").as("_gk"),
           col("_maxdf"))
       pairs.withColumn("_gk", pmod(xxhash64(col("d1")), lit(1)).cast("int"))
@@ -212,6 +228,31 @@ object Dedup extends QueryPack {
             "uncut measure, so raise maxShingleDf to keep gate equivalence"))).isNull)
         .drop("_gk", "_maxdf")
     }
+  }
+
+  /** Asymmetric CONTAINMENT pairs — Broder's other similarity measure
+    * (resemblance vs containment, SEQUENCES '97): containment(a, b) =
+    * |A∩B| / |A| ≥ threshold flags document a as mostly CONTAINED in
+    * b, which resemblance misses whenever the container is much
+    * larger (a quoted article inside a long page has high containment
+    * and low Jaccard). The sub-document dedup screen next to q31's
+    * whole-doc resemblance and q71's passage granularity.
+    *
+    * Same exact co-occurrence core and df-cut as [[jaccardPairs]]
+    * (one shingle-keyed self-join, candidates bounded by the cut,
+    * counts exact via the hot-array re-entry) — only the
+    * normalization differs, and each unordered candidate emits BOTH
+    * directions before the threshold, so the output is ordered
+    * (contained_id, container_id).
+    */
+  def containmentPairs(df: DataFrame, threshold: Double,
+      maxShingleDf: Int = 128): DataFrame = {
+    val co = coocCounts(df, maxShingleDf)
+    val fwd = co.select(col("d1").as("contained_id"), col("d2").as("container_id"),
+      (col("c").cast("double") / col("n1")).as("containment"))
+    val rev = co.select(col("d2").as("contained_id"), col("d1").as("container_id"),
+      (col("c").cast("double") / col("n2")).as("containment"))
+    fwd.unionByName(rev).where(col("containment") >= threshold)
   }
 
   /** Session-scoped STORED near-dup pair table over the gate corpus —
@@ -1197,6 +1238,35 @@ object Dedup extends QueryPack {
            |GROUP BY source""".stripMargin),
     "Bloom decontamination audit: native bloom_agg over eval fingerprints probed across the train corpus; no-false-negative + bounded-FP verdicts the oracle mirrors")
 
+  /** Gate form of [[containmentPairs]] at 0.9 over the document
+    * corpus. Cut equivalence rides q31's gate guard: the shingle sets
+    * are IDENTICAL (same corpus, same 3-grams), and q31's in-plan
+    * assert already fails the round loudly if the corpus max df ever
+    * exceeds the shared `graft.dedup.gateMaxShingleDf` — so the
+    * oracle's uncut computation matches by the same argument.
+    */
+  val q136 = Q(
+    "q136_containment",
+    (s, d) => containmentPairs(docs(s, d), 0.9,
+      maxShingleDf = s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), sz AS (
+           |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+           |), co AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+           |  FROM sh a JOIN sh b USING (shingle)
+           |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+           |)
+           |SELECT d1 AS contained_id, d2 AS container_id,
+           |  CAST(c AS DOUBLE) / sa.n AS containment
+           |FROM co JOIN sz sa ON sa.doc_id = d1
+           |WHERE CAST(c AS DOUBLE) / sa.n >= 0.9""".stripMargin),
+    "asymmetric containment near-dup (Broder): |A∩B|/|A| ≥ 0.9 ordered pairs off the shared co-occurrence core")
+
   val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89, q91,
-    q131, q133)
+    q131, q133, q136)
 }

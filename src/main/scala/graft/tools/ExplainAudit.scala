@@ -143,12 +143,12 @@ object ExplainAudit {
           v += Violation(name, "Expand in plan (mergeable sketch lost)")
         if (!plan.contains("hll_union_agg"))
           v += Violation(name, "hll_union_agg missing (artifact merge lost)")
-      case "q131_dup_spans" =>
-        // occurrences join gram-df on the 64-bit gram hash — an EQUI
+      case "q131_dup_spans" | "q136_containment" =>
+        // the gram/shingle self-join rides the 64-bit hash — an EQUI
         // join (any strategy); a nested loop means the hash key was lost
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
-          v += Violation(name, "gram-df equi-join lost (nested loop or worse)")
+          v += Violation(name, "gram equi-join lost (nested loop or worse)")
       case "q132_name_linkage" =>
         // the fuzzy compare must ride a block-key EQUI join with
         // levenshtein as the post-join filter — levenshtein inside a

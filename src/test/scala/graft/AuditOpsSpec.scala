@@ -148,6 +148,32 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 containment: hash-keyed cut pairs ≡ string-keyed brute force; measure genuinely asymmetric") {
+    val got = Dedup.q136.build(spark, sfDir)
+      .select($"contained_id", $"container_id", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // independent formulation: string shingles, no cut, no hot-array
+    // machinery — plain distinct-3-gram co-occurrence
+    val sh = Dedup.shingleSets(Tables.documents(spark, sfDir))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val co = sh.toDF("d1", "shingle").join(sh.toDF("d2", "shingle"), "shingle")
+      .where($"d1" =!= $"d2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
+    val want = co.join(sz.toDF("d1", "n1"), "d1")
+      .select($"d1", $"d2", ($"c".cast("double") / $"n1").as("cont"))
+      .where($"cont" >= 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe want
+    got should not be empty
+    // the measure is ASYMMETRIC by construction: at least one
+    // contained pair on this corpus fails the 0.9 RESEMBLANCE bar
+    // (the doc-inside-doc case Jaccard misses)
+    val jac09 = Dedup.jaccardPairs(Tables.documents(spark, sfDir), 0.9)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    (got.map { case (a, b, _) => (a, b) } -- jac09) should not be empty
+  }
+
   test("q134 CMS heavy hitters: top-20 set matches exact counts; sketch verdicts all true") {
     val got = Text.q134.build(spark, sfDir)
       .select($"t", $"n", $"est_ge_exact", $"overestimate_bounded")
