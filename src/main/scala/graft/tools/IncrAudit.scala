@@ -104,6 +104,36 @@ object IncrAudit {
               emb.where(col("vec_id") % 5 =!= 0), cents),
             emb.where(col("vec_id") % 5 === 0), cents),
           graft.operators.Ann.assignClusters(emb, cents))
+      },
+      // profile artifact: a 4-way slice merge carries the ADDITIVE
+      // facts losslessly and keeps the distinct estimate inside the
+      // q135 band vs the exact dictionary (the sketch itself is not
+      // except()-comparable — estimates are what consumers read)
+      locally {
+        import graft.operators.Relational
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val orders = graft.Tables.orders(spark, sfDir)
+        val merged = Relational.profileReport(Relational.mergeProfiles(
+          (0 to 3).map(i => Relational.tableProfile(
+            orders.where(pmod(col("o_orderkey"), lit(4)) === i), cols))
+            .reduce(_.unionByName(_))))
+        val exact = orders
+          .select(explode(array(cols.map(n => struct(lit(n).as("col_name"),
+            col(n).cast("string").as("v"))): _*)).as("p"))
+          .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+          .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("col_name"))
+          .agg(sum(col("cnt")).as("n_rows"),
+            sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+            count(col("v")).as("n_distinct"))
+        val m = merged.select(col("col_name"), col("n_rows").as("m_rows"),
+          col("n_nulls").as("m_nulls"), col("n_distinct_est"))
+        diff("profile_incr ≡ exact facts + in-band estimate",
+          m.join(exact, Seq("col_name"))
+            .where(col("m_rows") === col("n_rows") && col("m_nulls") === col("n_nulls") &&
+              abs(col("n_distinct_est") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
+            .select(col("col_name")),
+          exact.select(col("col_name")))
       })
     spark.stop()
     if (results.contains(false)) sys.exit(1)
