@@ -690,39 +690,42 @@ object Relational extends QueryPack {
     * sketch is within 10%, ≈4σ at rsd 2.3%, and the oracle mirrors it
     * as a literal).
     *
-    * Scale shape: ONE scan of the five profiled columns (pruned —
-    * ReadSchema carries exactly those five), unpivoted by a local
-    * Generate into (col_name, value) pairs, then two hash aggregates:
-    * (col_name, value) — map-side combine collapses the 5n pair
-    * stream to the distinct-value dictionary before the only
-    * full-width shuffle — and (col_name) for the facts. Exact
-    * distinct is a COUNT over the dictionary (no per-column Expand,
-    * no per-column job), and the HLL++ sketch is legitimately
-    * computed over the deduped value stream: HLL is multiplicity-
-    * insensitive, so the sketch is bit-identical to one built from
-    * the raw stream.
+    * Scale shape: one column-pruned scan per profiled column (each
+    * scan reads exactly one parquet column), each aggregating with
+    * the planner's standard two-phase distinct over the NATIVE typed
+    * value — narrow 8-byte keys through per-column shuffles — plus
+    * the HLL++ sketch in the same pass; one-row results unioned.
+    *
+    * Scale lesson (r11, recorded in BASELINE): an "optimized" single-
+    * pass unpivot into (col_name, value-as-string) pairs won 1s of
+    * per-job overhead at sf0.1 and then DIED at sf3 — a 90M-row
+    * wide-string dictionary forced through one spilling aggregate,
+    * minutes where the per-column form takes seconds. Job-count
+    * micro-opts that widen keys and serialize shuffles do not survive
+    * 30×; per-column typed aggregation does, and at 100 TB the exact
+    * arm drops entirely (the profiler keeps the one-pass mergeable
+    * HLL arm — see [[tableProfile]], which has NO exact arm and no
+    * value shuffle at all).
     */
   val q130 = Q(
     "q130_table_profile",
     (s, d) => {
       import graft.functions.approxCountDistinct
+      val li = Tables.lineitem(s, d)
       val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
-      val pairs = Tables.lineitem(s, d)
-        .select(explode(array(cols.map(n =>
-          struct(lit(n).as("col_name"), col(n).cast("string").as("v"))): _*)).as("p"))
-        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
-      pairs
-        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("col_name"))
-        .agg(
-          sum(col("cnt")).as("n_rows"),
-          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
-          count(col("v")).as("n_distinct"),
-          approxCountDistinct(col("v")).as("hll"))
-        .select(
-          col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-          (abs(col("hll") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
-            .as("hll_ok"))
+      cols.map { name =>
+        val c = col(name)
+        li.select(c)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+            countDistinct(c).as("n_distinct"),
+            approxCountDistinct(c).as("hll"))
+          .select(
+            lit(name).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+            (abs(col("hll") - col("n_distinct")) * lit(10L) <= col("n_distinct"))
+              .as("hll_ok"))
+      }.reduce(_.union(_))
     },
     Some(Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
       .map { c =>
@@ -745,14 +748,22 @@ object Relational extends QueryPack {
     * at delta cost; the full-table recompute is never needed again.
     */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(explode(array(cols.map(n =>
-        struct(lit(n).as("col_name"), col(n).cast("string").as("v"))): _*)).as("p"))
-      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
-        hll_sketch_agg(col("v")).as("sk"))
+    // Per-column single-GROUP aggregates: no value ever shuffles —
+    // each column contributes one fixed-size partial (two counters +
+    // the HLL buffer) per map task, merged once. This is the whole
+    // 100 TB story: profiling cost is scan cost, state is O(columns).
+    // Values feed the sketch as strings so any column type profiles
+    // (the cast is a per-row codegen op; hll_sketch_agg accepts no
+    // timestamps/decimals natively).
+    cols.map { name =>
+      val c = col(name)
+      df.select(c)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+          hll_sketch_agg(c.cast("string")).as("sk"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"), col("sk"))
+    }.reduce(_.union(_))
 
   /** Fold any number of [[tableProfile]] artifacts (unioned rows) into
     * one: counts add, sketches union. Merging the artifact of a delta
@@ -791,12 +802,11 @@ object Relational extends QueryPack {
         tableProfile(orders.where(pmod(col("o_orderkey"), lit(2)) === 0), cols)
           .unionByName(tableProfile(orders.where(pmod(col("o_orderkey"), lit(2)) === 1), cols)))
       val est = profileReport(merged)
-      val exact = orders
-        .select(explode(array(cols.map(n =>
-          struct(lit(n).as("col_name"), col(n).cast("string").as("v"))): _*)).as("p"))
-        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
-        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("col_name")).agg(count(col("v")).as("n_distinct"))
+      val exact = cols.map { name =>
+        orders.select(col(name))
+          .agg(countDistinct(col(name)).as("n_distinct"))
+          .select(lit(name).as("col_name"), col("n_distinct"))
+      }.reduce(_.union(_))
       est.join(exact, Seq("col_name"))
         .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
           (abs(col("n_distinct_est") - col("n_distinct")) * lit(10L) <= col("n_distinct"))

@@ -117,15 +117,13 @@ object IncrAudit {
           (0 to 3).map(i => Relational.tableProfile(
             orders.where(pmod(col("o_orderkey"), lit(4)) === i), cols))
             .reduce(_.unionByName(_))))
-        val exact = orders
-          .select(explode(array(cols.map(n => struct(lit(n).as("col_name"),
-            col(n).cast("string").as("v"))): _*)).as("p"))
-          .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
-          .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("col_name"))
-          .agg(sum(col("cnt")).as("n_rows"),
-            sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
-            count(col("v")).as("n_distinct"))
+        val exact = cols.map { n =>
+          orders.select(col(n))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col(n).isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+              countDistinct(col(n)).as("n_distinct"))
+            .select(lit(n).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+        }.reduce(_.union(_))
         val m = merged.select(col("col_name"), col("n_rows").as("m_rows"),
           col("n_nulls").as("m_nulls"), col("n_distinct_est"))
         diff("profile_incr ≡ exact facts + in-band estimate",
