@@ -246,14 +246,21 @@ object Dedup extends QueryPack {
     * (contained_id, container_id).
     */
   def containmentPairs(df: DataFrame, threshold: Double,
-      maxShingleDf: Int = 128): DataFrame = {
-    val co = coocCounts(df, maxShingleDf)
-    val fwd = co.select(col("d1").as("contained_id"), col("d2").as("container_id"),
-      (col("c").cast("double") / col("n1")).as("containment"))
-    val rev = co.select(col("d2").as("contained_id"), col("d1").as("container_id"),
-      (col("c").cast("double") / col("n2")).as("containment"))
-    fwd.unionByName(rev).where(col("containment") >= threshold)
-  }
+      maxShingleDf: Int = 128): DataFrame =
+    // Both directions via a LOCAL explode of each unordered pair row —
+    // not a union of two projections over the aggregate: a union
+    // duplicates the pair-aggregation subtree (ReuseExchange dedupes
+    // the map side, but the reduce aggregate itself would run twice
+    // per action), and at replica scales that aggregate is the
+    // expensive stage.
+    coocCounts(df, maxShingleDf)
+      .select(explode(array(
+        struct(col("d1").as("contained_id"), col("d2").as("container_id"),
+          (col("c").cast("double") / col("n1")).as("containment")),
+        struct(col("d2").as("contained_id"), col("d1").as("container_id"),
+          (col("c").cast("double") / col("n2")).as("containment")))).as("p"))
+      .select(col("p.contained_id"), col("p.container_id"), col("p.containment"))
+      .where(col("containment") >= threshold)
 
   /** Session-scoped STORED near-dup pair table over the gate corpus —
     * the same materialized-artifact architecture as
