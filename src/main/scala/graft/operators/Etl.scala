@@ -710,6 +710,124 @@ object Etl extends QueryPack {
            |FROM a FULL OUTER JOIN b USING (user_id)""".stripMargin),
     "keyed snapshot diff across two extract windows: latest-per-key states, one full-outer join, added/removed/changed/unchanged")
 
+  /** Batch interval join WITHOUT a nested-loop plan — the generic
+    * "all facts inside each window" θ-join (here: everything shipped
+    * during an order's first `windowDays` days, no key relating the
+    * two sides). Spark's native plan for a pure range predicate is
+    * BroadcastNestedLoopJoin — fine when one side broadcasts, fatal
+    * when both sides are 100 TB facts. The scale rewrite: explode
+    * each window into the epoch-day buckets it covers (bounded by
+    * `windowDays`, so replication is a small constant), bucket each
+    * fact row by its own day, equi-join on the bucket and re-check
+    * the exact range as a residual. A fact day intersects a window
+    * on exactly one bucket (its own), so the rewrite never duplicates
+    * a pair — no post-join dedup. The shuffle is an ordinary
+    * hash-partitioned equi-join on day; per-day skew is AQE's
+    * problem, not a planner cliff.
+    */
+  def windowedShipStats(orders: DataFrame, lineitem: DataFrame,
+      windowDays: Int): DataFrame = {
+    val usPerDay = 86400000000L
+    val o = orders.select(
+      col("o_orderkey"),
+      col("o_orderdate").as("w_start"),
+      (col("o_orderdate") + expr(s"INTERVAL $windowDays DAYS")).as("w_end"))
+    val buckets = o
+      .withColumn("d0", floor(unix_micros(col("w_start")) / usPerDay))
+      .withColumn("d1", floor((unix_micros(col("w_end")) - 1) / usPerDay))
+      .withColumn("bucket", explode(sequence(col("d0"), col("d1"))))
+      .drop("d0", "d1")
+    val li = lineitem.select(
+      col("l_shipdate"), col("l_extendedprice"),
+      floor(unix_micros(col("l_shipdate")) / usPerDay).as("bucket"))
+    buckets.join(li, Seq("bucket"))
+      .where(col("l_shipdate") >= col("w_start") &&
+        col("l_shipdate") < col("w_end"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_shipped"),
+        round(sum(col("l_extendedprice")) * 100).cast("long").as("ship_cents"))
+  }
+
+  val q138 = Q(
+    "q138_interval_events",
+    // audit slice: every 97th order key — the oracle's naive θ-join
+    // over the full frames would be quadratic in the dump; the
+    // operator itself takes arbitrary frames. Orders whose window
+    // catches nothing drop out (inner-join semantics, both engines).
+    (s, d) => windowedShipStats(
+      Tables.orders(s, d).where(col("o_orderkey") % 97 === 0),
+      Tables.lineitem(s, d), windowDays = 7),
+    Some("""SELECT o.o_orderkey, COUNT(*) AS n_shipped,
+           |  CAST(ROUND(SUM(l.l_extendedprice) * 100) AS BIGINT) AS ship_cents
+           |FROM orders o JOIN lineitem l
+           |  ON l.l_shipdate >= o.o_orderdate
+           | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+           |WHERE o.o_orderkey % 97 = 0
+           |GROUP BY 1""".stripMargin),
+    "interval θ-join via day-bucket equi-rewrite: shipments inside each order's 7-day window, no nested loop")
+
+  /** Calendar gap-fill + forward-fill — the time-series repair every
+    * KPI consumer needs before charting or diffing daily series: give
+    * every key a dense day spine over its own [first, last] active
+    * span, then carry the last observed value through the gaps.
+    *
+    * The forward-fill is two keyed windows, no self-join and no UDF:
+    * a running COUNT of non-null observations assigns every gap row
+    * the group id of the last real observation, then MAX over
+    * (key, group) broadcasts that observation's value to its gap rows
+    * (each group has exactly one non-null). Both windows partition by
+    * key — nothing ever sorts globally, and the spine explode is
+    * linear in key-spans with `Generate` fan-out bounded by span
+    * length. Cents stay integer end-to-end (the q90 contract).
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")) * 100).cast("long").as("day_cents"))
+    val spine = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("grp", count(col("day_cents")).over(w))
+      .withColumn("filled_cents",
+        max(col("day_cents")).over(Window.partitionBy(col("user_id"), col("grp"))))
+      .withColumn("is_gap", col("day_cents").isNull)
+      // day leaves as midnight TIMESTAMP, not DATE — the q112 dump
+      // contract (date32 vs datetime dtypes diverge in the compare)
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("filled_cents"), col("is_gap"))
+  }
+
+  val q139 = Q(
+    "q139_gapfill",
+    (s, d) => gapFillDaily(Tables.events(s, d)),
+    Some("""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS day_cents
+           |  FROM events GROUP BY 1, 2
+           |), span AS (
+           |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+           |), spine AS (
+           |  SELECT user_id, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+           |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM span
+           |), j AS (
+           |  SELECT s.user_id, s.day, d.day_cents
+           |  FROM spine s LEFT JOIN daily d USING (user_id, day)
+           |), g AS (
+           |  SELECT *, COUNT(day_cents) OVER (
+           |    PARTITION BY user_id ORDER BY day) AS grp FROM j
+           |)
+           |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           |  MAX(day_cents) OVER (PARTITION BY user_id, grp) AS filled_cents,
+           |  day_cents IS NULL AS is_gap
+           |FROM g""".stripMargin),
+    "per-key calendar gap-fill with forward-fill: dense day spine over each key's span, two keyed windows, no self-join")
+
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116, q120, q124, q126)
+    q115, q116, q120, q124, q126, q138, q139)
 }

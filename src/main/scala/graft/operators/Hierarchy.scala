@@ -508,5 +508,91 @@ object Hierarchy extends QueryPack {
         |FROM per GROUP BY 1""".stripMargin),
     "hierarchy shape report: pairs, populated ancestors and max subtree breadth per BFS depth")
 
-  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98, q129)
+  /** PageRank over the dependency graph — the importance measure a
+    * triage dashboard ranks bugs by: rank flows child → parent, so a
+    * node inherits weight from everything that (transitively) depends
+    * on it. Classic damped power iteration, `iters` rounds from the
+    * uniform vector; dangling mass (roots have no out-links) is
+    * dropped, not redistributed — ranks no longer sum to exactly 1
+    * but the ordering is unchanged, and the oracle mirrors the same
+    * recurrence term-for-term so the choice is observable and pinned.
+    *
+    * Scale shape: each iteration is one equi-join of the edge list
+    * against the current rank vector plus one map-side-combinable
+    * sum keyed by destination — the canonical distributed PageRank
+    * step. The edge list and out-degrees are computed once and
+    * reused across iterations (at cluster scale: cache/checkpoint
+    * them; with deep `iters`, localCheckpoint the rank vector every
+    * few rounds like [[closure]] does for frontiers — at the gate's
+    * k=3 the lazy three-deep plan is cheaper than materializing).
+    * The node count rides a broadcast 1-row totals frame, never a
+    * driver collect.
+    */
+  def pageRank(edgesDf: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val links = edgesDf.select(col("child").as("src"), col("parent").as("dst"))
+    val nodes = links.select(col("src").as("node"))
+      .union(links.select(col("dst"))).distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outDeg = links.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    val contrib = links.join(outDeg, Seq("src"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 1 to iters) {
+      val inbound = contrib.as("c")
+        .join(ranks.select(col("node").as("rn"), col("pr")).as("r"),
+          col("c.src") === col("r.rn"))
+        .groupBy(col("c.dst").as("inode"))
+        .agg(sum(col("r.pr") / col("c.deg")).as("mass"))
+      ranks = nodes.as("n")
+        .join(inbound.as("i"), col("n.node") === col("i.inode"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("n.node").as("node"),
+          ((lit(1.0) - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("i.mass"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+
+  /** Shared recurrence text for the oracle's unrolled iterations:
+    * rank vector `prev` → next, same algebra as [[pageRank]].
+    */
+  private def oraclePrStep(prev: String): String =
+    s"""SELECT n.node,
+       |    0.15 / nn.n_nodes + 0.85 * COALESCE(m.mass, 0) AS pr
+       |  FROM nodes n CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.parent AS node, SUM(r.pr / od.deg) AS mass
+       |    FROM edges e JOIN $prev r ON r.node = e.child
+       |    JOIN od ON od.child = e.child
+       |    GROUP BY e.parent) m ON m.node = n.node""".stripMargin
+
+  val q137 = Q(
+    "q137_pagerank",
+    (s, d) => pageRank(edges(s, d), iters = 3)
+      .select(col("node"), round(col("pr") * 1e7).cast("long").as("pr_e7")),
+    // unrolled 3-step mirror of the same recurrence; ranks are scaled
+    // to integer 1e-7 units so the hash compare never rides raw
+    // float-sum associativity
+    Some("""WITH edges AS (
+           |  SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey >= 1
+           |  UNION
+           |  SELECT p_partkey AS child, p_partkey // 3 AS parent FROM part
+           |  WHERE p_partkey >= 2 AND p_partkey % 7 = 0
+           |), nodes AS (
+           |  SELECT child AS node FROM edges UNION SELECT parent FROM edges
+           |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+           |od AS (SELECT child, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY child),
+           |r0 AS (SELECT node, 1.0 / nn.n_nodes AS pr FROM nodes CROSS JOIN nn),
+           |r1 AS (
+           |""".stripMargin +
+      oraclePrStep("r0") + "\n), r2 AS (\n" +
+      oraclePrStep("r1") + "\n), r3 AS (\n" +
+      oraclePrStep("r2") + """
+           |)
+           |SELECT node, CAST(ROUND(pr * 10000000) AS BIGINT) AS pr_e7
+           |FROM r3""".stripMargin),
+    "PageRank (3 damped iterations) over the dependency DAG: per-iteration edge join + dst-keyed sum")
+
+  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98, q129, q137)
 }

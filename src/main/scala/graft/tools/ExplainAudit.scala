@@ -173,6 +173,40 @@ object ExplainAudit {
           v += Violation(name, "top-k degraded (no TakeOrderedAndProject)")
         if (plan.contains("Window"))
           v += Violation(name, "window in plan (top-k should be TakeOrdered)")
+      case "q137_pagerank" =>
+        // each power-iteration step is an EQUI join of the edge list
+        // against the rank vector plus a dst-keyed sum with map-side
+        // partials — a nested loop (beyond the broadcast 1-row node
+        // count) or a lost partial means the iteration stopped being
+        // the distributed PageRank step
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "rank-vector equi-join lost (nested loop or worse)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
+      case "q138_interval_events" =>
+        // the whole point of the day-bucket rewrite: the θ-join must
+        // surface as a Generate (window → bucket explode) feeding an
+        // EQUI join with the range check residual — a
+        // BroadcastNestedLoopJoin is the planner-native range join
+        // the rewrite exists to avoid (fatal when neither side
+        // broadcasts)
+        if (!plan.contains("Generate"))
+          v += Violation(name, "bucket explode lost (no Generate in plan)")
+        if (plan.contains("BroadcastNestedLoopJoin"))
+          v += Violation(name, "BroadcastNestedLoopJoin in plan (bucket equi-rewrite lost)")
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "bucket equi-join lost")
+      case "q139_gapfill" =>
+        // spine explode is a Generate; the observed-days join is an
+        // EQUI join on (key, day); both windows partition by key —
+        // a global (unpartitioned) sort is the degradation to watch
+        if (!plan.contains("Generate"))
+          v += Violation(name, "day-spine explode lost (no Generate in plan)")
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "spine/daily equi-join lost")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |

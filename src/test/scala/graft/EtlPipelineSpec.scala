@@ -376,4 +376,99 @@ class EtlPipelineSpec extends SparkSpec {
     // an empty delta touches no keys and passes the history through
     rows(Etl.scd2Append(h2, part(1).limit(0))) shouldBe full
   }
+
+  test("bucketed interval join equals the naive θ-join, boundaries end-exclusive") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Etl
+    import graft.Tables
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, t("1995-01-01 00:00:00")), // window [Jan 1, Jan 8)
+      (2L, t("1995-01-05 00:00:00")), // overlaps order 1's window
+      (3L, t("1996-06-01 00:00:00"))  // catches nothing
+    ).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (t("1995-01-01 00:00:00"), 10.0),  // == w_start of 1: included
+      (t("1995-01-07 23:59:59"), 20.0),  // inside 1 and 2
+      (t("1995-01-08 00:00:00"), 40.0),  // == w_end of 1: excluded; inside 2
+      (t("1995-01-11 23:59:59"), 80.0),  // inside 2 only
+      (t("1995-03-01 00:00:00"), 160.0)  // inside nothing
+    ).toDF("l_shipdate", "l_extendedprice")
+
+    val out = Etl.windowedShipStats(orders, li, windowDays = 7)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    out shouldBe Map(1L -> ((2L, 3000L)), 2L -> ((3L, 14000L)))
+
+    // ≡ the naive range θ-join on the same frames (the plan Spark
+    // would pick natively — correct, just not scalable)
+    val naive = orders.join(li,
+        li("l_shipdate") >= orders("o_orderdate") &&
+          li("l_shipdate") < orders("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    naive shouldBe out
+
+    // and on corpus data: the rewrite is pair-for-pair the θ-join
+    val o = Tables.orders(spark, sfDir).where($"o_orderkey" % 97 === 0)
+    val l = Tables.lineitem(spark, sfDir)
+    val a = Etl.windowedShipStats(o, l, windowDays = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = o.join(l, l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    a shouldBe b
+    a.size should be > 0
+  }
+
+  test("gap-fill: dense per-key spine, forward-fill carries the last observation") {
+    import graft.operators.Etl
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 09:00:00"), 6.0),
+      (1L, t("2024-01-01 17:00:00"), 4.0),   // same day sums to 10.00
+      (1L, t("2024-01-04 12:00:00"), 20.0),  // Jan 2-3 are gaps
+      (2L, t("2024-01-02 00:00:00"), 7.5)    // single-day span
+    ).toDF("user_id", "ts", "value")
+    val out = Etl.gapFillDaily(ev)
+      .as[(Long, java.sql.Timestamp, Long, Boolean)].collect()
+      .map(r => (r._1, r._2.toLocalDateTime.toLocalDate.toString) -> ((r._3, r._4)))
+      .toMap
+    out shouldBe Map(
+      (1L, "2024-01-01") -> ((1000L, false)),
+      (1L, "2024-01-02") -> ((1000L, true)),  // carried forward
+      (1L, "2024-01-03") -> ((1000L, true)),
+      (1L, "2024-01-04") -> ((2000L, false)),
+      (2L, "2024-01-02") -> ((750L, false)))
+  }
+
+  test("gap-fill on corpus events: spine dense over each span, fills match last prior day") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Etl
+    import graft.Tables
+    val out = Etl.gapFillDaily(Tables.events(spark, sfDir)).cache()
+    // spine density: per user, row count == span length in days
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (datediff(max($"day"), min($"day")) + 1).as("span"))
+      .where($"n" =!= $"span")
+    bad.count() shouldBe 0L
+    // no nulls ever surface (first spine day is an observed day)
+    out.where($"filled_cents".isNull).count() shouldBe 0L
+    // gap rows exist in this corpus and every gap value equals the
+    // previous day's filled value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val chk = out.withColumn("prev", lag($"filled_cents", 1).over(w))
+    chk.where($"is_gap").count() should be > 0L
+    chk.where($"is_gap" && $"filled_cents" =!= $"prev").count() shouldBe 0L
+    out.unpersist()
+    ()
+  }
 }

@@ -168,6 +168,33 @@ class HierarchySpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach { n => out(n) shouldBe ((3L, 6L)) }
   }
 
+  test("pageRank matches the hand-iterated recurrence on a tiny graph") {
+    // 2 -> 1, 3 -> 1, 3 -> 2; N = 3, outdeg(2) = 1, outdeg(3) = 2
+    // r0 = 1/3 each
+    // iter1: mass(1) = 1/3 + 1/6 = 1/2; mass(2) = 1/6; mass(3) = 0
+    //   pr1 = (0.475, 0.05 + 0.85/6, 0.05)
+    // iter2: mass(1) = pr1(2) + pr1(3)/2; mass(2) = pr1(3)/2
+    val e = Seq((2L, 1L), (3L, 1L), (3L, 2L)).toDF("child", "parent")
+    val pr = Hierarchy.pageRank(e, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    val pr1_2 = 0.05 + 0.85 / 6.0
+    pr(1L) shouldBe (0.05 + 0.85 * (pr1_2 + 0.025)) +- 1e-12
+    pr(2L) shouldBe (0.05 + 0.85 * 0.025) +- 1e-12
+    pr(3L) shouldBe 0.05 +- 1e-12
+  }
+
+  test("pageRank: teleport floor holds, dangling mass only shrinks the total") {
+    val pr = Hierarchy.pageRank(edges, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val n = pr.size
+    // every node keeps at least the teleport share
+    pr.values.foreach(_ should be >= (0.15 / n) - 1e-12)
+    // dangling roots drop their mass: total can only shrink from 1
+    pr.values.sum should be <= 1.0 + 1e-9
+    // a root fed by a whole subtree outranks the leaf feeding it
+    pr(1L) should be > pr(13L)
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
