@@ -828,6 +828,106 @@ object Etl extends QueryPack {
            |FROM g""".stripMargin),
     "per-key calendar gap-fill with forward-fill: dense day spine over each key's span, two keyed windows, no self-join")
 
+  /** Interval-stabbing concurrency — "how many windows are open on
+    * each day, and what do they hold" — WITHOUT joining facts to a
+    * spine: each window becomes a +1 delta at its start day and a −1
+    * delta at its end day (sweep-line), deltas aggregate to the DAY
+    * grain map-side, and one running sum over that tiny grain
+    * replays the step function. The raw fact table is touched once,
+    * scan-shaped; the only ordered window runs over calendar days —
+    * bounded by the span of time, not the volume of data, so the
+    * single-partition sort is a few-thousand-row constant even at
+    * 100 TB of facts (same grain argument as q112's daily KPI).
+    * Money stays integer from the first projection: per-window cents
+    * are rounded BEFORE any sum, so the running sum is exact long
+    * arithmetic and the oracle's independent per-day re-aggregation
+    * (a naive spine × facts range join) lands on identical integers.
+    */
+  def openWindowsPerDay(orders: DataFrame, windowDays: Int): DataFrame = {
+    val d0 = orders.select(
+      to_date(col("o_orderdate")).as("d"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val deltas = d0
+      .select(col("d").as("day"), lit(1L).as("dn"), col("cents").as("dc"))
+      .unionByName(d0.select(
+        date_add(col("d"), windowDays).as("day"),
+        lit(-1L).as("dn"), (-col("cents")).as("dc")))
+      .groupBy(col("day"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    val spine = d0
+      .agg(min(col("d")).as("lo"), date_add(max(col("d")), windowDays - 1).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(deltas, Seq("day"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        sum(coalesce(col("dn"), lit(0L))).over(w).as("open_orders"),
+        sum(coalesce(col("dc"), lit(0L))).over(w).as("open_cents"))
+  }
+
+  val q140 = Q(
+    "q140_concurrency",
+    (s, d) => openWindowsPerDay(Tables.orders(s, d), windowDays = 7),
+    // independent formulation: naive day-spine × orders range join —
+    // the oracle re-derives every day's census from scratch, it never
+    // sees the sweep-line
+    Some("""WITH d0 AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS d,
+           |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders
+           |), bounds AS (SELECT MIN(d) AS lo, MAX(d) + 6 AS hi FROM d0),
+           |spine AS (
+           |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+           |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM bounds
+           |)
+           |SELECT CAST(s.day AS TIMESTAMP) AS day,
+           |  COUNT(o.d) AS open_orders,
+           |  CAST(COALESCE(SUM(o.cents), 0) AS BIGINT) AS open_cents
+           |FROM spine s LEFT JOIN d0 o ON o.d <= s.day AND s.day < o.d + 7
+           |GROUP BY 1""".stripMargin),
+    "sweep-line interval concurrency: open 7-day windows per day via +1/−1 deltas + one day-grain running sum")
+
+  /** First-order transition matrix over each key's time-ordered event
+    * stream — the user-journey Markov table (which step follows
+    * which, and how often). One keyed lag window pairs each event
+    * with its successor, then two map-side-combinable aggregates:
+    * pair counts and per-source totals, joined back broadcast (the
+    * matrix is |event_type|² — model-sized). Probabilities are
+    * emitted in integer 1e-6 units from one division of exact longs,
+    * so the hash compare is never at the mercy of float formatting.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") * lit(1000000L) / col("tot")).cast("long").as("p_e6"))
+  }
+
+  val q141 = Q(
+    "q141_transitions",
+    (s, d) => transitionMatrix(Tables.events(s, d)),
+    Some("""WITH seq AS (
+           |  SELECT event_type,
+           |    LEAD(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS next_type
+           |  FROM events
+           |), pairs AS (
+           |  SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+           |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+           |), tot AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY 1)
+           |SELECT p.prev_type, p.next_type, p.n,
+           |  CAST(ROUND(p.n * 1000000 / t.tot) AS BIGINT) AS p_e6
+           |FROM pairs p JOIN tot t USING (prev_type)""".stripMargin),
+    "per-key Markov transition matrix: one keyed lead window, pair counts + broadcast totals, integer 1e-6 probabilities")
+
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116, q120, q124, q126, q138, q139)
+    q115, q116, q120, q124, q126, q138, q139, q140, q141)
 }

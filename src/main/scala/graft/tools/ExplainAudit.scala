@@ -207,6 +207,24 @@ object ExplainAudit {
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "spine/daily equi-join lost")
+      case "q140_concurrency" =>
+        // the sweep-line's whole point: facts collapse to the DAY
+        // grain via a map-side-combinable delta aggregate BEFORE the
+        // ordered window replays the step function; losing the
+        // partial (or the spine Generate) means raw rows reached the
+        // single-partition window
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation on the deltas")
+        if (!plan.contains("Generate"))
+          v += Violation(name, "day-spine explode lost (no Generate in plan)")
+      case "q141_transitions" =>
+        // successor pairing is one KEYED window; the matrix is
+        // model-sized so the totals join must ride a broadcast, and
+        // the pair counts keep map-side partials
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "totals join lost its broadcast")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |

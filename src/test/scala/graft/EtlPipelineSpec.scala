@@ -448,6 +448,64 @@ class EtlPipelineSpec extends SparkSpec {
       (2L, "2024-01-02") -> ((750L, false)))
   }
 
+  test("sweep-line concurrency equals the naive per-day census, step-exact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Etl
+    import graft.Tables
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      (t("1995-01-01 00:00:00"), 1.00),  // open Jan 1-7
+      (t("1995-01-03 00:00:00"), 2.00),  // open Jan 3-9
+      (t("1995-01-20 00:00:00"), 4.00)   // disjoint: count falls to 0 between
+    ).toDF("o_orderdate", "o_totalprice")
+    val out = Etl.openWindowsPerDay(orders, windowDays = 7)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => r._1.toLocalDateTime.toLocalDate.toString -> ((r._2, r._3))).toMap
+    out("1995-01-01") shouldBe ((1L, 100L))
+    out("1995-01-03") shouldBe ((2L, 300L))   // both open
+    out("1995-01-07") shouldBe ((2L, 300L))   // last day of order 1
+    out("1995-01-08") shouldBe ((1L, 200L))   // order 1 expired
+    out("1995-01-10") shouldBe ((0L, 0L))     // gap between bursts
+    out("1995-01-19") shouldBe ((0L, 0L))
+    out("1995-01-20") shouldBe ((1L, 400L))
+    out("1995-01-26") shouldBe ((1L, 400L))   // spine ends at max start + 6
+    out.size shouldBe 26
+    // ≡ the naive census on corpus data (spine × range predicate)
+    val o = Tables.orders(spark, sfDir)
+    val sweep = Etl.openWindowsPerDay(o, windowDays = 7)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val d0 = o.select(to_date($"o_orderdate").as("d"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val spine = d0.agg(min($"d").as("lo"), date_add(max($"d"), 6).as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("day"))
+    val naive = spine.join(d0,
+        d0("d") <= spine("day") && spine("day") < date_add(d0("d"), 7), "left")
+      .groupBy($"day")
+      .agg(count($"d").as("n"), coalesce(sum($"cents"), lit(0L)).as("c"))
+      .select($"day".cast("timestamp"), $"n", $"c")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    sweep shouldBe naive
+  }
+
+  test("transition matrix counts successors per key in (ts, event_id) order") {
+    import graft.operators.Etl
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00"), "A"),
+      (1L, 11L, t("2024-01-01 11:00:00"), "B"),
+      (1L, 12L, t("2024-01-01 11:00:00"), "B"),  // same-ts: event_id breaks tie
+      (2L, 20L, t("2024-01-01 09:00:00"), "B"),
+      (2L, 21L, t("2024-01-01 09:30:00"), "A")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Etl.transitionMatrix(ev)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    out shouldBe Map(
+      ("A", "B") -> ((1L, 1000000L)),
+      ("B", "B") -> ((1L, 500000L)),
+      ("B", "A") -> ((1L, 500000L)))
+  }
+
   test("gap-fill on corpus events: spine dense over each span, fills match last prior day") {
     import org.apache.spark.sql.functions._
     import graft.operators.Etl
