@@ -928,6 +928,61 @@ object Etl extends QueryPack {
            |FROM pairs p JOIN tot t USING (prev_type)""".stripMargin),
     "per-key Markov transition matrix: one keyed lead window, pair counts + broadcast totals, integer 1e-6 probabilities")
 
+  /** Daily-count anomaly flags — the monitoring consumer's "which
+    * days were weird" view: per-series z-scores of daily counts
+    * against that series' own mean/std. The moments come from EXACT
+    * integer sums (k, Σn, Σn²) — never from a streaming variance
+    * aggregate, whose accumulation order differs between engines —
+    * so mean, variance and z replay as the identical IEEE expression
+    * in both the builder and the oracle, and z ships as integer 1e-6
+    * units. Two map-side-combinable aggregates (facts → day grain,
+    * day grain → per-series moments) and one broadcast join back;
+    * series with fewer than 2 observed days are excluded in both
+    * engines (variance undefined — avoids divide-by-zero dialect
+    * drift). Σn² stays in long range up to ~3 G rows/day/series;
+    * beyond that, move the moments to decimal(38,0).
+    */
+  def dailyAnomalies(events: DataFrame, zThresholdE6: Long = 3000000L): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .where(col("k") >= 2)
+    val mean = col("s1").cast("double") / col("k")
+    val variance = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("k")) /
+      (col("k") - 1)
+    daily.join(broadcast(mom), Seq("event_type"))
+      .withColumn("z_e6",
+        round((col("n") - mean) / sqrt(variance) * 1e6).cast("long"))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n"), col("z_e6"),
+        (abs(col("z_e6")) >= lit(zThresholdE6)).as("is_anomaly"))
+  }
+
+  val q142 = Q(
+    "q142_anomaly",
+    (s, d) => dailyAnomalies(Tables.events(s, d)),
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2
+           |), mom AS (
+           |  SELECT event_type, COUNT(*) AS k,
+           |    CAST(SUM(n) AS BIGINT) AS s1,
+           |    CAST(SUM(n * n) AS BIGINT) AS s2
+           |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
+           |)
+           |SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.n,
+           |  CAST(ROUND((d.n - CAST(m.s1 AS DOUBLE) / m.k)
+           |    / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+           |           / (m.k - 1)) * 1000000) AS BIGINT) AS z_e6,
+           |  ABS(CAST(ROUND((d.n - CAST(m.s1 AS DOUBLE) / m.k)
+           |    / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+           |           / (m.k - 1)) * 1000000) AS BIGINT)) >= 3000000 AS is_anomaly
+           |FROM daily d JOIN mom m USING (event_type)""".stripMargin),
+    "per-series daily-count z-scores from exact integer moments: two map-side aggregates + one broadcast join, integer 1e-6 z units")
+
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116, q120, q124, q126, q138, q139, q140, q141)
+    q115, q116, q120, q124, q126, q138, q139, q140, q141, q142)
 }

@@ -225,6 +225,17 @@ object ExplainAudit {
           v += Violation(name, "totals join lost its broadcast")
         if (plan.split("HashAggregate").length <= 2)
           v += Violation(name, "no partial (map-side) aggregation")
+      case "q142_anomaly" =>
+        // moments are model-sized (one row per series) and must join
+        // back broadcast; both aggregates keep map-side partials; a
+        // Window here means z regressed to a per-series windowed
+        // stddev (whose accumulation order the oracle can't replay)
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "moments join lost its broadcast")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
+        if (plan.contains("Window"))
+          v += Violation(name, "window in plan (moments must be exact integer aggregates)")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |

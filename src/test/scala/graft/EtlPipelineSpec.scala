@@ -506,6 +506,35 @@ class EtlPipelineSpec extends SparkSpec {
       ("B", "A") -> ((1L, 500000L)))
   }
 
+  test("daily anomaly flags: planted spike crosses 3σ, baseline days do not, singleton series excluded") {
+    import graft.operators.Etl
+    // one point's z against k samples is bounded by (k−1)/√k — at
+    // k = 10 a lone spike can never reach 3σ (2.85 max), so the
+    // planted series uses 20 days: 19 at 5/day, one at 500
+    val rows = (0 until 20).flatMap { day =>
+      val cnt = if (day == 19) 500 else 5
+      (0 until cnt).map { i =>
+        (1L, day * 1000L + i,
+          java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"),
+          "A", 1.0)
+      }
+    } ++ Seq((2L, 999999L,
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "B", 1.0))
+    val ev = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Etl.dailyAnomalies(ev)
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean)].collect()
+    out.map(_._1).toSet shouldBe Set("A") // k=1 series excluded
+    out.length shouldBe 20
+    val (anom, base) = out.partition(_._5)
+    anom.map(_._2.toLocalDateTime.getDayOfMonth) shouldBe Array(20)
+    base.length shouldBe 19
+    // z of the spike replays the exact-moment formula
+    val (k, s1, s2) = (20.0, 595.0, 250475.0)
+    val mean = s1 / k
+    val variance = (s2 - s1 * s1 / k) / (k - 1)
+    anom.head._4 shouldBe math.round((500 - mean) / math.sqrt(variance) * 1e6)
+  }
+
   test("gap-fill on corpus events: spine dense over each span, fills match last prior day") {
     import org.apache.spark.sql.functions._
     import graft.operators.Etl
