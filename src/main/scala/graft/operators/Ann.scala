@@ -1181,6 +1181,51 @@ object Ann extends QueryPack {
            |WHERE rnk <= 5""".stripMargin),
     "hard-negative mining: top-5 cosine among OTHER-label vectors, label filter fused into the broadcast join predicate")
 
+  /** Int8 scalar quantization — the standard ANN memory optimization
+    * (4× smaller vectors, SIMD-friendly integer dot products): each
+    * vector scales by its own max-|x| and rounds to [−127, 127].
+    * Pure per-row map over the scan — no shuffle, no join, the shape
+    * that costs exactly one pass at 100 TB. The per-vector dequant
+    * error bound |x − q·scale/127| ≤ scale/254 (round-to-nearest)
+    * is emitted as a verdict column computed by the IDENTICAL IEEE
+    * expression in builder and oracle — every arithmetic step
+    * (scale extraction, quantize, dequant-error, bound compare) is
+    * elementwise and association-free, so the hash compare holds
+    * bit-exactly, doubles included. Zero vectors (scale = 0) are
+    * excluded in both engines rather than special-cased.
+    */
+  def quantizeEmbeddings(df: DataFrame): DataFrame = {
+    val withScale = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .where(col("scale") > 0)
+    withScale
+      .withColumn("qvec",
+        transform(col("v"), x => round(x / col("scale") * 127).cast("int")))
+      .withColumn("max_err", array_max(zip_with(col("v"), col("qvec"),
+        (x, q) => abs(x - q * col("scale") / 127))))
+      .select(col("vec_id"), col("scale"), col("qvec"),
+        (col("max_err") <= col("scale") / 127 * 0.5000001).as("quant_ok"))
+  }
+
+  val q143 = Q(
+    "q143_embed_quant",
+    (s, d) => quantizeEmbeddings(emb(s, d)),
+    Some("""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), sc AS (
+           |  SELECT vec_id, v,
+           |    list_max(list_transform(v, x -> abs(x))) AS scale
+           |  FROM e
+           |)
+           |SELECT vec_id, scale,
+           |  list_transform(v, x -> CAST(ROUND(x / scale * 127) AS INT)) AS qvec,
+           |  list_max(list_transform(v,
+           |    x -> abs(x - ROUND(x / scale * 127) * scale / 127)))
+           |    <= scale / 127 * 0.5000001 AS quant_ok
+           |FROM sc WHERE scale > 0""".stripMargin),
+    "int8 scalar quantization of embeddings: per-vector max-abs scale, one shuffle-free pass, dequant error bound verdict")
+
   val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92,
-    q105, q117)
+    q105, q117, q143)
 }

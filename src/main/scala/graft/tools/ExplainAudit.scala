@@ -225,6 +225,13 @@ object ExplainAudit {
           v += Violation(name, "totals join lost its broadcast")
         if (plan.split("HashAggregate").length <= 2)
           v += Violation(name, "no partial (map-side) aggregation")
+      case "q143_embed_quant" =>
+        // quantization is a pure per-row map over the scan — any
+        // Exchange/Window/join means the one-pass shape broke
+        if (plan.contains("Exchange"))
+          v += Violation(name, "shuffle in plan (quantization must be a pure scan map)")
+        if (plan.contains("Window"))
+          v += Violation(name, "window in plan")
       case "q142_anomaly" =>
         // moments are model-sized (one row per series) and must join
         // back broadcast; both aggregates keep map-side partials; a

@@ -333,6 +333,27 @@ class AnnSpec extends SparkSpec {
       Ann.ivfCentroids(e, nc = 8, iters = 2).map(_.toSeq).toSeq
   }
 
+  test("int8 quantization: crafted vectors quantize exactly, bound holds, zero vecs drop") {
+    val ev = Seq(
+      (1L, Array(0.5f, -0.5f, 0.25f, 0.0f)),   // scale 0.5 → q = 127,-127,64(63.5 rounds away),0
+      (2L, Array(-2.0f, 1.0f, 0.0f, 0.5f)),    // negative max-abs → scale 2.0
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))      // zero vector: excluded
+    ).toDF("vec_id", "embedding")
+    val out = Ann.quantizeEmbeddings(ev)
+      .as[(Long, Double, Array[Int], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq, r._4))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((0.5, Seq(127, -127, 64, 0), true))  // 63.5 → 64 (half away from zero)
+    out(2L) shouldBe ((2.0, Seq(-127, 64, 0, 32), true))   // 31.75 → 32
+    // corpus: every vector in-bound, every code in [-127, 127]
+    val c = Ann.quantizeEmbeddings(Tables.embeddings(spark, sfDir)).cache()
+    c.where(!$"quant_ok").count() shouldBe 0L
+    c.where(exists($"qvec", q => abs(q) > 127)).count() shouldBe 0L
+    c.count() shouldBe Tables.embeddings(spark, sfDir).count()
+    c.unpersist()
+    ()
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
