@@ -1226,6 +1226,55 @@ object Ann extends QueryPack {
            |FROM sc WHERE scale > 0""".stripMargin),
     "int8 scalar quantization of embeddings: per-vector max-abs scale, one shuffle-free pass, dequant error bound verdict")
 
+  /** Top-k search IN the quantized domain — the consumer that makes
+    * q143 a search optimization rather than a compression trick.
+    * Per-vector scales CANCEL in cosine (dq(x) = q·scale/127), so
+    * the quantized score is pure integer algebra over the codes —
+    * deterministic to the bit, ties only between identical code
+    * triples (broken by cid in both engines). Same brute shape as
+    * q34: queries broadcast over one scan of the (cached) quantized
+    * corpus; at 100 TB the integer codes are what actually fits in
+    * memory/SIMD — this is the fidelity audit for that trade.
+    * AnnSpec pins recall@5 against the exact-domain q34 ranking.
+    */
+  def quantSearch(df: DataFrame, k: Int): DataFrame = {
+    val qz = quantizeEmbeddings(df)
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("v"))
+      .transform(graft.util.reused) // quantize once; both join sides read it
+    val q = qz.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = qz.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("score", cosineFast(col("qv"), col("cv")))
+    topK(scored, k)
+  }
+
+  val q144 = Q(
+    "q144_quant_search",
+    (s, d) => quantSearch(emb(s, d), 5),
+    Some("""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), sc AS (
+           |  SELECT vec_id, v,
+           |    list_max(list_transform(v, x -> abs(x))) AS scale
+           |  FROM e
+           |), z AS (
+           |  SELECT vec_id, list_transform(v,
+           |    x -> CAST(CAST(ROUND(x / scale * 127) AS INT) AS DOUBLE)) AS v
+           |  FROM sc WHERE scale > 0
+           |), q AS (SELECT vec_id AS qid, v AS qv FROM z WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM z),
+           |scored AS (
+           |  SELECT qid, cid,
+           |    list_dot_product(qv, cv) /
+           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+           |  FROM q JOIN c ON cid <> qid)
+           |SELECT qid, cid, CAST(rnk AS INT) AS rnk, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+           |WHERE rnk <= 5""".stripMargin),
+    "top-5 cosine in the int8 domain: scales cancel, scores are exact integer algebra, q34's brute shape")
+
   val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92,
-    q105, q117, q143)
+    q105, q117, q143, q144)
 }

@@ -232,6 +232,14 @@ object ExplainAudit {
           v += Violation(name, "shuffle in plan (quantization must be a pure scan map)")
         if (plan.contains("Window"))
           v += Violation(name, "window in plan")
+      case "q144_quant_search" =>
+        // q34's brute contract: the 10 queries ride a BROADCAST over
+        // one scan of the quantized corpus — a shuffle join here
+        // means the corpus got exchanged to meet the query set
+        if (!plan.contains("BroadcastNestedLoopJoin"))
+          v += Violation(name, "query set lost its broadcast (corpus-side shuffle join)")
+        if (plan.contains("SortMergeJoin"))
+          v += Violation(name, "SortMergeJoin in plan (corpus must not shuffle to the queries)")
       case "q142_anomaly" =>
         // moments are model-sized (one row per series) and must join
         // back broadcast; both aggregates keep map-side partials; a

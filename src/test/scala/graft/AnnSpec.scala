@@ -354,6 +354,28 @@ class AnnSpec extends SparkSpec {
     ()
   }
 
+  test("quantized-domain search: high recall vs the exact-domain ranking") {
+    val e = Tables.embeddings(spark, sfDir)
+    val qk = Ann.quantSearch(e, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val exact = {
+      val q = e.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"score".desc, $"cid".asc)
+      c.join(broadcast(q), $"cid" =!= $"qid")
+        .withColumn("score", cosineFast($"qv", $"cv"))
+        .withColumn("rnk", row_number().over(w)).where($"rnk" <= 5)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    }
+    // int8 cosine perturbation is ~1e-3; near-ties may swap tail
+    // ranks but the sets must substantially agree
+    val recall = (qk intersect exact).size.toDouble / exact.size
+    recall should be >= 0.8
+    qk.size shouldBe exact.size
+  }
+
   test("LSH candidate volume is a fraction of the corpus (it's not brute force)") {
     val n = Tables.embeddings(spark, sfDir).count()
     val buckets = Ann.lshBuckets(Tables.embeddings(spark, sfDir), tables = 8, bits = 4)
