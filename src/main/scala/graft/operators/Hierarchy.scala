@@ -531,15 +531,15 @@ object Hierarchy extends QueryPack {
   def pageRank(edgesDf: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     val links = edgesDf.select(col("child").as("src"), col("parent").as("dst"))
-    // cache (lazily — no action here) the two subtrees every
+    // persist (lazily — no action here) the two subtrees every
     // iteration re-reads: without it the lazy k-deep plan recomputes
     // the node dictionary and the degree-joined edge list once per
-    // unrolled round
-    val nodes = links.select(col("src").as("node"))
-      .union(links.select(col("dst"))).distinct().cache()
+    // unrolled round. reused() registers them for session cleanup.
+    val nodes = graft.util.reused(links.select(col("src").as("node"))
+      .union(links.select(col("dst"))).distinct())
     val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outDeg = links.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
-    val contrib = links.join(outDeg, Seq("src")).cache()
+    val contrib = graft.util.reused(links.join(outDeg, Seq("src")))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
     for (_ <- 1 to iters) {
