@@ -782,9 +782,9 @@ object Etl extends QueryPack {
     * length. Cents stay integer end-to-end (the q90 contract).
     */
   def gapFillDaily(events: DataFrame): DataFrame = {
-    val daily = events
+    val daily = graft.util.reused(events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")) * 100).cast("long").as("day_cents"))
+      .agg(round(sum(col("value")) * 100).cast("long").as("day_cents")))
     val spine = daily
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -833,8 +833,10 @@ object Etl extends QueryPack {
     * spine: each window becomes a +1 delta at its start day and a −1
     * delta at its end day (sweep-line), deltas aggregate to the DAY
     * grain map-side, and one running sum over that tiny grain
-    * replays the step function. The raw fact table is touched once,
-    * scan-shaped; the only ordered window runs over calendar days —
+    * replays the step function. The raw fact table is touched exactly
+    * once (both deltas explode locally from each row; the spine
+    * bounds read the cached day-grain aggregate, not the facts); the
+    * only ordered window runs over calendar days —
     * bounded by the span of time, not the volume of data, so the
     * single-partition sort is a few-thousand-row constant even at
     * 100 TB of facts (same grain argument as q112's daily KPI).
@@ -844,18 +846,29 @@ object Etl extends QueryPack {
     * (a naive spine × facts range join) lands on identical integers.
     */
   def openWindowsPerDay(orders: DataFrame, windowDays: Int): DataFrame = {
-    val d0 = orders.select(
-      to_date(col("o_orderdate")).as("d"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val deltas = d0
-      .select(col("d").as("day"), lit(1L).as("dn"), col("cents").as("dc"))
-      .unionByName(d0.select(
-        date_add(col("d"), windowDays).as("day"),
-        lit(-1L).as("dn"), (-col("cents")).as("dc")))
+    // both deltas emit from ONE pass over the facts via a local
+    // explode (the containmentPairs trick — a union of two
+    // projections would scan the fact table twice per action), and
+    // the spine bounds derive from the reused day-grain aggregate
+    // (start days flagged there), so the facts really are touched
+    // exactly once
+    val deltas = graft.util.reused(orders
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(explode(array(
+        struct(col("d").as("day"), lit(1L).as("dn"),
+          col("cents").as("dc"), lit(1).as("st")),
+        struct(date_add(col("d"), windowDays).as("day"), lit(-1L).as("dn"),
+          (-col("cents")).as("dc"), lit(0).as("st")))).as("e"))
+      .select(col("e.day").as("day"), col("e.dn").as("dn"),
+        col("e.dc").as("dc"), col("e.st").as("st"))
       .groupBy(col("day"))
-      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
-    val spine = d0
-      .agg(min(col("d")).as("lo"), date_add(max(col("d")), windowDays - 1).as("hi"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"),
+        max(col("st")).as("has_start")))
+    val spine = deltas
+      .agg(min(when(col("has_start") === 1, col("day"))).as("lo"),
+        date_add(max(when(col("has_start") === 1, col("day"))), windowDays - 1).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -899,12 +912,15 @@ object Etl extends QueryPack {
     */
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = events
+    // reused: the matrix aggregate feeds both the totals and the
+    // probe side — without it the window+aggregate subtree plans
+    // twice per action (ReuseExchange only dedupes the map side)
+    val pairs = graft.util.reused(events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .where(col("next_type").isNotNull)
       .groupBy(col("event_type").as("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
     pairs.join(broadcast(totals), Seq("prev_type"))
       .select(col("prev_type"), col("next_type"), col("n"),
@@ -937,19 +953,26 @@ object Etl extends QueryPack {
     * in both the builder and the oracle, and z ships as integer 1e-6
     * units. Two map-side-combinable aggregates (facts → day grain,
     * day grain → per-series moments) and one broadcast join back;
-    * series with fewer than 2 observed days are excluded in both
-    * engines (variance undefined — avoids divide-by-zero dialect
-    * drift). Σn² stays in long range up to ~3 G rows/day/series;
-    * beyond that, move the moments to decimal(38,0).
+    * series with fewer than 2 observed days OR constant counts are
+    * excluded in both engines (variance undefined or exactly 0 —
+    * z would be NaN, which the two engines cast differently). Σn²
+    * stays in long range up to ~3 G rows/day/series; beyond that,
+    * move the moments to decimal(38,0).
     */
   def dailyAnomalies(events: DataFrame, zThresholdE6: Long = 3000000L): DataFrame = {
-    val daily = events
+    val daily = graft.util.reused(events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val mom = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
-      .where(col("k") >= 2)
+      // k ≥ 2 AND variance > 0, the latter as the EXACT integer
+      // predicate k·Σn² > (Σn)² — a constant-count series has
+      // variance exactly 0 and z = 0/0 = NaN, which Spark's
+      // cast-to-long silently maps to 0 while DuckDB refuses to cast:
+      // both degenerate cases leave the result in both engines here
+      .where(col("k") >= 2 &&
+        col("k") * col("s2") > col("s1") * col("s1"))
     val mean = col("s1").cast("double") / col("k")
     val variance = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("k")) /
       (col("k") - 1)
@@ -971,7 +994,9 @@ object Etl extends QueryPack {
            |  SELECT event_type, COUNT(*) AS k,
            |    CAST(SUM(n) AS BIGINT) AS s1,
            |    CAST(SUM(n * n) AS BIGINT) AS s2
-           |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
+           |  FROM daily GROUP BY 1
+           |  HAVING COUNT(*) >= 2
+           |     AND COUNT(*) * SUM(n * n) > SUM(n) * SUM(n)
            |)
            |SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.n,
            |  CAST(ROUND((d.n - CAST(m.s1 AS DOUBLE) / m.k)

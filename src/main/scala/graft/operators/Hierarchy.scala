@@ -562,8 +562,13 @@ object Hierarchy extends QueryPack {
     * rank vector `prev` → next, same algebra as [[pageRank]].
     */
   private def oraclePrStep(prev: String): String =
+    // (1e0 - 0.85e0), not the 0.15 decimal literal: the builder's
+    // teleport is the DOUBLE subtraction lit(1.0) - damping
+    // (= 0.15000000000000002), one ulp off the nearest-double of
+    // 0.15 — the oracle must run the same IEEE op, and DuckDB's bare
+    // decimal literals are DECIMAL-typed, hence the e0 suffixes
     s"""SELECT n.node,
-       |    0.15 / nn.n_nodes + 0.85 * COALESCE(m.mass, 0) AS pr
+       |    (1e0 - 0.85e0) / nn.n_nodes + 0.85e0 * COALESCE(m.mass, 0) AS pr
        |  FROM nodes n CROSS JOIN nn
        |  LEFT JOIN (
        |    SELECT e.parent AS node, SUM(r.pr / od.deg) AS mass
@@ -575,9 +580,12 @@ object Hierarchy extends QueryPack {
     "q137_pagerank",
     (s, d) => pageRank(edges(s, d), iters = 3)
       .select(col("node"), round(col("pr") * 1e7).cast("long").as("pr_e7")),
-    // unrolled 3-step mirror of the same recurrence; ranks are scaled
-    // to integer 1e-7 units so the hash compare never rides raw
-    // float-sum associativity
+    // unrolled 3-step mirror of the same recurrence; every literal is
+    // forced to the builder's exact double (see oraclePrStep), so the
+    // only cross-engine drift left is per-parent SUM accumulation
+    // order (≤ a few ulps ≈ 1e-15 relative) — and ranks ship as
+    // ROUND(pr·1e7) integers, leaving ~6 orders of magnitude between
+    // that noise and the rounding quantum
     Some("""WITH edges AS (
            |  SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey >= 1
            |  UNION

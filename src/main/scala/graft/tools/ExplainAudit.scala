@@ -200,13 +200,19 @@ object ExplainAudit {
           v += Violation(name, "bucket equi-join lost")
       case "q139_gapfill" =>
         // spine explode is a Generate; the observed-days join is an
-        // EQUI join on (key, day); both windows partition by key —
-        // a global (unpartitioned) sort is the degradation to watch
+        // EQUI join on (key, day); both windows must PARTITION by the
+        // key — a windowspecdefinition whose first expression is not
+        // user_id is an unpartitioned (or mis-keyed) window sorting
+        // the whole spine on one task
         if (!plan.contains("Generate"))
           v += Violation(name, "day-spine explode lost (no Generate in plan)")
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "spine/daily equi-join lost")
+        val specs = raw"windowspecdefinition\(([^,)]*)".r
+          .findAllMatchIn(plan).map(_.group(1)).toList
+        if (specs.isEmpty || specs.exists(s => !s.startsWith("user_id")))
+          v += Violation(name, "window lost its user_id partition (global sort)")
       case "q140_concurrency" =>
         // the sweep-line's whole point: facts collapse to the DAY
         // grain via a map-side-combinable delta aggregate BEFORE the

@@ -518,12 +518,16 @@ class EtlPipelineSpec extends SparkSpec {
           java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"),
           "A", 1.0)
       }
-    } ++ Seq((2L, 999999L,
-      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "B", 1.0))
+    } ++ Seq(
+      (2L, 999999L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "B", 1.0),
+      // constant-count series: variance exactly 0 → z = 0/0 = NaN,
+      // which the two engines cast differently — must be excluded
+      (3L, 999997L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "C", 1.0),
+      (3L, 999998L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "C", 1.0))
     val ev = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
     val out = Etl.dailyAnomalies(ev)
       .as[(String, java.sql.Timestamp, Long, Long, Boolean)].collect()
-    out.map(_._1).toSet shouldBe Set("A") // k=1 series excluded
+    out.map(_._1).toSet shouldBe Set("A") // k=1 and zero-variance series excluded
     out.length shouldBe 20
     val (anom, base) = out.partition(_._5)
     anom.map(_._2.toLocalDateTime.getDayOfMonth) shouldBe Array(20)
