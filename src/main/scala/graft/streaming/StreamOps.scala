@@ -22,6 +22,17 @@ case class OpenSession(start_us: Long, last_us: Long, n: Long, total: Double)
 case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
     n_events: Long, duration_us: Long, total_value: Double)
 
+/** Typed event for the transition stream (q141's streaming twin). */
+case class TransEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, ts_us: Long, event_type: String)
+
+/** Per-user chain link kept between micro-batches. */
+case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+
+/** One observed transition, emitted as soon as the successor lands. */
+case class TransPair(user_id: Long, prev_type: String, next_type: String,
+    ts_us: Long)
+
 /** Structured Streaming operators. The transformation is defined ONCE
   * over an unbound DataFrame and applied identically to batch and
   * stream inputs — the Spark idiom that makes a batch oracle a valid
@@ -137,6 +148,56 @@ object StreamOps extends QueryPack {
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
+  }
+
+  /** Streaming successor pairing — q141's transition stream at
+    * ingest: each arriving event pairs with its user's previous one
+    * and the (prev_type, next_type) edge emits immediately (Append);
+    * the live transition matrix is then an ordinary downstream
+    * aggregation of this stream. State is ONE link per active user
+    * (the last event's ts/id/type); an event-time timeout drops
+    * users idle longer than `idleTimeout` past the watermark, so
+    * state stays bounded by the ACTIVE population on an unbounded
+    * stream — the documented trade is that a chain broken by the
+    * idle drop restarts fresh (no pair across the horizon), the same
+    * contract sessionize applies to its gap. Events inside a
+    * micro-batch sort by (ts_us, event_id) — q141's exact successor
+    * order; cross-batch disorder beyond the watermark delay is the
+    * stream's correctness contract, as for every event-time op here.
+    */
+  def streamingTransitions(events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      idleTimeoutMinutes: Long = 240): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def onGroup(user: Long, it: Iterator[TransEvent],
+        state: GroupState[LastEvent]): Iterator[TransPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+        val out = Seq.newBuilder[TransPair]
+        var last = state.getOption
+        evs.foreach { e =>
+          last.foreach(l =>
+            out += TransPair(user, l.event_type, e.event_type, e.ts_us))
+          last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
+        }
+        last.foreach { l =>
+          state.update(l)
+          state.setTimeoutTimestamp(l.ts_us / 1000 + idleTimeoutMinutes * 60L * 1000)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[TransEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
   }

@@ -251,6 +251,37 @@ class StreamingSpec extends SparkSpec {
     (train.select($"doc_id").as[Long].collect().toSet -- want) should not be empty
   }
 
+  test("streaming transitions match the batch lead-window pairing") {
+    val dir = stageEvents()
+    // idle timeout far beyond the corpus span: the spec pins exact
+    // batch equivalence; the production default (4h) trades chains
+    // across idle horizons for bounded state
+    val stream = StreamOps.streamingTransitions(
+      StreamOps.readEventStream(spark, dir, eventsSchema),
+      idleTimeoutMinutes = 365L * 24 * 60)
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("q141_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val streamed = spark.table("q141_stream_test")
+      .as[graft.streaming.TransPair].collect().toSet
+    // independent batch reference: per-user (ts, event_id)-sorted
+    // successor pairs, plain Scala
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      es.sortBy(e => (e._3, e._2)).toList.sliding(2).collect {
+        case List(a, b) => graft.streaming.TransPair(u, a._4, b._4, b._3)
+      }
+    }.toSet
+    streamed shouldBe expected
+    expected.size should be > 0
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
@@ -554,6 +585,19 @@ class StreamingSpec extends SparkSpec {
         so.sess_end_us should be >= so.sess_start_us
         so.n_events.toLong should be >= 1L
       }
+
+      // transition-chain state: pair count is exactly
+      // (events − active users) when no chain crosses the idle drop
+      val dir4 = stageEvents()
+      val q4 = StreamOps.streamingTransitions(
+        StreamOps.readEventStream(spark, dir4, eventsSchema),
+        idleTimeoutMinutes = 365L * 24 * 60)
+        .writeStream.format("memory").queryName("rocks_trans")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q4.awaitTermination(120000)
+      val ev = Tables.events(spark, sfDir)
+      spark.table("rocks_trans").count() shouldBe
+        (ev.count() - ev.select("user_id").distinct().count())
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
