@@ -33,6 +33,27 @@ case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
 case class TransPair(user_id: Long, prev_type: String, next_type: String,
     ts_us: Long)
 
+/** Typed event for the streaming anomaly monitor. */
+case class AnomEvent(event_type: String, event_id: Long,
+    ts: java.sql.Timestamp, ts_us: Long)
+
+/** Per-series monitor state: exact integer moments over CLOSED days
+  * (q142's k/Σn/Σn² discipline — mergeable, order-free, tiny), the
+  * open per-day counts still inside the watermark horizon, and the
+  * closed frontier (epoch day, exclusive) that makes late-beyond-
+  * watermark drops explicit.
+  */
+case class AnomState(k: Long, s1: Long, s2: Long,
+    openDays: Map[Long, Long], closedThrough: Long)
+
+/** A closed day's verdict: its count and the z-score against the
+  * moments of all PRIOR closed days (expanding history — the monitor
+  * never scores a day against data that hadn't happened yet).
+  * `z_e6` is None until the history has ≥2 days with variance > 0.
+  */
+case class AnomOut(event_type: String, day: Long, n: Long,
+    z_e6: Option[Long], is_anomaly: Boolean)
+
 /** Structured Streaming operators. The transformation is defined ONCE
   * over an unbound DataFrame and applied identically to batch and
   * stream inputs — the Spark idiom that makes a batch oracle a valid
@@ -199,6 +220,75 @@ object StreamOps extends QueryPack {
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .as[TransEvent]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
+  }
+
+  /** Streaming daily-count anomaly monitor — q142 live, with the
+    * semantics a monitor actually wants: each day scores against the
+    * moments of the days BEFORE it (expanding history), never against
+    * data that hadn't happened yet. One state row per series holds
+    * q142's exact integer moments (k, Σn, Σn² — order-free to merge,
+    * bytes to store) plus the open per-day counts inside the
+    * watermark horizon; when the watermark passes a day's end the day
+    * closes IN DAY ORDER: its verdict emits (Append), then its count
+    * folds into the moments and the frontier advances — events later
+    * than the frontier are dropped, the explicit form of the
+    * watermark contract. z replays q142's formula from the same
+    * integer moments, so stream and batch agree bit-for-bit on the
+    * same history; the z is None until ≥2 prior days with variance>0
+    * (the NaN exclusion q142 applies). State is O(series ×
+    * days-in-horizon) — bounded on an unbounded stream.
+    */
+  def streamingAnomaly(events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      zThresholdE6: Long = 3000000L): Dataset[AnomOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val usPerDay = 86400000000L
+
+    def verdict(s: AnomState, day: Long, n: Long): AnomOut =
+      if (s.k >= 2 && s.k * s.s2 > s.s1 * s.s1) {
+        val mean = s.s1.toDouble / s.k
+        val variance = (s.s2.toDouble - s.s1.toDouble * s.s1 / s.k) / (s.k - 1)
+        val z = math.round((n - mean) / math.sqrt(variance) * 1e6)
+        AnomOut(null, day, n, Some(z), math.abs(z) >= zThresholdE6)
+      } else AnomOut(null, day, n, None, false)
+
+    def onGroup(etype: String, it: Iterator[AnomEvent],
+        state: GroupState[AnomState]): Iterator[AnomOut] = {
+      var s = state.getOption.getOrElse(AnomState(0L, 0L, 0L, Map.empty, Long.MinValue))
+      // fold new events into open days; drop anything at or before the
+      // closed frontier (late beyond watermark — its day already emitted)
+      if (!state.hasTimedOut) it.foreach { e =>
+        val day = e.ts_us / usPerDay
+        if (day >= s.closedThrough)
+          s = s.copy(openDays = s.openDays.updated(day, s.openDays.getOrElse(day, 0L) + 1L))
+      }
+      // close every open day whose end the watermark has passed, in
+      // day order: emit against the moments SO FAR, then fold
+      val wmMs = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[AnomOut]
+      s.openDays.keys.toSeq.sorted.foreach { day =>
+        if ((day + 1) * (usPerDay / 1000) <= wmMs) {
+          val n = s.openDays(day)
+          out += verdict(s, day, n).copy(event_type = etype)
+          s = AnomState(s.k + 1, s.s1 + n, s.s2 + n * n,
+            s.openDays - day, day + 1)
+        }
+      }
+      state.update(s)
+      // re-arm: wake when the earliest still-open day can close
+      if (s.openDays.nonEmpty)
+        state.setTimeoutTimestamp((s.openDays.keys.min + 1) * (usPerDay / 1000))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[AnomEvent]
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 

@@ -282,6 +282,51 @@ class StreamingSpec extends SparkSpec {
     expected.size should be > 0
   }
 
+  test("streaming anomaly: expanding-history z per closed day, bit-equal to the batch fold") {
+    val dir = stageEvents()
+    val stream = StreamOps.streamingAnomaly(
+      StreamOps.readEventStream(spark, dir, eventsSchema))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("q142_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val streamed = spark.table("q142_stream_test")
+      .as[graft.streaming.AnomOut].collect().toSet
+
+    // independent reference: per type, days close once the final
+    // watermark (global max event ms − 1h delay) passes their end,
+    // each scored against the prefix moments with q142's formula —
+    // same integer inputs, same JVM double ops, so equality is exact
+    val evs = Tables.events(spark, sfDir)
+      .select($"event_type", unix_micros($"ts").as("ts_us"))
+      .as[(String, Long)].collect()
+    val usPerDay = 86400000000L
+    val wmFinal = evs.map(_._2).max / 1000 - 3600L * 1000
+    val expected = evs.groupBy(_._1).flatMap { case (t, es) =>
+      val byDay = es.groupBy(_._2 / usPerDay)
+        .map { case (d, xs) => d -> xs.length.toLong }
+      var (k, s1, s2) = (0L, 0L, 0L)
+      byDay.keys.toSeq.sorted.collect { case d if (d + 1) * 86400000L <= wmFinal =>
+        val n = byDay(d)
+        val out = if (k >= 2 && k * s2 > s1 * s1) {
+          val mean = s1.toDouble / k
+          val vr = (s2.toDouble - s1.toDouble * s1 / k) / (k - 1)
+          val z = math.round((n - mean) / math.sqrt(vr) * 1e6)
+          graft.streaming.AnomOut(t, d, n, Some(z), math.abs(z) >= 3000000L)
+        } else graft.streaming.AnomOut(t, d, n, None, false)
+        k += 1; s1 += n; s2 += n * n
+        out
+      }
+    }.toSet
+    streamed shouldBe expected
+    // the corpus closes most days and scores all but the first two
+    expected.size should be > 0
+    expected.count(_.z_e6.isDefined) should be > 0
+  }
+
   test("streaming sessionization matches batch gap sessions") {
     val dir = stageEvents()
     val stream = StreamOps.streamingSessionize(
