@@ -20,7 +20,9 @@ class ExplainAuditSpec extends SparkSpec {
     for (name <- Seq("q01_filter_project", "q02_agg_group",
         "q03_join_broadcast", "q04_join_shuffle", "q05_multijoin",
         "q108_keyword_search", "q109_cohort_retention",
-        "q110_basket_pairs")) {
+        "q110_basket_pairs", "q137_pagerank", "q138_interval_events",
+        "q139_gapfill", "q140_concurrency", "q141_transitions",
+        "q142_anomaly", "q143_embed_quant", "q144_quant_search")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       ExplainAudit.violations(name, plan(df)) shouldBe empty
     }
@@ -38,6 +40,18 @@ class ExplainAuditSpec extends SparkSpec {
       val vs = ExplainAudit.violations("q03_join_broadcast", plan(degraded))
       vs.map(_.rule).exists(_.contains("BroadcastHashJoin")) shouldBe true
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("seeded regression: gap-fill window losing its key partition is caught") {
+    // q139's running-count window WITHOUT partitionBy(user_id) — the
+    // single-task global sort the windowspecdefinition rule guards
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("day_cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val degraded = daily.withColumn("grp", count(col("day_cents")).over(w))
+    val vs = ExplainAudit.violations("q139_gapfill", plan(degraded))
+    vs.map(_.rule).exists(_.contains("partition")) shouldBe true
   }
 
   test("seeded regression: a non-broadcast cross join is flagged as cartesian") {
