@@ -26,16 +26,22 @@ case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
 case class TransEvent(user_id: Long, event_id: Long,
     ts: java.sql.Timestamp, ts_us: Long, event_type: String)
 
-/** Per-user chain link kept between micro-batches. */
+/** Per-user transition state: the last EMITTED event (the chain
+  * link) plus the events still inside the watermark horizon, held
+  * back until no earlier event can legally arrive.
+  */
 case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+case class TransState(last: Option[LastEvent], buffer: Seq[LastEvent])
 
 /** One observed transition, emitted as soon as the successor lands. */
 case class TransPair(user_id: Long, prev_type: String, next_type: String,
     ts_us: Long)
 
-/** Typed event for the streaming anomaly monitor. */
-case class AnomEvent(event_type: String, event_id: Long,
-    ts: java.sql.Timestamp, ts_us: Long)
+/** Typed event for the streaming anomaly monitor — a counter needs
+  * only (series, event time); no id rides the shuffle.
+  */
+case class AnomEvent(event_type: String, ts: java.sql.Timestamp,
+    ts_us: Long)
 
 /** Per-series monitor state: exact integer moments over CLOSED days
   * (q142's k/Σn/Σn² discipline — mergeable, order-free, tiny), the
@@ -174,19 +180,20 @@ object StreamOps extends QueryPack {
   }
 
   /** Streaming successor pairing — q141's transition stream at
-    * ingest: each arriving event pairs with its user's previous one
-    * and the (prev_type, next_type) edge emits immediately (Append);
-    * the live transition matrix is then an ordinary downstream
-    * aggregation of this stream. State is ONE link per active user
-    * (the last event's ts/id/type); an event-time timeout drops
-    * users idle longer than `idleTimeout` past the watermark, so
-    * state stays bounded by the ACTIVE population on an unbounded
-    * stream — the documented trade is that a chain broken by the
-    * idle drop restarts fresh (no pair across the horizon), the same
-    * contract sessionize applies to its gap. Events inside a
-    * micro-batch sort by (ts_us, event_id) — q141's exact successor
-    * order; cross-batch disorder beyond the watermark delay is the
-    * stream's correctness contract, as for every event-time op here.
+    * ingest; the live transition matrix is an ordinary downstream
+    * aggregation of the emitted edges. Arriving events are BUFFERED
+    * in state until the watermark passes them — emitting on arrival
+    * would let cross-micro-batch disorder WITHIN the watermark delay
+    * produce reversed edges the batch lead-window never yields —
+    * then released in (ts_us, event_id) order, each pairing with the
+    * chain link (the last released event). Per user the state is the
+    * link plus only the events inside the watermark horizon, and an
+    * event-time timeout drops users idle longer than `idleTimeout`
+    * past the watermark — state stays bounded by the ACTIVE
+    * population; a chain broken by the idle drop restarts fresh
+    * (sessionize's gap contract). Events later than the already-
+    * released frontier are dropped — the explicit watermark
+    * contract, same as [[streamingAnomaly]]'s closed days.
     */
   def streamingTransitions(events: DataFrame,
       watermarkDelay: String = "1 hour",
@@ -195,23 +202,40 @@ object StreamOps extends QueryPack {
     import spark.implicits._
 
     def onGroup(user: Long, it: Iterator[TransEvent],
-        state: GroupState[LastEvent]): Iterator[TransPair] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
-        val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-        val out = Seq.newBuilder[TransPair]
-        var last = state.getOption
-        evs.foreach { e =>
-          last.foreach(l =>
-            out += TransPair(user, l.event_type, e.event_type, e.ts_us))
-          last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
-        }
-        last.foreach { l =>
-          state.update(l)
-          state.setTimeoutTimestamp(l.ts_us / 1000 + idleTimeoutMinutes * 60L * 1000)
-        }
-        out.result().iterator
+        state: GroupState[TransState]): Iterator[TransPair] = {
+      var s = state.getOption.getOrElse(TransState(None, Nil))
+      if (!state.hasTimedOut) {
+        val fresh = it
+          .map(e => LastEvent(e.ts_us, e.event_id, e.event_type))
+          .filter(e => s.last.forall(f =>
+            e.ts_us > f.ts_us || (e.ts_us == f.ts_us && e.event_id > f.event_id)))
+        s = s.copy(buffer = s.buffer ++ fresh)
       }
+      val wmMs = state.getCurrentWatermarkMs()
+      val (ripe, hold) = s.buffer.partition(_.ts_us / 1000 <= wmMs)
+      val out = Seq.newBuilder[TransPair]
+      var last = s.last
+      ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        last.foreach(l =>
+          out += TransPair(user, l.event_type, e.event_type, e.ts_us))
+        last = Some(e)
+      }
+      s = TransState(last, hold)
+      // the IDLE timeout firing with nothing buffered and nothing to
+      // release is the drop signal — without this branch an idle user
+      // would re-arm against the advancing watermark forever
+      if ((state.hasTimedOut && ripe.isEmpty && hold.isEmpty) ||
+          (s.last.isEmpty && s.buffer.isEmpty)) state.remove()
+      else {
+        state.update(s)
+        // wake when the earliest held event ripens, or (idle) when
+        // the chain link ages out
+        val next =
+          if (s.buffer.nonEmpty) s.buffer.map(_.ts_us / 1000).min + 1
+          else s.last.get.ts_us / 1000 + idleTimeoutMinutes * 60L * 1000
+        state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+      }
+      out.result().iterator
     }
 
     events
@@ -223,6 +247,25 @@ object StreamOps extends QueryPack {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onGroup)
   }
 
+  /** Fold a closed day into a series' moments, saturating at the
+    * exactness bound: after the fold, Σn ≤ 3e9 keeps (Σn)² in Long
+    * and Σn² ≤ Long.Max/k keeps k·Σn² in Long — the two products the
+    * verdict computes. A fold that would break either freezes the
+    * history (the frontier still advances, the day still emitted):
+    * on a stream that never ends, verdicts keep scoring against the
+    * long frozen baseline instead of degrading to wrapped-integer
+    * NaN→0 nonsense.
+    */
+  private[graft] def foldDay(s: AnomState, day: Long, n: Long): AnomState = {
+    val k2 = s.k + 1
+    val s1b = s.s1 + n
+    val nn = if (n <= 3037000499L) n * n else Long.MaxValue // 3037000499² is the last square in Long
+    val canFold = s1b <= 3000000000L && nn != Long.MaxValue &&
+      s.s2 <= (Long.MaxValue - nn) / k2
+    if (canFold) AnomState(k2, s1b, s.s2 + nn, s.openDays - day, day + 1)
+    else s.copy(openDays = s.openDays - day, closedThrough = day + 1)
+  }
+
   /** Streaming daily-count anomaly monitor — q142 live, with the
     * semantics a monitor actually wants: each day scores against the
     * moments of the days BEFORE it (expanding history), never against
@@ -231,11 +274,12 @@ object StreamOps extends QueryPack {
     * bytes to store) plus the open per-day counts inside the
     * watermark horizon; when the watermark passes a day's end the day
     * closes IN DAY ORDER: its verdict emits (Append), then its count
-    * folds into the moments and the frontier advances — events later
-    * than the frontier are dropped, the explicit form of the
-    * watermark contract. z replays q142's formula from the same
-    * integer moments, so stream and batch agree bit-for-bit on the
-    * same history; the z is None until ≥2 prior days with variance>0
+    * folds into the moments ([[foldDay]] — saturating, never
+    * wrapping) and the frontier advances — events later than the
+    * frontier are dropped, the explicit form of the watermark
+    * contract. z replays q142's formula from the same integer
+    * moments, so stream and batch agree bit-for-bit on the same
+    * history; the z is None until ≥2 prior days with variance>0
     * (the NaN exclusion q142 applies). State is O(series ×
     * days-in-horizon) — bounded on an unbounded stream.
     */
@@ -246,21 +290,23 @@ object StreamOps extends QueryPack {
     import spark.implicits._
     val usPerDay = 86400000000L
 
-    def verdict(s: AnomState, day: Long, n: Long): AnomOut =
+    def verdict(etype: String, s: AnomState, day: Long, n: Long): AnomOut =
       if (s.k >= 2 && s.k * s.s2 > s.s1 * s.s1) {
         val mean = s.s1.toDouble / s.k
         val variance = (s.s2.toDouble - s.s1.toDouble * s.s1 / s.k) / (s.k - 1)
         val z = math.round((n - mean) / math.sqrt(variance) * 1e6)
-        AnomOut(null, day, n, Some(z), math.abs(z) >= zThresholdE6)
-      } else AnomOut(null, day, n, None, false)
+        AnomOut(etype, day, n, Some(z), math.abs(z) >= zThresholdE6)
+      } else AnomOut(etype, day, n, None, false)
 
     def onGroup(etype: String, it: Iterator[AnomEvent],
         state: GroupState[AnomState]): Iterator[AnomOut] = {
       var s = state.getOption.getOrElse(AnomState(0L, 0L, 0L, Map.empty, Long.MinValue))
       // fold new events into open days; drop anything at or before the
-      // closed frontier (late beyond watermark — its day already emitted)
+      // closed frontier (late beyond watermark — its day already
+      // emitted). floorDiv, not /: truncation would bucket pre-epoch
+      // timestamps into the wrong day (batch q142 uses to_date)
       if (!state.hasTimedOut) it.foreach { e =>
-        val day = e.ts_us / usPerDay
+        val day = Math.floorDiv(e.ts_us, usPerDay)
         if (day >= s.closedThrough)
           s = s.copy(openDays = s.openDays.updated(day, s.openDays.getOrElse(day, 0L) + 1L))
       }
@@ -271,9 +317,8 @@ object StreamOps extends QueryPack {
       s.openDays.keys.toSeq.sorted.foreach { day =>
         if ((day + 1) * (usPerDay / 1000) <= wmMs) {
           val n = s.openDays(day)
-          out += verdict(s, day, n).copy(event_type = etype)
-          s = AnomState(s.k + 1, s.s1 + n, s.s2 + n * n,
-            s.openDays - day, day + 1)
+          out += verdict(etype, s, day, n)
+          s = foldDay(s, day, n)
         }
       }
       state.update(s)
@@ -285,7 +330,7 @@ object StreamOps extends QueryPack {
 
     events
       .withWatermark("ts", watermarkDelay)
-      .select(col("event_type"), col("event_id"), col("ts"),
+      .select(col("event_type"), col("ts"),
         unix_micros(col("ts")).as("ts_us"))
       .as[AnomEvent]
       .groupByKey(_.event_type)

@@ -267,19 +267,44 @@ class StreamingSpec extends SparkSpec {
       .start()
     query.awaitTermination(120000)
     val streamed = spark.table("q141_stream_test")
-      .as[graft.streaming.TransPair].collect().toSet
+      .as[graft.streaming.TransPair].collect()
     // independent batch reference: per-user (ts, event_id)-sorted
-    // successor pairs, plain Scala
+    // successor pairs among events the final watermark RELEASED
+    // (buffered tail events inside the delay never emit), plain Scala
     val evs = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       .as[(Long, Long, Long, String)].collect()
+    val wmFinal = evs.map(_._3).max / 1000 - 3600L * 1000
     val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
-      es.sortBy(e => (e._3, e._2)).toList.sliding(2).collect {
-        case List(a, b) => graft.streaming.TransPair(u, a._4, b._4, b._3)
-      }
-    }.toSet
-    streamed shouldBe expected
+      es.filter(_._3 / 1000 <= wmFinal)
+        .sortBy(e => (e._3, e._2)).toList.sliding(2).collect {
+          case List(a, b) => graft.streaming.TransPair(u, a._4, b._4, b._3)
+        }
+    }.toSeq
+    // MULTISET compare — a set would mask multiplicity divergence on
+    // duplicate (user, prev, next, ts) pairs
+    def counts(xs: Iterable[graft.streaming.TransPair]) =
+      xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    counts(streamed) shouldBe counts(expected)
     expected.size should be > 0
+  }
+
+  test("anomaly moments saturate at the Long-exactness bound instead of wrapping") {
+    import graft.streaming.{AnomState, StreamOps}
+    // normal fold: moments advance, day leaves the open set
+    StreamOps.foldDay(AnomState(2, 10, 60, Map(5L -> 7L), 0), 5, 7) shouldBe
+      AnomState(3, 17, 109, Map.empty, 6)
+    // Σn bound: a fold pushing Σn past 3e9 freezes the history but
+    // still closes the day (frontier advances)
+    val f1 = StreamOps.foldDay(AnomState(10, 2999999999L, 1000, Map(9L -> 2L), 0), 9, 2)
+    (f1.k, f1.s1, f1.closedThrough, f1.openDays) shouldBe ((10L, 2999999999L, 10L, Map.empty))
+    // k·Σn² bound: the verdict's product must stay in Long
+    val f2 = StreamOps.foldDay(
+      AnomState(4, 100, Long.MaxValue / 5, Map(9L -> 1000000L), 0), 9, 1000000L)
+    (f2.k, f2.s2) shouldBe ((4L, Long.MaxValue / 5))
+    // a single day too large to square freezes rather than wraps
+    StreamOps.foldDay(AnomState(0, 0, 0, Map(9L -> 4000000000L), 0), 9, 4000000000L)
+      .k shouldBe 0L
   }
 
   test("streaming anomaly: expanding-history z per closed day, bit-equal to the batch fold") {
@@ -631,8 +656,8 @@ class StreamingSpec extends SparkSpec {
         so.n_events.toLong should be >= 1L
       }
 
-      // transition-chain state: pair count is exactly
-      // (events − active users) when no chain crosses the idle drop
+      // transition-chain state: per user, pairs = released − 1
+      // (events the final watermark never released stay buffered)
       val dir4 = stageEvents()
       val q4 = StreamOps.streamingTransitions(
         StreamOps.readEventStream(spark, dir4, eventsSchema),
@@ -640,9 +665,13 @@ class StreamingSpec extends SparkSpec {
         .writeStream.format("memory").queryName("rocks_trans")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q4.awaitTermination(120000)
-      val ev = Tables.events(spark, sfDir)
-      spark.table("rocks_trans").count() shouldBe
-        (ev.count() - ev.select("user_id").distinct().count())
+      val evd = Tables.events(spark, sfDir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"))
+        .as[(Long, Long)].collect()
+      val wmF = evd.map(_._2).max / 1000 - 3600L * 1000
+      val want = evd.groupBy(_._1).values
+        .map(es => math.max(0, es.count(_._2 / 1000 <= wmF) - 1)).sum
+      spark.table("rocks_trans").count() shouldBe want.toLong
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
