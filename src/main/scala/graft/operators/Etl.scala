@@ -1008,6 +1008,53 @@ object Etl extends QueryPack {
            |FROM daily d JOIN mom m USING (event_type)""".stripMargin),
     "per-series daily-count z-scores from exact integer moments: two map-side aggregates + one broadcast join, integer 1e-6 z units")
 
+  /** Forward as-of with tolerance — the training-label attachment
+    * op: for each `fromType` event, the FIRST `matchType` event by
+    * the same key at-or-after it and inside the tolerance window
+    * ("did a purchase follow this view within 6 h"). q50's as-of
+    * looks backward (latest prior); labels look forward — and the
+    * same one-shuffle discipline holds: no join, one keyed window
+    * whose RANGE frame (ts ≥ current) carries the earliest
+    * following match as a min-struct — (ts, id) lexicographic min ≡
+    * ORDER BY ts, id LIMIT 1, and a RANGE (not ROWS) frame so a
+    * match at the exact same timestamp is seen regardless of id
+    * order. Tolerance filters AFTER the min: the earliest match
+    * inside the window is the overall earliest iff any is inside —
+    * later ones are farther. Gap stays exact integer micros.
+    */
+  def forwardAsof(events: DataFrame, fromType: String, matchType: String,
+      toleranceUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(0, Window.unboundedFollowing)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("nxt", min(when(col("event_type") === matchType,
+        struct(col("ts_us"), col("event_id")))).over(w))
+      .where(col("event_type") === fromType && col("nxt").isNotNull &&
+        col("nxt.ts_us") - col("ts_us") < toleranceUs)
+      .select(col("event_id").as("view_id"),
+        col("nxt.event_id").as("purchase_id"),
+        (col("nxt.ts_us") - col("ts_us")).as("gap_us"))
+  }
+
+  val q145 = Q(
+    "q145_label_attach",
+    (s, d) => forwardAsof(Tables.events(s, d), "view", "purchase",
+      toleranceUs = 6L * 3600 * 1000000),
+    // independent formulation: the naive keyed range join + rank-1
+    Some("""WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+           |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+           |j AS (
+           |  SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           |    ROW_NUMBER() OVER (PARTITION BY v.event_id
+           |      ORDER BY p.ts, p.event_id) AS rn
+           |  FROM v JOIN p ON p.user_id = v.user_id
+           |    AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 6 HOUR)
+           |SELECT view_id, purchase_id, gap_us FROM j WHERE rn = 1""".stripMargin),
+    "forward as-of label attachment: first purchase within 6h after each view, one keyed window, no join")
+
   val all: Seq[Q] = Seq(q22, q23, q24, q25, q44, q50, q109, q112, q114,
-    q115, q116, q120, q124, q126, q138, q139, q140, q141, q142)
+    q115, q116, q120, q124, q126, q138, q139, q140, q141, q142, q145)
 }

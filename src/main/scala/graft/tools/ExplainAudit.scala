@@ -246,6 +246,16 @@ object ExplainAudit {
           v += Violation(name, "query set lost its broadcast (corpus-side shuffle join)")
         if (plan.contains("SortMergeJoin"))
           v += Violation(name, "SortMergeJoin in plan (corpus must not shuffle to the queries)")
+      case "q145_label_attach" =>
+        // the whole point: label attachment is ONE keyed window, no
+        // join of any strategy; and the window must partition by the
+        // key (same windowspecdefinition check as q139)
+        if (plan.contains("Join"))
+          v += Violation(name, "join in plan (label attachment must be one keyed window)")
+        val lspecs = raw"windowspecdefinition\(([^,)]*)".r
+          .findAllMatchIn(plan).map(_.group(1)).toList
+        if (lspecs.isEmpty || lspecs.exists(s => !s.startsWith("user_id")))
+          v += Violation(name, "window lost its user_id partition (global sort)")
       case "q142_anomaly" =>
         // moments are model-sized (one row per series) and must join
         // back broadcast; both aggregates keep map-side partials; a

@@ -539,6 +539,46 @@ class EtlPipelineSpec extends SparkSpec {
     anom.head._4 shouldBe math.round((500 - mean) / math.sqrt(variance) * 1e6)
   }
 
+  test("forward as-of: first match at-or-after inside tolerance, none beyond, same-instant counts") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Etl
+    import graft.Tables
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val hourUs = 3600L * 1000000
+    val ev = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, t("2024-01-01 12:00:00"), "purchase"),  // 2h later: first
+      (1L, 12L, t("2024-01-01 13:00:00"), "purchase"),  // second: ignored
+      (2L, 20L, t("2024-01-01 10:00:00"), "view"),
+      (2L, 21L, t("2024-01-01 10:00:00"), "purchase"),  // same instant: counts
+      (3L, 30L, t("2024-01-01 10:00:00"), "view"),
+      (3L, 31L, t("2024-01-01 17:00:00"), "purchase"),  // 7h: beyond tolerance
+      (4L, 40L, t("2024-01-01 10:00:00"), "purchase"),  // before the view: ignored
+      (4L, 41L, t("2024-01-01 11:00:00"), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Etl.forwardAsof(ev, "view", "purchase", 6 * hourUs)
+      .as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set((10L, 11L, 2 * hourUs), (20L, 21L, 0L))
+
+    // corpus: ≡ the naive keyed range join + rank-1
+    val e = Tables.events(spark, sfDir)
+    val got = Etl.forwardAsof(e, "view", "purchase", 6 * hourUs)
+      .as[(Long, Long, Long)].collect().toSet
+    val v = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), unix_micros($"ts").as("vts"))
+    val p = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), unix_micros($"ts").as("pts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"view_id").orderBy($"pts", $"purchase_id")
+    val naive = v.join(p, Seq("user_id"))
+      .where($"pts" >= $"vts" && $"pts" < $"vts" + 6 * hourUs)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"view_id", $"purchase_id", ($"pts" - $"vts").as("gap_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe naive
+    got.size should be > 0
+  }
+
   test("gap-fill on corpus events: spine dense over each span, fills match last prior day") {
     import org.apache.spark.sql.functions._
     import graft.operators.Etl
