@@ -1013,35 +1013,47 @@ object Etl extends QueryPack {
     * the same key at-or-after it and inside the tolerance window
     * ("did a purchase follow this view within 6 h"). q50's as-of
     * looks backward (latest prior); labels look forward — and the
-    * same one-shuffle discipline holds: no join, one keyed window
-    * whose RANGE frame (ts ≥ current) carries the earliest
-    * following match as a min-struct — (ts, id) lexicographic min ≡
-    * ORDER BY ts, id LIMIT 1, and a RANGE (not ROWS) frame so a
-    * match at the exact same timestamp is seen regardless of id
-    * order. Tolerance filters AFTER the min: the earliest match
-    * inside the window is the overall earliest iff any is inside —
-    * later ones are farther. Gap stays exact integer micros.
+    * same one-shuffle discipline holds: no join, one keyed window.
+    * The frame runs BACKWARD — rows sort (ts DESC, matches-first at
+    * equal ts) and a running min-struct over unboundedPreceding
+    * carries the earliest following match: Spark computes a running
+    * ROWS frame incrementally (O(k) per key), where the naive
+    * forward rangeBetween(0, unboundedFollowing) frame re-scans the
+    * partition tail per row — O(k²), a straggler on any hot key.
+    * The matches-first tie rank makes a match at the exact same
+    * timestamp visible regardless of id order (the oracle's
+    * predicate is on ts alone); (ts, id) lexicographic min ≡
+    * ORDER BY ts, id LIMIT 1. Tolerance filters AFTER the min: the
+    * earliest match inside the window is the overall earliest iff
+    * any is inside — later ones are farther. NULL keys are dropped
+    * up front (the oracle's equi-join never matches NULL; a window
+    * partition would). Gap stays exact integer micros.
     */
   def forwardAsof(events: DataFrame, fromType: String, matchType: String,
       toleranceUs: Long): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      .rangeBetween(0, Window.unboundedFollowing)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("tierank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
+      .where(col("user_id").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
+      .withColumn("tierank", when(col("event_type") === matchType, 0).otherwise(1))
       .withColumn("nxt", min(when(col("event_type") === matchType,
         struct(col("ts_us"), col("event_id")))).over(w))
       .where(col("event_type") === fromType && col("nxt").isNotNull &&
         col("nxt.ts_us") - col("ts_us") < toleranceUs)
-      .select(col("event_id").as("view_id"),
-        col("nxt.event_id").as("purchase_id"),
+      .select(col("event_id").as("from_id"),
+        col("nxt.event_id").as("match_id"),
         (col("nxt.ts_us") - col("ts_us")).as("gap_us"))
   }
 
   val q145 = Q(
     "q145_label_attach",
     (s, d) => forwardAsof(Tables.events(s, d), "view", "purchase",
-      toleranceUs = 6L * 3600 * 1000000),
+      toleranceUs = 6L * 3600 * 1000000)
+      .select(col("from_id").as("view_id"), col("match_id").as("purchase_id"),
+        col("gap_us")),
     // independent formulation: the naive keyed range join + rank-1
     Some("""WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
            |p AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -26,6 +26,17 @@ object ExplainAudit {
     override def toString = s"$query: $rule"
   }
 
+  /** Every windowspecdefinition in `plan` must lead with `key` as
+    * its first partition expression — an unpartitioned (or
+    * mis-keyed) window sorts the whole input on one task. Shared by
+    * the q139/q145 rules so a fix to the regex lands once.
+    */
+  private def keyedWindowPartition(plan: String, key: String): Boolean = {
+    val specs = raw"windowspecdefinition\(([^,)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    specs.nonEmpty && specs.forall(_.startsWith(key))
+  }
+
   /** Pure check of one query's formatted plan text — unit-testable
     * without running a session (ExplainAuditSpec seeds regressions).
     */
@@ -209,9 +220,7 @@ object ExplainAudit {
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "spine/daily equi-join lost")
-        val specs = raw"windowspecdefinition\(([^,)]*)".r
-          .findAllMatchIn(plan).map(_.group(1)).toList
-        if (specs.isEmpty || specs.exists(s => !s.startsWith("user_id")))
+        if (!keyedWindowPartition(plan, "user_id"))
           v += Violation(name, "window lost its user_id partition (global sort)")
       case "q140_concurrency" =>
         // the sweep-line's whole point: facts collapse to the DAY
@@ -249,12 +258,10 @@ object ExplainAudit {
       case "q145_label_attach" =>
         // the whole point: label attachment is ONE keyed window, no
         // join of any strategy; and the window must partition by the
-        // key (same windowspecdefinition check as q139)
+        // key (the shared q139 check)
         if (plan.contains("Join"))
           v += Violation(name, "join in plan (label attachment must be one keyed window)")
-        val lspecs = raw"windowspecdefinition\(([^,)]*)".r
-          .findAllMatchIn(plan).map(_.group(1)).toList
-        if (lspecs.isEmpty || lspecs.exists(s => !s.startsWith("user_id")))
+        if (!keyedWindowPartition(plan, "user_id"))
           v += Violation(name, "window lost its user_id partition (global sort)")
       case "q142_anomaly" =>
         // moments are model-sized (one row per series) and must join

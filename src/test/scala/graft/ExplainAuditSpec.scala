@@ -22,7 +22,8 @@ class ExplainAuditSpec extends SparkSpec {
         "q108_keyword_search", "q109_cohort_retention",
         "q110_basket_pairs", "q137_pagerank", "q138_interval_events",
         "q139_gapfill", "q140_concurrency", "q141_transitions",
-        "q142_anomaly", "q143_embed_quant", "q144_quant_search")) {
+        "q142_anomaly", "q143_embed_quant", "q144_quant_search",
+        "q145_label_attach")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       ExplainAudit.violations(name, plan(df)) shouldBe empty
     }
@@ -52,6 +53,22 @@ class ExplainAuditSpec extends SparkSpec {
     val degraded = daily.withColumn("grp", count(col("day_cents")).over(w))
     val vs = ExplainAudit.violations("q139_gapfill", plan(degraded))
     vs.map(_.rule).exists(_.contains("partition")) shouldBe true
+  }
+
+  test("seeded regression: label attachment via a join is caught") {
+    // the naive formulation q145's oracle runs — a keyed range join —
+    // must trip the no-join rule if it ever replaces the window shape
+    val e = Tables.events(spark, sfDir)
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("vts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pts"))
+    val degraded = v.join(p, Seq("user_id"))
+      .where(col("pts") >= col("vts"))
+    val vs = ExplainAudit.violations("q145_label_attach", plan(degraded))
+    vs.map(_.rule).exists(_.contains("join in plan")) shouldBe true
   }
 
   test("seeded regression: a non-broadcast cross join is flagged as cartesian") {
