@@ -606,5 +606,61 @@ object Hierarchy extends QueryPack {
            |FROM r3""".stripMargin),
     "PageRank (3 damped iterations) over the dependency DAG: per-iteration edge join + dst-keyed sum")
 
-  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98, q129, q137)
+  /** Percent-of-parent subtree shares — the drill-down decoration a
+    * hierarchy dashboard puts next to every q90 rollup row: each
+    * edge's child-subtree total as a fraction of its parent's
+    * (diamond children report one share per parent). Reads the
+    * rollup twice by KEY (child side, parent side) against the edge
+    * list — all node-grain equi-joins over the stored-closure
+    * consumer, no re-walk of edges, nothing cartesian. The share is
+    * one division of exact cent totals emitted in integer 1e-6
+    * units; zero-total parents are excluded in both engines (the
+    * share is undefined and Inf casts differently).
+    */
+  def pctOfParent(closureDf: DataFrame, factDf: DataFrame,
+      edgesDf: DataFrame): DataFrame = {
+    val roll = subtreeRollupOn(closureDf, factDf)
+    edgesDf
+      .join(roll.select(col("node").as("child"), col("total_m").as("node_cents")),
+        Seq("child"))
+      .join(roll.select(col("node").as("parent"), col("total_m").as("parent_cents")),
+        Seq("parent"))
+      .where(col("parent_cents") =!= 0L)
+      .select(col("child").as("node"), col("parent"),
+        col("node_cents"), col("parent_cents"),
+        round(col("node_cents") * lit(1000000L) / col("parent_cents"))
+          .cast("long").as("pct_e6"))
+  }
+
+  val q146 = Q(
+    "q146_pct_parent",
+    (s, d) => {
+      val fact = Tables.part(s, d).select(
+        col("p_partkey").as("node"),
+        round(col("p_retailprice") * 100).cast("long").as("m"))
+      pctOfParent(storedClosure(s, d), fact, edges(s, d))
+    },
+    Some(oracleReach +
+      """, cl AS (
+        |  SELECT ancestor, descendant FROM reach
+        |  WHERE ancestor <> descendant GROUP BY 1, 2
+        |), withself AS (
+        |  SELECT ancestor, descendant FROM cl
+        |  UNION ALL SELECT p_partkey, p_partkey FROM part
+        |), roll AS (
+        |  SELECT x.ancestor AS node,
+        |    CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM withself x JOIN part p ON p.p_partkey = x.descendant
+        |  GROUP BY 1
+        |)
+        |SELECT e.child AS node, e.parent,
+        |  c.m AS node_cents, pr.m AS parent_cents,
+        |  CAST(ROUND(c.m * 1000000 / pr.m) AS BIGINT) AS pct_e6
+        |FROM edges e
+        |JOIN roll c ON c.node = e.child
+        |JOIN roll pr ON pr.node = e.parent
+        |WHERE pr.m <> 0""".stripMargin),
+    "percent-of-parent subtree shares per edge over the stored closure: node-grain equi-joins, integer 1e-6 shares")
+
+  val all: Seq[Q] = Seq(q20, q21, q49, q90, q98, q129, q137, q146)
 }

@@ -277,7 +277,7 @@ object ExplainAudit {
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |
-           "q126_state_residency" =>
+           "q126_state_residency" | "q146_pct_parent" =>
         // stored-artifact consumers (closure / pair list / components /
         // contamination audit): after the session memo materializes,
         // the gate plan must READ the checkpointed artifact — the

@@ -195,6 +195,23 @@ class HierarchySpec extends SparkSpec {
     pr(1L) should be > pr(13L)
   }
 
+  test("percent-of-parent: every edge's subtree share, diamond children report one share per parent") {
+    val fact = Seq(1L, 2L, 10L, 11L, 12L, 13L, 20L, 30L, 31L)
+      .toDF("node").withColumn("m", $"node")
+    val out = Hierarchy.pctOfParent(Hierarchy.closure(edges), fact, edges)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // subtree totals: 1→47, 10→35, 11→36, 12→25, 13→13, 2→22, 30→61
+    out((10L, 1L)) shouldBe ((35L, 47L, 744681L))
+    out((11L, 1L)) shouldBe ((36L, 47L, 765957L))
+    out((12L, 10L)) shouldBe ((25L, 35L, 714286L)) // diamond: one share
+    out((12L, 11L)) shouldBe ((25L, 36L, 694444L)) // per parent
+    out((13L, 12L)) shouldBe ((13L, 25L, 520000L))
+    out((20L, 2L)) shouldBe ((20L, 22L, 909091L))
+    out((31L, 30L)) shouldBe ((31L, 61L, 508197L))
+    out.size shouldBe edges.count()
+  }
+
   test("closure on testdata edges matches depth bound and has no self-pairs") {
     val cl = Hierarchy.closure(Hierarchy.edges(spark, sfDir))
     cl.where($"ancestor" === $"descendant").count() shouldBe 0L
