@@ -1208,23 +1208,47 @@ object Ann extends QueryPack {
         (col("max_err") <= col("scale") / 127 * 0.5000001).as("quant_ok"))
   }
 
+  /** Gate row for q143: the library API ([[quantizeEmbeddings]]) returns
+    * the codes as `array<int>` — the form a consumer (q144) wants — but
+    * the driver's pandas compare harness lexsorts raw column values and
+    * cannot hash an ndarray, so the GATE projection scalarizes the codes:
+    * the full CSV of the array (exact content, strictly stronger than a
+    * digest) plus size/min/max audit columns. Both engines render ints
+    * identically, so the string hashes bit-exact. Verify.scala enforces
+    * this contract for every gate row (no complex-typed dump columns).
+    */
+  private def scalarizeQuant(qz: DataFrame): DataFrame =
+    qz.select(col("vec_id"), col("scale"),
+      size(col("qvec")).as("q_n"),
+      array_min(col("qvec")).as("q_min"),
+      array_max(col("qvec")).as("q_max"),
+      array_join(col("qvec"), ",").as("q_csv"),
+      col("quant_ok"))
+
   val q143 = Q(
     "q143_embed_quant",
-    (s, d) => quantizeEmbeddings(emb(s, d)),
+    (s, d) => scalarizeQuant(quantizeEmbeddings(emb(s, d))),
     Some("""WITH e AS (
            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            |), sc AS (
            |  SELECT vec_id, v,
            |    list_max(list_transform(v, x -> abs(x))) AS scale
            |  FROM e
-           |)
+           |), qz AS (
            |SELECT vec_id, scale,
            |  list_transform(v, x -> CAST(ROUND(x / scale * 127) AS INT)) AS qvec,
            |  list_max(list_transform(v,
            |    x -> abs(x - ROUND(x / scale * 127) * scale / 127)))
            |    <= scale / 127 * 0.5000001 AS quant_ok
-           |FROM sc WHERE scale > 0""".stripMargin),
-    "int8 scalar quantization of embeddings: per-vector max-abs scale, one shuffle-free pass, dequant error bound verdict")
+           |FROM sc WHERE scale > 0)
+           |SELECT vec_id, scale,
+           |  CAST(len(qvec) AS INT) AS q_n,
+           |  list_min(qvec) AS q_min,
+           |  list_max(qvec) AS q_max,
+           |  array_to_string(qvec, ',') AS q_csv,
+           |  quant_ok
+           |FROM qz""".stripMargin),
+    "int8 scalar quantization of embeddings: per-vector max-abs scale, one shuffle-free pass, dequant error bound verdict; gate row scalarizes the codes (CSV + size/min/max audit) for the dump contract")
 
   /** Top-k search IN the quantized domain — the consumer that makes
     * q143 a search optimization rather than a compression trick.
