@@ -1,9 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType, DataType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Gate-row schema contract: the driver's pandas compare lexsorts raw
+    * column values and cannot hash an ndarray/dict, so a gate DataFrame
+    * must dump only scalar columns. Any ArrayType/MapType/StructType
+    * column fails here BEFORE the parquet write, naming the fix
+    * (scalarize at the gate projection: `array_join(c, ",")` for exact
+    * content plus `size`/`array_min`/`array_max` audit columns — see
+    * Ann.scalarizeQuant for the canonical q143 pattern).
+    */
+  def assertScalarSchema(name: String, schema: StructType): Unit = {
+    def complex(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val bad = schema.fields.filter(f => complex(f.dataType))
+    if (bad.nonEmpty) {
+      val cols = bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
+      throw new IllegalArgumentException(
+        s"[verify] gate query '$name' dumps complex-typed column(s) [$cols]; " +
+        "the driver's compare cannot hash them. Scalarize the gate " +
+        "projection instead: array_join(c, \",\") for exact content + " +
+        "size/array_min/array_max audit columns (see Ann.scalarizeQuant).")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,9 +51,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        assertScalarSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
