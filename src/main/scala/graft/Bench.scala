@@ -154,7 +154,27 @@ object Bench {
     // truncation), so the full per-query JSON also lands in a file a
     // grader can diff without relying on prose records. Committed
     // per round as bench/BENCH_local_r{N}.json.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_local.json")
+    // The default path is RUN-STAMPED, never the committed record:
+    // three rounds in a row (r11-r13) a contended driver run silently
+    // clobbered bench/BENCH_local.json, and the noisy numbers then
+    // read as regressions. A canonical record is only ever updated by
+    // an explicit SPARK_GRAFT_BENCH_OUT — and even then, a run whose
+    // own sentinel spread shows contention (max/min > 2) refuses to
+    // overwrite an existing file and lands in a run-stamped sibling
+    // instead, printing why.
+    val stamped = s"bench/BENCH_run_${System.currentTimeMillis() / 1000}.json"
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", stamped)
+    val sentinelRatio =
+      if (sSorted.nonEmpty && sSorted.head > 0) sSorted.last / sSorted.head else 1.0
+    val out =
+      if (requested != stamped && sentinelRatio > 2.0 &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(requested))) {
+        System.err.println(
+          f"[bench] sentinel max/min $sentinelRatio%.2f > 2 marks this run as " +
+          s"contended; refusing to overwrite existing record $requested — " +
+          s"writing $stamped instead. Re-run on a quiet box to update the record.")
+        stamped
+      } else requested
     try {
       val p = java.nio.file.Paths.get(out)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
