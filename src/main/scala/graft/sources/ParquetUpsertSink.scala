@@ -9,19 +9,32 @@ import org.apache.spark.sql.functions._
   * `push_to_es.py`: bulk-push batches keyed by record id, newest
   * revision wins on collision).
   *
-  * Layout: the table is partitioned by `bucket = pmod(hash(keys), n)`.
-  * A merge then only touches the buckets that contain updated keys:
-  * existing rows are read WITH partition pruning on those buckets,
-  * merged latest-wins against the updates, and written back in
-  * dynamic-partition-overwrite mode so untouched buckets' files are
-  * never rewritten. At 100 TB that makes merge cost proportional to
-  * the update footprint, not the table size.
+  * Layout (snapshot-isolated): the table is partitioned by
+  * `__bucket = pmod(hash(keys), n)` and, inside each bucket, by a
+  * monotonically increasing generation `__gen=G`. A mutation never
+  * rewrites a live file: it writes the merged rows of the touched
+  * buckets into FRESH `__gen` directories, then commits by atomically
+  * swapping the `_graft_manifest` pointer file at the table root
+  * (hadoop `FileContext.rename(OVERWRITE)` — one atomic metadata op).
+  * The manifest maps every live bucket to its current generation;
+  * readers resolve the manifest and list ONLY the referenced leaf
+  * directories. A reader therefore sees the table as of one manifest —
+  * the old complete table or the new complete table, never a mix, and
+  * never a half-written generation (uncommitted `__gen` dirs are not
+  * in any manifest). At 100 TB that makes merge cost proportional to
+  * the update footprint AND gives readers snapshot isolation without a
+  * transactional table format.
   *
-  * Consistency note: Spark cannot atomically read-and-overwrite the
-  * same files, so the merged buckets are materialized (checkpoint)
-  * before the overwrite commits. A production deployment would stage
-  * to a new directory or use a transactional table format; the merge
-  * mechanics (bucketing, pruning, latest-wins) are identical.
+  * Retention: each mutation keeps the immediately superseded
+  * generation of every bucket it rewrote (so a reader that resolved
+  * the previous manifest can finish its scan) and deletes anything
+  * older. A reader is thus safe concurrent with ONE subsequent
+  * mutation; [[vacuum]] removes all unreferenced generations when the
+  * operator knows no reader is in flight. A writer that crashes before
+  * the manifest swap leaves orphan `__gen` dirs that no reader ever
+  * sees; the next mutation reuses the same generation number
+  * (dynamic-partition overwrite replaces the partial data) and vacuum
+  * collects any leftovers.
   *
   * SINGLE WRITER per table: a merge is a non-atomic read-modify-write
   * of the touched buckets, so concurrent upserts into the same path
@@ -44,6 +57,8 @@ import org.apache.spark.sql.functions._
 object ParquetUpsertSink {
 
   private val bucketCol = "__bucket"
+  private val genCol = "__gen"
+  private val manifestName = "_graft_manifest"
 
   /** Merge `updates` into the keyed table at `path`, newest `versionCol`
     * winning per key (ties broken by the remaining sort stability of
@@ -65,53 +80,76 @@ object ParquetUpsertSink {
   private def doUpsert(updates: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int): Unit = {
     val spark = updates.sparkSession
-    val exists = tableExists(spark, path)
-    val buckets = if (exists) readBucketCount(spark, path) else numBuckets
+    val manifest = readManifest(spark, path)
+    val buckets = if (manifest.isDefined) readBucketCount(spark, path) else numBuckets
     val keyed = withBucket(updates, keyCols, buckets)
-    val merged =
-      if (!exists) dedupLatest(keyed, keyCols, versionCol)
-      else {
-        val touched = keyed.select(col(bucketCol)).distinct()
-          .collect().map(_.getInt(0))
-        val existing = readRaw(spark, path)
+    // the touched-bucket probe is the only extra pass over `updates`;
+    // the merge itself streams straight into the new generation — the
+    // read set (old generations) and write set (a fresh generation)
+    // are disjoint directories, so no materialization barrier is
+    // needed between them
+    val touched = keyed.select(col(bucketCol)).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val merged = manifest match {
+      case None => dedupLatest(keyed, keyCols, versionCol)
+      case Some(live) =>
+        val existing = readRaw(spark, path, live)
           .where(col(bucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
         // additive schema evolution: either side may carry columns the
         // other lacks (see the class doc) — absent cells become null
         dedupLatest(existing.unionByName(keyed, allowMissingColumns = true),
           keyCols, versionCol)
-      }
-    // materialize before overwrite: the merge reads the files the
-    // dynamic overwrite is about to replace
-    writeBuckets(merged.localCheckpoint(), path)
-    if (!exists) writeBucketCount(spark, path, buckets)
+    }
+    val prev = manifest.getOrElse(Map.empty[Int, Long])
+    val gen = nextGen(prev)
+    writeBuckets(merged, path, gen)
+    // sidecar BEFORE the manifest commit: the commit is what makes the
+    // table visible, and a visible table must already carry its bucket
+    // count (a crash in between leaves an invisible, vacuumable write)
+    if (manifest.isEmpty) writeBucketCount(spark, path, buckets)
+    // an upsert never empties a bucket (it only adds or replaces rows),
+    // so every touched bucket is live at the new generation
+    commit(spark, path, prev, prev ++ touched.map(_ -> gen))
   }
 
-  /** Bucket-partitioned rewrite, COMPACTED: without the clustering
-    * repartition, every shuffle task holding rows of a bucket writes
-    * its own small file into that bucket's dir — up to
-    * shuffle.partitions files PER BUCKET PER MERGE, the classic
-    * small-files failure mode of a frequently-merged 100 TB store
-    * (metadata pressure + tiny-scan overhead on every read). Routing
-    * all rows of a bucket to one task first costs one extra exchange
-    * of the (update-footprint-sized) rewrite set and makes every
-    * rewritten bucket exactly ONE parquet file, so file count stays
-    * equal to bucket count forever — merges never degrade the layout.
+  /** Bucket-partitioned write of one fresh generation, COMPACTED:
+    * without the clustering repartition, every shuffle task holding
+    * rows of a bucket writes its own small file into that bucket's
+    * generation dir — up to shuffle.partitions files PER BUCKET PER
+    * MERGE, the classic small-files failure mode of a
+    * frequently-merged 100 TB store (metadata pressure + tiny-scan
+    * overhead on every read). Routing all rows of a bucket to one task
+    * first costs one extra exchange of the (update-footprint-sized)
+    * rewrite set and makes every rewritten bucket exactly ONE parquet
+    * file, so live file count stays equal to bucket count forever —
+    * merges never degrade the layout.
     *
     * Sizing: one file per bucket makes `numBuckets` the parallelism
     * AND file-size knob — pick it so a bucket is ~1 GB at the table's
     * target size (parquet files are splittable, so READS of a large
     * bucket still parallelize across row groups; it is the
     * single-task WRITE of a hot bucket that numBuckets bounds).
+    *
+    * Dynamic-partition overwrite + a fresh generation number means a
+    * crashed previous attempt at the SAME generation (possible — the
+    * generation counter comes from the committed manifest, which a
+    * crash leaves unchanged) is replaced wholesale, never merged with.
     */
-  private def writeBuckets(df: DataFrame, path: String): Unit =
-    df.repartition(col(bucketCol))
+  private def writeBuckets(df: DataFrame, path: String, gen: Long): Unit =
+    df.withColumn(genCol, lit(gen))
+      .repartition(col(bucketCol))
       .write
-      .partitionBy(bucketCol)
+      .partitionBy(bucketCol, genCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  private def nextGen(manifest: Map[Int, Long]): Long =
+    if (manifest.isEmpty) 0L else manifest.values.max + 1
+
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+  private def manifestPath(path: String) = new org.apache.hadoop.fs.Path(path, manifestName)
 
   private def writeBucketCount(spark: SparkSession, path: String, n: Int): Unit = {
     val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,20 +167,138 @@ object ParquetUpsertSink {
     finally in.close()
   }
 
-  /** Read the logical table back (bucket column dropped). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    readRaw(spark, path).drop(bucketCol)
-
-  /** Every physical read of the table merges per-file schemas: after
-    * an additive schema evolution, only the buckets a later merge
-    * touched carry the new column on disk — a single-footer read
-    * would pick one file's schema and silently DROP the column from
-    * (or fail on) the others. mergeSchema reads all footers (cost:
-    * numBuckets small footers, not data) and nulls absent cells,
-    * which is exactly the evolution contract.
+  /** The live snapshot: bucket -> current generation. `None` = no
+    * committed table at `path`. One small file read — never lists data
+    * directories, so resolve cost is independent of table size.
     */
-  private def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+  private[graft] def readManifest(spark: SparkSession, path: String): Option[Map[Int, Long]] = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(b, g) = line.split(" ")
+        b.toInt -> g.toLong
+      }.toMap)
+    }
+  }
+
+  /** COMMIT: write the new manifest to a temp file and atomically
+    * rename it over the live one (`FileContext.rename(OVERWRITE)` —
+    * atomic on HDFS and on local filesystems). Until this returns, no
+    * reader can see any byte the mutation wrote; after it, every new
+    * reader sees the complete new table. An empty manifest deletes the
+    * pointer and the bucket-count sidecar instead — the table reads as
+    * absent and a fresh first write may pick a new bucket count.
+    *
+    * After the swap, generations older than the one just superseded
+    * are deleted: the IMMEDIATELY superseded generation of each
+    * rewritten bucket is retained so a reader holding the previous
+    * manifest can finish (grace window of one mutation); [[vacuum]]
+    * reclaims the rest.
+    */
+  private def commit(spark: SparkSession, path: String,
+      prev: Map[Int, Long], next: Map[Int, Long]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (next.isEmpty) {
+      fs.delete(manifestPath(path), false)
+      fs.delete(metaPath(path), false)
+    } else {
+      val body = next.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n")
+      val tmp = new org.apache.hadoop.fs.Path(root, s"$manifestName.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val qRoot = fs.makeQualified(root)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qRoot.toUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(path)),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    // prune: for every bucket whose generation changed (or vanished),
+    // keep {new live gen, immediately superseded gen}, drop older
+    (prev.keySet ++ next.keySet).foreach { b =>
+      val keep = Set(prev.get(b), next.get(b)).flatten
+      val bDir = new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b")
+      if (fs.exists(bDir)) fs.listStatus(bDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(s"$genCol=") &&
+            !keep.contains(name.stripPrefix(s"$genCol=").toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Delete every generation directory the current manifest does not
+    * reference — including the grace-retained previous generations and
+    * any orphans a crashed writer left. Call when no reader is in
+    * flight (a reader older than the live manifest loses its files).
+    * Runs under the write lock; returns the number of directories
+    * removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int =
+    withWriteLock(spark, path) {
+      val live = readManifest(spark, path).getOrElse(Map.empty)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var removed = 0
+      if (fs.exists(root)) fs.listStatus(root).foreach { bSt =>
+        val bName = bSt.getPath.getName
+        if (bSt.isDirectory && bName.startsWith(s"$bucketCol=")) {
+          val b = bName.stripPrefix(s"$bucketCol=").toInt
+          fs.listStatus(bSt.getPath).foreach { gSt =>
+            val gName = gSt.getPath.getName
+            if (gName.startsWith(s"$genCol=") &&
+                !live.get(b).contains(gName.stripPrefix(s"$genCol=").toLong)) {
+              fs.delete(gSt.getPath, true)
+              removed += 1
+            }
+          }
+          if (fs.listStatus(bSt.getPath).isEmpty) fs.delete(bSt.getPath, true)
+        }
+      }
+      removed
+    }
+
+  /** Read the logical table back (bucket column dropped). The manifest
+    * is resolved HERE, eagerly: the returned DataFrame is pinned to
+    * this snapshot's file set and keeps returning it even if a
+    * mutation commits afterwards (safe for one subsequent mutation —
+    * see the retention note in the class doc).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val live = readManifest(spark, path).getOrElse(
+      sys.error(s"$path has no committed manifest — not an upsert-sink table"))
+    readRaw(spark, path, live).drop(bucketCol)
+  }
+
+  /** Physical read of one manifest's file set: ONLY the referenced
+    * `__bucket=b/__gen=g` leaf directories are listed (basePath keeps
+    * `__bucket` available for pruning merges), so uncommitted or
+    * superseded generations are invisible — no filter needed, and
+    * listing cost is one directory per live bucket.
+    *
+    * Every read merges per-file schemas: after an additive schema
+    * evolution, only the buckets a later merge touched carry the new
+    * column on disk — a single-footer read would pick one file's
+    * schema and silently DROP the column from (or fail on) the
+    * others. mergeSchema reads all footers (cost: numBuckets small
+    * footers, not data) and nulls absent cells, which is exactly the
+    * evolution contract.
+    */
+  private def readRaw(spark: SparkSession, path: String,
+      live: Map[Int, Long]): DataFrame = {
+    val dirs = live.toSeq.sorted.map { case (b, g) =>
+      s"$path/$bucketCol=$b/$genCol=$g"
+    }
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", path)
+      .parquet(dirs: _*)
+      .drop(genCol)
+  }
 
   /** Full-table synchronization — the reference's RE-INDEX path (push
     * everything, delete stale): make the keyed table at `path` equal
@@ -156,9 +312,8 @@ object ParquetUpsertSink {
     * via one map-side-combinable aggregate scan per side; a tiny
     * full-outer join on bucket picks the drift set. An unchanged
     * 100 TB table re-pushed costs two aggregate scans and writes
-    * nothing. Buckets the sync EMPTIES are deleted explicitly —
-    * dynamic partition overwrite never touches a partition the new
-    * data lacks.
+    * nothing. Buckets the sync EMPTIES simply leave the manifest —
+    * their directories linger (invisible) until [[vacuum]].
     *
     * `versionCol` resolves duplicates WITHIN the snapshot
     * (latest-wins); the snapshot is otherwise authoritative — an older
@@ -177,10 +332,12 @@ object ParquetUpsertSink {
   private def doSync(snapshot: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int): Unit = {
     val spark = snapshot.sparkSession
-    if (!tableExists(spark, path)) {
+    val manifest = readManifest(spark, path)
+    if (manifest.isEmpty) {
       doUpsert(snapshot, path, keyCols, versionCol, numBuckets)
       return
     }
+    val live = manifest.get
     val buckets = readBucketCount(spark, path)
     val desired = dedupLatest(withBucket(snapshot, keyCols, buckets),
       keyCols, versionCol).localCheckpoint() // fingerprint + rewrite both read it
@@ -188,22 +345,19 @@ object ParquetUpsertSink {
       .withColumn("__h", xxhash64((keyCols :+ versionCol).map(col): _*))
       .groupBy(col(bucketCol))
       .agg(bit_xor(col("__h")).as(s"fp_$tag"), count(lit(1)).as(s"n_$tag"))
-    val fpE = fingerprint(readRaw(spark, path), "e")
+    val fpE = fingerprint(readRaw(spark, path, live), "e")
     val fpD = fingerprint(desired, "d")
     val drift = fpE.join(fpD, Seq(bucketCol), "full_outer")
       .where(!(col("fp_e") <=> col("fp_d")) || !(col("n_e") <=> col("n_d")))
       .select(col(bucketCol), col("n_d").isNotNull.as("has_rows"))
       .collect()
     if (drift.nonEmpty) {
-      val changed = drift.map(_.getInt(0))
-      val rewrite = desired.where(col(bucketCol).isin(changed.toSeq: _*))
-      writeBuckets(rewrite.localCheckpoint(), path)
-      // buckets the snapshot no longer populates: delete their dirs
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      drift.filter(!_.getBoolean(1)).foreach { r =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"$bucketCol=${r.getInt(0)}"), true)
-      }
+      val changed = drift.filter(_.getBoolean(1)).map(_.getInt(0))
+      val emptied = drift.filter(!_.getBoolean(1)).map(_.getInt(0))
+      val gen = nextGen(live)
+      if (changed.nonEmpty)
+        writeBuckets(desired.where(col(bucketCol).isin(changed.toSeq: _*)), path, gen)
+      commit(spark, path, live, live -- emptied ++ changed.map(_ -> gen))
     }
   }
 
@@ -214,9 +368,9 @@ object ParquetUpsertSink {
     * removed only when its version is <= the delete's version (the
     * latest-wins mirror of [[upsert]] — a delete never clobbers a
     * newer write, and redelivering the same delete batch is a no-op).
-    * Buckets the delete EMPTIES have their partition dirs removed
-    * explicitly, same as [[sync]] (dynamic overwrite cannot drop a
-    * partition the rewrite set lacks).
+    * Buckets the delete EMPTIES leave the manifest; a delete that
+    * empties the whole table removes the manifest and bucket sidecar
+    * (the table reads as absent, data dirs await [[vacuum]]).
     *
     * No tombstone memory: after a physical delete, a LATER redelivery
     * of an upsert OLDER than the delete would reinstate the row. The
@@ -234,7 +388,9 @@ object ParquetUpsertSink {
   private def doDelete(keys: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String): Unit = {
     val spark = keys.sparkSession
-    if (!tableExists(spark, path)) return
+    val manifest = readManifest(spark, path)
+    if (manifest.isEmpty) return
+    val live = manifest.get
     val buckets = readBucketCount(spark, path)
     val del = dedupLatest(
         withBucket(keys.select((keyCols :+ versionCol).map(col): _*),
@@ -243,31 +399,19 @@ object ParquetUpsertSink {
       .withColumnRenamed(versionCol, "__delv")
       .localCheckpoint() // touched-bucket probe + anti-join both read it
     val touched = del.select(col(bucketCol)).distinct().collect().map(_.getInt(0))
+      .filter(live.contains) // buckets with no live data have nothing to delete
     if (touched.isEmpty) return
-    val existing = readRaw(spark, path)
+    val existing = readRaw(spark, path, live)
       .where(col(bucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
     val cond = keyCols.map(k => existing(k) === del(k)).reduce(_ && _) &&
       existing(versionCol) <= del("__delv")
     val remaining = existing.join(del, cond, "left_anti").localCheckpoint()
     val still = remaining.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (still.nonEmpty) writeBuckets(remaining, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(still).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b"), true)
-    }
-    // a delete that empties the WHOLE table drops the bucket sidecar
-    // too (a fresh first write may pick a new bucket count). NEVER
-    // delete the table ROOT here: we are inside withWriteLock, and
-    // removing the root would remove our own held _graft_lock — a
-    // concurrent writer could then acquire a "fresh" lock that OUR
-    // finally-delete would destroy, reopening the multi-writer
-    // interleave the lock exists to prevent. tableExists keys on
-    // bucket dirs, so a root holding only sidecars reads as "no
-    // table".
-    if (!fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$bucketCol=")))
-      fs.delete(metaPath(path), false)
+    val gen = nextGen(live)
+    if (still.nonEmpty)
+      writeBuckets(remaining, path, gen)
+    commit(spark, path, live, live -- touched ++ still.map(_ -> gen))
   }
 
   private val lockName = "_graft_lock"
@@ -278,20 +422,19 @@ object ParquetUpsertSink {
     * create-if-absent of `_graft_lock` at the table root (HDFS/local
     * `create(overwrite=false)` — one filesystem RPC, no read-check
     * race). A second concurrent writer fails LOUDLY at acquisition —
-    * before touching a byte — rather than interleaving dynamic
-    * partition-overwrite bucket rewrites with the first (the silent-
-    * corruption mode dynamic overwrite permits; ES gets this for free
-    * from per-doc versioning, a shared-filesystem store has to bring
-    * its own fence). The underscore prefix keeps Spark's parquet
-    * reader from seeing the sidecar as data.
+    * before touching a byte — rather than interleaving bucket rewrites
+    * and manifest swaps with the first. READERS take no lock: they
+    * resolve the manifest and are isolated by it. The underscore
+    * prefix keeps Spark's parquet reader from seeing the sidecar as
+    * data.
     *
     * Crash behavior: a writer that dies mid-mutation leaves its lock
-    * behind, and every later writer fails with the holder's identity
-    * until an operator confirms the holder is dead and calls
-    * [[forceUnlock]] (or removes the file). Deliberately NOT a TTL —
-    * auto-expiring a lock under a live-but-slow writer would
-    * re-create exactly the two-writer interleave the lock exists to
-    * prevent.
+    * behind (plus uncommitted generation dirs no reader can see), and
+    * every later writer fails with the holder's identity until an
+    * operator confirms the holder is dead and calls [[forceUnlock]]
+    * (or removes the file). Deliberately NOT a TTL — auto-expiring a
+    * lock under a live-but-slow writer would re-create exactly the
+    * two-writer interleave the lock exists to prevent.
     */
   private def withWriteLock[A](spark: SparkSession, path: String)(body: => A): A = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -346,13 +489,16 @@ object ParquetUpsertSink {
       .drop("__rn")
   }
 
-  private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // only DATA makes a table: the _graft_lock/_graft_buckets sidecars
-    // (and Spark's _SUCCESS etc.) don't — withWriteLock creates the
-    // root dir + lock before a first write, and that must still read
-    // as "no table yet"
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$bucketCol="))
-  }
+  /** A table exists iff a manifest is committed: a crashed first write
+    * (generation dirs, no manifest) or a root holding only the
+    * lock/bucket sidecars still reads as "no table yet".
+    */
+  private[graft] def tableExists(spark: SparkSession, path: String): Boolean =
+    readManifest(spark, path).isDefined
+
+  /** Test/ops seam: the live generation directory of every bucket. */
+  private[graft] def liveDataDirs(spark: SparkSession, path: String): Map[Int, String] =
+    readManifest(spark, path).getOrElse(Map.empty).map { case (b, g) =>
+      b -> s"$path/$bucketCol=$b/$genCol=$g"
+    }
 }

@@ -152,7 +152,12 @@ class UpsertSinkSpec extends SparkSpec {
     ParquetUpsertSink.sync(keep, path, Seq("id"), "rev")
     ParquetUpsertSink.read(spark, path)
       .as[(Long, Long, String)].collect().toSeq shouldBe Seq((1L, 1L, "p1"))
-    val other = if (bucketOf(1L, 2) == "__bucket=0") "__bucket=1" else "__bucket=0"
+    // the emptied bucket left the manifest (invisible to every reader);
+    // its directory lingers for in-flight readers until vacuum
+    val keptBucket = bucketOf(1L, 2).stripPrefix("__bucket=").toInt
+    ParquetUpsertSink.liveDataDirs(spark, path).keySet shouldBe Set(keptBucket)
+    val other = if (keptBucket == 0) "__bucket=1" else "__bucket=0"
+    ParquetUpsertSink.vacuum(spark, path)
     new java.io.File(path, other).exists() shouldBe false
   }
 
@@ -308,12 +313,12 @@ class UpsertSinkSpec extends SparkSpec {
       .repartition(8)
     ParquetUpsertSink.upsert(b, path, Seq("id"), "rev")
     ParquetUpsertSink.upsert(b, path, Seq("id"), "rev")
-    val bucketDirs = new java.io.File(path).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-    bucketDirs.length shouldBe 4
-    bucketDirs.foreach { d =>
-      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
-      withClue(s"${d.getName}: ") { dataFiles.length shouldBe 1 }
+    val liveDirs = ParquetUpsertSink.liveDataDirs(spark, path)
+    liveDirs.size shouldBe 4
+    liveDirs.foreach { case (b, dir) =>
+      val dataFiles = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      withClue(s"bucket $b ($dir): ") { dataFiles.length shouldBe 1 }
     }
     // and the merge result is still correct
     ParquetUpsertSink.read(spark, path).count() shouldBe 400L
@@ -374,5 +379,99 @@ class UpsertSinkSpec extends SparkSpec {
       path, Seq("id"), "rev")
     ParquetUpsertSink.read(spark, path)
       .as[(Long, Long, String)].collect().toSet shouldBe Set((5L, 1L, "e"))
+  }
+
+  test("snapshot isolation: a reader resolved before a mutation sees the OLD complete table") {
+    val dir = Files.createTempDirectory("graft-snap").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val v1 = (1L to 20L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(v1, path, Seq("id"), "rev", numBuckets = 4)
+
+    // resolve the manifest NOW: this DataFrame is pinned to generation 0
+    val pinned = ParquetUpsertSink.read(spark, path)
+
+    // a full-footprint mutation commits underneath the pinned reader
+    val v2 = (1L to 20L).map(i => (i, 2L, s"q$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(v2, path, Seq("id"), "rev")
+
+    // the pinned reader still materializes the complete OLD table —
+    // not the new one, and never a mix of generations
+    pinned.as[(Long, Long, String)].collect().toSet shouldBe
+      (1L to 20L).map(i => (i, 1L, s"p$i")).toSet
+    // a fresh resolve sees the complete NEW table
+    ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet shouldBe
+      (1L to 20L).map(i => (i, 2L, s"q$i")).toSet
+  }
+
+  test("sync and delete under a pinned reader: old-or-new, never a mix") {
+    val dir = Files.createTempDirectory("graft-snap2").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val v1 = (1L to 20L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(v1, path, Seq("id"), "rev", numBuckets = 4)
+    val pinned = ParquetUpsertSink.read(spark, path)
+
+    // a sync that shrinks the table to 3 keys (emptying some buckets)
+    val snap = Seq(1L, 2L, 3L).map(i => (i, 2L, s"s$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.sync(snap, path, Seq("id"), "rev")
+    pinned.count() shouldBe 20L // old snapshot intact
+    ParquetUpsertSink.read(spark, path).count() shouldBe 3L
+
+    // then a delete under ANOTHER pinned reader
+    val pinned2 = ParquetUpsertSink.read(spark, path)
+    ParquetUpsertSink.delete(Seq((1L, 9L)).toDF("id", "rev"), path, Seq("id"), "rev")
+    pinned2.as[(Long, Long, String)].collect().toSet shouldBe
+      Set((1L, 2L, "s1"), (2L, 2L, "s2"), (3L, 2L, "s3"))
+    ParquetUpsertSink.read(spark, path)
+      .select($"id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+  }
+
+  test("uncommitted generations are invisible; vacuum reclaims them and grace dirs") {
+    val dir = Files.createTempDirectory("graft-vac").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val v1 = (1L to 8L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload")
+    ParquetUpsertSink.upsert(v1, path, Seq("id"), "rev", numBuckets = 2)
+
+    // simulate a writer that crashed AFTER writing data but BEFORE the
+    // manifest swap: a stray generation directory with real parquet
+    Seq((99L, 9L, "ghost")).toDF("id", "rev", "payload")
+      .write.parquet(s"$path/__bucket=0/__gen=999")
+    ParquetUpsertSink.read(spark, path)
+      .select($"id").as[Long].collect().toSet shouldBe (1L to 8L).toSet
+
+    // two more mutations: each bucket accrues a grace generation
+    ParquetUpsertSink.upsert(
+      (1L to 8L).map(i => (i, 2L, s"q$i")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev")
+    ParquetUpsertSink.upsert(
+      (1L to 8L).map(i => (i, 3L, s"r$i")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev")
+
+    def genDirs(): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("__gen=")) out += f.getParentFile.getName + "/" + f.getName
+          f.listFiles().foreach(walk)
+        }
+      walk(new java.io.File(path)); out.toSet
+    }
+    // live + one grace generation per bucket, plus the orphan
+    val before = genDirs()
+    before.size should be > 2
+
+    val removed = ParquetUpsertSink.vacuum(spark, path)
+    removed should be > 0
+    val live = ParquetUpsertSink.liveDataDirs(spark, path)
+    genDirs() shouldBe live.map { case (b, d) =>
+      s"__bucket=$b/" + d.split("/").last
+    }.toSet
+    // the table is untouched by vacuum
+    ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet shouldBe
+      (1L to 8L).map(i => (i, 3L, s"r$i")).toSet
   }
 }
