@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomAgg, BloomMightContain, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, PqAdcDistance, SimHashAgg}
+import graft.expressions.{BloomAgg, BloomMightContain, BpeTokenize, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, PqAdcDistance, SimHashAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -103,6 +103,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         else BloomMightContain(children.head, children(1),
           intLit(children(2), "bloom_contains numBits"),
           intLit(children(3), "bloom_contains numHashes"))
+      }))
+    // bpe_tokenize(text, merges): merges must be an array<string>
+    // LITERAL of "left right" pairs in rank order — it is the model,
+    // baked into the expression like the Count-Min buffer sizes
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_tokenize"),
+      new ExpressionInfo(classOf[BpeTokenize].getName, "bpe_tokenize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bpe_tokenize expects (text, merges)")
+        require(children(1).foldable,
+          "bpe_tokenize merges must be an array<string> literal")
+        val arr = children(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType)
+        val merges = arr.toSeq.map { u =>
+          val s = u.toString
+          val i = s.indexOf(' ')
+          require(i > 0, s"malformed merge entry '$s' (want 'left right')")
+          (s.substring(0, i), s.substring(i + 1))
+        }
+        BpeTokenize(children.head, merges)
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

@@ -99,6 +99,17 @@ package object functions {
       numBits: Int = 65536, numHashes: Int = 4): Column =
     call_function("bloom_contains", filter, keyHash, lit(numBits), lit(numHashes))
 
+  /** BPE tokenization under a trained merge list (see
+    * [[graft.operators.Bpe]] / [[graft.expressions.BpeTokenize]]):
+    * array of subword tokens per row; `size(...)` of it is the exact
+    * BPE token count. The merges travel as an array<string> literal
+    * of "left right" entries in rank order. Requires
+    * `graft.GraftExtensions` (installed by `graft.util.configure`).
+    */
+  def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_tokenize", text,
+      lit(merges.map { case (l, r) => s"$l $r" }.toArray))
+
   /** Sum of squares of an array column in double precision. */
   def norm2(a: Column): Column =
     fold(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)))

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE merge training (Sennrich 2016) on the paper's own
+  * hand-computable corpus, the driver/distributed encode equivalence,
+  * and training determinism under repartitioning.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich 2016 example dictionary
+  private val dict = Seq(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  // Hand computation (count-max, ties to the lexicographically
+  // smallest pair; </w> is a separate trailing symbol):
+  //   round 1: (e,s)=9 ties (s,t)=9 (t,</w>)=9 -> (e,s)
+  //   round 2: (es,t)=9 ties (t,</w>)=9        -> (es,t)
+  //   round 3: (est,</w>)=9                     -> (est,</w>)
+  //   round 4: (l,o)=7 ties (o,w)=7             -> (l,o)
+  //   round 5: (lo,w)=7                         -> (lo,w)
+  private val expected5 = Seq(
+    ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+
+  test("trainMerges reproduces the hand-computed Sennrich merges") {
+    Bpe.trainMerges(dict, 5) shouldBe expected5
+  }
+
+  test("trainMerges stops when no pair repeats and never crosses word boundaries") {
+    val merges = Bpe.trainMerges(Seq("ab" -> 1L), 100)
+    // a b </w>: (a,b)=1 then (ab,</w>)=1 then one symbol left — 2 merges
+    merges shouldBe Seq(("a", "b"), ("ab", "</w>"))
+  }
+
+  test("encodeWord applies merges by rank, lowest first") {
+    Bpe.encodeWord("lowest", expected5) shouldBe Seq("low", "est</w>")
+    Bpe.encodeWord("low", expected5) shouldBe Seq("low", "</w>")
+    Bpe.encodeWord("newest", expected5) shouldBe Seq("n", "e", "w", "est</w>")
+    // unseen characters stay as single symbols
+    Bpe.encodeWord("xyz", expected5) shouldBe Seq("x", "y", "z", "</w>")
+  }
+
+  private def corpus() = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  test("distributed train equals the driver loop on the aggregated dict") {
+    val merges = Bpe.train(corpus(), "text", numMerges = 5)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    merges shouldBe expected5
+  }
+
+  test("training is deterministic under repartitioning") {
+    val shuffled = corpus().repartition(7)
+    val merges = Bpe.train(shuffled, "text", numMerges = 5)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    merges shouldBe expected5
+  }
+
+  test("distributed tokenCounts equals per-word driver encoding") {
+    val docs = Seq(
+      (1L, "the lowest low"),
+      (2L, "newest widest lower"),
+      (3L, "  low   newest  "), // whitespace runs collapse
+      (4L, "zzz")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "text", "doc_id", expected5)
+      .as[(Long, Int)].collect().toMap
+    val want = Map(
+      1L -> Seq("the", "lowest", "low"),
+      2L -> Seq("newest", "widest", "lower"),
+      3L -> Seq("low", "newest"),
+      4L -> Seq("zzz")
+    ).map { case (id, ws) =>
+      id -> ws.map(w => Bpe.encodeWord(w, expected5).length).sum
+    }
+    got shouldBe want
+  }
+
+  test("tokenCountsFrom round-trips the persisted merges table") {
+    val docs = Seq((1L, "lowest")).toDF("doc_id", "text")
+    val mergesTable = Bpe.train(corpus(), "text", numMerges = 5)
+    val got = Bpe.tokenCountsFrom(docs, "text", "doc_id", mergesTable)
+      .as[(Long, Int)].head()
+    got shouldBe ((1L, 2)) // ["low", "est</w>"]
+  }
+
+  test("bpeTokenize exposes the token array itself") {
+    val docs = Seq((1L, "lowest low")).toDF("doc_id", "text")
+    val toks = docs.select(
+        graft.functions.bpeTokenize($"text", expected5).as("t"))
+      .as[Seq[String]].head()
+    toks shouldBe Seq("low", "est</w>", "low", "</w>")
+  }
+
+  test("dict capping keeps the most frequent words deterministically") {
+    val capped = Bpe.wordDict(corpus(), "text", 2)
+      .as[(String, Long)].collect().toSeq
+    capped shouldBe Seq("newest" -> 6L, "low" -> 5L)
+  }
+}
