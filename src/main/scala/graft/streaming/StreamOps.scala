@@ -459,6 +459,28 @@ object StreamOps extends QueryPack {
            |FROM sess GROUP BY user_id, session_id""".stripMargin),
     "gap sessions via native session_window (stream-capable built-in)")
 
+  /** Decode the Kafka source wire shape into typed rows. Spark's
+    * `spark.readStream.format("kafka")` (the public spark-sql-kafka
+    * connector; its jar ships separately from Spark core) always
+    * emits the same fixed schema — key/value as binary, plus
+    * topic/partition/offset/timestamp/timestampType — so every
+    * streaming operator in this package is Kafka-ready by
+    * construction: decode here, then feed
+    * [[streamingUpsertIngest]] / [[streamingNearDedupIngest]] /
+    * [[streamingDecontaminate]] UNCHANGED. Value payloads are parsed
+    * as JSON against the caller's schema (the common wire format;
+    * swap `from_json` for `from_avro` etc. at this one seam);
+    * unparseable payloads yield all-null rows, kept — dropping them
+    * silently would hide producer bugs, so filter downstream if
+    * desired. KafkaShapeSpec drives a wire-shape-identical stream
+    * through this decode into the upsert sink and pins the result
+    * against the batch equivalent.
+    */
+  def decodeKafkaJson(kafka: DataFrame, schema: StructType): DataFrame =
+    kafka
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
+
   /** Streaming ingest into the keyed upsert sink — the reference's
     * push loop (`push_to_es.py`) as a stream: every micro-batch goes
     * through the SAME latest-revision-wins merge the batch push uses
