@@ -71,10 +71,13 @@ object Bench {
       def build(label: String)(f: => Any): Unit = {
         val t0 = System.nanoTime()
         f
-        builds(s"_build:$label") = (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        builds(s"_build:$label") = secs
+        System.err.println(f"[bench] _build:$label $secs%.2fs")
       }
       build("closure") { operators.Hierarchy.storedClosure(spark, sfDir) }
       build("incr_closure") { operators.Hierarchy.storedIncrementalClosure(spark, sfDir) }
+      build("cooc") { operators.Dedup.storedCooc(spark, sfDir) }
       build("pairs") { operators.Dedup.storedPairs(spark, sfDir) }
       build("contamination") { operators.Dedup.storedContamination(spark, sfDir) }
       build("memorization_wins") { operators.Dedup.storedWindowSignatures(spark, sfDir) }
@@ -123,6 +126,10 @@ object Bench {
         }
         times(name) = runs.min
         spreads(name) = (runs.min, runs.max)
+        // live progress on stderr (stdout stays the one JSON line):
+        // long sf3-class runs were undiagnosable without it — a
+        // pair-explosion query looked like a hang
+        System.err.println(f"[bench] $name ${runs.min}%.2fs (${i + 1}/${selected.size})")
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

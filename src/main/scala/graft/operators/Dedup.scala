@@ -196,12 +196,22 @@ object Dedup extends QueryPack {
 
   def jaccardPairs(df: DataFrame, threshold: Double,
       maxShingleDf: Int = 128, assertCutInert: Boolean = false): DataFrame = {
-    val pairs = coocCounts(df, maxShingleDf)
+    val pairs = jaccardFromCooc(coocCounts(df, maxShingleDf), threshold)
+    if (!assertCutInert) pairs
+    else withCutInertGuard(pairs, df, maxShingleDf)
+  }
+
+  /** Resemblance from a co-occurrence core — the cheap derivation
+    * shared by [[jaccardPairs]] and the stored-artifact path.
+    */
+  private[graft] def jaccardFromCooc(cooc: DataFrame, threshold: Double): DataFrame =
+    cooc
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .where(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
-    if (!assertCutInert) pairs
-    else {
+
+  private def withCutInertGuard(pairs: DataFrame, df: DataFrame,
+      maxShingleDf: Int): DataFrame = {
       // Gate-coupling guard (r5 carry): the DuckDB oracle computes the
       // UNCUT measure, and the builder's equivalence argument is
       // "corpus max shingle df ≤ maxShingleDf, so the cut is inert".
@@ -227,7 +237,6 @@ object Dedup extends QueryPack {
           lit(s" exceeds maxShingleDf=$maxShingleDf; the oracle computes the " +
             "uncut measure, so raise maxShingleDf to keep gate equivalence"))).isNull)
         .drop("_gk", "_maxdf")
-    }
   }
 
   /** Asymmetric CONTAINMENT pairs — Broder's other similarity measure
@@ -247,13 +256,22 @@ object Dedup extends QueryPack {
     */
   def containmentPairs(df: DataFrame, threshold: Double,
       maxShingleDf: Int = 128): DataFrame =
+    containmentFromCooc(coocCounts(df, maxShingleDf), threshold)
+
+  /** Containment from a co-occurrence core — shared by
+    * [[containmentPairs]] and the stored-artifact path (q136 derives
+    * from [[storedCooc]]: at replica scales the exact co-occurrence
+    * aggregate is by far the expensive stage, and a pipeline computes
+    * it ONCE for both resemblance and containment, not per measure).
+    */
+  private[graft] def containmentFromCooc(cooc: DataFrame, threshold: Double): DataFrame =
     // Both directions via a LOCAL explode of each unordered pair row —
     // not a union of two projections over the aggregate: a union
     // duplicates the pair-aggregation subtree (ReuseExchange dedupes
     // the map side, but the reduce aggregate itself would run twice
     // per action), and at replica scales that aggregate is the
     // expensive stage.
-    coocCounts(df, maxShingleDf)
+    cooc
       .select(explode(array(
         struct(col("d1").as("contained_id"), col("d2").as("container_id"),
           (col("c").cast("double") / col("n1")).as("containment")),
@@ -276,27 +294,50 @@ object Dedup extends QueryPack {
     */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val coocMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def gateMaxShingleDf(s: SparkSession): Int =
+    s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt
+
+  /** Session-scoped STORED co-occurrence core (d1, d2, c, n1, n2) over
+    * the gate corpus — the expensive exact pair aggregate, computed
+    * ONCE and derived from by BOTH measures (q31 resemblance, q136
+    * containment) plus every storedPairs consumer. On 30× replica
+    * corpora this aggregate is tens of minutes of work per
+    * recomputation (every original's copies pairwise co-occur on
+    * nearly every shingle); before q136 derived from the store, its
+    * fresh recomputation dominated the entire sf3 bench.
+    *
+    * gate maxShingleDf (default 1024): the gate corpora's oracle-
+    * equivalence bound. sf0.001–0.1 max shingle df ≈ 25; the sf1
+    * pass (10× near-identical copies, BASELINE r8) pushes it to
+    * 250, the sf3 spot-gate (30×) to 750 — the r7 cut of 128
+    * tripped the cut-inert assert at sf1 exactly as documented.
+    * 1024 keeps the cut provably inert across the whole gate
+    * family while still bounding per-shingle candidate volume; the
+    * assert continues to fail loudly past it, and the conf knob
+    * (`graft.dedup.gateMaxShingleDf`) lets a larger replica gate
+    * raise it without a code edit.
+    */
+  def storedCooc(s: SparkSession, d: String): DataFrame =
+    coocMemo.computeIfAbsent((s, d),
+      _ => coocCounts(docs(s, d), gateMaxShingleDf(s)).localCheckpoint())
 
   def storedPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.computeIfAbsent((s, d),
-      // gate maxShingleDf (default 1024): the gate corpora's oracle-
-      // equivalence bound. sf0.001–0.1 max shingle df ≈ 25; the sf1
-      // pass (10× near-identical copies, BASELINE r8) pushes it to
-      // 250, the sf3 spot-gate (30×) to 750 — the r7 cut of 128
-      // tripped the cut-inert assert at sf1 exactly as documented.
-      // 1024 keeps the cut provably inert across the whole gate
-      // family while still bounding per-shingle candidate volume; the
-      // assert continues to fail loudly past it, and the conf knob
-      // (`graft.dedup.gateMaxShingleDf`) lets a larger replica gate
-      // raise it without a code edit.
-      _ => jaccardPairs(docs(s, d), 0.5,
-        maxShingleDf = s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt,
-        assertCutInert = true).localCheckpoint())
+      // assertCutInert guard applied on the derived pairs: the gate
+      // run itself verifies oracle/cut equivalence (the max-df check
+      // is one linear aggregate over the corpus, not pair-shaped)
+      _ => withCutInertGuard(
+        jaccardFromCooc(storedCooc(s, d), 0.5),
+        docs(s, d), gateMaxShingleDf(s)).localCheckpoint())
 
   private[graft] def clearStored(s: SparkSession): Int = {
     sigExported.clear() // stale export files must not shadow retrained
     // signatures on a same-JVM rerun (the Ann.clearStored rationale)
     graft.util.evictSession(pairsMemo, s) +
+      graft.util.evictSession(coocMemo, s) +
       graft.util.evictSession(contamMemo, s) +
       graft.util.evictSession(winsMemo, s)
   }
@@ -1246,16 +1287,20 @@ object Dedup extends QueryPack {
     "Bloom decontamination audit: native bloom_agg over eval fingerprints probed across the train corpus; no-false-negative + bounded-FP verdicts the oracle mirrors")
 
   /** Gate form of [[containmentPairs]] at 0.9 over the document
-    * corpus. Cut equivalence rides q31's gate guard: the shingle sets
-    * are IDENTICAL (same corpus, same 3-grams), and q31's in-plan
-    * assert already fails the round loudly if the corpus max df ever
-    * exceeds the shared `graft.dedup.gateMaxShingleDf` — so the
-    * oracle's uncut computation matches by the same argument.
+    * corpus, derived from [[storedCooc]] — the shared stored
+    * co-occurrence core q31 also derives from, so the expensive exact
+    * pair aggregate runs once per session, not once per measure (on
+    * 30× replica corpora a fresh recomputation here took longer than
+    * the rest of the suite combined). Cut equivalence rides q31's
+    * gate guard: the stored core IS q31's core (same corpus, same
+    * 3-grams, same `graft.dedup.gateMaxShingleDf` cut), and q31's
+    * in-plan assert fails the round loudly if the corpus max df ever
+    * exceeds it — so the oracle's uncut computation matches by the
+    * same argument.
     */
   val q136 = Q(
     "q136_containment",
-    (s, d) => containmentPairs(docs(s, d), 0.9,
-      maxShingleDf = s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt),
+    (s, d) => containmentFromCooc(storedCooc(s, d), 0.9),
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), sh AS (

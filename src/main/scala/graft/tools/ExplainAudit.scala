@@ -154,7 +154,7 @@ object ExplainAudit {
           v += Violation(name, "Expand in plan (mergeable sketch lost)")
         if (!plan.contains("hll_union_agg"))
           v += Violation(name, "hll_union_agg missing (artifact merge lost)")
-      case "q131_dup_spans" | "q136_containment" =>
+      case "q131_dup_spans" =>
         // the gram/shingle self-join rides the 64-bit hash — an EQUI
         // join (any strategy); a nested loop means the hash key was lost
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
@@ -277,7 +277,7 @@ object ExplainAudit {
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |
-           "q126_state_residency" | "q146_pct_parent" =>
+           "q126_state_residency" | "q146_pct_parent" | "q136_containment" =>
         // stored-artifact consumers (closure / pair list / components /
         // contamination audit): after the session memo materializes,
         // the gate plan must READ the checkpointed artifact — the
