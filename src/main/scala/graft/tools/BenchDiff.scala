@@ -1,0 +1,164 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Machine diff of two Bench records (the one-line JSON `graft.Bench`
+  * writes), normalized by the machine-factor sentinel.
+  *
+  * Why this exists: three rounds in a row (r11–r13) a bench run taken
+  * on a contended box was read as a performance regression, and each
+  * time a human had to re-derive the same analysis by hand —
+  * normalize by the sentinel, check per-query spreads, separate box
+  * noise from plan changes. This tool IS that analysis:
+  *
+  *   - every candidate time is normalized by
+  *     (baseline sentinel median / candidate sentinel median), so a
+  *     uniformly slower box cancels out;
+  *   - a query only counts as a REGRESSION when its normalized ratio
+  *     exceeds the threshold, its own min/max spread is tight (wide
+  *     spread = the box was noisy during that query), AND it clears
+  *     the baseline's own observed max with real daylight: the two
+  *     in-suite repeats share cache/GC state, so correlated noise
+  *     inflates both and a tight spread alone can't rule it out —
+  *     but a candidate min still INSIDE the band the baseline itself
+  *     produced on a quiet box is movement the baseline has already
+  *     exhibited, not a plan change (first real-record trial: 8 of 8
+  *     zero-code-change "regressions" died on exactly this rule);
+  *   - a candidate whose sentinel MEDIAN sits well above its own min
+  *     was contended for most of the run: regressions are still
+  *     listed, but downgraded to suspects and the exit stays 0 —
+  *     re-run on a quiet box instead of "fixing" noise.
+  *
+  * Usage: runMain graft.tools.BenchDiff <baseline.json> <candidate.json>
+  *        [ratioThreshold]        (default 1.5)
+  * Exit 1 iff the candidate has confirmed regressions or new errors.
+  */
+object BenchDiff {
+
+  final case class Record(
+      total: Double,
+      queries: Map[String, Double],
+      spread: Map[String, (Double, Double)],
+      sentinelRuns: Seq[Double],
+      errors: Map[String, String]) {
+    def sentinelMedian: Double = median(sentinelRuns)
+    def sentinelMin: Double = if (sentinelRuns.isEmpty) 0.0 else sentinelRuns.min
+    /** Contended = the TYPICAL sample is well above the best sample:
+      * most of the run was slow, not one unlucky interleave. A single
+      * outlier sample (max/min spikes, median/min stays ~1) does NOT
+      * mark a run contended — the median normalizer absorbs it.
+      */
+    def contended: Boolean =
+      sentinelMin > 0 && sentinelMedian / sentinelMin > 1.5
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    if (xs.isEmpty) return 0.0
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  def parse(json: String): Record = {
+    val root = new ObjectMapper().readTree(json)
+    def objMap(field: String): Map[String, JsonNode] =
+      Option(root.get(field)).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
+    Record(
+      total = Option(root.get("value")).map(_.asDouble).getOrElse(0.0),
+      queries = objMap("queries").map { case (k, v) => k -> v.asDouble },
+      spread = objMap("spread").map { case (k, v) =>
+        k -> (v.get(0).asDouble, v.get(1).asDouble)
+      },
+      sentinelRuns = Option(root.get("sentinel")).map(_.get("runs")
+        .elements().asScala.map(_.asDouble).toSeq).getOrElse(Nil),
+      errors = objMap("errors").map { case (k, v) => k -> v.asText })
+  }
+
+  sealed trait Kind
+  case object Regression extends Kind      // tight spread, above threshold: real
+  case object NoisySuspect extends Kind    // above threshold but wide spread or contended run
+  case object Improvement extends Kind
+  final case class Finding(kind: Kind, name: String, baseSec: Double,
+      candNormSec: Double, ratio: Double)
+
+  /** Floor for flagging: the ratio must be backed by real seconds.
+    * Sub-threshold absolute movement on a fast query is run-to-run
+    * jitter, never a plan change worth a red exit.
+    */
+  private val MinBaseSec = 0.05
+  private val MinDeltaSec = 0.1
+
+  def compare(base: Record, cand: Record, threshold: Double): Seq[Finding] = {
+    // Normalize by sentinel medians so a uniformly slower/faster box
+    // cancels; fall back to 1.0 when either record lacks a sentinel
+    // (old records predate it).
+    val f =
+      if (base.sentinelMedian > 0 && cand.sentinelMedian > 0)
+        base.sentinelMedian / cand.sentinelMedian
+      else 1.0
+    base.queries.keySet.intersect(cand.queries.keySet).toSeq.sorted.flatMap { q =>
+      val b = base.queries(q)
+      val cn = cand.queries(q) * f
+      if (b <= 0) None
+      else {
+        val ratio = cn / b
+        val wideSpread = cand.spread.get(q).exists { case (lo, hi) =>
+          lo > 0 && hi / lo > 2.0
+        }
+        // The band the baseline ITSELF produced on its quiet box: a
+        // candidate min inside it is movement the baseline already
+        // exhibited. Only daylight above it is evidence of a change.
+        val baseMax = base.spread.get(q).map(_._2).getOrElse(b)
+        if (ratio > threshold && b >= MinBaseSec && cn - baseMax >= MinDeltaSec)
+          Some(Finding(
+            if (wideSpread || cand.contended) NoisySuspect else Regression,
+            q, b, cn, ratio))
+        else if (ratio < 1.0 / threshold && b >= MinBaseSec && (b - cn) >= MinDeltaSec)
+          Some(Finding(Improvement, q, b, cn, ratio))
+        else None
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchDiff <baseline.json> <candidate.json> [ratioThreshold]")
+    def read(p: String) = parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val base = read(args(0))
+    val cand = read(args(1))
+    val threshold = if (args.length > 2) args(2).toDouble else 1.5
+
+    val f =
+      if (base.sentinelMedian > 0 && cand.sentinelMedian > 0)
+        base.sentinelMedian / cand.sentinelMedian
+      else 1.0
+    println(f"sentinel: base median ${base.sentinelMedian}%.2f  cand median ${cand.sentinelMedian}%.2f  norm factor ${f}%.3f")
+    if (cand.contended)
+      println(f"CONTENDED CANDIDATE: sentinel median/min ${cand.sentinelMedian / cand.sentinelMin}%.2f > 1.5 — " +
+        "most of the run was slow; regressions below are SUSPECTS, re-run on a quiet box")
+    if (base.contended)
+      println("WARNING: baseline record itself looks contended — comparisons are unreliable both ways")
+    println(f"total: base ${base.total}%.1fs  cand ${cand.total}%.1fs  cand normalized ${cand.total * f}%.1fs")
+
+    val newErrors = cand.errors.keySet.diff(base.errors.keySet).toSeq.sorted
+    newErrors.foreach(q => println(s"NEW ERROR  $q: ${cand.errors(q)}"))
+    val added = cand.queries.keySet.diff(base.queries.keySet).toSeq.sorted
+    val removed = base.queries.keySet.diff(cand.queries.keySet).toSeq.sorted
+    if (added.nonEmpty) println(s"added queries: ${added.mkString(", ")}")
+    if (removed.nonEmpty) println(s"removed queries: ${removed.mkString(", ")}")
+
+    val findings = compare(base, cand, threshold)
+    def show(kind: Kind, label: String): Unit =
+      findings.filter(_.kind == kind).sortBy(-_.ratio).foreach { x =>
+        println(f"$label  ${x.name}%-30s ${x.baseSec}%7.2fs -> ${x.candNormSec}%7.2fs (x${x.ratio}%.2f normalized)")
+      }
+    show(Regression, "REGRESSION")
+    show(NoisySuspect, "suspect   ")
+    show(Improvement, "improved  ")
+    if (findings.isEmpty && newErrors.isEmpty) println("no movement beyond threshold")
+
+    if (findings.exists(_.kind == Regression) || newErrors.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.tools.BenchDiff
+import graft.tools.BenchDiff.{Finding, Improvement, NoisySuspect, Record, Regression}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BenchDiff is the codified version of the sentinel-normalization
+  * analysis BASELINE.md prescribes for every bench comparison: these
+  * tests pin the exact classifications three rounds of manual
+  * adjudication converged on (slower box ≠ regression; wide per-query
+  * spread ≠ regression; contended run downgrades everything).
+  */
+class BenchDiffSpec extends AnyFunSuite {
+
+  private def rec(
+      queries: Map[String, Double],
+      sentinel: Seq[Double],
+      spread: Map[String, (Double, Double)] = Map.empty,
+      errors: Map[String, String] = Map.empty) =
+    Record(queries.values.sum, queries, spread, sentinel, errors)
+
+  test("parse reads Bench's one-line shape: queries, spread, sentinel runs, errors") {
+    val json =
+      """{"metric":"total","value":1.5,"unit":"sec",
+        |"queries":{"q1":1.0,"q2":0.5},
+        |"spread":{"q1":[1.0,1.2],"q2":[0.5,1.3]},
+        |"builds":{"_build:x":9.0},"build_total":9.0,
+        |"sentinel":{"runs":[0.8,0.9,0.85],"min":0.8,"median":0.85,"max":0.9},
+        |"n_err":1,"errors":{"q3":"boom"},"sf":"/tmp/x"}""".stripMargin.replace("\n", "")
+    val r = BenchDiff.parse(json)
+    assert(r.total == 1.5)
+    assert(r.queries == Map("q1" -> 1.0, "q2" -> 0.5))
+    assert(r.spread("q2") == (0.5, 1.3))
+    assert(r.sentinelRuns == Seq(0.8, 0.9, 0.85))
+    assert(r.sentinelMedian == 0.85)
+    assert(r.errors == Map("q3" -> "boom"))
+    assert(!r.contended)
+  }
+
+  test("a uniformly slower box is NOT a regression: sentinel normalization cancels it") {
+    val base = rec(Map("q1" -> 1.0, "q2" -> 0.4), sentinel = Seq(0.8, 0.8, 0.8))
+    // same plans on a 2x slower box: every query AND the sentinel double
+    val cand = rec(Map("q1" -> 2.0, "q2" -> 0.8), sentinel = Seq(1.6, 1.6, 1.6))
+    assert(BenchDiff.compare(base, cand, 1.5).isEmpty)
+  }
+
+  test("a tight-spread 2x on a quiet box IS a regression; sub-floor jitter is not") {
+    val base = rec(Map("q1" -> 1.0, "tiny" -> 0.02), sentinel = Seq(0.8, 0.8, 0.8))
+    val cand = rec(
+      Map("q1" -> 2.0, "tiny" -> 0.06), // tiny tripled but moved 40ms
+      sentinel = Seq(0.8, 0.8, 0.8),
+      spread = Map("q1" -> (2.0, 2.1), "tiny" -> (0.06, 0.06)))
+    val fs = BenchDiff.compare(base, cand, 1.5)
+    assert(fs == Seq(Finding(Regression, "q1", 1.0, 2.0, 2.0)))
+  }
+
+  test("a candidate inside the baseline's own observed band is NOT a regression") {
+    // the r11c->r14 false-positive shape: zero code change, candidate
+    // min 0.71s over base min 0.31s (x2.3) — but the BASELINE itself
+    // hit 1.07s on its max repeat, so 0.71 is movement the quiet box
+    // already exhibited
+    val base = rec(Map("q1" -> 0.31), sentinel = Seq(0.8, 0.8, 0.8),
+      spread = Map("q1" -> (0.31, 1.07)))
+    val cand = rec(Map("q1" -> 0.71), sentinel = Seq(0.8, 0.8, 0.8),
+      spread = Map("q1" -> (0.71, 0.75)))
+    assert(BenchDiff.compare(base, cand, 1.5).isEmpty)
+    // daylight above the base band still flags
+    val cand2 = rec(Map("q1" -> 1.3), sentinel = Seq(0.8, 0.8, 0.8),
+      spread = Map("q1" -> (1.3, 1.35)))
+    assert(BenchDiff.compare(base, cand2, 1.5).map(_.kind) == Seq(Regression))
+  }
+
+  test("wide per-query spread downgrades the same 2x to a noisy suspect") {
+    val base = rec(Map("q1" -> 1.0), sentinel = Seq(0.8, 0.8, 0.8))
+    val cand = rec(Map("q1" -> 2.0), sentinel = Seq(0.8, 0.8, 0.8),
+      spread = Map("q1" -> (2.0, 5.0))) // the box was noisy during q1
+    assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(NoisySuspect))
+  }
+
+  test("a contended candidate (sentinel median well above min) downgrades regressions") {
+    val base = rec(Map("q1" -> 1.0), sentinel = Seq(0.8, 0.8, 0.8))
+    val cand = rec(Map("q1" -> 4.0), sentinel = Seq(0.9, 2.0, 2.2),
+      spread = Map("q1" -> (4.0, 4.1)))
+    assert(cand.contended)
+    assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(NoisySuspect))
+  }
+
+  test("one outlier sentinel sample does NOT mark a run contended (median absorbs it)") {
+    // the r14 sf3 record's shape: four samples ~1.75, one 8.3 outlier
+    val r = rec(Map("q1" -> 1.0), sentinel = Seq(1.72, 8.34, 1.8, 1.79, 1.73))
+    assert(!r.contended)
+  }
+
+  test("improvements are reported with the same floor rules") {
+    val base = rec(Map("q1" -> 2.0, "tiny" -> 0.03), sentinel = Seq(0.8))
+    val cand = rec(Map("q1" -> 0.5, "tiny" -> 0.01), sentinel = Seq(0.8))
+    val fs = BenchDiff.compare(base, cand, 1.5)
+    assert(fs == Seq(Finding(Improvement, "q1", 2.0, 0.5, 0.25)))
+  }
+}
