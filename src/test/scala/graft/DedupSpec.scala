@@ -287,4 +287,48 @@ class DedupSpec extends SparkSpec {
     inc shouldBe full
     inc should not be empty
   }
+
+  test("stored-core retention: derivations identical to the unfiltered core, dead rows dropped") {
+    // Synthetic co-occurrence core spanning every regime, including
+    // rows EXACTLY at each threshold (the retention disjuncts reuse
+    // the consumers' own expressions, so boundary rows must survive
+    // bit-for-bit, not modulo an epsilon):
+    val cooc = Seq(
+      (1L, 2L, 10L, 10L, 10L),  // jac 1.0, containment 1.0: kept by both
+      (3L, 4L, 5L, 10L, 10L),   // jac 1/3, cont 0.5: dead row — retention drops it
+      (5L, 6L, 9L, 10L, 100L),  // cont 0.9 EXACTLY (c/n1), jac 9/101: containment-only
+      (7L, 8L, 10L, 15L, 15L),  // jac 0.5 EXACTLY, cont 2/3: jaccard-only
+      (9L, 10L, 27L, 200L, 30L) // cont 0.9 exactly via the c/n2 disjunct (n2 is the smaller side)
+    ).toDF("d1", "d2", "c", "n1", "n2")
+    val retained = Dedup.retainForGate(cooc, 0.5, 0.9)
+    retained.count() shouldBe 4 // only the dead row is gone
+
+    def jacOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardFromCooc(df, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    def contOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentFromCooc(df, 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+    jacOf(retained) shouldBe jacOf(cooc)
+    contOf(retained) shouldBe contOf(cooc)
+    // the boundary rows are actually IN the results (not vacuously equal)
+    jacOf(cooc).map(p => (p._1, p._2)) should contain((7L, 8L))
+    contOf(cooc).map(p => (p._1, p._2)) should contain((5L, 6L))
+  }
+
+  test("stored core feeds both gate measures: q31/q136 results match direct computation") {
+    // the stored artifact (retention + df-cut) must be invisible to
+    // consumers: same results as the single-call library forms
+    val direct = Dedup.jaccardPairs(documents, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val stored = Dedup.jaccardFromCooc(Dedup.storedCooc(spark, sfDir), 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    stored shouldBe direct
+    val directC = Dedup.containmentPairs(documents, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val storedC = Dedup.containmentFromCooc(Dedup.storedCooc(spark, sfDir), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    storedC shouldBe directC
+    directC should not be empty
+  }
 }
