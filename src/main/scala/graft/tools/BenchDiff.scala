@@ -28,7 +28,14 @@ import scala.jdk.CollectionConverters._
   *   - a candidate whose sentinel MEDIAN sits well above its own min
   *     was contended for most of the run: regressions are still
   *     listed, but downgraded to suspects and the exit stays 0 —
-  *     re-run on a quiet box instead of "fixing" noise.
+  *     re-run on a quiet box instead of "fixing" noise;
+  *   - the interleaved sentinel also localizes pressure to a BLOCK of
+  *     the run (Bench samples it every ⌈n/4⌉ queries): a finding
+  *     whose block shows an inflated neighbor sample, and whose
+  *     movement is within 2× that pressure ratio, is a suspect, not a
+  *     verdict — this catches the mid-run contention window that a
+  *     quiet whole-run median hides (the failure mode that burned
+  *     three straight rounds of driver benches).
   *
   * Usage: runMain graft.tools.BenchDiff <baseline.json> <candidate.json>
   *        [ratioThreshold]        (default 1.5)
@@ -89,6 +96,28 @@ object BenchDiff {
   private val MinBaseSec = 0.05
   private val MinDeltaSec = 0.1
 
+  /** Localized pressure around one query, read off the interleaved
+    * sentinel: Bench re-runs the sentinel every ⌈n/4⌉ queries (in the
+    * same alphabetical order this tool sees), so each query sits
+    * between two known sentinel samples. If either neighbor sample is
+    * >1.5× the run's best sample, that BLOCK was under pressure even
+    * when the whole-run median looks quiet — the r14 sf3 pair showed
+    * exactly this: two runs of identical code, each with one inflated
+    * mid-run sample, flagging opposite halves of the same block as
+    * "regressions" of each other. Returns the pressure ratio
+    * (neighbor max / run min), 1.0 when calm.
+    */
+  private def blockPressure(r: Record, q: String): Double = {
+    if (r.sentinelRuns.isEmpty || r.sentinelMin <= 0) return 1.0
+    val order = r.queries.keySet.toSeq.sorted
+    val idx = order.indexOf(q)
+    if (idx < 0) return 1.0
+    val every = math.max(1, math.ceil(order.size / 4.0).toInt)
+    val pre = math.min(idx / every, r.sentinelRuns.size - 1)
+    val post = math.min(pre + 1, r.sentinelRuns.size - 1)
+    math.max(r.sentinelRuns(pre), r.sentinelRuns(post)) / r.sentinelMin
+  }
+
   def compare(base: Record, cand: Record, threshold: Double): Seq[Finding] = {
     // Normalize by sentinel medians so a uniformly slower/faster box
     // cancels; fall back to 1.0 when either record lacks a sentinel
@@ -110,12 +139,27 @@ object BenchDiff {
         // candidate min inside it is movement the baseline already
         // exhibited. Only daylight above it is evidence of a change.
         val baseMax = base.spread.get(q).map(_._2).getOrElse(b)
+        // Block-local pressure downgrades a finding only when it can
+        // PLAUSIBLY explain it: movement beyond 2× the observed
+        // pressure ratio is a change, whatever the sentinel saw (a
+        // 500× improvement is not a 2.5× pressure artifact).
+        def pressureExplains(moveRatio: Double, pressure: Double): Boolean =
+          pressure > 1.5 && moveRatio <= pressure * 2.0
         if (ratio > threshold && b >= MinBaseSec && cn - baseMax >= MinDeltaSec)
           Some(Finding(
-            if (wideSpread || cand.contended) NoisySuspect else Regression,
+            if (wideSpread || cand.contended ||
+                pressureExplains(ratio, blockPressure(cand, q)))
+              NoisySuspect
+            else Regression,
             q, b, cn, ratio))
         else if (ratio < 1.0 / threshold && b >= MinBaseSec && (b - cn) >= MinDeltaSec)
-          Some(Finding(Improvement, q, b, cn, ratio))
+          // an "improvement" whose block was under pressure in the
+          // BASELINE run is the mirror artifact: the base was inflated
+          Some(Finding(
+            if (pressureExplains(1.0 / ratio, blockPressure(base, q)))
+              NoisySuspect
+            else Improvement,
+            q, b, cn, ratio))
         else None
       }
     }

@@ -97,4 +97,42 @@ class BenchDiffSpec extends AnyFunSuite {
     val fs = BenchDiff.compare(base, cand, 1.5)
     assert(fs == Seq(Finding(Improvement, "q1", 2.0, 0.5, 0.25)))
   }
+
+  // 8 queries -> sentinel every ceil(8/4)=2 queries; 5 samples total.
+  // qa,qb sit between samples 0-1; qc,qd between 1-2; etc.
+  private val eight = Seq("qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh")
+
+  test("block-local pressure downgrades a regression the inflated sample can explain") {
+    // whole-run median is quiet (one bad sample out of five), but qc's
+    // block neighbor (sample 1 = 2.4, 3x the run min) was inflated —
+    // the r14 sf3-vs-sf3b failure shape
+    val base = rec(eight.map(_ -> 1.0).toMap, sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
+    val cand = rec(eight.map(q => q -> (if (q == "qc") 3.0 else 1.0)).toMap,
+      sentinel = Seq(0.8, 2.4, 0.8, 0.8, 0.8),
+      spread = Map("qc" -> (3.0, 3.1)))
+    assert(!cand.contended) // median/min = 1 — global rule sees nothing
+    assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(NoisySuspect))
+  }
+
+  test("movement far beyond the block's pressure ratio stays a verdict") {
+    // same inflated block, but a 20x regression: 2.4/0.8 = 3x pressure
+    // cannot explain 20x (cap is pressure x2 = 6x)
+    val base = rec(eight.map(_ -> 1.0).toMap, sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8),
+      spread = eight.map(_ -> (1.0, 1.1)).toMap)
+    val cand = rec(eight.map(q => q -> (if (q == "qc") 20.0 else 1.0)).toMap,
+      sentinel = Seq(0.8, 2.4, 0.8, 0.8, 0.8),
+      spread = Map("qc" -> (20.0, 20.5)))
+    assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(Regression))
+  }
+
+  test("an 'improvement' whose BASELINE block was under pressure is the mirror artifact") {
+    val base = rec(eight.map(q => q -> (if (q == "qe") 3.0 else 1.0)).toMap,
+      sentinel = Seq(0.8, 0.8, 2.4, 0.8, 0.8)) // qe's block inflated in base
+    val cand = rec(eight.map(_ -> 1.0).toMap, sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
+    assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(NoisySuspect))
+    // a quiet-base improvement of the same size is real
+    val base2 = rec(eight.map(q => q -> (if (q == "qe") 3.0 else 1.0)).toMap,
+      sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
+    assert(BenchDiff.compare(base2, cand, 1.5).map(_.kind) == Seq(Improvement))
+  }
 }
