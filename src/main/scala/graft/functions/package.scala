@@ -99,6 +99,34 @@ package object functions {
       numBits: Int = 65536, numHashes: Int = 4): Column =
     call_function("bloom_contains", filter, keyHash, lit(numBits), lit(numHashes))
 
+  /** Native mergeable Theta-sketch aggregate over 64-bit key hashes
+    * (see [[graft.expressions.ThetaSketchAgg]]): the SET-OPERATION
+    * sketch — unlike HLL++, built sketches compose via
+    * [[thetaIntersect]]/[[thetaUnionOf]]/[[thetaAnotB]] and read out
+    * with [[thetaEstimate]]. Set semantics: duplicates are no-ops, so
+    * the raw token stream feeds it without a distinct shuffle.
+    */
+  def thetaAgg(keyHash: Column, lgK: Int = 14): Column =
+    call_function("theta_agg", keyHash, lit(lgK))
+
+  /** Estimated |A∩B| composes from these: sketch-set intersection. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    call_function("theta_set_op", a, b, lit("intersect"))
+
+  /** Sketch-set union (binary scalar form; the aggregate form is
+    * [[thetaAgg]] over the concatenated input).
+    */
+  def thetaUnionOf(a: Column, b: Column): Column =
+    call_function("theta_set_op", a, b, lit("union"))
+
+  /** Sketch-set difference A \ B. */
+  def thetaAnotB(a: Column, b: Column): Column =
+    call_function("theta_set_op", a, b, lit("anotb"))
+
+  /** Estimated distinct count of a theta sketch. */
+  def thetaEstimate(sk: Column): Column =
+    call_function("theta_estimate", sk)
+
   /** BPE tokenization under a trained merge list (see
     * [[graft.operators.Bpe]] / [[graft.expressions.BpeTokenize]]):
     * array of subword tokens per row; `size(...)` of it is the exact

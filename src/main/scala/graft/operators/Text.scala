@@ -841,6 +841,105 @@ object Text extends QueryPack {
            |GROUP BY st.source""".stripMargin),
     "per-source vocabulary drift: overlap of source top-100 terms with the corpus top-100")
 
+  /** Per-source theta sketches of the term set — the mergeable
+    * artifact behind [[vocabOverlapSketch]]. Set semantics make the
+    * plan one map-side-partial aggregation over the RAW token stream:
+    * no (source, term) distinct shuffle, one lgK-sized buffer per
+    * source per task. At 100 TB this is the whole cost — the sketch
+    * rows it produces are kilobytes.
+    */
+  def sourceVocabSketches(docsDf: DataFrame, lgK: Int = 14): DataFrame =
+    docsDf.select(col("source"), explode(words(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(graft.functions.thetaAgg(xxhash64(col("term")), lgK).as("sk"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Estimated pairwise vocabulary overlap across sources from theta
+    * sketches alone — the production form at corpus scale: estimated
+    * |A∩B| and Jaccard for every source pair WITHOUT the vocabularies
+    * ever meeting (the exact form's term-keyed equi-join of the full
+    * distinct (source, term) set is the audit-grade pass; this one is
+    * two linear scans + set ops on kilobyte sketches). Pair fan-out
+    * is sources² — model-sized by construction (a mixture has tens of
+    * sources, not millions) — so the pair list is built driver-side
+    * and both sketch attachments are broadcast equi-joins, never a
+    * nested-loop join.
+    */
+  def vocabOverlapSketch(docsDf: DataFrame, lgK: Int = 14): DataFrame = {
+    import graft.functions.{thetaEstimate, thetaIntersect, thetaUnionOf}
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val sk = graft.util.reused(sourceVocabSketches(docsDf, lgK))
+    // sources² pair list: model-sized driver traffic (same budget as
+    // the ANN centroid collects), keeps every join below an equi key
+    val sources = sk.select(col("source")).as[String].collect().sorted
+    val pairs = sources.combinations(2).map(p => (p(0), p(1))).toSeq
+      .toDF("s1", "s2")
+    pairs
+      .join(broadcast(sk.select(col("source").as("s1"), col("sk").as("sk1"))), "s1")
+      .join(broadcast(sk.select(col("source").as("s2"), col("sk").as("sk2"))), "s2")
+      .withColumn("est_overlap", thetaEstimate(thetaIntersect(col("sk1"), col("sk2"))))
+      .withColumn("est_union", thetaEstimate(thetaUnionOf(col("sk1"), col("sk2"))))
+      .select(col("s1"), col("s2"), col("est_overlap"),
+        (col("est_overlap") / col("est_union")).as("est_jaccard"))
+  }
+
+  /** Gate form: exact pairwise vocabulary overlap with the theta
+    * estimate audited in-row — the q130 consumer-step pattern (exact
+    * facts + within-band verdicts in the row, literal-TRUE verdicts
+    * in the oracle). Exact side: distinct (source, term) set,
+    * term-keyed equi-join (per-term fan-out bounded by the source
+    * count), pair-keyed aggregate. Sketch side: [[vocabOverlapSketch]]
+    * machinery at lgK 14 (rsd 0.78% estimating; EXACT below 16k
+    * distinct terms per source — the estimation regime itself is
+    * spec-pinned on a >16k synthetic set in FunctionsSpec). Band 10%.
+    */
+  def vocabOverlapThetaAudit(docsDf: DataFrame, lgK: Int = 14): DataFrame = {
+    import graft.functions.{thetaEstimate, thetaIntersect}
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val terms = docsDf.select(col("source"), explode(words(col("text"))).as("term"))
+    val v = graft.util.reused(terms.distinct())
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exact = v.toDF("s1", "term")
+      .join(v.toDF("s2", "term2"), col("term") === col("term2"))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n_s1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n_s2"))), "s2")
+    val sk = graft.util.reused(sourceVocabSketches(docsDf, lgK))
+    val est = exact
+      .join(broadcast(sk.select(col("source").as("s1"), col("sk").as("sk1"))), "s1")
+      .join(broadcast(sk.select(col("source").as("s2"), col("sk").as("sk2"))), "s2")
+      .withColumn("est", thetaEstimate(thetaIntersect(col("sk1"), col("sk2"))))
+    est.select(col("s1"), col("s2"), col("n_s1"), col("n_s2"), col("n_overlap"),
+      (abs(col("est") - col("n_overlap")) * lit(10.0) <= col("n_overlap").cast("double"))
+        .as("theta_ok"))
+  }
+
+  val q147 = Q(
+    "q147_vocab_overlap_theta",
+    (s, d) => vocabOverlapThetaAudit(docs(s, d)),
+    Some("""WITH toks AS (
+           |  SELECT source,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS term
+           |  FROM documents
+           |), v AS (
+           |  SELECT DISTINCT source, term FROM toks
+           |), sz AS (
+           |  SELECT source, COUNT(*) AS n FROM v GROUP BY 1
+           |), ov AS (
+           |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_overlap
+           |  FROM v a JOIN v b USING (term)
+           |  WHERE a.source < b.source GROUP BY 1, 2
+           |)
+           |SELECT ov.s1, ov.s2, sa.n AS n_s1, sb.n AS n_s2, ov.n_overlap,
+           |  TRUE AS theta_ok
+           |FROM ov JOIN sz sa ON sa.source = ov.s1
+           |        JOIN sz sb ON sb.source = ov.s2""".stripMargin),
+    "pairwise source vocabulary overlap: exact distinct-term facts with the theta-sketch intersection estimate audited in-row (set-operation sketches: the cross-corpus primitive HLL cannot express)")
+
   /** Vocabulary coverage curve — the tokenizer-design question "how
     * big a vocabulary covers p of all token occurrences?": for each
     * target share, the minimal number of distinct terms (taken in
@@ -1390,7 +1489,7 @@ object Text extends QueryPack {
            |ORDER BY n DESC, t ASC LIMIT 20""".stripMargin),
     "Count-Min heavy-hitters on the gate: top-20 tokens with sketch-vs-exact verdict booleans (overestimate-only + CM error bound)")
 
-  val all: Seq[Q] = Seq(q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
+  val all: Seq[Q] = Seq(q147, q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
     q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123,
     q125, q134)
 }

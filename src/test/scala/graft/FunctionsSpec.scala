@@ -225,4 +225,64 @@ class FunctionsSpec extends SparkSpec {
       a.indices.foreach(i => a(i) |= b(i)); a
     }.toSeq shouldBe filterOf(1)
   }
+
+  test("theta sketch: exact below nominal entries, layout-independent, set semantics") {
+    val keys = (1L to 5000L).toDF("k").withColumn("h", xxhash64($"k"))
+    def est(parts: Int): Double =
+      keys.repartition(parts).agg(thetaEstimate(thetaAgg($"h")).as("e"))
+        .as[Double].head()
+    // 5000 distinct < 2^14 nominal: the sketch is in exact mode
+    est(1) shouldBe 5000.0
+    // deterministic function of the key SET, not the partition layout
+    est(8) shouldBe est(1)
+    // duplicates are no-ops (set semantics): tripling every row
+    // changes nothing — the raw token stream needs no distinct
+    val tripled = keys.union(keys).union(keys)
+    tripled.agg(thetaEstimate(thetaAgg($"h")).as("e"))
+      .as[Double].head() shouldBe 5000.0
+  }
+
+  test("theta sketch estimation regime: union/intersect/anotb within 4-sigma on 100k keys") {
+    // A = [1, 100k], B = [50k+1, 150k]: |A|=|B|=100k >> 2^14 nominal
+    // (estimation mode), |A∩B| = 50k, |A∪B| = 150k, |A\B| = 50k
+    val a = (1L to 100000L).toDF("k").withColumn("h", xxhash64($"k"))
+      .agg(thetaAgg($"h").as("sk"))
+    val b = (50001L to 150000L).toDF("k").withColumn("h", xxhash64($"k"))
+      .agg(thetaAgg($"h").as("sk"))
+    val both = a.select($"sk".as("ska")).crossJoin(b.select($"sk".as("skb")))
+    val (u, i, d) = both.select(
+      thetaEstimate(thetaUnionOf($"ska", $"skb")).as("u"),
+      thetaEstimate(thetaIntersect($"ska", $"skb")).as("i"),
+      thetaEstimate(thetaAnotB($"ska", $"skb")).as("d"))
+      .as[(Double, Double, Double)].head()
+    // lgK=14 rsd ≈ 0.78%; set-op error is relative to the UNION size,
+    // so give intersection/difference 4σ of 150k ≈ 4.7k
+    math.abs(u - 150000.0) should be <= 150000.0 * 0.032
+    math.abs(i - 50000.0) should be <= 150000.0 * 0.032
+    math.abs(d - 50000.0) should be <= 150000.0 * 0.032
+    // composition: (A∩B) ∪ (A\B) = A — ops CHAIN over sketch bytes
+    val back = both.select(thetaEstimate(thetaUnionOf(
+      thetaIntersect($"ska", $"skb"), thetaAnotB($"ska", $"skb"))).as("e"))
+      .as[Double].head()
+    math.abs(back - 100000.0) should be <= 150000.0 * 0.032
+  }
+
+  test("vocabOverlapSketch estimates match the exact pairwise overlap on the gate corpus") {
+    val full = Tables.documents(spark, sfDir)
+    val exact = graft.operators.Text.vocabOverlapThetaAudit(full)
+      .select($"s1", $"s2", $"n_overlap").as[(String, String, Long)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    val est = graft.operators.Text.vocabOverlapSketch(full)
+      .select($"s1", $"s2", $"est_overlap", $"est_jaccard")
+      .as[(String, String, Double, Double)].collect()
+    est.length shouldBe exact.size
+    est.foreach { case (a, b, e, j) =>
+      val x = exact((a, b)).toDouble
+      math.abs(e - x) should be <= math.max(1.0, x * 0.1)
+      j should (be >= 0.0 and be <= 1.0)
+    }
+    // and the audit's own in-row verdicts all hold
+    graft.operators.Text.vocabOverlapThetaAudit(full)
+      .where(!$"theta_ok").count() shouldBe 0L
+  }
 }
