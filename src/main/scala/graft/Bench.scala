@@ -171,13 +171,18 @@ object Bench {
     // instead, printing why.
     val stamped = s"bench/BENCH_run_${System.currentTimeMillis() / 1000}.json"
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", stamped)
+    // Contention = the TYPICAL sample sits well above the best one —
+    // the same median/min rule tools.BenchDiff codifies. (max/min was
+    // the first cut and blocked legitimate re-records: one-in-five
+    // outlier samples are the NORMAL shape on this box, and the
+    // median normalizer absorbs them.)
     val sentinelRatio =
-      if (sSorted.nonEmpty && sSorted.head > 0) sSorted.last / sSorted.head else 1.0
+      if (sSorted.nonEmpty && sSorted.head > 0) sMedian / sSorted.head else 1.0
     val out =
-      if (requested != stamped && sentinelRatio > 2.0 &&
+      if (requested != stamped && sentinelRatio > 1.5 &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(requested))) {
         System.err.println(
-          f"[bench] sentinel max/min $sentinelRatio%.2f > 2 marks this run as " +
+          f"[bench] sentinel median/min $sentinelRatio%.2f > 1.5 marks this run as " +
           s"contended; refusing to overwrite existing record $requested — " +
           s"writing $stamped instead. Re-run on a quiet box to update the record.")
         stamped

@@ -121,10 +121,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("theta_set_op"),
       new ExpressionInfo(classOf[ThetaSetOp].getName, "theta_set_op"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 3,
-          "theta_set_op expects (sketchA, sketchB, op)")
-        ThetaSetOp(children.head, children(1),
-          ThetaSetOp.opLit(children(2), "theta_set_op"))
+        require(children.size == 3 || children.size == 4,
+          "theta_set_op expects (sketchA, sketchB, op) or (sketchA, sketchB, op, lgK)")
+        if (children.size == 3)
+          ThetaSetOp(children.head, children(1),
+            ThetaSetOp.opLit(children(2), "theta_set_op"))
+        else
+          ThetaSetOp(children.head, children(1),
+            ThetaSetOp.opLit(children(2), "theta_set_op"),
+            intLit(children(3), "theta_set_op lgK"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("theta_estimate"),

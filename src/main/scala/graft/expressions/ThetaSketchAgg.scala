@@ -92,9 +92,17 @@ case class ThetaSketchAgg(
   * (one row per source/corpus — model-sized), never on the corpus
   * scan path, so codegen would buy nothing (the plan-audit hot-path
   * rule is about per-input-row expressions).
+  *
+  * lgK must match the aggregate's (default 14 on both): the library's
+  * OWN builder default is lgK 12, which would silently downsample
+  * lgK-14 inputs — two exact 10k-term sketches would union into a
+  * 4096-entry ESTIMATE instead of staying exact.
   */
-case class ThetaSetOp(left: Expression, right: Expression, op: String)
+case class ThetaSetOp(left: Expression, right: Expression, op: String,
+    lgK: Int = 14)
   extends Expression with CodegenFallback {
+
+  require(lgK >= 4 && lgK <= 26, s"theta_set_op lgK must be in [4, 26], got $lgK")
 
   require(ThetaSetOp.Ops.contains(op),
     s"theta_set_op op must be one of ${ThetaSetOp.Ops.mkString("/")}, got '$op'")
@@ -120,13 +128,14 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
       val sb = Sketch.wrap(Memory.wrap(b.asInstanceOf[Array[Byte]]))
       op match {
         case "union" =>
-          val u = SetOperation.builder().buildUnion()
+          val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
           u.union(sa); u.union(sb); u.getResult.toByteArray
         case "intersect" =>
-          SetOperation.builder().buildIntersection()
+          SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
             .intersect(sa, sb).toByteArray
         case "anotb" =>
-          SetOperation.builder().buildANotB().aNotB(sa, sb).toByteArray
+          SetOperation.builder().setLogNominalEntries(lgK).buildANotB()
+            .aNotB(sa, sb).toByteArray
       }
     }
   }
@@ -140,13 +149,20 @@ object ThetaSetOp {
   val Ops: Set[String] = Set("union", "intersect", "anotb")
 
   /** Helper for the function registry: op arrives as a string literal
-    * expression (foldable), validated here so a bad op fails at plan
-    * time with the expression name, not mid-job.
+    * expression, validated here so a bad op fails at plan time with
+    * the expression name, not mid-job — the foldability check first,
+    * or eval(null) on a real column throws Catalyst's unrelated
+    * "cannot evaluate" instead of this message.
     */
-  def opLit(e: Expression, fn: String): String = e.eval(null) match {
-    case s: UTF8String if Ops.contains(s.toString) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"$fn op must be a literal of ${Ops.mkString("/")}, got $other")
+  def opLit(e: Expression, fn: String): String = {
+    require(e.foldable,
+      s"$fn op must be a string LITERAL of ${Ops.mkString("/")}, got the " +
+        s"non-foldable expression ${e.sql}")
+    e.eval(null) match {
+      case s: UTF8String if Ops.contains(s.toString) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn op must be a literal of ${Ops.mkString("/")}, got $other")
+    }
   }
 }
 

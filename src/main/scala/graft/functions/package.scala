@@ -109,19 +109,23 @@ package object functions {
   def thetaAgg(keyHash: Column, lgK: Int = 14): Column =
     call_function("theta_agg", keyHash, lit(lgK))
 
-  /** Estimated |A∩B| composes from these: sketch-set intersection. */
-  def thetaIntersect(a: Column, b: Column): Column =
-    call_function("theta_set_op", a, b, lit("intersect"))
+  /** Estimated |A∩B| composes from these: sketch-set intersection.
+    * lgK must match the building aggregate's (default 14 on both —
+    * the library's own builder default of 12 would silently
+    * downsample exact lgK-14 inputs into estimates).
+    */
+  def thetaIntersect(a: Column, b: Column, lgK: Int = 14): Column =
+    call_function("theta_set_op", a, b, lit("intersect"), lit(lgK))
 
   /** Sketch-set union (binary scalar form; the aggregate form is
     * [[thetaAgg]] over the concatenated input).
     */
-  def thetaUnionOf(a: Column, b: Column): Column =
-    call_function("theta_set_op", a, b, lit("union"))
+  def thetaUnionOf(a: Column, b: Column, lgK: Int = 14): Column =
+    call_function("theta_set_op", a, b, lit("union"), lit(lgK))
 
   /** Sketch-set difference A \ B. */
-  def thetaAnotB(a: Column, b: Column): Column =
-    call_function("theta_set_op", a, b, lit("anotb"))
+  def thetaAnotB(a: Column, b: Column, lgK: Int = 14): Column =
+    call_function("theta_set_op", a, b, lit("anotb"), lit(lgK))
 
   /** Estimated distinct count of a theta sketch. */
   def thetaEstimate(sk: Column): Column =

@@ -27,14 +27,20 @@ import org.apache.spark.sql.functions._
   *
   * Retention: each mutation keeps the immediately superseded
   * generation of every bucket it rewrote (so a reader that resolved
-  * the previous manifest can finish its scan) and deletes anything
-  * older. A reader is thus safe concurrent with ONE subsequent
-  * mutation; [[vacuum]] removes all unreferenced generations when the
-  * operator knows no reader is in flight. A writer that crashes before
-  * the manifest swap leaves orphan `__gen` dirs that no reader ever
-  * sees; the next mutation reuses the same generation number
-  * (dynamic-partition overwrite replaces the partial data) and vacuum
-  * collects any leftovers.
+  * the previous manifest can finish its scan) and deletes that
+  * bucket's older generations. Pruning touches ONLY the buckets the
+  * mutation rewrote — commit metadata cost stays proportional to the
+  * update footprint, so a bucket's grace generation lingers until its
+  * next rewrite (bounded at one extra generation per bucket, and an
+  * even longer safety window for readers). A reader is thus safe
+  * concurrent with AT LEAST one subsequent mutation; [[vacuum]]
+  * removes all unreferenced generations when the operator knows no
+  * reader is in flight. A writer that crashes before the manifest
+  * swap leaves orphan `__gen` dirs (and possibly Spark job-staging
+  * debris) that no reader ever sees; the next mutation reuses the
+  * same generation number (dynamic-partition overwrite replaces the
+  * partial data) and vacuum collects any leftovers, staging debris
+  * included.
   *
   * SINGLE WRITER per table: a merge is a non-atomic read-modify-write
   * of the touched buckets, so concurrent upserts into the same path
@@ -81,6 +87,7 @@ object ParquetUpsertSink {
       versionCol: String, numBuckets: Int): Unit = {
     val spark = updates.sparkSession
     val manifest = readManifest(spark, path)
+    if (manifest.isEmpty) assertNoPreManifestData(spark, path)
     val buckets = if (manifest.isDefined) readBucketCount(spark, path) else numBuckets
     val keyed = withBucket(updates, keyCols, buckets)
     // the touched-bucket probe is the only extra pass over `updates`;
@@ -167,6 +174,37 @@ object ParquetUpsertSink {
     finally in.close()
   }
 
+  /** Data-loss guard for the manifest-less branch: a table written by
+    * the pre-generation layout has parquet files DIRECTLY under
+    * `__bucket=b/` and no `_graft_manifest` — treating it as "no
+    * table" would merge against nothing, commit a manifest covering
+    * only the update, and silently shadow every existing row (old
+    * files referenced by no generation, invisible even to vacuum). A
+    * crashed FIRST write is the legitimate manifest-less state and
+    * stays writable: its orphans live under `__gen=` subdirectories.
+    * Runs only on the first write to a path (manifest absent), so the
+    * listing cost never touches steady-state mutations.
+    */
+  private def assertNoPreManifestData(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { bSt =>
+      val bName = bSt.getPath.getName
+      if (bSt.isDirectory && bName.startsWith(s"$bucketCol=")) {
+        val flat = fs.listStatus(bSt.getPath).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith(s"$genCol=") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(!flat,
+          s"$path has data directly under $bName but no $manifestName — a " +
+            "pre-generation-layout table. Refusing to write: the merge would " +
+            "silently shadow every existing row. Migrate by reading the old " +
+            "table (spark.read.parquet) and sync()ing it into a NEW path.")
+      }
+    }
+  }
+
   /** The live snapshot: bucket -> current generation. `None` = no
     * committed table at `path`. One small file read — never lists data
     * directories, so resolve cost is independent of table size.
@@ -193,11 +231,11 @@ object ParquetUpsertSink {
     * pointer and the bucket-count sidecar instead — the table reads as
     * absent and a fresh first write may pick a new bucket count.
     *
-    * After the swap, generations older than the one just superseded
-    * are deleted: the IMMEDIATELY superseded generation of each
-    * rewritten bucket is retained so a reader holding the previous
-    * manifest can finish (grace window of one mutation); [[vacuum]]
-    * reclaims the rest.
+    * After the swap, each REWRITTEN bucket's generations older than
+    * the one just superseded are deleted: the immediately superseded
+    * generation is retained so a reader holding the previous manifest
+    * can finish; [[vacuum]] reclaims the rest (see the class-doc
+    * retention note for why pruning is footprint-scoped).
     */
   private def commit(spark: SparkSession, path: String,
       prev: Map[Int, Long], next: Map[Int, Long]): Unit = {
@@ -217,9 +255,17 @@ object ParquetUpsertSink {
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(path)),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
-    // prune: for every bucket whose generation changed (or vanished),
-    // keep {new live gen, immediately superseded gen}, drop older
-    (prev.keySet ++ next.keySet).foreach { b =>
+    // prune ONLY buckets whose generation changed in THIS commit
+    // (keep {new live gen, immediately superseded gen}, drop older):
+    // iterating every live bucket would make commit metadata cost
+    // O(numBuckets) LIST calls per mutation — on an object store that
+    // breaks the "merge cost proportional to the update footprint"
+    // contract. The price: a bucket's grace generation now lingers
+    // until the bucket's NEXT rewrite (bounded at one extra gen per
+    // bucket; a LONGER reader grace window) instead of the next table
+    // mutation; vacuum reclaims stragglers as before.
+    (prev.keySet ++ next.keySet)
+      .filter(b => prev.get(b) != next.get(b)).foreach { b =>
       val keep = Set(prev.get(b), next.get(b)).flatten
       val bDir = new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b")
       if (fs.exists(bDir)) fs.listStatus(bDir).foreach { st =>
@@ -232,11 +278,11 @@ object ParquetUpsertSink {
   }
 
   /** Delete every generation directory the current manifest does not
-    * reference — including the grace-retained previous generations and
-    * any orphans a crashed writer left. Call when no reader is in
-    * flight (a reader older than the live manifest loses its files).
-    * Runs under the write lock; returns the number of directories
-    * removed.
+    * reference — the grace-retained previous generations, any orphans
+    * a crashed writer left, and Spark job-staging debris at the table
+    * root. Call when no reader is in flight (a reader older than the
+    * live manifest loses its files). Runs under the write lock;
+    * returns the number of directories removed.
     */
   def vacuum(spark: SparkSession, path: String): Int =
     withWriteLock(spark, path) {
@@ -246,6 +292,14 @@ object ParquetUpsertSink {
       var removed = 0
       if (fs.exists(root)) fs.listStatus(root).foreach { bSt =>
         val bName = bSt.getPath.getName
+        // a writer killed mid-write leaves Spark's job-staging debris
+        // at the table root (.spark-staging-<jobId>, _temporary) —
+        // potentially the whole rewrite set in bytes; no manifest ever
+        // references it, so it is vacuum's to reclaim
+        if (bName.startsWith(".spark-staging") || bName == "_temporary") {
+          fs.delete(bSt.getPath, true)
+          removed += 1
+        }
         if (bSt.isDirectory && bName.startsWith(s"$bucketCol=")) {
           val b = bName.stripPrefix(s"$bucketCol=").toInt
           fs.listStatus(bSt.getPath).foreach { gSt =>

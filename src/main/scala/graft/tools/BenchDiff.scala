@@ -109,7 +109,11 @@ object BenchDiff {
     */
   private def blockPressure(r: Record, q: String): Double = {
     if (r.sentinelRuns.isEmpty || r.sentinelMin <= 0) return 1.0
-    val order = r.queries.keySet.toSeq.sorted
+    // Bench's sentinel cadence indexes the FULL sorted selection,
+    // including queries that later errored (they land in `errors`,
+    // not `queries`) — reconstruct that order or every query after
+    // the first error maps to the wrong neighbor samples
+    val order = (r.queries.keySet ++ r.errors.keySet).toSeq.sorted
     val idx = order.indexOf(q)
     if (idx < 0) return 1.0
     val every = math.max(1, math.ceil(order.size / 4.0).toInt)
@@ -118,14 +122,21 @@ object BenchDiff {
     math.max(r.sentinelRuns(pre), r.sentinelRuns(post)) / r.sentinelMin
   }
 
+  /** Sentinel-median normalization factor: multiply candidate times by
+    * this to land in baseline-box seconds. Shared by [[compare]] and
+    * the report in [[main]] so the printed factor is BY CONSTRUCTION
+    * the one classification used. Falls back to 1.0 when either
+    * record predates the sentinel.
+    */
+  private def normFactor(base: Record, cand: Record): Double =
+    if (base.sentinelMedian > 0 && cand.sentinelMedian > 0)
+      base.sentinelMedian / cand.sentinelMedian
+    else 1.0
+
   def compare(base: Record, cand: Record, threshold: Double): Seq[Finding] = {
     // Normalize by sentinel medians so a uniformly slower/faster box
-    // cancels; fall back to 1.0 when either record lacks a sentinel
-    // (old records predate it).
-    val f =
-      if (base.sentinelMedian > 0 && cand.sentinelMedian > 0)
-        base.sentinelMedian / cand.sentinelMedian
-      else 1.0
+    // cancels (see normFactor).
+    val f = normFactor(base, cand)
     base.queries.keySet.intersect(cand.queries.keySet).toSeq.sorted.flatMap { q =>
       val b = base.queries(q)
       val cn = cand.queries(q) * f
@@ -174,10 +185,7 @@ object BenchDiff {
     val cand = read(args(1))
     val threshold = if (args.length > 2) args(2).toDouble else 1.5
 
-    val f =
-      if (base.sentinelMedian > 0 && cand.sentinelMedian > 0)
-        base.sentinelMedian / cand.sentinelMedian
-      else 1.0
+    val f = normFactor(base, cand)
     println(f"sentinel: base median ${base.sentinelMedian}%.2f  cand median ${cand.sentinelMedian}%.2f  norm factor ${f}%.3f")
     if (cand.contended)
       println(f"CONTENDED CANDIDATE: sentinel median/min ${cand.sentinelMedian / cand.sentinelMin}%.2f > 1.5 — " +

@@ -125,6 +125,27 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(Regression))
   }
 
+  test("errored queries keep their slot in the sentinel block mapping") {
+    // Bench samples the sentinel by index over the FULL selection,
+    // including queries that later error — qb errors here, so qe sits
+    // at full-order index 4 (neighbor samples 2 and 3), while the
+    // successful-only order would put it at index 3 (samples 1 and
+    // 2). Pressure lives ONLY in sample 3: the error-aware order sees
+    // qe's block pressured and downgrades the 3x movement to a
+    // suspect; dropping errored names from the order maps qe to calm
+    // samples and misreads it as a confirmed regression.
+    val base = rec(eight.filterNot(_ == "qb").map(_ -> 1.0).toMap,
+      sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
+    val cand = Record(
+      total = 9.0,
+      queries = eight.filterNot(_ == "qb")
+        .map(q => q -> (if (q == "qe") 3.0 else 1.0)).toMap,
+      spread = Map("qe" -> (3.0, 3.1)),
+      sentinelRuns = Seq(0.8, 0.8, 0.8, 2.4, 0.8),
+      errors = Map("qb" -> "boom"))
+    assert(BenchDiff.compare(base, cand, 1.5).map(_.kind) == Seq(NoisySuspect))
+  }
+
   test("an 'improvement' whose BASELINE block was under pressure is the mirror artifact") {
     val base = rec(eight.map(q => q -> (if (q == "qe") 3.0 else 1.0)).toMap,
       sentinel = Seq(0.8, 0.8, 2.4, 0.8, 0.8)) // qe's block inflated in base

@@ -242,6 +242,19 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].head() shouldBe 5000.0
   }
 
+  test("theta set ops preserve exactness below nominal entries (no silent downsample)") {
+    // two exact lgK-14 sketches (8k and 7k keys, disjoint) must union
+    // to the EXACT 15000 — the library's own builder default (lgK 12,
+    // 4096 entries) would turn this into an estimate, which is the
+    // regression this test pins out
+    val a = (1L to 8000L).toDF("k").withColumn("h", xxhash64($"k"))
+      .agg(thetaAgg($"h").as("ska"))
+    val b = (8001L to 15000L).toDF("k").withColumn("h", xxhash64($"k"))
+      .agg(thetaAgg($"h").as("skb"))
+    a.crossJoin(b).select(thetaEstimate(thetaUnionOf($"ska", $"skb")).as("e"))
+      .as[Double].head() shouldBe 15000.0
+  }
+
   test("theta sketch estimation regime: union/intersect/anotb within 4-sigma on 100k keys") {
     // A = [1, 100k], B = [50k+1, 150k]: |A|=|B|=100k >> 2^14 nominal
     // (estimation mode), |A∩B| = 50k, |A∪B| = 150k, |A\B| = 50k

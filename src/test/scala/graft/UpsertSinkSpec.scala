@@ -474,4 +474,53 @@ class UpsertSinkSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet shouldBe
       (1L to 8L).map(i => (i, 3L, s"r$i")).toSet
   }
+
+  test("a pre-generation-layout table fails loudly instead of being silently shadowed") {
+    val dir = Files.createTempDirectory("graft-legacy").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    // the OLD layout: parquet directly under __bucket=b/, a
+    // _graft_buckets sidecar, no manifest — a real table to its era's
+    // reader, "no table" to a naive manifest check
+    Seq((1L, 1L, "old")).toDF("id", "rev", "payload")
+      .write.parquet(s"$path/__bucket=0")
+    val ex = intercept[IllegalArgumentException] {
+      ParquetUpsertSink.upsert(
+        Seq((2L, 1L, "new")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+    }
+    ex.getMessage should include("pre-generation-layout")
+    // nothing was committed: the path still reads as no sink table
+    ParquetUpsertSink.tableExists(spark, path) shouldBe false
+
+    // a crashed FIRST write (orphan __gen dirs, no manifest) is the
+    // LEGITIMATE manifest-less state and must stay writable
+    val dir2 = Files.createTempDirectory("graft-crash1st").toFile
+    dir2.deleteOnExit()
+    val path2 = dir2.getPath + "/table"
+    Seq((9L, 1L, "ghost")).toDF("id", "rev", "payload")
+      .write.parquet(s"$path2/__bucket=0/__gen=0")
+    ParquetUpsertSink.upsert(
+      Seq((1L, 1L, "real")).toDF("id", "rev", "payload"),
+      path2, Seq("id"), "rev", numBuckets = 2)
+    ParquetUpsertSink.read(spark, path2)
+      .select($"id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("vacuum reclaims a crashed writer's job-staging debris at the table root") {
+    val dir = Files.createTempDirectory("graft-staging").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    ParquetUpsertSink.upsert(
+      (1L to 4L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev", numBuckets = 2)
+    // a writer killed mid-write leaves Spark's staging dir behind
+    val staging = new java.io.File(s"$path/.spark-staging-deadbeef")
+    staging.mkdirs()
+    new java.io.File(staging, "part-00000.parquet").createNewFile()
+    ParquetUpsertSink.vacuum(spark, path) should be >= 1
+    staging.exists() shouldBe false
+    // live data untouched
+    ParquetUpsertSink.read(spark, path).count() shouldBe 4L
+  }
 }
