@@ -97,6 +97,21 @@ object StreamOps extends QueryPack {
   def streamingWindowedCounts(events: DataFrame): DataFrame =
     windowedCounts(events.withWatermark("ts", "1 hour"))
 
+  /** Streaming twin of [[graft.operators.Text.sourceVocabSketches]]:
+    * per-source theta sketches maintained ON the document stream —
+    * literally the same declarative plan (the batch function applies
+    * unchanged to a streaming DataFrame; this wrapper exists to pin
+    * the contract). State is ONE lgK-sized union buffer per source
+    * (kilobytes; sources are a mixture's tens, not millions), no
+    * watermark needed: theta union is order- and duplicate-insensitive
+    * so late or redelivered documents fold in exactly. Run in
+    * complete/update output mode; downstream set-ops
+    * (thetaIntersect / vocabOverlapSketch machinery) consume each
+    * emitted snapshot as the batch artifact.
+    */
+  def streamingVocabSketches(docs: DataFrame, lgK: Int = 14): DataFrame =
+    graft.operators.Text.sourceVocabSketches(docs, lgK)
+
   /** File-source stream of the events table (schema must be supplied
     * for streaming reads; ts normalized exactly like the batch loader).
     */

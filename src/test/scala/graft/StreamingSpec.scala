@@ -677,4 +677,46 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streaming vocab sketches equal the batch sketches byte-for-byte") {
+    // theta union is a deterministic function of the key SET, so the
+    // stream's final compact sketches must be IDENTICAL to the batch
+    // artifact — not merely close — whatever the micro-batch split
+    val tmp = Files.createTempDirectory("graft-stream-docs").toFile
+    tmp.deleteOnExit()
+    val src = Paths.get(sfDir, "documents.parquet")
+    if (Files.isDirectory(src)) {
+      Files.list(src).forEach { p =>
+        Files.copy(p, Paths.get(tmp.getPath, p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else {
+      Files.copy(src, Paths.get(tmp.getPath, "documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    // 2-file splits force multiple micro-batches under AvailableNow
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp.getPath)
+    val q = StreamOps.streamingVocabSketches(stream)
+      .writeStream.format("memory").queryName("vocab_sk_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("vocab_sk_stream")
+      .select($"source", $"sk", $"n_tokens")
+      .as[(String, Array[Byte], Long)].collect()
+      .map { case (s, b, n) => s -> ((b.toSeq, n)) }.toMap
+    val batch = graft.operators.Text
+      .sourceVocabSketches(Tables.documents(spark, sfDir))
+      .select($"source", $"sk", $"n_tokens")
+      .as[(String, Array[Byte], Long)].collect()
+      .map { case (s, b, n) => s -> ((b.toSeq, n)) }.toMap
+    streamed.keySet shouldBe batch.keySet
+    streamed.foreach { case (s, (bytes, n)) =>
+      withClue(s"source $s: ") {
+        bytes shouldBe batch(s)._1
+        n shouldBe batch(s)._2
+      }
+    }
+  }
 }
