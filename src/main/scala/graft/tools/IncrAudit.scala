@@ -64,6 +64,13 @@ object IncrAudit {
             ev.where(col("event_id") % 5 === 0)),
           Etl.dailyCounts(ev))
       },
+      // q149: delta batch folded into the stored posting/pair store ≡
+      // the full retained co-occurrence core (gate cut is inert at
+      // every audited sf — q31's in-plan assert would trip otherwise,
+      // so fold ≡ rebuild exactly, not merely ⊇)
+      diff("cooc_incr ≡ storedCooc(all docs)",
+        Dedup.storedIncrementalCooc(spark, sfDir),
+        Dedup.storedCooc(spark, sfDir)),
       // near-dup delta pairs ≡ the full pair run restricted to
       // delta-touching pairs (the nightly signature-store contract)
       locally {

@@ -331,4 +331,88 @@ class DedupSpec extends SparkSpec {
     storedC shouldBe directC
     directC should not be empty
   }
+
+  test("incremental cooc fold ≡ full rebuild where the cut is inert (q149 contract)") {
+    val base = documents.where($"doc_id" % 10 =!= 0)
+    val delta = documents.where($"doc_id" % 10 === 0)
+    val folded = Dedup.foldCoocDelta(
+      Dedup.buildCoocStore(base, 1024, 0.5, 0.9), delta, 1024, 0.5, 0.9)
+    val rebuilt = Dedup.buildCoocStore(documents, 1024, 0.5, 0.9)
+    rebuilt.cooc.count() should be > 0L
+    folded.cooc.except(rebuilt.cooc).count() shouldBe 0
+    rebuilt.cooc.except(folded.cooc).count() shouldBe 0
+    // the sidecars round-trip too: next fold sees the same store a
+    // from-scratch build would produce
+    folded.postings.except(rebuilt.postings).count() shouldBe 0
+    rebuilt.postings.except(folded.postings).count() shouldBe 0
+    folded.sizes.except(rebuilt.sizes).count() shouldBe 0
+    rebuilt.sizes.except(folded.sizes).count() shouldBe 0
+    folded.hotKeys.count() shouldBe 0 // inert regime: nothing crosses the cut
+  }
+
+  test("q149 gate artifact: storedIncrementalCooc ≡ storedCooc") {
+    val inc = Dedup.storedIncrementalCooc(spark, sfDir)
+    val full = Dedup.storedCooc(spark, sfDir)
+    full.count() should be > 0L
+    inc.except(full).count() shouldBe 0
+    full.except(inc).count() shouldBe 0
+  }
+
+  /** A fold where the cut BITES and a shingle MIGRATES rare→hot: base
+    * df("c c c") = 8 (= the cut, still rare), the delta pushes it to
+    * 10 (> 8, newly hot). Pins the full equivalence contract: rebuild
+    * ⊆ fold; every common row bit-equal; the extras are exactly the
+    * pairs whose only shared shingle went hot (discovered under the
+    * earlier smaller hot set — strictly better recall, values exact);
+    * and a delta×old pair's count re-enters the now-hot shingle via
+    * the hot arrays.
+    */
+  test("cut-biting fold: rare→hot migration keeps counts exact, fold ⊇ rebuild") {
+    val base = spark.createDataFrame(
+      (0 until 6).map(i => (i.toLong, s"c c c t$i t$i t$i")) ++
+        Seq((20L, "c c c c"), (21L, "c c c c"))).toDF("doc_id", "text")
+    val delta = spark.createDataFrame(
+      Seq((100L, "c c c t0 t0 t0"), (101L, "c c c t1 t1 t1"))).toDF("doc_id", "text")
+    val all = base.unionByName(delta)
+    val folded = Dedup.foldCoocDelta(
+      Dedup.buildCoocStore(base, 8, 0.5, 0.9), delta, 8, 0.5, 0.9)
+    val rebuilt = Dedup.buildCoocStore(all, 8, 0.5, 0.9)
+    // the migrating shingle is hot in both end states
+    folded.hotKeys.except(rebuilt.hotKeys).count() shouldBe 0
+    rebuilt.hotKeys.except(folded.hotKeys).count() shouldBe 0
+    folded.hotKeys.count() shouldBe 1L // xxhash64("c c c")
+    // rebuild ⊆ fold, common rows bit-equal (except is exact-row)
+    rebuilt.cooc.except(folded.cooc).count() shouldBe 0
+    // extras: only pairs involving the pure-boilerplate docs 20/21,
+    // whose sole shared shingle is now hot — unreachable by a rebuild
+    // under the grown hot set, retained by the fold with exact values
+    val extras = folded.cooc.except(rebuilt.cooc)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    extras should not be empty
+    all.count() should be > 0L // corpus sanity
+    extras.foreach { case (d1, d2, c, n1, n2) =>
+      Seq(d1, d2).exists(Set(20L, 21L)) shouldBe true
+      c shouldBe 1L // the single (hot) shared shingle, exactly counted
+      (n1 == 1L || n2 == 1L) shouldBe true // the one-shingle boilerplate doc
+    }
+    // delta×old exactness incl. hot re-entry: doc 100 duplicates doc 0
+    // (3 shared rare shingles + the hot "c c c" re-entering via arrays)
+    val row = folded.cooc.where($"d1" === 0L && $"d2" === 100L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    row shouldBe Array((0L, 100L, 4L, 4L, 4L))
+  }
+
+  test("lowering a gate threshold below the stored core's build-time value fails loudly") {
+    Dedup.storedCooc(spark, sfDir) // materialize at the default 0.5/0.9
+    spark.conf.set("graft.dedup.gateContainmentThreshold", "0.3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.q136.build(spark, sfDir)
+      }
+      e.getMessage should include("retention-trimmed")
+      e.getMessage should include("clearStored")
+    } finally spark.conf.unset("graft.dedup.gateContainmentThreshold")
+    // back at (or above) the build-time thresholds: reads succeed
+    Dedup.q136.build(spark, sfDir).count() should be > 0L
+  }
 }
