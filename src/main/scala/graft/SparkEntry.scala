@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Ann,
     operators.Jx,
     operators.Multimodal,
+    operators.Bpe,
     streaming.StreamOps)
 
   private lazy val registry: Seq[Q] = {

@@ -40,6 +40,7 @@ object StoredArtifacts {
       operators.Dedup.clearStored(s) +
       operators.Cluster.clearStored(s) +
       operators.Ann.clearStored(s) +
+      operators.Bpe.clearStored(s) +
       operators.Jx.clearStored(s) +
       operators.Etl.clearStored(s) +
       operators.Text.clearStored(s) +

@@ -48,6 +48,7 @@ object Verify {
     // builders stay action-free at plan time (PlanSpec pins it)
     operators.Ann.exportGateModels(spark, sfDir)
     operators.Dedup.exportGateSignatures(spark, sfDir)
+    operators.Bpe.exportGateModel(spark, sfDir)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

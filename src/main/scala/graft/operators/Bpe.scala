@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Q, QueryPack, Tables}
 import graft.functions.words
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,7 +34,7 @@ import org.apache.spark.sql.functions._
   * partitioning yields the same dict (exact counts) and therefore the
   * same merges.
   */
-object Bpe {
+object Bpe extends QueryPack {
 
   /** End-of-word marker appended as a separate final symbol (Sennrich
     * 2016 §3.2) so merges cannot cross word boundaries and a trained
@@ -175,4 +176,141 @@ object Bpe {
       .as[(String, String)].collect().toSeq
     tokenCounts(docs, textCol, idCol, merges)
   }
+
+  // ---- gate surface (q148) -------------------------------------------
+
+  /** Fixed like the other exported-model params (minhash_buckets_32_8,
+    * ivf_centroids_16_2): the oracle SQL names the export path, so the
+    * gate's merge budget is part of the oracle contract, not a knob.
+    * 20, not a production-sized budget, deliberately: the synthetic
+    * gate corpora have a ~31-word vocabulary, so a larger budget
+    * collapses every word to a single token and the oracle's
+    * token-count cross-check degenerates to n_words — at 20 merges
+    * words stay partially merged (2–5 tokens) and the per-document
+    * sum is a real check of the greedy encode.
+    */
+  private val GateNumMerges = 20
+
+  private val mergesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
+
+  /** Session-scoped trained merge list over the gate corpus — the
+    * same memoized-model pattern as [[Ann.storedCentroids]]: trained
+    * once per (session, dir), every consumer (the q148 builder, the
+    * gate export) reads the stored model.
+    */
+  def storedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    mergesMemo.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val dict = wordDict(Tables.documents(s, d), "text", 200000)
+        .as[(String, Long)].collect().toSeq // model-sized by construction
+      trainMerges(dict, GateNumMerges)
+    })
+
+  private[graft] def clearStored(s: SparkSession): Int = {
+    exported.clear() // the Dedup.clearStored rationale: stale export
+    // files must not shadow a retrained model on a same-JVM rerun
+    graft.util.evictSession(mergesMemo, s)
+  }
+
+  private val exported = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Export the q148 oracle's model tables — called by [[graft.Verify]]
+    * after planning, never from a query builder (the
+    * Ann.exportGateModels contract). Two tables:
+    *
+    *  - `bpe_merges_20.parquet` (rank, left, right) — the trained
+    *    model; the oracle derives the VOCAB CLOSURE from it (every
+    *    non-initial token is exactly `left || right` of some merge).
+    *  - `bpe_word_tokens_20.parquet` (word, toks, n_toks) — each
+    *    distinct corpus word's greedy encoding. The merge-loop HASH
+    *    step ships as data (it is not SQL-expressible), while the
+    *    oracle independently re-verifies the encodings' VALIDITY
+    *    (concatenation reconstructs `word || '</w>'`; every token in
+    *    the vocab closure) and recomputes the per-document CONSUMER
+    *    step (word join + token-count sum) from scratch — the same
+    *    split as the minhash/simhash signature exports.
+    */
+  def exportGateModel(s: SparkSession, d: String): Unit =
+    exported.compute(s"bpe_${GateNumMerges}", (_, prev) => {
+      if (prev != d) {
+        import s.implicits._
+        val merges = storedMerges(s, d)
+        merges.zipWithIndex
+          .map { case ((l, r), i) => (i, l, r) }.toDF("rank", "left", "right")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${Ann.gateModelDir}/bpe_merges_${GateNumMerges}.parquet")
+        Tables.documents(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .where(length(col("word")) > 0).distinct()
+          .select(col("word"), graft.functions.bpeTokenize(col("word"), merges).as("toks"))
+          .select(col("word"), col("toks"), size(col("toks")).cast("int").as("n_toks"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${Ann.gateModelDir}/bpe_word_tokens_${GateNumMerges}.parquet")
+      }
+      d
+    })
+
+  /** Exact BPE token accounting per document under the session's
+    * trained merges, with in-row validity verdicts (the consumer-step
+    * oracle pattern, r10): `n_bpe_tokens` is cross-checked — the
+    * engine computes it natively via one `bpe_tokenize` scan, the
+    * oracle recomputes it by joining the document's words against the
+    * exported per-word encodings and summing — and the verdicts are
+    * computed INDEPENDENTLY on each side (Spark over its own doc
+    * tokenization, DuckDB over the exported word encodings):
+    * `reconstructs` = token concatenation rebuilds every word with
+    * its end-of-word marker; `all_in_vocab` = every token is an
+    * initial symbol (single char or `</w>`) or the concatenation of
+    * an exported merge. Closes the r14 gap: q38's regex estimate was
+    * the only gate-visible token count; the REAL BPE path now gates.
+    */
+  val q148 = Q(
+    "q148_bpe_tokens",
+    (s, d) => {
+      val merges = storedMerges(s, d)
+      val mergedVocab = merges.map { case (l, r) => l + r }.toArray
+      val toks = graft.functions.bpeTokenize(col("text"), merges)
+      val ws = filter(words(col("text")), w => length(w) > 0)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(ws).cast("int").as("n_words"),
+        size(toks).cast("int").as("n_bpe_tokens"),
+        (concat_ws("", toks) ===
+          concat_ws("", transform(ws, w => concat(w, lit(Eow))))).as("reconstructs"),
+        forall(toks, t => length(t) === 1 || t === lit(Eow) ||
+          array_contains(lit(mergedVocab), t)).as("all_in_vocab"))
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, word
+            |  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+            |        FROM documents)
+            |  WHERE length(word) > 0
+            |), wt AS (
+            |  SELECT word, toks, n_toks
+            |  FROM read_parquet('${Ann.gateModelDir}/bpe_word_tokens_20.parquet/*.parquet')
+            |), merged AS (
+            |  SELECT "left" || "right" AS tok
+            |  FROM read_parquet('${Ann.gateModelDir}/bpe_merges_20.parquet/*.parquet')
+            |), bad AS (
+            |  SELECT DISTINCT word
+            |  FROM (SELECT word, UNNEST(toks) AS t FROM wt)
+            |  WHERE length(t) <> 1 AND t <> '</w>'
+            |    AND t NOT IN (SELECT tok FROM merged)
+            |), word_checks AS (
+            |  SELECT wt.word, wt.n_toks,
+            |    array_to_string(wt.toks, '') = wt.word || '</w>' AS rec,
+            |    bad.word IS NULL AS vocab_ok
+            |  FROM wt LEFT JOIN bad ON wt.word = bad.word
+            |)
+            |SELECT w.doc_id,
+            |  CAST(COUNT(*) AS INT) AS n_words,
+            |  CAST(SUM(c.n_toks) AS INT) AS n_bpe_tokens,
+            |  BOOL_AND(c.rec) AS reconstructs,
+            |  BOOL_AND(c.vocab_ok) AS all_in_vocab
+            |FROM w JOIN word_checks c USING (word)
+            |GROUP BY w.doc_id""".stripMargin),
+    "exact BPE token counts under the trained merges: engine-native bpe_tokenize scan vs oracle word-join sum, with independent reconstruction + vocab-closure verdicts")
+
+  val all: Seq[Q] = Seq(q148)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import graft.functions.words
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,10 +138,13 @@ object Pack extends QueryPack {
     * cannot be upsampled by dropping). Two tiny aggregates + one
     * cross join of a 1-row frame; the weights are the broadcast input
     * a 100 TB sampling pass (q53-style hash gate per doc) consumes.
+    * `nTok` swaps the accounting to exact BPE tokens (see
+    * [[graft.operators.Text.tokenBudgetSample]]).
     */
-  def mixtureWeights(docsDf: DataFrame): DataFrame = {
+  def mixtureWeights(docsDf: DataFrame,
+      nTok: Column = size(words(col("text"))).cast("long")): DataFrame = {
     val perSource = docsDf.groupBy(col("source"))
-      .agg(sum(size(words(col("text"))).cast("long")).as("src_tok"))
+      .agg(sum(nTok).as("src_tok"))
     val totals = perSource.agg(
       sum(col("src_tok")).as("tot_tok"),
       count(lit(1)).as("n_src"))
@@ -189,9 +192,10 @@ object Pack extends QueryPack {
     * Same scale shape as q67: one map-partial token aggregate over
     * the corpus, a 1-row broadcast of (total, min), no other shuffle.
     */
-  def mixtureTemperature(docsDf: DataFrame): DataFrame = {
+  def mixtureTemperature(docsDf: DataFrame,
+      nTok: Column = size(words(col("text"))).cast("long")): DataFrame = {
     val perSource = docsDf.groupBy(col("source"))
-      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+      .agg(sum(nTok).as("n_tokens"))
     val totals = perSource.agg(
       sum(col("n_tokens")).as("tot_tok"),
       min(col("n_tokens")).as("min_tok"))

@@ -310,14 +310,20 @@ object Text extends QueryPack {
     *     reproducing the exact global cumulative sum.
     * Output is identical to the single-window formulation
     * (spec-pinned); the largest sort partition shrinks `buckets`-fold.
+    *
+    * `nTok` is the per-document token accounting — whitespace words by
+    * default (the oracle-expressible gate form); pass
+    * `size(bpeTokenize(col("text"), merges))` to budget in exact BPE
+    * tokens under a trained model (BpeSpec pins the equivalence).
     */
   def tokenBudgetSample(docsDf: DataFrame, tokensPerSource: Long,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64,
+      nTok: Column = size(words(col("text"))).cast("long")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val width = 4294967296L / buckets
     val base = docsDf
       .select(col("doc_id"), col("source"),
-        size(words(col("text"))).cast("long").as("n_tok"),
+        nTok.as("n_tok"),
         (graft.functions.splitHash(col("doc_id")) % 4294967296L).as("pri"))
       .withColumn("bkt", floor(col("pri") / width).cast("int"))
     // deliberately NOT checkpointed: the tokenization pass runs twice

@@ -103,4 +103,37 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     capped shouldBe Seq("newest" -> 6L, "low" -> 5L)
   }
+
+  test("q148 gate verdicts hold and BPE counts strictly exceed word counts") {
+    val out = Bpe.q148.build(spark, sfDir)
+      .agg(min($"reconstructs".cast("int")), min($"all_in_vocab".cast("int")),
+        min(($"n_bpe_tokens" > $"n_words").cast("int")), count(lit(1)))
+      .as[(Int, Int, Int, Long)].head()
+    out._1 shouldBe 1 // every doc reconstructs
+    out._2 shouldBe 1 // every token in the merges-closure vocab
+    out._3 shouldBe 1 // real subword counts, not degenerate whole words
+    out._4 should be > 0L
+  }
+
+  test("token-budget operators under the BPE counter: exact per-doc counts, same corpus totals") {
+    import graft.operators.{Pack, Text}
+    val documents = Tables.documents(spark, sfDir)
+    val merges = Bpe.storedMerges(spark, sfDir)
+    val nTok = org.apache.spark.sql.functions
+      .size(graft.functions.bpeTokenize($"text", merges)).cast("long")
+    val exact = Bpe.tokenCounts(documents, "text", "doc_id", merges)
+    // q59's budget fill accounts in exact BPE tokens when asked to
+    val sampled = Text.tokenBudgetSample(documents, 2000L, nTok = nTok)
+    sampled.count() should be > 0L
+    sampled.join(exact, "doc_id")
+      .where($"n_tok" =!= $"n_bpe_tokens".cast("long")).count() shouldBe 0L
+    // q67/q122's per-source masses sum the same exact counts
+    val wTot = Pack.mixtureWeights(documents, nTok)
+      .agg(sum($"src_tok")).as[Long].head()
+    val tTot = Pack.mixtureTemperature(documents, nTok)
+      .agg(sum($"n_tokens")).as[Long].head()
+    val want = exact.agg(sum($"n_bpe_tokens".cast("long"))).as[Long].head()
+    wTot shouldBe want
+    tTot shouldBe want
+  }
 }
