@@ -166,9 +166,10 @@ object Bench {
     // clobbered bench/BENCH_local.json, and the noisy numbers then
     // read as regressions. A canonical record is only ever updated by
     // an explicit SPARK_GRAFT_BENCH_OUT — and even then, a run whose
-    // own sentinel spread shows contention (max/min > 2) refuses to
-    // overwrite an existing file and lands in a run-stamped sibling
-    // instead, printing why.
+    // own sentinel spread shows contention (median/min > 1.5, the
+    // same rule tools.BenchDiff codifies) refuses to overwrite an
+    // existing file and lands in a run-stamped sibling instead,
+    // printing why.
     val stamped = s"bench/BENCH_run_${System.currentTimeMillis() / 1000}.json"
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", stamped)
     // Contention = the TYPICAL sample sits well above the best one —
@@ -190,6 +191,25 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(out)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      // Auto-diff on CANONICAL record updates: when overwriting an
+      // explicitly requested record, classify this run against the
+      // record it replaces (tools.BenchDiff — sentinel-normalized,
+      // noise-adjudicated) and print the verdict, so the comparison
+      // happens at the only moment both records exist. Advisory:
+      // never blocks the write or the exit code.
+      if (out == requested && java.nio.file.Files.exists(p)) {
+        try {
+          val prevRec = tools.BenchDiff.parse(new String(
+            java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8))
+          val (lines, _) = tools.BenchDiff.report(prevRec, tools.BenchDiff.parse(line))
+          System.err.println(s"[bench] diff vs previous $out:")
+          lines.foreach(l => System.err.println(s"[bench]   $l"))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] could not diff vs previous record: ${e.getMessage}")
+        }
+      }
       java.nio.file.Files.write(p,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * rewrites a live file: it writes the merged rows of the touched
   * buckets into FRESH `__gen` directories, then commits by atomically
   * swapping the `_graft_manifest` pointer file at the table root
-  * (hadoop `FileContext.rename(OVERWRITE)` — one atomic metadata op).
+  * (hadoop `FileContext.rename(OVERWRITE)` — one atomic metadata op
+  * on HDFS/local, NOT on S3-class object stores: there, install a
+  * conditional-put [[ParquetUpsertSink.CommitIO]] — see
+  * [[ParquetUpsertSink.RenameCommitIO]]'s atomicity note).
   * The manifest maps every live bucket to its current generation;
   * readers resolve the manifest and list ONLY the referenced leaf
   * directories. A reader therefore sees the table as of one manifest —
@@ -179,11 +182,18 @@ object ParquetUpsertSink {
     * `__bucket=b/` and no `_graft_manifest` — treating it as "no
     * table" would merge against nothing, commit a manifest covering
     * only the update, and silently shadow every existing row (old
-    * files referenced by no generation, invisible even to vacuum). A
-    * crashed FIRST write is the legitimate manifest-less state and
-    * stays writable: its orphans live under `__gen=` subdirectories.
-    * Runs only on the first write to a path (manifest absent), so the
-    * listing cost never touches steady-state mutations.
+    * files referenced by no generation, invisible even to vacuum).
+    * The same hazard class with a different layout: pointing the sink
+    * at a PLAIN parquet directory (part files or foreign partition
+    * dirs directly at the table root, no `__bucket=` anywhere) —
+    * also "no table" to a naive manifest check, also silently
+    * shadowed; any root entry that is not `__bucket=*`, `_`-prefixed
+    * metadata, or `.`-hidden is rejected the same way. A crashed
+    * FIRST write is the legitimate manifest-less state and stays
+    * writable: its orphans live under `__gen=` subdirectories of
+    * `__bucket=` dirs. Runs only
+    * on the first write to a path (manifest absent), so the listing
+    * cost never touches steady-state mutations.
     */
   private def assertNoPreManifestData(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -191,17 +201,19 @@ object ParquetUpsertSink {
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { bSt =>
       val bName = bSt.getPath.getName
+      def refuse(what: String): Nothing = throw new IllegalArgumentException(
+        s"$path has $what but no $manifestName — an existing non-sink (or " +
+          "pre-generation-layout) table. Refusing to write: the merge would " +
+          "silently shadow every existing row. Migrate by reading the old " +
+          "table (spark.read.parquet) and sync()ing it into a NEW path.")
       if (bSt.isDirectory && bName.startsWith(s"$bucketCol=")) {
         val flat = fs.listStatus(bSt.getPath).exists { st =>
           val n = st.getPath.getName
           !n.startsWith(s"$genCol=") && !n.startsWith("_") && !n.startsWith(".")
         }
-        require(!flat,
-          s"$path has data directly under $bName but no $manifestName — a " +
-            "pre-generation-layout table. Refusing to write: the merge would " +
-            "silently shadow every existing row. Migrate by reading the old " +
-            "table (spark.read.parquet) and sync()ing it into a NEW path.")
-      }
+        if (flat) refuse(s"data directly under $bName")
+      } else if (!bName.startsWith("_") && !bName.startsWith("."))
+        refuse(s"a foreign data ${if (bSt.isDirectory) "directory" else "file"} '$bName'")
     }
   }
 
@@ -223,9 +235,58 @@ object ParquetUpsertSink {
     }
   }
 
-  /** COMMIT: write the new manifest to a temp file and atomically
-    * rename it over the live one (`FileContext.rename(OVERWRITE)` —
-    * atomic on HDFS and on local filesystems). Until this returns, no
+  /** The one primitive the sink's snapshot isolation rests on:
+    * atomically publish `body` as the manifest at `dst`, replacing
+    * whatever manifest is live — all-or-nothing, and loud (throw) if
+    * atomic replacement cannot be performed. Everything else the sink
+    * writes is invisible until this succeeds, so swapping THIS
+    * implementation is the entire storage-portability surface.
+    */
+  trait CommitIO {
+    def publish(conf: org.apache.hadoop.conf.Configuration,
+        dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit
+  }
+
+  /** Default [[CommitIO]]: temp file + `FileContext.rename(OVERWRITE)`.
+    *
+    * ATOMICITY ASSUMPTION — read before deploying: overwrite-rename is
+    * one atomic metadata operation on HDFS and on POSIX local
+    * filesystems, and that atomicity is what gives readers
+    * old-complete-table-or-new semantics. It is NOT atomic on S3 and
+    * most object stores, where rename is copy-then-delete: a
+    * concurrent reader can observe a missing or half-copied manifest,
+    * and two concurrent committers can interleave. On an object store,
+    * install a [[CommitIO]] whose publish is a CONDITIONAL PUT of the
+    * manifest object (S3 `If-Match`/`If-None-Match`, GCS generation
+    * preconditions, ABFS ETags) via [[commitIO]] — the sink's layout
+    * (immutable generation directories + one pointer object) is
+    * exactly the shape those primitives commit safely.
+    */
+  object RenameCommitIO extends CommitIO {
+    def publish(conf: org.apache.hadoop.conf.Configuration,
+        dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit = {
+      val fs = dst.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s"${dst.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.makeQualified(dst.getParent).toUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Process-wide manifest-commit strategy (see [[RenameCommitIO]]'s
+    * atomicity note). Set ONCE at deployment bootstrap, before any
+    * writer runs; UpsertSinkSpec proves a publish that cannot
+    * guarantee atomic replace fails the mutation loudly and leaves
+    * the previous manifest (and so every reader) untouched.
+    */
+  @volatile var commitIO: CommitIO = RenameCommitIO
+
+  /** COMMIT: publish the new manifest via [[commitIO]] (default:
+    * atomic overwrite-rename — see [[RenameCommitIO]] for the
+    * filesystem assumption). Until this returns, no
     * reader can see any byte the mutation wrote; after it, every new
     * reader sees the complete new table. An empty manifest deletes the
     * pointer and the bucket-count sidecar instead — the table reads as
@@ -247,13 +308,7 @@ object ParquetUpsertSink {
       fs.delete(metaPath(path), false)
     } else {
       val body = next.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n")
-      val tmp = new org.apache.hadoop.fs.Path(root, s"$manifestName.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      val qRoot = fs.makeQualified(root)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qRoot.toUri, conf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestPath(path)),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      commitIO.publish(conf, manifestPath(path), body.getBytes("UTF-8"))
     }
     // prune ONLY buckets whose generation changed in THIS commit
     // (keep {new live gen, immediately superseded gen}, drop older):

@@ -165,9 +165,15 @@ object BenchDiff {
             q, b, cn, ratio))
         else if (ratio < 1.0 / threshold && b >= MinBaseSec && (b - cn) >= MinDeltaSec)
           // an "improvement" whose block was under pressure in the
-          // BASELINE run is the mirror artifact: the base was inflated
+          // BASELINE run is the mirror artifact: the base was
+          // inflated. A CONTENDED CANDIDATE is the other mirror: its
+          // inflated sentinel median deflates every normalized time,
+          // so confirmed-looking improvements print for free — same
+          // downgrade as the regression branch, no free wins from a
+          // noisy box in either direction.
           Some(Finding(
-            if (pressureExplains(1.0 / ratio, blockPressure(base, q)))
+            if (cand.contended ||
+                pressureExplains(1.0 / ratio, blockPressure(base, q)))
               NoisySuspect
             else Improvement,
             q, b, cn, ratio))
@@ -176,41 +182,51 @@ object BenchDiff {
     }
   }
 
+  /** The full diff verdict as printable lines + the red-exit flag
+    * (confirmed regressions or new errors). Shared by [[main]] and by
+    * `graft.Bench`, which runs it inline whenever it updates a
+    * canonical record — the last manual step of the noise discipline
+    * (remembering to run the diff) removed.
+    */
+  def report(base: Record, cand: Record,
+      threshold: Double = 1.5): (Seq[String], Boolean) = {
+    val out = Seq.newBuilder[String]
+    val f = normFactor(base, cand)
+    out += f"sentinel: base median ${base.sentinelMedian}%.2f  cand median ${cand.sentinelMedian}%.2f  norm factor ${f}%.3f"
+    if (cand.contended)
+      out += f"CONTENDED CANDIDATE: sentinel median/min ${cand.sentinelMedian / cand.sentinelMin}%.2f > 1.5 — " +
+        "most of the run was slow; regressions below are SUSPECTS, re-run on a quiet box"
+    if (base.contended)
+      out += "WARNING: baseline record itself looks contended — comparisons are unreliable both ways"
+    out += f"total: base ${base.total}%.1fs  cand ${cand.total}%.1fs  cand normalized ${cand.total * f}%.1fs"
+
+    val newErrors = cand.errors.keySet.diff(base.errors.keySet).toSeq.sorted
+    newErrors.foreach(q => out += s"NEW ERROR  $q: ${cand.errors(q)}")
+    val added = cand.queries.keySet.diff(base.queries.keySet).toSeq.sorted
+    val removed = base.queries.keySet.diff(cand.queries.keySet).toSeq.sorted
+    if (added.nonEmpty) out += s"added queries: ${added.mkString(", ")}"
+    if (removed.nonEmpty) out += s"removed queries: ${removed.mkString(", ")}"
+
+    val findings = compare(base, cand, threshold)
+    def show(kind: Kind, label: String): Unit =
+      findings.filter(_.kind == kind).sortBy(-_.ratio).foreach { x =>
+        out += f"$label  ${x.name}%-30s ${x.baseSec}%7.2fs -> ${x.candNormSec}%7.2fs (x${x.ratio}%.2f normalized)"
+      }
+    show(Regression, "REGRESSION")
+    show(NoisySuspect, "suspect   ")
+    show(Improvement, "improved  ")
+    if (findings.isEmpty && newErrors.isEmpty) out += "no movement beyond threshold"
+    (out.result(), findings.exists(_.kind == Regression) || newErrors.nonEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenchDiff <baseline.json> <candidate.json> [ratioThreshold]")
     def read(p: String) = parse(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
       java.nio.charset.StandardCharsets.UTF_8))
-    val base = read(args(0))
-    val cand = read(args(1))
-    val threshold = if (args.length > 2) args(2).toDouble else 1.5
-
-    val f = normFactor(base, cand)
-    println(f"sentinel: base median ${base.sentinelMedian}%.2f  cand median ${cand.sentinelMedian}%.2f  norm factor ${f}%.3f")
-    if (cand.contended)
-      println(f"CONTENDED CANDIDATE: sentinel median/min ${cand.sentinelMedian / cand.sentinelMin}%.2f > 1.5 — " +
-        "most of the run was slow; regressions below are SUSPECTS, re-run on a quiet box")
-    if (base.contended)
-      println("WARNING: baseline record itself looks contended — comparisons are unreliable both ways")
-    println(f"total: base ${base.total}%.1fs  cand ${cand.total}%.1fs  cand normalized ${cand.total * f}%.1fs")
-
-    val newErrors = cand.errors.keySet.diff(base.errors.keySet).toSeq.sorted
-    newErrors.foreach(q => println(s"NEW ERROR  $q: ${cand.errors(q)}"))
-    val added = cand.queries.keySet.diff(base.queries.keySet).toSeq.sorted
-    val removed = base.queries.keySet.diff(cand.queries.keySet).toSeq.sorted
-    if (added.nonEmpty) println(s"added queries: ${added.mkString(", ")}")
-    if (removed.nonEmpty) println(s"removed queries: ${removed.mkString(", ")}")
-
-    val findings = compare(base, cand, threshold)
-    def show(kind: Kind, label: String): Unit =
-      findings.filter(_.kind == kind).sortBy(-_.ratio).foreach { x =>
-        println(f"$label  ${x.name}%-30s ${x.baseSec}%7.2fs -> ${x.candNormSec}%7.2fs (x${x.ratio}%.2f normalized)")
-      }
-    show(Regression, "REGRESSION")
-    show(NoisySuspect, "suspect   ")
-    show(Improvement, "improved  ")
-    if (findings.isEmpty && newErrors.isEmpty) println("no movement beyond threshold")
-
-    if (findings.exists(_.kind == Regression) || newErrors.nonEmpty) sys.exit(1)
+    val (lines, bad) = report(read(args(0)), read(args(1)),
+      if (args.length > 2) args(2).toDouble else 1.5)
+    lines.foreach(println)
+    if (bad) sys.exit(1)
   }
 }

@@ -156,4 +156,19 @@ class BenchDiffSpec extends AnyFunSuite {
       sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
     assert(BenchDiff.compare(base2, cand, 1.5).map(_.kind) == Seq(Improvement))
   }
+
+  test("a CONTENDED candidate's 'improvements' are suspects: deflated normalization buys no wins") {
+    // quiet baseline, candidate whose sentinel median sits 2x above
+    // its min: the norm factor (base median / cand median) halves
+    // every candidate time, manufacturing across-the-board
+    // "improvements" from a box that was merely slow — the mirror of
+    // the regression-branch downgrade
+    val base = rec(eight.map(_ -> 2.0).toMap,
+      sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
+    val cand = rec(eight.map(_ -> 2.0).toMap,
+      sentinel = Seq(0.8, 1.6, 1.6, 1.6, 1.6)) // median 1.6, min 0.8
+    val findings = BenchDiff.compare(base, cand, 1.5)
+    assert(findings.nonEmpty) // the deflation does cross the threshold
+    assert(findings.forall(_.kind == NoisySuspect))
+  }
 }

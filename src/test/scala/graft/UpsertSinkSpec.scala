@@ -507,6 +507,73 @@ class UpsertSinkSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet shouldBe Set(1L)
   }
 
+  test("a plain parquet directory (no __bucket layout) fails loudly instead of being shadowed") {
+    val dir = Files.createTempDirectory("graft-plain").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    // an ordinary spark.write.parquet table: part files at the root
+    Seq((1L, 1L, "old")).toDF("id", "rev", "payload").write.parquet(path)
+    val ex = intercept[IllegalArgumentException] {
+      ParquetUpsertSink.upsert(
+        Seq((2L, 1L, "new")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+    }
+    ex.getMessage should include("foreign data")
+    // nothing committed; the original table is byte-untouched
+    ParquetUpsertSink.tableExists(spark, path) shouldBe false
+    spark.read.parquet(path).as[(Long, Long, String)].collect().toSet shouldBe
+      Set((1L, 1L, "old"))
+    // same for a foreign PARTITIONED table (hive-style dirs at root)
+    val dir2 = Files.createTempDirectory("graft-plainpart").toFile
+    dir2.deleteOnExit()
+    val path2 = dir2.getPath + "/table"
+    Seq((1L, "a", 1L, "old")).toDF("id", "day", "rev", "payload")
+      .write.partitionBy("day").parquet(path2)
+    intercept[IllegalArgumentException] {
+      ParquetUpsertSink.upsert(
+        Seq((2L, 1L, "new")).toDF("id", "rev", "payload"),
+        path2, Seq("id"), "rev", numBuckets = 2)
+    }.getMessage should include("foreign data")
+  }
+
+  test("a CommitIO that cannot atomically publish fails the mutation loudly, readers untouched") {
+    val dir = Files.createTempDirectory("graft-commitio").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    ParquetUpsertSink.upsert(
+      (1L to 4L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev", numBuckets = 2)
+    val before = ParquetUpsertSink.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet
+    // a store without atomic overwrite-rename (the S3 hazard class)
+    // must surface as a loud commit failure, never a silent swap
+    val prev = ParquetUpsertSink.commitIO
+    ParquetUpsertSink.commitIO = new ParquetUpsertSink.CommitIO {
+      def publish(conf: org.apache.hadoop.conf.Configuration,
+          dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit =
+        throw new java.io.IOException(
+          "atomic overwrite-rename not supported on this store")
+    }
+    try {
+      val ex = intercept[java.io.IOException] {
+        ParquetUpsertSink.upsert(
+          Seq((1L, 2L, "v2")).toDF("id", "rev", "payload"),
+          path, Seq("id"), "rev", numBuckets = 2)
+      }
+      ex.getMessage should include("not supported")
+      // the previous manifest is still live: readers see the old
+      // complete table, not a mix, not the failed mutation
+      ParquetUpsertSink.read(spark, path)
+        .as[(Long, Long, String)].collect().toSet shouldBe before
+    } finally ParquetUpsertSink.commitIO = prev
+    // and with the default IO restored the same mutation commits
+    ParquetUpsertSink.upsert(
+      Seq((1L, 2L, "v2")).toDF("id", "rev", "payload"),
+      path, Seq("id"), "rev", numBuckets = 2)
+    ParquetUpsertSink.read(spark, path).where($"id" === 1L)
+      .select($"payload").as[String].head() shouldBe "v2"
+  }
+
   test("vacuum reclaims a crashed writer's job-staging debris at the table root") {
     val dir = Files.createTempDirectory("graft-staging").toFile
     dir.deleteOnExit()
