@@ -550,6 +550,9 @@ object JxCompiler {
         case "prefix" =>
           val (f, v) = firstField(arg)
           fcol(f).startsWith(jvalue(v).toString)
+        case "suffix" => // pyLibrary SuffixOp — prefix's mirror
+          val (f, v) = firstField(arg)
+          fcol(f).endsWith(jvalue(v).toString)
         case "find" | "contains" => // substring containment
           val (f, v) = firstField(arg)
           fcol(f).contains(jvalue(v).toString)
@@ -1324,8 +1327,9 @@ object JxCompiler {
           case "floor" if arg.isArray && arg.size() == 2 &&
               arg.get(1).isTextual && calendarUnits.contains(arg.get(1).asText()) =>
             expr(arg.get(0))
-          case "in" | "prefix" | "find" | "contains" | "regex" | "regexp" |
-               "left" | "right" | "not_left" | "not_right" | "between" =>
+          case "in" | "prefix" | "suffix" | "find" | "contains" | "regex" |
+               "regexp" | "left" | "right" | "not_left" | "not_right" |
+               "between" =>
             Set(firstField(arg)._1)
           case "case" => arg.asScala.flatMap(expr).toSet
           case _ => // and/or/not/arithmetic/string/coalesce: args are exprs

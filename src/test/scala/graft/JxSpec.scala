@@ -46,6 +46,18 @@ class JxSpec extends SparkSpec {
     want.except(got).count() shouldBe 0L
   }
 
+  test("suffix mirrors prefix (pyLibrary SuffixOp)") {
+    val got = run("""{"from":"orders",
+      "where":{"suffix":{"o_orderpriority":"URGENT"}},
+      "select":["o_orderkey"]}""")
+    val want = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority").endsWith("URGENT"))
+      .select("o_orderkey")
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    got.count() should be > 0L // URGENT priorities exist — non-vacuous
+  }
+
   test("groupby with aggregates matches DataFrame aggregation") {
     val got = run("""{"from":"lineitem",
       "groupby":["l_returnflag"],
