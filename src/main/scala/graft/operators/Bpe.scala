@@ -288,10 +288,10 @@ object Bpe extends QueryPack {
             |  WHERE length(word) > 0
             |), wt AS (
             |  SELECT word, toks, n_toks
-            |  FROM read_parquet('${Ann.gateModelDir}/bpe_word_tokens_20.parquet/*.parquet')
+            |  FROM read_parquet('${Ann.gateModelDir}/bpe_word_tokens_$GateNumMerges.parquet/*.parquet')
             |), merged AS (
             |  SELECT "left" || "right" AS tok
-            |  FROM read_parquet('${Ann.gateModelDir}/bpe_merges_20.parquet/*.parquet')
+            |  FROM read_parquet('${Ann.gateModelDir}/bpe_merges_$GateNumMerges.parquet/*.parquet')
             |), bad AS (
             |  SELECT DISTINCT word
             |  FROM (SELECT word, UNNEST(toks) AS t FROM wt)
@@ -303,13 +303,15 @@ object Bpe extends QueryPack {
             |    bad.word IS NULL AS vocab_ok
             |  FROM wt LEFT JOIN bad ON wt.word = bad.word
             |)
-            |SELECT w.doc_id,
-            |  CAST(COUNT(*) AS INT) AS n_words,
-            |  CAST(SUM(c.n_toks) AS INT) AS n_bpe_tokens,
-            |  BOOL_AND(c.rec) AS reconstructs,
-            |  BOOL_AND(c.vocab_ok) AS all_in_vocab
-            |FROM w JOIN word_checks c USING (word)
-            |GROUP BY w.doc_id""".stripMargin),
+            |SELECT d.doc_id,
+            |  CAST(COUNT(c.word) AS INT) AS n_words,
+            |  CAST(COALESCE(SUM(c.n_toks), 0) AS INT) AS n_bpe_tokens,
+            |  COALESCE(BOOL_AND(c.rec), TRUE) AS reconstructs,
+            |  COALESCE(BOOL_AND(c.vocab_ok), TRUE) AS all_in_vocab
+            |FROM documents d
+            |LEFT JOIN w ON w.doc_id = d.doc_id
+            |LEFT JOIN word_checks c ON c.word = w.word
+            |GROUP BY d.doc_id""".stripMargin),
     "exact BPE token counts under the trained merges: engine-native bpe_tokenize scan vs oracle word-join sum, with independent reconstruction + vocab-closure verdicts")
 
   val all: Seq[Q] = Seq(q148)

@@ -304,11 +304,13 @@ object Dedup extends QueryPack {
     * oracle/cut equivalence. Library callers with their own corpora
     * use [[jaccardPairs]] directly.
     */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  // core + the thresholds it was retention-trimmed at (see
-  // coocAtThresholds: a consumer asking below a build-time threshold
-  // must fail loudly, not silently read a store missing its rows)
+  // each memo carries the thresholds its value was retention-trimmed
+  // at (see coocAtThresholds / requireAtLeastBuilt: a consumer asking
+  // below a build-time threshold must fail loudly — on MEMO HITS too,
+  // not only at first materialization — never silently read a store
+  // missing its rows)
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Double)]()
   private val coocMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Double, Double)]()
 
@@ -397,25 +399,42 @@ object Dedup extends QueryPack {
   private[graft] def coocAtThresholds(s: SparkSession, d: String,
       jaccardT: Double, containT: Double): DataFrame = {
     val (core, jBuilt, cBuilt) = storedCoocEntry(s, d)
+    requireAtLeastBuilt(jaccardT, jBuilt, containT, cBuilt)
+    core
+  }
+
+  /** The loud half of the retention contract, shared by every
+    * threshold-trimmed memo (stored core, stored pairs, incremental
+    * core): fail when a consumer's call-time threshold sits below the
+    * memo's build-time one. NaN skips a measure the consumer does not
+    * read (NaN comparisons are false).
+    */
+  private def requireAtLeastBuilt(jaccardT: Double, jBuilt: Double,
+      containT: Double, cBuilt: Double): Unit =
     require(!(jaccardT < jBuilt) && !(containT < cBuilt),
-      s"stored co-occurrence core was retention-trimmed at " +
+      s"stored co-occurrence artifact was retention-trimmed at " +
         s"jaccard>=$jBuilt / containment>=$cBuilt; querying at " +
         s"$jaccardT / $containT would silently miss qualifying pairs — " +
         "Dedup.clearStored(spark) (or StoredArtifacts.clear) to rebuild " +
         "at the lower thresholds")
-    core
-  }
 
-  def storedPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.computeIfAbsent((s, d),
+  def storedPairs(s: SparkSession, d: String): DataFrame = {
+    val (pairs, jBuilt) = pairsMemo.computeIfAbsent((s, d),
       // assertCutInert guard applied on the derived pairs: the gate
       // run itself verifies oracle/cut equivalence (the max-df check
       // is one linear aggregate over the corpus, not pair-shaped)
-      _ => withCutInertGuard(
-        jaccardFromCooc(
-          coocAtThresholds(s, d, gateJaccardThreshold(s), Double.NaN),
-          gateJaccardThreshold(s)),
-        docs(s, d), gateMaxShingleDf(s)).localCheckpoint())
+      _ => {
+        val jT = gateJaccardThreshold(s)
+        (withCutInertGuard(
+          jaccardFromCooc(coocAtThresholds(s, d, jT, Double.NaN), jT),
+          docs(s, d), gateMaxShingleDf(s)).localCheckpoint(), jT)
+      })
+    // re-checked on every MEMO HIT too: the build-time require alone
+    // would let a threshold lowered after materialization read the
+    // old-threshold pair list silently
+    requireAtLeastBuilt(gateJaccardThreshold(s), jBuilt, Double.NaN, Double.NaN)
+    pairs
+  }
 
   /** The tables a production pipeline PERSISTS to maintain the exact
     * co-occurrence core at delta cost instead of rebuilding it per
@@ -563,8 +582,8 @@ object Dedup extends QueryPack {
         .unionByName(retainForGate(newRows, jaccardT, containT)))
   }
 
-  private val incrCoocMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val incrCoocMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Double, Double)]()
 
   /** The q149 artifact, memoized like q119's incremental components:
     * the stored co-occurrence core a production run holds after the
@@ -577,16 +596,28 @@ object Dedup extends QueryPack {
     * the incremental path's oracle.
     */
   def storedIncrementalCooc(s: SparkSession, d: String): DataFrame =
-    incrCoocMemo.computeIfAbsent((s, d), _ => {
+    incrCoocAtThresholds(s, d, Double.NaN, Double.NaN)
+
+  /** Same drift guard as [[coocAtThresholds]], for the incremental
+    * store: q149 consumes it at the call-time jaccard threshold, so a
+    * mid-session lowering must fail loudly here too — not silently
+    * filter an artifact trimmed at the higher build-time value.
+    */
+  private def incrCoocAtThresholds(s: SparkSession, d: String,
+      jaccardT: Double, containT: Double): DataFrame = {
+    val (core, jBuilt, cBuilt) = incrCoocMemo.computeIfAbsent((s, d), _ => {
       val all = docs(s, d)
       val maxDf = gateMaxShingleDf(s)
       val jT = gateJaccardThreshold(s)
       val cT = gateContainmentThreshold(s)
-      foldCoocDelta(
+      (foldCoocDelta(
         buildCoocStore(all.where(col("doc_id") % 10 =!= 0), maxDf, jT, cT),
         all.where(col("doc_id") % 10 === 0), maxDf, jT, cT)
-        .cooc.localCheckpoint()
+        .cooc.localCheckpoint(), jT, cT)
     })
+    requireAtLeastBuilt(jaccardT, jBuilt, containT, cBuilt)
+    core
+  }
 
   private[graft] def clearStored(s: SparkSession): Int = {
     sigExported.clear() // stale export files must not shadow retrained
@@ -1585,7 +1616,9 @@ object Dedup extends QueryPack {
     */
   val q149 = Q(
     "q149_cooc_incr",
-    (s, d) => jaccardFromCooc(storedIncrementalCooc(s, d), gateJaccardThreshold(s)),
+    (s, d) => jaccardFromCooc(
+      incrCoocAtThresholds(s, d, gateJaccardThreshold(s), Double.NaN),
+      gateJaccardThreshold(s)),
     q31.oracle,
     "incremental co-occurrence core: delta batch folded into the stored posting/pair store ≡ full recompute (q31 oracle)")
 

@@ -156,9 +156,14 @@ object BenchDiff {
         // 500× improvement is not a 2.5× pressure artifact).
         def pressureExplains(moveRatio: Double, pressure: Double): Boolean =
           pressure > 1.5 && moveRatio <= pressure * 2.0
+        // base.contended mirrors cand.contended on BOTH branches: a
+        // contended baseline inflates the norm factor, manufacturing
+        // confirmed-looking regressions from a quiet candidate the
+        // same way a contended candidate manufactures improvements —
+        // neither direction gets a verdict off a noisy record.
         if (ratio > threshold && b >= MinBaseSec && cn - baseMax >= MinDeltaSec)
           Some(Finding(
-            if (wideSpread || cand.contended ||
+            if (wideSpread || cand.contended || base.contended ||
                 pressureExplains(ratio, blockPressure(cand, q)))
               NoisySuspect
             else Regression,
@@ -172,7 +177,7 @@ object BenchDiff {
           // downgrade as the regression branch, no free wins from a
           // noisy box in either direction.
           Some(Finding(
-            if (cand.contended ||
+            if (cand.contended || base.contended ||
                 pressureExplains(1.0 / ratio, blockPressure(base, q)))
               NoisySuspect
             else Improvement,

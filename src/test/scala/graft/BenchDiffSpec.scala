@@ -171,4 +171,18 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(findings.nonEmpty) // the deflation does cross the threshold
     assert(findings.forall(_.kind == NoisySuspect))
   }
+
+  test("a CONTENDED baseline's 'regressions' are suspects: inflated normalization buys no red exits") {
+    // the exact mirror (review fix): contended BASE inflates the norm
+    // factor (base median / cand median), inflating every candidate
+    // time — identical code on a quiet candidate box would print
+    // across-the-board confirmed regressions and exit 1
+    val base = rec(eight.map(_ -> 2.0).toMap,
+      sentinel = Seq(0.8, 1.6, 1.6, 1.6, 1.6)) // median 1.6, min 0.8
+    val cand = rec(eight.map(_ -> 2.0).toMap,
+      sentinel = Seq(0.8, 0.8, 0.8, 0.8, 0.8))
+    val findings = BenchDiff.compare(base, cand, 1.5)
+    assert(findings.nonEmpty) // the inflation does cross the threshold
+    assert(findings.forall(_.kind == NoisySuspect))
+  }
 }

@@ -415,4 +415,24 @@ class DedupSpec extends SparkSpec {
     // back at (or above) the build-time thresholds: reads succeed
     Dedup.q136.build(spark, sfDir).count() should be > 0L
   }
+
+  test("threshold drift is loud on MEMO HITS and on the incremental core too (review fix)") {
+    // materialize all three threshold-trimmed artifacts at 0.5/0.9
+    Dedup.storedPairs(spark, sfDir).count()
+    Dedup.q149.build(spark, sfDir).count()
+    spark.conf.set("graft.dedup.gateJaccardThreshold", "0.2")
+    try {
+      // storedPairs: the memo is already warm — the guard must fire on
+      // the HIT path, not only at first materialization
+      intercept[IllegalArgumentException] {
+        Dedup.storedPairs(spark, sfDir)
+      }.getMessage should include("retention-trimmed")
+      // q149's incremental core is a separate memo with the same contract
+      intercept[IllegalArgumentException] {
+        Dedup.q149.build(spark, sfDir)
+      }.getMessage should include("retention-trimmed")
+    } finally spark.conf.unset("graft.dedup.gateJaccardThreshold")
+    Dedup.storedPairs(spark, sfDir).count() should be > 0L
+    Dedup.q149.build(spark, sfDir).count() should be > 0L
+  }
 }
