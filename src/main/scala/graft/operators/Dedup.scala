@@ -514,6 +514,26 @@ object Dedup extends QueryPack {
     */
   def foldCoocDelta(store: CoocStore, delta: DataFrame, maxShingleDf: Int,
       jaccardT: Double, containT: Double): CoocStore = {
+    val p = coocFoldParts(store, delta, maxShingleDf, jaccardT, containT)
+    CoocStore(
+      postings = store.postings.select(col("doc_id"), col("shingle"))
+        .unionByName(p.deltaPostings),
+      sizes = store.sizes.select(col("doc_id"), col("n")).unionByName(p.deltaSizes),
+      hotKeys = store.hotKeys.select(col("shingle")).unionByName(p.newlyHot),
+      cooc = store.cooc.select(col("d1"), col("d2"), col("c"), col("n1"), col("n2"))
+        .unionByName(p.newCooc))
+  }
+
+  /** The APPEND half of one fold — exactly the rows [[foldCoocDelta]]
+    * unions onto the store, exposed separately so the PERSISTED form
+    * ([[foldCoocIntoStore]]) can upsert only the new rows instead of
+    * rewriting four whole tables.
+    */
+  private[graft] final case class CoocFoldParts(deltaPostings: DataFrame,
+      deltaSizes: DataFrame, newlyHot: DataFrame, newCooc: DataFrame)
+
+  private[graft] def coocFoldParts(store: CoocStore, delta: DataFrame,
+      maxShingleDf: Int, jaccardT: Double, containT: Double): CoocFoldParts = {
     val deltaPost = graft.util.reused(coocPostings(delta))
     val deltaShingles = deltaPost.select(col("shingle")).distinct()
     val deltaDf = deltaPost.groupBy(col("shingle")).agg(count(lit(1)).as("dfd"))
@@ -573,14 +593,110 @@ object Dedup extends QueryPack {
       .join(sizesAll.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizesAll.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"), col("c"), col("n1"), col("n2"))
-    CoocStore(
-      postings = store.postings.select(col("doc_id"), col("shingle"))
-        .unionByName(deltaPost),
-      sizes = sizesAll,
-      hotKeys = hotNew,
-      cooc = store.cooc.select(col("d1"), col("d2"), col("c"), col("n1"), col("n2"))
-        .unionByName(retainForGate(newRows, jaccardT, containT)))
+    CoocFoldParts(
+      deltaPostings = deltaPost,
+      deltaSizes = deltaSizes,
+      newlyHot = newlyHot,
+      newCooc = retainForGate(newRows, jaccardT, containT))
   }
+
+  /** PERSISTED [[CoocStore]] maintenance — the production form of
+    * [[foldCoocDelta]], the same pattern as
+    * [[Cluster.foldComponentsIntoStore]]: four
+    * [[graft.sources.ParquetUpsertSink]] tables under `dir`
+    * (`postings`, `sizes`, `hotkeys`, `cooc`) plus a 1-row `meta`
+    * table pinning the store's df-cut and retention thresholds. The
+    * first call materializes day-0 from the batch; each later call
+    * folds the batch in at delta cost, upserting ONLY the fold's new
+    * rows (every table is append-only — see [[CoocStore]]).
+    *
+    * Idempotent under redelivery (the at-least-once transport
+    * contract the other keyed stores honor): already-ingested doc_ids
+    * are dropped from the batch up front (anti-join against the sizes
+    * table — re-pairing a doc against its own stored postings would
+    * otherwise fabricate self-pairs), and a replayed batch's
+    * remaining upserts are same-key same-version no-ops.
+    *
+    * The meta table makes config drift LOUD across sessions the way
+    * [[coocAtThresholds]] does within one: folding with a different
+    * `maxShingleDf` is refused (hot/rare classification must be
+    * consistent store-wide — hotness is derived incrementally, only
+    * for delta-touched shingles), as is folding with thresholds below
+    * the store's (retention already dropped those rows). Returns the
+    * number of NEW documents folded in.
+    */
+  def foldCoocIntoStore(s: SparkSession, dir: String, batch: DataFrame,
+      maxShingleDf: Int = 128, jaccardT: Double = 0.5, containT: Double = 0.9,
+      numBuckets: Int = 64): Long = {
+    import graft.sources.ParquetUpsertSink
+    val rev = lit(0L) // every table is append-only: rows are immutable
+    def up(df: DataFrame, name: String, keys: Seq[String]): Unit =
+      ParquetUpsertSink.upsert(df.withColumn("_rev", rev), s"$dir/$name",
+        keys, "_rev", numBuckets)
+    if (!ParquetUpsertSink.tableExists(s, s"$dir/meta")) {
+      val st = buildCoocStore(batch, maxShingleDf, jaccardT, containT)
+      up(st.postings, "postings", Seq("shingle", "doc_id"))
+      up(st.sizes, "sizes", Seq("doc_id"))
+      up(st.hotKeys, "hotkeys", Seq("shingle"))
+      up(st.cooc, "cooc", Seq("d1", "d2"))
+      // meta LAST: its presence marks a complete day-0 store, so a
+      // crashed first build re-runs the build branch (same keys, same
+      // versions — the partial writes converge)
+      up(s.createDataFrame(Seq((0, maxShingleDf, jaccardT, containT)))
+        .toDF("k", "max_shingle_df", "jaccard_t", "contain_t"), "meta", Seq("k"))
+      batch.select(col("doc_id")).distinct().count()
+    } else {
+      val meta = ParquetUpsertSink.read(s, s"$dir/meta")
+        .select(col("max_shingle_df"), col("jaccard_t"), col("contain_t"))
+        .head()
+      require(meta.getInt(0) == maxShingleDf,
+        s"cooc store at $dir was built with maxShingleDf=${meta.getInt(0)}, " +
+          s"fold called with $maxShingleDf — the hot/rare classification is " +
+          "derived incrementally and must be consistent store-wide; rebuild " +
+          "into a new path to change the cut")
+      requireAtLeastBuilt(jaccardT, meta.getDouble(1), containT, meta.getDouble(2))
+      val stored = CoocStore(
+        postings = readStoreTable(s, dir, "postings", Seq("doc_id", "shingle")),
+        sizes = readStoreTable(s, dir, "sizes", Seq("doc_id", "n")),
+        hotKeys = readStoreTable(s, dir, "hotkeys", Seq("shingle")),
+        cooc = readStoreTable(s, dir, "cooc", Seq("d1", "d2", "c", "n1", "n2")))
+      // redelivery guard: drop already-ingested docs (see scaladoc)
+      val fresh = batch
+        .join(stored.sizes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // one materialization per batch (the
+                           // nearDedupIngest rationale)
+      if (fresh.head(1).isEmpty) return 0L
+      val parts = coocFoldParts(stored, fresh,
+        meta.getInt(0), meta.getDouble(1), meta.getDouble(2))
+      up(parts.deltaPostings, "postings", Seq("shingle", "doc_id"))
+      up(parts.deltaSizes, "sizes", Seq("doc_id"))
+      up(parts.newlyHot, "hotkeys", Seq("shingle"))
+      up(parts.newCooc, "cooc", Seq("d1", "d2"))
+      fresh.select(col("doc_id")).distinct().count()
+    }
+  }
+
+  /** One table of a persisted store, as an EMPTY frame when the sink
+    * has never committed it — legitimate for `hotkeys` (a cut-inert
+    * corpus never crosses the df-cut) and for `cooc` (a corpus with
+    * no retained pairs): an upsert of zero rows creates no table.
+    * Every column of every store table is a 64-bit long, so the
+    * empty schema is uniform.
+    */
+  private def readStoreTable(s: SparkSession, dir: String, name: String,
+      cols: Seq[String]): DataFrame = {
+    import graft.sources.ParquetUpsertSink
+    if (ParquetUpsertSink.tableExists(s, s"$dir/$name"))
+      ParquetUpsertSink.read(s, s"$dir/$name").select(cols.map(col): _*)
+    else s.range(0).select(cols.map(c => col("id").as(c)): _*)
+  }
+
+  /** Read the live pair table of a persisted store (the table every
+    * downstream consumer scans; [[jaccardFromCooc]] /
+    * [[containmentFromCooc]] derive the measures from it).
+    */
+  def readCoocStore(s: SparkSession, dir: String): DataFrame =
+    readStoreTable(s, dir, "cooc", Seq("d1", "d2", "c", "n1", "n2"))
 
   private val incrCoocMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Double, Double)]()

@@ -545,6 +545,31 @@ object StreamOps extends QueryPack {
     * Crash between the two upserts recovers on redelivery for the
     * same reason, whichever write landed first.
     */
+  /** Streaming maintenance of the persisted EXACT co-occurrence store:
+    * each micro-batch of documents folds into the four
+    * [[graft.operators.Dedup.foldCoocIntoStore]] sink tables at delta
+    * cost — the q149 nightly fold as a stream, batch/stream parity by
+    * construction (one micro-batch = one batch fold). Idempotent on
+    * an at-least-once transport: the fold drops already-ingested
+    * doc_ids up front and every table is append-only immutable rows,
+    * so a replayed batch upserts nothing new. StreamingSpec pins
+    * stream ≡ one-shot [[graft.operators.Dedup.buildCoocStore]]
+    * across forced micro-batch splits.
+    */
+  def streamingCoocIngest(stream: DataFrame, storeDir: String,
+      maxShingleDf: Int = 128, jaccardT: Double = 0.5, containT: Double = 0.9,
+      numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      graft.operators.Dedup.foldCoocIntoStore(batch.sparkSession, storeDir,
+        batch.toDF(), maxShingleDf, jaccardT, containT, numBuckets)
+      ()
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   def streamingNearDedupIngest(stream: DataFrame, docsPath: String,
       sigsPath: String, threshold: Double, numBuckets: Int = 64,
       compsPath: Option[String] = None)

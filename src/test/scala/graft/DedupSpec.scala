@@ -416,6 +416,35 @@ class DedupSpec extends SparkSpec {
     Dedup.q136.build(spark, sfDir).count() should be > 0L
   }
 
+  test("persisted cooc store: day-0 build + delta fold ≡ full rebuild; redelivery no-op; config drift loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-coocstore").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/store"
+    val base = documents.where($"doc_id" % 10 =!= 0)
+    val delta = documents.where($"doc_id" % 10 === 0)
+    // day-0 + one nightly fold
+    Dedup.foldCoocIntoStore(spark, path, base, 1024, 0.5, 0.9) should be > 0L
+    Dedup.foldCoocIntoStore(spark, path, delta, 1024, 0.5, 0.9) should be > 0L
+    val want = Dedup.buildCoocStore(documents, 1024, 0.5, 0.9).cooc
+    val got = Dedup.readCoocStore(spark, path)
+    want.count() should be > 0L
+    got.except(want).count() shouldBe 0
+    want.except(got).count() shouldBe 0
+    // redelivered batch: zero new docs, stores bit-identical
+    Dedup.foldCoocIntoStore(spark, path, delta, 1024, 0.5, 0.9) shouldBe 0L
+    val again = Dedup.readCoocStore(spark, path)
+    again.except(want).count() shouldBe 0
+    want.except(again).count() shouldBe 0
+    // a different df-cut is refused (classification is store-wide)
+    intercept[IllegalArgumentException] {
+      Dedup.foldCoocIntoStore(spark, path, delta, 128, 0.5, 0.9)
+    }.getMessage should include("maxShingleDf")
+    // a lowered retention threshold is refused (rows already dropped)
+    intercept[IllegalArgumentException] {
+      Dedup.foldCoocIntoStore(spark, path, delta, 1024, 0.2, 0.9)
+    }.getMessage should include("retention-trimmed")
+  }
+
   test("threshold drift is loud on MEMO HITS and on the incremental core too (review fix)") {
     // materialize all three threshold-trimmed artifacts at 0.5/0.9
     Dedup.storedPairs(spark, sfDir).count()

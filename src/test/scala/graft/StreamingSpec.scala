@@ -503,6 +503,43 @@ class StreamingSpec extends SparkSpec {
     stored shouldBe batch
   }
 
+  test("streaming cooc-store ingest ≡ one-shot build across batch splits + redelivery") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sfDir).localCheckpoint()
+    val srcDir = Files.createTempDirectory("graft-cooc-src").toString
+    val storeDir = Files.createTempDirectory("graft-cooc-store").toString + "/store"
+    // three micro-batches by doc_id mod 3 (maxFilesPerTrigger=1 forces
+    // the splits: batch 0 is the day-0 build, 1 and 2 are folds)
+    (0 to 2).foreach(i => docs.where($"doc_id" % 3 === i)
+      .coalesce(1).write.mode("append").parquet(srcDir))
+    def runStream(): Unit = {
+      val ckpt = Files.createTempDirectory("graft-cooc-ck").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = StreamOps.streamingCoocIngest(stream, storeDir, maxShingleDf = 1024)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    runStream()
+    val want = graft.operators.Dedup.buildCoocStore(docs, 1024, 0.5, 0.9)
+      .cooc.localCheckpoint()
+    def stored = graft.operators.Dedup.readCoocStore(spark, storeDir)
+    want.count() should be > 0L
+    stored.except(want).count() shouldBe 0L
+    want.except(stored).count() shouldBe 0L
+    // redeliver batch 0 on a fresh checkpoint: already-ingested docs
+    // drop out up front, the store is bit-untouched
+    docs.where($"doc_id" % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    runStream()
+    stored.except(want).count() shouldBe 0L
+    want.except(stored).count() shouldBe 0L
+  }
+
   test("streaming additive-KPI ingest: batch-keyed partials, view ≡ batch, replay converges") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = Files.createTempDirectory("graft-kpi-src").toString
