@@ -78,6 +78,7 @@ object Bench {
       build("closure") { operators.Hierarchy.storedClosure(spark, sfDir) }
       build("incr_closure") { operators.Hierarchy.storedIncrementalClosure(spark, sfDir) }
       build("cooc") { operators.Dedup.storedCooc(spark, sfDir) }
+      build("incr_cooc") { operators.Dedup.storedIncrementalCooc(spark, sfDir) }
       build("pairs") { operators.Dedup.storedPairs(spark, sfDir) }
       build("contamination") { operators.Dedup.storedContamination(spark, sfDir) }
       build("memorization_wins") { operators.Dedup.storedWindowSignatures(spark, sfDir) }
@@ -90,6 +91,7 @@ object Bench {
       build("pq_codebooks") { operators.Ann.storedCodebooks(spark, sfDir, 8, 16, 2) }
       build("pca") { operators.Ann.storedPcaProjection(spark, sfDir, 8) }
       build("trigram_tf") { operators.Text.storedTrigramTf(spark, sfDir) }
+      build("bpe_merges") { operators.Bpe.storedMerges(spark, sfDir) }
     }
     // Machine-factor sentinel: ONE fixed cheap query (q02's shape — a
     // full-scan decimal aggregation, no stored artifacts, plan stable

@@ -48,13 +48,41 @@ object Bpe extends QueryPack {
     * makes the map side emit one row per distinct word per task.
     */
   def wordDict(docs: DataFrame, textCol: String, maxDictWords: Int): DataFrame =
+    capDict(wordCounts(docs, textCol), maxDictWords)
+
+  /** The UNCAPPED word-frequency table — what a pipeline PERSISTS
+    * when it maintains the dictionary incrementally: the cap must be
+    * applied at READ time ([[capDict]]), because a word cut by the
+    * cap today can be promoted by tomorrow's delta, and a capped
+    * store would have lost its mass.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(words(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("word").asc)
-      .limit(maxDictWords)
+
+  /** Fold a delta batch of documents into a stored uncapped dict at
+    * delta cost — counts are ADDITIVE (the Etl.kpiIncrement pattern):
+    * delta word counts union in, one re-aggregate whose reduce side
+    * is near-1 row per word. Retraining under the updated dict is
+    * [[trainMerges]] again — driver-side over a model-sized input,
+    * so the expensive distributed half of BPE training never
+    * recomputes over the full corpus. IncrAudit certifies
+    * fold ≡ full recount at scale.
+    */
+  def dictIncrement(storedDict: DataFrame, deltaDocs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    storedDict.select(col("word"), col("freq"))
+      .unionByName(wordCounts(deltaDocs, textCol))
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+
+  /** Deterministic top-K by (freq desc, word asc) — TakeOrdered,
+    * never a full sort.
+    */
+  def capDict(dict: DataFrame, maxDictWords: Int): DataFrame =
+    dict.orderBy(col("freq").desc, col("word").asc).limit(maxDictWords)
 
   /** Stage 2 (driver, model-sized input): the Sennrich merge loop over
     * a word-frequency dict. Incremental: pair counts and a

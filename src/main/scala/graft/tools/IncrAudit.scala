@@ -87,6 +87,18 @@ object IncrAudit {
       diff("cooc_incr ≡ storedCooc(all docs)")(
         Dedup.storedIncrementalCooc(spark, sfDir),
         Dedup.storedCooc(spark, sfDir)),
+      // BPE dictionary: additive word-count fold ≡ full recount (the
+      // distributed half of BPE training maintained at delta cost;
+      // retrain-equivalence is BpeSpec's consumer-step check)
+      locally {
+        val docs = graft.Tables.documents(spark, sfDir)
+        diff("bpe_dict_incr ≡ wordCounts(all docs)")(
+          graft.operators.Bpe.dictIncrement(
+            graft.operators.Bpe.wordCounts(
+              docs.where(col("doc_id") % 10 =!= 0), "text"),
+            docs.where(col("doc_id") % 10 === 0)),
+          graft.operators.Bpe.wordCounts(docs, "text"))
+      },
       // near-dup delta pairs ≡ the full pair run restricted to
       // delta-touching pairs (the nightly signature-store contract)
       locally {

@@ -104,6 +104,24 @@ class BpeSpec extends SparkSpec {
     capped shouldBe Seq("newest" -> 6L, "low" -> 5L)
   }
 
+  test("incremental dict fold ≡ full recount, and retraining under it reproduces the merges") {
+    val documents = Tables.documents(spark, sfDir)
+    val base = documents.where($"doc_id" % 10 =!= 0)
+    val delta = documents.where($"doc_id" % 10 === 0)
+    val folded = Bpe.dictIncrement(Bpe.wordCounts(base, "text"), delta)
+    val full = Bpe.wordCounts(documents, "text")
+    folded.except(full).count() shouldBe 0L
+    full.except(folded).count() shouldBe 0L
+    full.count() should be > 0L
+    // the consumer step: cap at read time + driver retrain — same
+    // merges as training on the full corpus in one shot
+    val viaFold = Bpe.trainMerges(
+      Bpe.capDict(folded, 200000).as[(String, Long)].collect().toSeq, 50)
+    val oneShot = Bpe.trainMerges(
+      Bpe.wordDict(documents, "text", 200000).as[(String, Long)].collect().toSeq, 50)
+    viaFold shouldBe oneShot
+  }
+
   test("q148 gate verdicts hold and BPE counts strictly exceed word counts") {
     val out = Bpe.q148.build(spark, sfDir)
       .agg(min($"reconstructs".cast("int")), min($"all_in_vocab".cast("int")),
