@@ -113,13 +113,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second sentinel, DOCUMENTS-shaped (r15): the lineitem sentinel
+    // cannot see document-page-cache pressure — the r15 sf3 record
+    // showed the q130–q135 doc-heavy block inflated 3–10× by the
+    // preceding 451 s cooc build while every lineitem sample stayed
+    // flat, and five spurious BenchDiff regressions survived the
+    // block-pressure rule (adjudicated by code-identical A/B,
+    // BASELINE.md round-15). Same cadence, same interleave points;
+    // a string-work scan over the corpus table the heavy half of the
+    // suite actually reads.
+    def sentinelDocsOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .groupBy(col("source"))
+        .agg(sum(length(col("text"))).as("chars"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     sentinelOnce() // untimed: sentinel codegen compiles here, so every
                    // counted sample measures the BOX, not first-touch
+    sentinelDocsOnce()
     val sentinelRuns = mutable.ArrayBuffer.empty[Double]
+    val sentinelDocsRuns = mutable.ArrayBuffer.empty[Double]
     val sentinelEvery = math.max(1, math.ceil(selected.size / 4.0).toInt)
     val spreads = mutable.LinkedHashMap.empty[String, (Double, Double)]
     selected.zipWithIndex.foreach { case ((name, fn), i) =>
-      if (i % sentinelEvery == 0) sentinelRuns += sentinelOnce()
+      if (i % sentinelEvery == 0) {
+        sentinelRuns += sentinelOnce()
+        sentinelDocsRuns += sentinelDocsOnce()
+      }
       try {
         val runs = (0 until repeat).map { _ =>
           val t0 = System.nanoTime()
@@ -138,6 +161,7 @@ object Bench {
       }
     }
     sentinelRuns += sentinelOnce() // closing sample after the suite
+    sentinelDocsRuns += sentinelDocsOnce()
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // per-query [min, max] across the in-suite repeats: lets a grader
     // separate box noise (wide spread) from a real regression (tight
@@ -150,13 +174,23 @@ object Bench {
     // never includes nightly ETL cost)
     val bld = builds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val bldTotal = builds.values.sum
+    def sentinelJson(runs: Seq[Double]): String = {
+      val s = runs.sorted
+      val med =
+        if (s.isEmpty) 0.0
+        else if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      s"""{"runs":[${runs.mkString(",")}],"min":${if (s.isEmpty) 0.0 else s.head},"median":$med,"max":${if (s.isEmpty) 0.0 else s.last}}"""
+    }
     val sSorted = sentinelRuns.sorted
     val sMedian =
       if (sSorted.isEmpty) 0.0
       else if (sSorted.size % 2 == 1) sSorted(sSorted.size / 2)
       else (sSorted(sSorted.size / 2 - 1) + sSorted(sSorted.size / 2)) / 2
-    val sentinel = s"""{"runs":[${sentinelRuns.mkString(",")}],"min":${if (sSorted.isEmpty) 0.0 else sSorted.head},"median":$sMedian,"max":${if (sSorted.isEmpty) 0.0 else sSorted.last}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"builds":$bld,"build_total":$bldTotal,"sentinel":$sentinel,"n_err":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+    val sentinel = sentinelJson(sentinelRuns.toSeq)
+    // sentinel_docs is additive to the record schema: BenchDiff treats
+    // a missing field as no-docs-samples (old records stay comparable)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"builds":$bld,"build_total":$bldTotal,"sentinel":$sentinel,"sentinel_docs":${sentinelJson(sentinelDocsRuns.toSeq)},"n_err":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: the driver artifact keeps only a stdout TAIL
     // (BENCH_r08/r09 lost ~100 queries' timings to the 2000-char
@@ -179,8 +213,19 @@ object Bench {
     // the first cut and blocked legitimate re-records: one-in-five
     // outlier samples are the NORMAL shape on this box, and the
     // median normalizer absorbs them.)
+    def ratioOf(runs: Seq[Double]): Double = {
+      val s = runs.sorted
+      val med =
+        if (s.isEmpty) 0.0
+        else if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      if (s.nonEmpty && s.head > 0) med / s.head else 1.0
+    }
+    // contention on EITHER table shape blocks a canonical overwrite:
+    // the docs sentinel exists precisely because lineitem samples
+    // stayed flat through document-page-cache pressure (r15)
     val sentinelRatio =
-      if (sSorted.nonEmpty && sSorted.head > 0) sMedian / sSorted.head else 1.0
+      math.max(ratioOf(sentinelRuns.toSeq), ratioOf(sentinelDocsRuns.toSeq))
     val out =
       if (requested != stamped && sentinelRatio > 1.5 &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(requested))) {

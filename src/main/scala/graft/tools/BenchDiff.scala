@@ -48,16 +48,28 @@ object BenchDiff {
       queries: Map[String, Double],
       spread: Map[String, (Double, Double)],
       sentinelRuns: Seq[Double],
-      errors: Map[String, String]) {
+      errors: Map[String, String],
+      /** The documents-shaped sentinel (r15, `sentinel_docs` in the
+        * record — empty for records that predate it): the lineitem
+        * sentinel is blind to document-page-cache pressure, which the
+        * r15 sf3 record showed inflating the doc-heavy block 3–10×
+        * while every lineitem sample stayed flat. Same cadence, so
+        * the block mapping is shared.
+        */
+      sentinelDocsRuns: Seq[Double] = Nil) {
     def sentinelMedian: Double = median(sentinelRuns)
     def sentinelMin: Double = if (sentinelRuns.isEmpty) 0.0 else sentinelRuns.min
-    /** Contended = the TYPICAL sample is well above the best sample:
-      * most of the run was slow, not one unlucky interleave. A single
-      * outlier sample (max/min spikes, median/min stays ~1) does NOT
-      * mark a run contended — the median normalizer absorbs it.
+    private def ratio(runs: Seq[Double]): Double =
+      if (runs.isEmpty || runs.min <= 0) 1.0 else median(runs) / runs.min
+    /** Contended = the TYPICAL sample is well above the best sample on
+      * EITHER table shape: most of the run was slow, not one unlucky
+      * interleave. A single outlier sample (max/min spikes, median/min
+      * stays ~1) does NOT mark a run contended — the median
+      * normalizer absorbs it.
       */
-    def contended: Boolean =
-      sentinelMin > 0 && sentinelMedian / sentinelMin > 1.5
+    def contentionRatio: Double =
+      math.max(ratio(sentinelRuns), ratio(sentinelDocsRuns))
+    def contended: Boolean = contentionRatio > 1.5
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -79,7 +91,9 @@ object BenchDiff {
       },
       sentinelRuns = Option(root.get("sentinel")).map(_.get("runs")
         .elements().asScala.map(_.asDouble).toSeq).getOrElse(Nil),
-      errors = objMap("errors").map { case (k, v) => k -> v.asText })
+      errors = objMap("errors").map { case (k, v) => k -> v.asText },
+      sentinelDocsRuns = Option(root.get("sentinel_docs")).map(_.get("runs")
+        .elements().asScala.map(_.asDouble).toSeq).getOrElse(Nil))
   }
 
   sealed trait Kind
@@ -107,8 +121,14 @@ object BenchDiff {
     * "regressions" of each other. Returns the pressure ratio
     * (neighbor max / run min), 1.0 when calm.
     */
-  private def blockPressure(r: Record, q: String): Double = {
-    if (r.sentinelRuns.isEmpty || r.sentinelMin <= 0) return 1.0
+  private def blockPressure(r: Record, q: String): Double =
+    math.max(blockPressureIn(r, q, r.sentinelRuns),
+      // docs-shaped pressure (r15): same cadence, same block mapping —
+      // whichever table shape saw the squeeze, the block is suspect
+      blockPressureIn(r, q, r.sentinelDocsRuns))
+
+  private def blockPressureIn(r: Record, q: String, runs: Seq[Double]): Double = {
+    if (runs.isEmpty || runs.min <= 0) return 1.0
     // Bench's sentinel cadence indexes the FULL sorted selection,
     // including queries that later errored (they land in `errors`,
     // not `queries`) — reconstruct that order or every query after
@@ -117,9 +137,9 @@ object BenchDiff {
     val idx = order.indexOf(q)
     if (idx < 0) return 1.0
     val every = math.max(1, math.ceil(order.size / 4.0).toInt)
-    val pre = math.min(idx / every, r.sentinelRuns.size - 1)
-    val post = math.min(pre + 1, r.sentinelRuns.size - 1)
-    math.max(r.sentinelRuns(pre), r.sentinelRuns(post)) / r.sentinelMin
+    val pre = math.min(idx / every, runs.size - 1)
+    val post = math.min(pre + 1, runs.size - 1)
+    math.max(runs(pre), runs(post)) / runs.min
   }
 
   /** Sentinel-median normalization factor: multiply candidate times by
@@ -199,7 +219,7 @@ object BenchDiff {
     val f = normFactor(base, cand)
     out += f"sentinel: base median ${base.sentinelMedian}%.2f  cand median ${cand.sentinelMedian}%.2f  norm factor ${f}%.3f"
     if (cand.contended)
-      out += f"CONTENDED CANDIDATE: sentinel median/min ${cand.sentinelMedian / cand.sentinelMin}%.2f > 1.5 — " +
+      out += f"CONTENDED CANDIDATE: sentinel median/min ${cand.contentionRatio}%.2f > 1.5 (worst of lineitem/docs shapes) — " +
         "most of the run was slow; regressions below are SUSPECTS, re-run on a quiet box"
     if (base.contended)
       out += "WARNING: baseline record itself looks contended — comparisons are unreliable both ways"

@@ -185,4 +185,35 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(findings.nonEmpty) // the inflation does cross the threshold
     assert(findings.forall(_.kind == NoisySuspect))
   }
+
+  test("sentinel_docs parses; its absence (pre-r15 records) means no docs samples") {
+    val json =
+      """{"value":1.0,"queries":{"q1":1.0},
+        |"sentinel":{"runs":[0.8,0.9],"min":0.8,"median":0.85,"max":0.9},
+        |"sentinel_docs":{"runs":[1.2,1.3],"min":1.2,"median":1.25,"max":1.3},
+        |"errors":{}}""".stripMargin.replace("\n", "")
+    assert(BenchDiff.parse(json).sentinelDocsRuns == Seq(1.2, 1.3))
+    val old = """{"value":1.0,"queries":{"q1":1.0},
+        |"sentinel":{"runs":[0.8],"min":0.8,"median":0.8,"max":0.8},"errors":{}}"""
+      .stripMargin.replace("\n", "")
+    assert(BenchDiff.parse(old).sentinelDocsRuns.isEmpty)
+    assert(!BenchDiff.parse(old).contended)
+  }
+
+  test("docs-sentinel pressure downgrades a regression the lineitem sentinel cannot see") {
+    // the r15 sf3 shape: lineitem samples flat throughout, docs
+    // samples spike in qe's block (document-page-cache churn) —
+    // qe's 3x movement must be a suspect, not a confirmed regression
+    val flat = Seq(0.8, 0.8, 0.8, 0.8, 0.8)
+    val base = rec(eight.map(_ -> 1.0).toMap, sentinel = flat)
+    val cand0 = rec(eight.map(q => q -> (if (q == "qe") 3.0 else 1.0)).toMap,
+      sentinel = flat)
+    val candPressured = cand0.copy(
+      sentinelDocsRuns = Seq(0.8, 0.8, 2.4, 0.8, 0.8)) // qe's block squeezed
+    assert(BenchDiff.compare(base, candPressured, 1.5).map(_.kind) == Seq(NoisySuspect))
+    // same movement with BOTH sentinels flat stays a confirmed regression
+    assert(BenchDiff.compare(base, cand0, 1.5).map(_.kind) == Seq(Regression))
+    // and whole-run docs contention marks the record contended
+    assert(cand0.copy(sentinelDocsRuns = Seq(0.8, 1.6, 1.6, 1.6, 1.6)).contended)
+  }
 }
