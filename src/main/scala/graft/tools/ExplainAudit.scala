@@ -240,6 +240,15 @@ object ExplainAudit {
           v += Violation(name, "totals join lost its broadcast")
         if (plan.split("HashAggregate").length <= 2)
           v += Violation(name, "no partial (map-side) aggregation")
+      case "q148_bpe_tokens" =>
+        // exact BPE accounting is ONE scan projection — the merges
+        // ride in the expression, so any Exchange/join means the
+        // shuffle-free shape broke (the whole point of the native
+        // bpe_tokenize over a tokenize-then-join formulation)
+        if (plan.contains("Exchange"))
+          v += Violation(name, "shuffle in plan (bpe accounting must be a pure scan map)")
+        if (plan.contains("Join"))
+          v += Violation(name, "join in plan (merges must ride the expression, not a table)")
       case "q143_embed_quant" =>
         // quantization is a pure per-row map over the scan — any
         // Exchange/Window/join means the one-pass shape broke
