@@ -174,19 +174,14 @@ object Bench {
     // never includes nightly ETL cost)
     val bld = builds.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val bldTotal = builds.values.sum
-    def sentinelJson(runs: Seq[Double]): String = {
+    def medianOf(runs: Seq[Double]): Double = {
       val s = runs.sorted
-      val med =
-        if (s.isEmpty) 0.0
-        else if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      s"""{"runs":[${runs.mkString(",")}],"min":${if (s.isEmpty) 0.0 else s.head},"median":$med,"max":${if (s.isEmpty) 0.0 else s.last}}"""
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val sSorted = sentinelRuns.sorted
-    val sMedian =
-      if (sSorted.isEmpty) 0.0
-      else if (sSorted.size % 2 == 1) sSorted(sSorted.size / 2)
-      else (sSorted(sSorted.size / 2 - 1) + sSorted(sSorted.size / 2)) / 2
+    def sentinelJson(runs: Seq[Double]): String =
+      s"""{"runs":[${runs.mkString(",")}],"min":${if (runs.isEmpty) 0.0 else runs.min},"median":${medianOf(runs)},"max":${if (runs.isEmpty) 0.0 else runs.max}}"""
     val sentinel = sentinelJson(sentinelRuns.toSeq)
     // sentinel_docs is additive to the record schema: BenchDiff treats
     // a missing field as no-docs-samples (old records stay comparable)
@@ -213,14 +208,8 @@ object Bench {
     // the first cut and blocked legitimate re-records: one-in-five
     // outlier samples are the NORMAL shape on this box, and the
     // median normalizer absorbs them.)
-    def ratioOf(runs: Seq[Double]): Double = {
-      val s = runs.sorted
-      val med =
-        if (s.isEmpty) 0.0
-        else if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      if (s.nonEmpty && s.head > 0) med / s.head else 1.0
-    }
+    def ratioOf(runs: Seq[Double]): Double =
+      if (runs.nonEmpty && runs.min > 0) medianOf(runs) / runs.min else 1.0
     // contention on EITHER table shape blocks a canonical overwrite:
     // the docs sentinel exists precisely because lineitem samples
     // stayed flat through document-page-cache pressure (r15)

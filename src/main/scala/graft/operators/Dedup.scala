@@ -410,13 +410,14 @@ object Dedup extends QueryPack {
     * read (NaN comparisons are false).
     */
   private def requireAtLeastBuilt(jaccardT: Double, jBuilt: Double,
-      containT: Double, cBuilt: Double): Unit =
+      containT: Double, cBuilt: Double,
+      remedy: String = "Dedup.clearStored(spark) (or StoredArtifacts.clear) " +
+        "to rebuild at the lower thresholds"): Unit =
     require(!(jaccardT < jBuilt) && !(containT < cBuilt),
       s"stored co-occurrence artifact was retention-trimmed at " +
         s"jaccard>=$jBuilt / containment>=$cBuilt; querying at " +
         s"$jaccardT / $containT would silently miss qualifying pairs — " +
-        "Dedup.clearStored(spark) (or StoredArtifacts.clear) to rebuild " +
-        "at the lower thresholds")
+        remedy)
 
   def storedPairs(s: SparkSession, d: String): DataFrame = {
     val (pairs, jBuilt) = pairsMemo.computeIfAbsent((s, d),
@@ -530,7 +531,13 @@ object Dedup extends QueryPack {
     * rewriting four whole tables.
     */
   private[graft] final case class CoocFoldParts(deltaPostings: DataFrame,
-      deltaSizes: DataFrame, newlyHot: DataFrame, newCooc: DataFrame)
+      deltaSizes: DataFrame, newlyHot: DataFrame, newCooc: DataFrame,
+      /** The fold's reused()-persisted intermediates — the caller that
+        * finishes consuming the parts (one materialization per batch)
+        * unpersists them so a long-running stream does not accumulate
+        * cached scratch frames.
+        */
+      pinned: Seq[DataFrame])
 
   private[graft] def coocFoldParts(store: CoocStore, delta: DataFrame,
       maxShingleDf: Int, jaccardT: Double, containT: Double): CoocFoldParts = {
@@ -539,10 +546,20 @@ object Dedup extends QueryPack {
     val deltaDf = deltaPost.groupBy(col("shingle")).agg(count(lit(1)).as("dfd"))
     // ONE pass over the stored postings, filtered to delta-touched
     // shingles before anything wide happens (with the store bucketed
-    // by shingle this semi-join shuffles only the delta side)
+    // by shingle this semi-join shuffles only the delta side). The
+    // delta's OWN doc_ids are excluded from the stored side: under
+    // the disjointness contract that is a no-op, but it makes the
+    // fold insensitive to the store already holding some or all of
+    // the batch's own postings — the crash-retry window of the
+    // persisted path (a retried batch would otherwise pair its docs
+    // against themselves: least/greatest would emit retained
+    // jaccard-1.0 SELF-pairs, and delta×delta pairs would count
+    // twice). With the exclusion, a retry recomputes the exact clean
+    // fold and every upsert is a same-key no-op.
     val touched = graft.util.reused(
       store.postings.select(col("doc_id"), col("shingle"))
-        .join(deltaShingles, Seq("shingle"), "left_semi"))
+        .join(deltaShingles, Seq("shingle"), "left_semi")
+        .join(deltaPost.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
     val touchedDf = touched.groupBy(col("shingle")).agg(count(lit(1)).as("dfs"))
     // updated document frequencies exist only for touched shingles —
     // untouched shingles keep their df, hence their classification
@@ -597,7 +614,8 @@ object Dedup extends QueryPack {
       deltaPostings = deltaPost,
       deltaSizes = deltaSizes,
       newlyHot = newlyHot,
-      newCooc = retainForGate(newRows, jaccardT, containT))
+      newCooc = retainForGate(newRows, jaccardT, containT),
+      pinned = Seq(deltaPost, touched, hotNew, rareDelta))
   }
 
   /** PERSISTED [[CoocStore]] maintenance — the production form of
@@ -610,12 +628,20 @@ object Dedup extends QueryPack {
     * folds the batch in at delta cost, upserting ONLY the fold's new
     * rows (every table is append-only — see [[CoocStore]]).
     *
-    * Idempotent under redelivery (the at-least-once transport
-    * contract the other keyed stores honor): already-ingested doc_ids
-    * are dropped from the batch up front (anti-join against the sizes
-    * table — re-pairing a doc against its own stored postings would
-    * otherwise fabricate self-pairs), and a replayed batch's
-    * remaining upserts are same-key same-version no-ops.
+    * Idempotent under redelivery AND crash-retry (the at-least-once
+    * transport contract the other keyed stores honor, including the
+    * mid-fold crash window a foreachBatch retry exercises):
+    * already-ingested doc_ids are dropped from the batch up front by
+    * an anti-join against the SIZES table, and sizes is written LAST
+    * — so a batch is marked ingested only after every other table
+    * committed, and a crash anywhere mid-fold makes the retry
+    * recompute the whole fold. The recompute is exact even though
+    * earlier tables may hold the crashed attempt's rows: the fold
+    * excludes the batch's own doc_ids from the stored posting side
+    * (see [[coocFoldParts]] — no self-pairs, no double counts), a
+    * previously-committed newlyHot key re-derives into the same
+    * classification via the stored hot set, and every re-upsert is a
+    * same-key same-version no-op.
     *
     * The meta table makes config drift LOUD across sessions the way
     * [[coocAtThresholds]] does within one: folding with a different
@@ -644,7 +670,9 @@ object Dedup extends QueryPack {
       // versions — the partial writes converge)
       up(s.createDataFrame(Seq((0, maxShingleDf, jaccardT, containT)))
         .toDF("k", "max_shingle_df", "jaccard_t", "contain_t"), "meta", Seq("k"))
-      batch.select(col("doc_id")).distinct().count()
+      val n = batch.select(col("doc_id")).distinct().count()
+      st.postings.unpersist(false) // buildCoocStore's reused() scratch
+      n
     } else {
       val meta = ParquetUpsertSink.read(s, s"$dir/meta")
         .select(col("max_shingle_df"), col("jaccard_t"), col("contain_t"))
@@ -654,7 +682,11 @@ object Dedup extends QueryPack {
           s"fold called with $maxShingleDf — the hot/rare classification is " +
           "derived incrementally and must be consistent store-wide; rebuild " +
           "into a new path to change the cut")
-      requireAtLeastBuilt(jaccardT, meta.getDouble(1), containT, meta.getDouble(2))
+      requireAtLeastBuilt(jaccardT, meta.getDouble(1), containT, meta.getDouble(2),
+        // the session-memo remedy cannot help here: the meta table on
+        // DISK pins the build-time thresholds
+        remedy = "rebuild into a new path to fold at lower thresholds " +
+          "(the store's meta table pins its build-time values)")
       val stored = CoocStore(
         postings = readStoreTable(s, dir, "postings", Seq("doc_id", "shingle")),
         sizes = readStoreTable(s, dir, "sizes", Seq("doc_id", "n")),
@@ -668,11 +700,18 @@ object Dedup extends QueryPack {
       if (fresh.head(1).isEmpty) return 0L
       val parts = coocFoldParts(stored, fresh,
         meta.getInt(0), meta.getDouble(1), meta.getDouble(2))
+      // sizes LAST: it is the redelivery guard's read table, so its
+      // commit is what marks the batch ingested (see scaladoc)
       up(parts.deltaPostings, "postings", Seq("shingle", "doc_id"))
-      up(parts.deltaSizes, "sizes", Seq("doc_id"))
       up(parts.newlyHot, "hotkeys", Seq("shingle"))
       up(parts.newCooc, "cooc", Seq("d1", "d2"))
-      fresh.select(col("doc_id")).distinct().count()
+      up(parts.deltaSizes, "sizes", Seq("doc_id"))
+      val n = fresh.select(col("doc_id")).distinct().count()
+      // the fold's reused() intermediates are per-batch scratch: a
+      // long-running stream would otherwise pin 4 cached frames per
+      // micro-batch in the CacheManager until session teardown
+      parts.pinned.foreach(_.unpersist(false))
+      n
     }
   }
 

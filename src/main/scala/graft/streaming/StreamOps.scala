@@ -545,6 +545,23 @@ object StreamOps extends QueryPack {
     * Crash between the two upserts recovers on redelivery for the
     * same reason, whichever write landed first.
     */
+  def streamingNearDedupIngest(stream: DataFrame, docsPath: String,
+      sigsPath: String, threshold: Double, numBuckets: Int = 64,
+      compsPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      // one micro-batch = one run of the nightly batch ingest —
+      // batch/stream parity by construction (the EtlPipeline
+      // runWithDeletes/runStreamWithDeletes pattern)
+      graft.operators.Cluster.nearDedupIngest(batch.toDF(), docsPath,
+        sigsPath, threshold, numBuckets, compsPath)
+      ()
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   /** Streaming maintenance of the persisted EXACT co-occurrence store:
     * each micro-batch of documents folds into the four
     * [[graft.operators.Dedup.foldCoocIntoStore]] sink tables at delta
@@ -570,22 +587,6 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
-  def streamingNearDedupIngest(stream: DataFrame, docsPath: String,
-      sigsPath: String, threshold: Double, numBuckets: Int = 64,
-      compsPath: Option[String] = None)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
-      // one micro-batch = one run of the nightly batch ingest —
-      // batch/stream parity by construction (the EtlPipeline
-      // runWithDeletes/runStreamWithDeletes pattern)
-      graft.operators.Cluster.nearDedupIngest(batch.toDF(), docsPath,
-        sigsPath, threshold, numBuckets, compsPath)
-      ()
-    }
-    stream.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch(sink)
-  }
 
   /** Streaming incremental CONNECTED-COMPONENTS maintenance: each
     * micro-batch of near-dup pairs (d1, d2) folds into a persisted

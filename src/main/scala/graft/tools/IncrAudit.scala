@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
 object IncrAudit {
 
   private val skip: Set[String] =
-    sys.env.get("GRAFT_INCR_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+    // filter empties: "".split(",") is Array("") and every name
+    // startsWith("") — an empty env var must not skip the whole audit
+    sys.env.get("GRAFT_INCR_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   private def diff(name: String)(got: => DataFrame, want: => DataFrame): Boolean = {
     if (skip.exists(name.startsWith)) { println(s"SKIP $name"); return true }

@@ -445,6 +445,46 @@ class DedupSpec extends SparkSpec {
     }.getMessage should include("retention-trimmed")
   }
 
+  test("persisted cooc store: mid-fold crash + retry converges, no self-pairs (review fix)") {
+    import graft.sources.ParquetUpsertSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-cooccrash").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/store"
+    val base = documents.where($"doc_id" % 10 =!= 0)
+    val delta = documents.where($"doc_id" % 10 === 0)
+    Dedup.foldCoocIntoStore(spark, path, base, 1024, 0.5, 0.9)
+    // simulate the worst crash window: the fold committed postings,
+    // hotkeys and cooc but died BEFORE the sizes write (the
+    // redelivery guard's table) — the retry must see the batch as
+    // not-ingested and recompute the fold exactly, not pair the
+    // batch's docs against their own already-stored postings
+    val stored = Dedup.CoocStore(
+      postings = ParquetUpsertSink.read(spark, s"$path/postings")
+        .select($"doc_id", $"shingle"),
+      sizes = ParquetUpsertSink.read(spark, s"$path/sizes")
+        .select($"doc_id", $"n"),
+      hotKeys = spark.range(0).select($"id".as("shingle")),
+      cooc = ParquetUpsertSink.read(spark, s"$path/cooc")
+        .select($"d1", $"d2", $"c", $"n1", $"n2"))
+    val parts = Dedup.coocFoldParts(stored, delta, 1024, 0.5, 0.9)
+    def up(df: org.apache.spark.sql.DataFrame, name: String, keys: Seq[String]): Unit =
+      ParquetUpsertSink.upsert(
+        df.withColumn("_rev", org.apache.spark.sql.functions.lit(0L)),
+        s"$path/$name", keys, "_rev", 64)
+    up(parts.deltaPostings, "postings", Seq("shingle", "doc_id"))
+    up(parts.newlyHot, "hotkeys", Seq("shingle"))
+    up(parts.newCooc, "cooc", Seq("d1", "d2"))
+    // NO sizes write — the crash. Now the foreachBatch retry:
+    Dedup.foldCoocIntoStore(spark, path, delta, 1024, 0.5, 0.9) should be > 0L
+    val got = Dedup.readCoocStore(spark, path)
+    got.where($"d1" === $"d2").count() shouldBe 0L // no fabricated self-pairs
+    val want = Dedup.buildCoocStore(documents, 1024, 0.5, 0.9).cooc
+    got.except(want).count() shouldBe 0L
+    want.except(got).count() shouldBe 0L
+    // and a THIRD delivery is a no-op on a now-complete store
+    Dedup.foldCoocIntoStore(spark, path, delta, 1024, 0.5, 0.9) shouldBe 0L
+  }
+
   test("threshold drift is loud on MEMO HITS and on the incremental core too (review fix)") {
     // materialize all three threshold-trimmed artifacts at 0.5/0.9
     Dedup.storedPairs(spark, sfDir).count()
