@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Text,
     operators.Pack,
     operators.Dedup,
+    operators.Dsir,
     operators.Cluster,
     operators.Ann,
     operators.Jx,

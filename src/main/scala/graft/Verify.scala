@@ -49,6 +49,7 @@ object Verify {
     operators.Ann.exportGateModels(spark, sfDir)
     operators.Dedup.exportGateSignatures(spark, sfDir)
     operators.Bpe.exportGateModel(spark, sfDir)
+    operators.Dsir.exportGateFeatures(spark, sfDir)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

@@ -1777,6 +1777,115 @@ object Dedup extends QueryPack {
     q31.oracle,
     "incremental co-occurrence core: delta batch folded into the stored posting/pair store ≡ full recompute (q31 oracle)")
 
+  /** Duplicate-span EXCISION — the rewrite step of Lee et al. 2021's
+    * substring dedup (q131 is the detector; this is the surgeon): every
+    * word position covered by a cross-document duplicated `n`-gram is
+    * cut and the surviving words re-joined, so verbatim copied material
+    * leaves the training text while each document's unique remainder
+    * survives — the paper's case against whole-document dropping.
+    *
+    * Semantics (word granularity, q131's df contract): a word `n`-gram
+    * present in ≥ `minDf` DISTINCT documents marks all `n` of its
+    * positions, in every document and at every occurrence; a position
+    * covered by any marking window is removed. Documents shorter than
+    * `n` words have no windows and pass through verbatim. Contrast
+    * with [[passageDedup]]/[[boilerplateScrub]]: those operate on
+    * NON-OVERLAPPING passage blocks (first-wins / df-cut per block),
+    * so a copied run straddling a block boundary escapes; the sliding
+    * window here covers every alignment, at the cost of marking all
+    * occurrences (no keeper).
+    *
+    * Scale shape: grams travel as (doc_id, pos, 64-bit xxhash64) —
+    * strings never shuffle (q131's collision argument). One gram-keyed
+    * df aggregate (partial-agg'd; output is |distinct grams|), one
+    * equi-join of occurrences against the dup-gram keys, one per-doc
+    * collect of dup starts, one doc-keyed left join back to the word
+    * arrays — all linear in corpus size, never pairwise. The gram
+    * stream is persisted ([[graft.util.reused]]) because both the df
+    * aggregate and the occurrence join consume it and their exchange
+    * keys differ (gh vs (gh,doc_id)), so ReuseExchange cannot unify
+    * them. The rewrite itself is per-row: sorted dup starts collapse
+    * into MERGED disjoint cover intervals (a copied run of k
+    * overlapping grams becomes ONE interval, not k membership probes),
+    * then a single indexed filter pass — per-doc cost
+    * O(n_words × n_intervals) with n_intervals ≤ n_words/(n+1),
+    * in practice a handful, so a fully-copied long document costs
+    * one interval, not a quadratic probe.
+    */
+  def spanExcise(docsDf: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))
+    // (doc_id, pos, gh): every complete word n-gram, hashed — the
+    // ngrams() explode/lead codegen shape, kept inline for the pos
+    val g = graft.util.reused(docsDf
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", col("w") +: leads: _*)).as("gh"),
+        leads.last.isNotNull.as("complete"))
+      .where(col("complete"))
+      .select(col("doc_id"), col("pos"), col("gh")))
+    val dupGrams = g.dropDuplicates("gh", "doc_id")
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("gh"))
+    val dupStarts = g.join(dupGrams, "gh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ds"))
+    // sorted starts → merged disjoint cover intervals [lo, hi]
+    val iv = aggregate(
+      coalesce(col("ds"), lit(Array.empty[Int])),
+      expr("CAST(array() AS array<struct<lo:int,hi:int>>)"),
+      (acc, s) => {
+        val last = element_at(acc, -1)
+        val hi = (s + lit(n - 1)).cast("int")
+        when(size(acc) > lit(0) && s <= last.getField("hi") + lit(1),
+          concat(slice(acc, lit(1), size(acc) - lit(1)),
+            array(struct(last.getField("lo").as("lo"), hi.as("hi")))))
+          .otherwise(concat(acc, array(struct(s.cast("int").as("lo"), hi.as("hi")))))
+      })
+    docsDf
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"), iv.as("iv"))
+      .select(col("doc_id"), size(col("w")).cast("int").as("n_words"),
+        filter(col("w"), (x, i) =>
+          !exists(col("iv"), v =>
+            v.getField("lo") <= i && i <= v.getField("hi"))).as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("int").as("removed_words"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  val q150 = Q(
+    "q150_span_excise",
+    (s, d) => spanExcise(docs(s, d), 8, 2),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), g AS (
+           |  SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+           |), gdf AS (
+           |  SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+           |), cov AS (
+           |  SELECT DISTINCT g.doc_id, g.s + j AS p
+           |  FROM g JOIN gdf USING (sh), UNNEST(generate_series(0, 7)) t(j)
+           |), posw AS (
+           |  SELECT doc_id, i AS p, w[i] AS word FROM toks,
+           |  UNNEST(generate_series(1, len(w))) t(i)
+           |), kept AS (
+           |  SELECT posw.doc_id, posw.p, posw.word
+           |  FROM posw LEFT JOIN cov
+           |    ON cov.doc_id = posw.doc_id AND cov.p = posw.p
+           |  WHERE cov.p IS NULL
+           |)
+           |SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_words,
+           |  CAST(len(t.w) - COUNT(k.p) AS INT) AS removed_words,
+           |  COALESCE(string_agg(k.word, ' ' ORDER BY k.p), '') AS clean_text
+           |FROM toks t LEFT JOIN kept k USING (doc_id)
+           |GROUP BY t.doc_id, len(t.w)""".stripMargin),
+    "duplicate-span excision (Lee et al. substring-dedup rewrite): words under cross-doc duplicated 8-grams cut, unique remainder re-joined")
+
   val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89, q91,
-    q131, q133, q136, q149)
+    q131, q133, q136, q149, q150)
 }

@@ -283,6 +283,29 @@ object ExplainAudit {
           v += Violation(name, "no partial (map-side) aggregation")
         if (plan.contains("Window"))
           v += Violation(name, "window in plan (moments must be exact integer aggregates)")
+      case "q150_span_excise" =>
+        // q131's contract carried into the rewrite: the gram/occurrence
+        // self-join rides the 64-bit hash as an EQUI join; the gram-df
+        // aggregate keeps map-side partials; and the gram stream is
+        // persisted (both the df aggregate and the occurrence join
+        // consume it under DIFFERENT exchange keys, so losing the
+        // InMemoryTableScan means the window+scan runs twice)
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "gram equi-join lost (nested loop or worse)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
+        if (!plan.contains("InMemoryTableScan"))
+          v += Violation(name, "gram stream reuse lost (no InMemoryTableScan)")
+      case "q151_dsir_weights" =>
+        // the side models are ≤ buckets rows and must come back to the
+        // feature stream as a BROADCAST — a shuffle join here means the
+        // model exchange grew with the corpus; both the bucket models
+        // and the per-doc dots keep map-side partials
+        if (!plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "bucket-model join lost its broadcast")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q20_hierarchy_desc" | "q31_dedup_jaccard" | "q52_dedup_clusters" |
            "q58_contamination" | "q83_memorization" | "q56_jx_nested_from" |
            "q119_components_incr" | "q120_scd2_incr" | "q124_scd2_asof" |

@@ -103,6 +103,20 @@ object IncrAudit {
             docs.where(col("doc_id") % 10 === 0)),
           graft.operators.Bpe.wordCounts(docs, "text"))
       },
+      // DSIR side models: additive bucket-count fold ≡ full recount
+      // (the hashed-feature models behind importance resampling
+      // maintained at delta cost; the weight formula is DsirSpec's)
+      locally {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val isT = col("source").substr(4, 10).cast("int") >= 15
+        diff("dsir_counts_incr ≡ bucketCounts(all docs)")(
+          graft.operators.Dsir.countsIncrement(
+            graft.operators.Dsir.bucketCounts(graft.operators.Dsir.hashedFeatures(
+              docs.where(col("doc_id") % 10 =!= 0), isT, 10000)),
+            docs.where(col("doc_id") % 10 === 0), isT, 10000),
+          graft.operators.Dsir.bucketCounts(
+            graft.operators.Dsir.hashedFeatures(docs, isT, 10000)))
+      },
       // near-dup delta pairs ≡ the full pair run restricted to
       // delta-touching pairs (the nightly signature-store contract)
       locally {

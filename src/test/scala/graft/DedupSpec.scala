@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Dedup
 import graft.Tables
-import org.apache.spark.sql.functions.substring
+import org.apache.spark.sql.functions._
 
 /** The rows-only near-dup operators (q32 MinHash, q33 SimHash) are
   * DEFINED by these specs: their correctness signal is recall against
@@ -503,5 +503,66 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.gateJaccardThreshold")
     Dedup.storedPairs(spark, sfDir).count() should be > 0L
     Dedup.q149.build(spark, sfDir).count() should be > 0L
+  }
+  test("span excise: cross-doc duplicated 8-gram spans cut from every occurrence, unique text survives") {
+    val S = (1 to 8).map(i => s"s$i").mkString(" ")
+    val R = (1 to 10).map(i => s"r$i").mkString(" ")
+    val Q16 = {
+      val q8 = (1 to 8).map(i => s"q$i").mkString(" "); s"$q8 $q8"
+    }
+    val df = spark.createDataFrame(Seq(
+      (0L, s"u1 u2 $S u3"), // S duplicated with doc 1 -> covered 2..9
+      (1L, s"$S v1"),       // covered 0..7
+      (2L, "w1 w2 w3"),     // < 8 words: no windows, verbatim
+      (3L, R),              // fully covered by the run shared with doc 4
+      (4L, s"x1 $R x2"),    // 3 overlapping dup starts merge to ONE interval [1,10]
+      (5L, Q16)             // in-doc repeat only: df(distinct docs)=1, kept
+    )).toDF("doc_id", "text")
+    val out = Dedup.spanExcise(df, 8, 2)
+      .select($"doc_id", $"n_words", $"removed_words", $"clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L, 4L, 5L) // totality: a row per doc
+    out(0L) shouldBe ((11, 8, "u1 u2 u3"))
+    out(1L) shouldBe ((9, 8, "v1"))
+    out(2L) shouldBe ((3, 0, "w1 w2 w3"))
+    out(3L) shouldBe ((10, 10, "")) // fully-copied doc empties, row survives
+    out(4L) shouldBe ((12, 10, "x1 x2"))
+    out(5L) shouldBe ((16, 0, Q16))
+  }
+
+  test("span excise: hash-keyed HOF rewrite \u2261 string-keyed relational anti-join on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = Tables.documents(spark, sfDir)
+    val got = Dedup.spanExcise(docsDf, 8, 2)
+      .select($"doc_id", $"n_words", $"removed_words", $"clean_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    // independent formulation: gram STRINGS (no xxhash64), covered
+    // positions exploded relationally, kept words anti-joined and
+    // re-assembled by a window sort (no HOFs)
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads = (1 until 8).map(i => lead($"w", i).over(byPos))
+    val toks = docsDf.select($"doc_id",
+      posexplode(graft.functions.words($"text")).as(Seq("pos", "w")))
+    val g = toks.select($"doc_id", $"pos",
+        concat_ws(" ", ($"w" +: leads): _*).as("sh"), leads.last.isNotNull.as("ok"))
+      .where($"ok")
+    val dup = g.groupBy($"sh").agg(countDistinct($"doc_id").as("df")).where($"df" >= 2)
+    val cov = g.join(dup, "sh")
+      .select($"doc_id", explode(sequence($"pos", $"pos" + 7)).as("p")).distinct()
+    val kept = toks.join(cov, toks("doc_id") === cov("doc_id") && $"pos" === $"p", "left_anti")
+    val nw = toks.groupBy($"doc_id").agg(count(lit(1)).cast("int").as("n_words"))
+    val want = nw.join(
+        kept.groupBy($"doc_id").agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          concat_ws(" ", array_sort(collect_list(struct($"pos", $"w")))
+            .getField("w")).as("clean_text")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words",
+        ($"n_words" - coalesce($"n_kept", lit(0))).cast("int").as("removed_words"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    got shouldBe want
+    got.count(_._3 > 0) should be > 0 // the corpus replicas make it non-trivial
   }
 }
