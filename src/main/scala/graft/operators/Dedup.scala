@@ -1804,13 +1804,18 @@ object Dedup extends QueryPack {
     * stream is persisted ([[graft.util.reused]]) because both the df
     * aggregate and the occurrence join consume it and their exchange
     * keys differ (gh vs (gh,doc_id)), so ReuseExchange cannot unify
-    * them. The rewrite itself is per-row: sorted dup starts collapse
-    * into MERGED disjoint cover intervals (a copied run of k
-    * overlapping grams becomes ONE interval, not k membership probes),
-    * then a single indexed filter pass — per-doc cost
-    * O(n_words × n_intervals) with n_intervals ≤ n_words/(n+1),
-    * in practice a handful, so a fully-copied long document costs
-    * one interval, not a quadratic probe.
+    * them. The rewrite itself: sorted dup starts collapse into MERGED
+    * disjoint cover intervals RELATIONALLY — a window gap-flag +
+    * running sum assigns interval ids, two groupBys reduce them to
+    * (lo, hi) rows and then to one small per-doc interval array, all
+    * whole-stage-codegen and all riding ONE doc_id exchange (a
+    * per-element `aggregate` HOF fold here was the r15 lesson: at the
+    * 30× replica scale, where nearly every gram is duplicated, the
+    * interpreted slice+concat fold over ~30M dup starts ran 209 s;
+    * this shape runs the same regime in seconds). The final per-row
+    * filter probes only the merged intervals — a copied run of k
+    * overlapping grams is ONE interval, so even a fully-copied long
+    * document costs one probe per word, never a quadratic scan.
     */
   def spanExcise(docsDf: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1829,25 +1834,27 @@ object Dedup extends QueryPack {
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("gh"))
-    val dupStarts = g.join(dupGrams, "gh")
+    // sorted dup starts → merged disjoint cover intervals [lo, hi]:
+    // a start extends the previous interval iff pos ≤ lag(pos) + n
+    // (previous hi is lag+n-1); the running sum of new-interval flags
+    // is the interval id. One exchange: the window hashes by doc_id
+    // and both groupBys reuse that partitioning.
+    val newIv = when(col("pos") > lag(col("pos"), 1).over(byPos) + lit(n), lit(1))
+      .otherwise(lit(0)) // first row: null comparison → 0 → interval 0
+    val intervals = g.join(dupGrams, "gh")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("ivid", sum(newIv).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("ivid"))
+      .agg(min(col("pos")).cast("int").as("lo"),
+        (max(col("pos")) + lit(n - 1)).cast("int").as("hi"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("ds"))
-    // sorted starts → merged disjoint cover intervals [lo, hi]
-    val iv = aggregate(
-      coalesce(col("ds"), lit(Array.empty[Int])),
-      expr("CAST(array() AS array<struct<lo:int,hi:int>>)"),
-      (acc, s) => {
-        val last = element_at(acc, -1)
-        val hi = (s + lit(n - 1)).cast("int")
-        when(size(acc) > lit(0) && s <= last.getField("hi") + lit(1),
-          concat(slice(acc, lit(1), size(acc) - lit(1)),
-            array(struct(last.getField("lo").as("lo"), hi.as("hi")))))
-          .otherwise(concat(acc, array(struct(s.cast("int").as("lo"), hi.as("hi")))))
-      })
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("iv"))
+    val emptyIv = expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
     docsDf
       .select(col("doc_id"), words(col("text")).as("w"))
-      .join(dupStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("w"), iv.as("iv"))
+      .join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"), coalesce(col("iv"), emptyIv).as("iv"))
       .select(col("doc_id"), size(col("w")).cast("int").as("n_words"),
         filter(col("w"), (x, i) =>
           !exists(col("iv"), v =>
