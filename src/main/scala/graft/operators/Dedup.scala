@@ -1817,32 +1817,47 @@ object Dedup extends QueryPack {
     * overlapping grams is ONE interval, so even a fully-copied long
     * document costs one probe per word, never a quadratic scan.
     */
-  def spanExcise(docsDf: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+  /** (doc_id, pos, gh): every complete word n-gram with its 0-based
+    * start position, hashed — the ngrams() explode/lead codegen shape
+    * kept inline for the pos. `reuse` persists it — set it iff the
+    * caller consumes the stream more than once under different
+    * exchange keys (q150 does: df aggregate + occurrence join; q152
+    * reads it once and a persist would only cost memory).
+    */
+  private def gramStream(docsDf: DataFrame, n: Int, reuse: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))
-    // (doc_id, pos, gh): every complete word n-gram, hashed — the
-    // ngrams() explode/lead codegen shape, kept inline for the pos
-    val g = graft.util.reused(docsDf
+    val g = docsDf
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"),
         xxhash64(concat_ws(" ", col("w") +: leads: _*)).as("gh"),
         leads.last.isNotNull.as("complete"))
       .where(col("complete"))
-      .select(col("doc_id"), col("pos"), col("gh")))
-    val dupGrams = g.dropDuplicates("gh", "doc_id")
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDf)
-      .select(col("gh"))
-    // sorted dup starts → merged disjoint cover intervals [lo, hi]:
-    // a start extends the previous interval iff pos ≤ lag(pos) + n
-    // (previous hi is lag+n-1); the running sum of new-interval flags
-    // is the interval id. One exchange: the window hashes by doc_id
-    // and both groupBys reuse that partitioning.
+      .select(col("doc_id"), col("pos"), col("gh"))
+    if (reuse) graft.util.reused(g) else g
+  }
+
+  /** The shared excision rewrite: given marked n-gram start positions
+    * (doc_id, pos), cut every word position any marking window
+    * [pos, pos+n-1] covers and re-join the survivors. Sorted starts
+    * collapse into MERGED disjoint cover intervals RELATIONALLY — a
+    * window gap-flag + running sum assigns interval ids, two groupBys
+    * reduce them to (lo, hi) rows and then one small per-doc interval
+    * array, all whole-stage-codegen riding ONE doc_id exchange (a
+    * per-element `aggregate` HOF fold here was the r15 lesson: at the
+    * 30× replica scale ~30M starts hit the interpreted slice+concat
+    * fold and q150 ran 209 s; this shape runs the same regime in
+    * seconds). The final per-row filter probes only the merged
+    * intervals — a marked run of k overlapping grams is ONE interval,
+    * so even a fully-marked long document costs one probe per word.
+    */
+  private def exciseByStarts(docsDf: DataFrame, starts: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val newIv = when(col("pos") > lag(col("pos"), 1).over(byPos) + lit(n), lit(1))
       .otherwise(lit(0)) // first row: null comparison → 0 → interval 0
-    val intervals = g.join(dupGrams, "gh")
-      .select(col("doc_id"), col("pos"))
+    val intervals = starts
       .withColumn("ivid", sum(newIv).over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("ivid"))
@@ -1863,6 +1878,76 @@ object Dedup extends QueryPack {
         (col("n_words") - size(col("kept"))).cast("int").as("removed_words"),
         concat_ws(" ", col("kept")).as("clean_text"))
   }
+
+  def spanExcise(docsDf: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val g = gramStream(docsDf, n, reuse = true)
+    val dupGrams = g.dropDuplicates("gh", "doc_id")
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("gh"))
+    exciseByStarts(docsDf,
+      g.join(dupGrams, "gh").select(col("doc_id"), col("pos")), n)
+  }
+
+  /** WITHIN-document self-repetition excision — the de-looping rewrite
+    * for generated or template text: an n-gram that occurs at ≥ 2
+    * start positions inside the SAME document keeps its FIRST
+    * occurrence and every later occurrence's window is cut (so
+    * "the cat sat" × k collapses to one "the cat sat"). The exact
+    * complement of [[spanExcise]]'s df contract: q150 marks
+    * cross-document copies at every occurrence (no keeper — the
+    * material exists elsewhere); self-repeats have no elsewhere, so
+    * the first copy is the document's own content and survives.
+    * Overlapping self-runs ("a a a a") collapse toward their first
+    * words by the same rule.
+    *
+    * Scale shape: one min-over-(doc,gram) window on the shared
+    * [[gramStream]] — no join at all for marking (the first-start
+    * comparison rides the same partition) — then the shared
+    * [[exciseByStarts]] machinery. Everything per-document; nothing
+    * crosses documents, so it composes with q150 in either order.
+    */
+  def selfRepeatExcise(docsDf: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = gramStream(docsDf, n, reuse = false)
+    val firstPos = min(col("pos")).over(Window.partitionBy(col("doc_id"), col("gh")))
+    exciseByStarts(docsDf,
+      g.withColumn("minp", firstPos).where(col("pos") > col("minp"))
+        .select(col("doc_id"), col("pos")), n)
+  }
+
+  val q152 = Q(
+    "q152_selfrep_excise",
+    (s, d) => selfRepeatExcise(docs(s, d), 3),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
+           |), g AS (
+           |  SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), firsts AS (
+           |  SELECT doc_id, sh, MIN(s) AS m FROM g GROUP BY 1, 2
+           |), dup AS (
+           |  SELECT g.doc_id, g.s FROM g
+           |  JOIN firsts ON firsts.doc_id = g.doc_id AND firsts.sh = g.sh
+           |  WHERE g.s > firsts.m
+           |), cov AS (
+           |  SELECT DISTINCT doc_id, s + j AS p
+           |  FROM dup, UNNEST(generate_series(0, 2)) t(j)
+           |), posw AS (
+           |  SELECT doc_id, i AS p, w[i] AS word FROM toks,
+           |  UNNEST(generate_series(1, len(w))) t(i)
+           |), kept AS (
+           |  SELECT posw.doc_id, posw.p, posw.word
+           |  FROM posw LEFT JOIN cov
+           |    ON cov.doc_id = posw.doc_id AND cov.p = posw.p
+           |  WHERE cov.p IS NULL
+           |)
+           |SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_words,
+           |  CAST(len(t.w) - COUNT(k.p) AS INT) AS removed_words,
+           |  COALESCE(string_agg(k.word, ' ' ORDER BY k.p), '') AS clean_text
+           |FROM toks t LEFT JOIN kept k USING (doc_id)
+           |GROUP BY t.doc_id, len(t.w)""".stripMargin),
+    "within-doc self-repetition excision (de-looping rewrite): repeated 3-grams keep their first occurrence, later windows cut")
 
   val q150 = Q(
     "q150_span_excise",
@@ -1894,5 +1979,5 @@ object Dedup extends QueryPack {
     "duplicate-span excision (Lee et al. substring-dedup rewrite): words under cross-doc duplicated 8-grams cut, unique remainder re-joined")
 
   val all: Seq[Q] = Seq(q31, q32, q33, q58, q68, q71, q80, q83, q89, q91,
-    q131, q133, q136, q149, q150)
+    q131, q133, q136, q149, q150, q152)
 }

@@ -659,6 +659,51 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** DSIR selection at ingest — the streaming form of q151's
+    * consumer: each micro-batch of candidate training documents is
+    * scored under FROZEN side models (the (b, ct, cr) table a release
+    * publishes once from [[graft.operators.Dsir.bucketCounts]] — or
+    * maintains at delta cost with `Dsir.countsIncrement` — read from
+    * `countsPath`), and docs whose log importance weight meets
+    * `minLogW` land in the keyed upsert sink (redelivery no-op, the
+    * streamingUpsertIngest argument). Scoring is
+    * [[graft.operators.Dsir.importanceWeightsUnder]] verbatim —
+    * model-broadcast, nothing about the batch ever shuffles to the
+    * model — so stream ≡ batch selection by construction
+    * (StreamingSpec pins it across batch splits + redelivery). The
+    * THRESHOLD consumer is the streaming-appropriate one: Gumbel
+    * top-k ([[graft.operators.Dsir.resampleTopK]]) needs the whole
+    * corpus ranked at once and stays a batch op; an ingest gate keeps
+    * every doc at least `minLogW` target-like.
+    */
+  def streamingDsirSelect(stream: DataFrame, countsPath: String,
+      cleanPath: String, minLogW: Double, buckets: Int = 10000,
+      numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val s = batch.sparkSession
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      require(!docs.columns.contains("_rev"),
+        "streamingDsirSelect uses a scratch version column named _rev; " +
+          "rename the stream's _rev column first")
+      if (docs.head(1).nonEmpty) {
+        val counts = s.read.parquet(countsPath)
+        val kept = docs.join(
+          graft.operators.Dsir.importanceWeightsUnder(docs, counts, buckets)
+            .where(col("log_w") >= minLogW)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.sources.ParquetUpsertSink.upsert(
+          kept.withColumn("_rev", lit(0L)), cleanPath,
+          Seq("doc_id"), "_rev", numBuckets)
+      }
+      ()
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   /** Two-tier fingerprint decontamination at ingest — the broadcast-
     * SKETCH form of the contamination firewall. Each micro-batch of
     * candidate training docs is fingerprinted (codegen ngram

@@ -297,6 +297,16 @@ object ExplainAudit {
           v += Violation(name, "no partial (map-side) aggregation")
         if (!plan.contains("InMemoryTableScan"))
           v += Violation(name, "gram stream reuse lost (no InMemoryTableScan)")
+      case "q152_selfrep_excise" =>
+        // marking is JOINLESS (the first-start window rides the gram
+        // stream's doc_id partitioning); the only join is the final
+        // doc-keyed intervals attach — an EQUI join of any strategy.
+        // Aggregates keep map-side partials.
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "intervals equi-join lost (nested loop or worse)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q151_dsir_weights" =>
         // the side models are ≤ buckets rows and must come back to the
         // feature stream as a BROADCAST — a shuffle join here means the

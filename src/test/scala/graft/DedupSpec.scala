@@ -565,4 +565,60 @@ class DedupSpec extends SparkSpec {
     got shouldBe want
     got.count(_._3 > 0) should be > 0 // the corpus replicas make it non-trivial
   }
+  test("self-repeat excise: loops collapse to first occurrence, cross-doc copies untouched") {
+    val loop = "the cat sat the cat sat the cat sat"
+    val S = "x1 x2 x3 x4" // shared across docs, no internal repeat
+    val df = spark.createDataFrame(Seq(
+      (0L, loop),            // pure loop -> one period survives
+      (1L, "a a a a"),       // overlapping self-run collapses toward its head
+      (2L, s"intro $loop outro"), // loop inside unique context
+      (3L, S),               // cross-doc duplicate: NOT a self-repeat
+      (4L, s"$S tail"),      //   (df contract is within-doc only)
+      (5L, "p q r")          // no 3-gram repeats, verbatim
+    )).toDF("doc_id", "text")
+    val out = Dedup.selfRepeatExcise(df, 3)
+      .select($"doc_id", $"n_words", $"removed_words", $"clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out(0L) shouldBe ((9, 6, "the cat sat"))
+    out(1L) shouldBe ((4, 3, "a"))
+    out(2L) shouldBe ((11, 6, "intro the cat sat outro"))
+    out(3L) shouldBe ((4, 0, S))
+    out(4L) shouldBe ((5, 0, s"$S tail"))
+    out(5L) shouldBe ((3, 0, "p q r"))
+  }
+
+  test("self-repeat excise \u2261 string-keyed relational recompute on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = Tables.documents(spark, sfDir)
+    val got = Dedup.selfRepeatExcise(docsDf, 3)
+      .select($"doc_id", $"n_words", $"removed_words", $"clean_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    // independent formulation: gram STRINGS, first-start via groupBy +
+    // join, covered positions exploded, kept words window-reassembled
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads = (1 until 3).map(i => lead($"w", i).over(byPos))
+    val toks = docsDf.select($"doc_id",
+      posexplode(graft.functions.words($"text")).as(Seq("pos", "w")))
+    val g = toks.select($"doc_id", $"pos",
+        concat_ws(" ", ($"w" +: leads): _*).as("sh"), leads.last.isNotNull.as("ok"))
+      .where($"ok")
+    val firsts = g.groupBy($"doc_id", $"sh").agg(min($"pos").as("m"))
+    val cov = g.join(firsts, Seq("doc_id", "sh")).where($"pos" > $"m")
+      .select($"doc_id", explode(sequence($"pos", $"pos" + 2)).as("p")).distinct()
+    val kept = toks.join(cov, toks("doc_id") === cov("doc_id") && $"pos" === $"p", "left_anti")
+    val nw = toks.groupBy($"doc_id").agg(count(lit(1)).cast("int").as("n_words"))
+    val want = nw.join(
+        kept.groupBy($"doc_id").agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          concat_ws(" ", array_sort(collect_list(struct($"pos", $"w")))
+            .getField("w")).as("clean_text")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words",
+        ($"n_words" - coalesce($"n_kept", lit(0))).cast("int").as("removed_words"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    got shouldBe want
+    got.count(_._3 > 0) should be > 0 // the corpus has real self-repeats at 3-grams
+  }
 }

@@ -210,6 +210,50 @@ class StreamingSpec extends SparkSpec {
     dropped should not be empty // the gate corpus does contain leaks
   }
 
+  test("streaming DSIR selection: admitted set \u2261 batch threshold under frozen models, redelivery no-op") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // frozen side models published once over the full labeled corpus
+    val countsDir = Files.createTempDirectory("graft-dsir-counts").toString + "/counts"
+    graft.operators.Dsir.bucketCounts(
+      graft.operators.Dsir.hashedFeatures(docs, srcNum >= 15, 10000))
+      .write.parquet(countsDir)
+    val cand = docs.where(srcNum < 15) // the raw pool arrives as a stream
+    // threshold at a midpoint between two adjacent batch scores: the
+    // gate is non-trivial both ways AND no doc sits within float noise
+    // of the boundary (per-doc sums may associate differently per path)
+    val scores = graft.operators.Dsir
+      .importanceWeightsUnder(cand, spark.read.parquet(countsDir), 10000)
+      .select($"doc_id", $"log_w").as[(Long, Double)].collect()
+    val sorted = scores.map(_._2).sorted
+    val minLogW = (sorted(sorted.length / 2) + sorted(sorted.length / 2 - 1)) / 2.0
+    // stage candidates in two files + one redelivery
+    val dir = Files.createTempDirectory("graft-dsir-src").toString
+    cand.repartition(2).write.mode("append").parquet(dir)
+    cand.limit(20).write.mode("append").parquet(dir)
+    val table = Files.createTempDirectory("graft-dsir-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-dsir-ck").toString
+
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val query = StreamOps
+      .streamingDsirSelect(stream, countsDir, table, minLogW)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch equivalent: threshold the same frozen-model scores
+    val want = scores.filter(_._2 >= minLogW).map(_._1).toSet
+    got shouldBe want
+    // the gate is non-trivial both ways on the testdata corpus
+    want should not be empty
+    (cand.select($"doc_id").as[Long].collect().toSet -- want) should not be empty
+  }
+
   test("streaming bloom decontamination: admitted set ≡ exact fingerprint anti-join, redelivery no-op") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
