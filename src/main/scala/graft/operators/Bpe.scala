@@ -342,5 +342,56 @@ object Bpe extends QueryPack {
             |GROUP BY d.doc_id""".stripMargin),
     "exact BPE token counts under the trained merges: engine-native bpe_tokenize scan vs oracle word-join sum, with independent reconstruction + vocab-closure verdicts")
 
-  val all: Seq[Q] = Seq(q148)
+  /** Per-LANGUAGE tokenizer fertility (BPE tokens per word) under the
+    * trained merges — the report that drives tokenizer choice in a
+    * multilingual pipeline: a language whose fertility runs high is
+    * paying more sequence budget per word of content (the T5/XLM-R
+    * vocabulary-allocation question). Exact integers + one IEEE-exact
+    * division per language, so the gate compares bit-for-bit: the
+    * engine counts natively (one shuffle-free `bpe_tokenize` scan, a
+    * 5-row language aggregate), the oracle recomputes every count by
+    * joining each document's words against the exported per-word
+    * encodings — q148's cross-check already pins that the two
+    * accountings agree per document.
+    */
+  val q153 = Q(
+    "q153_bpe_fertility",
+    (s, d) => {
+      val merges = storedMerges(s, d)
+      val toks = graft.functions.bpeTokenize(col("text"), merges)
+      val ws = filter(words(col("text")), w => length(w) > 0)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(ws).cast("long").as("nw"), size(toks).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_bpe_tokens"),
+          (sum(col("nt")).cast("double") / sum(col("nw")).cast("double"))
+            .as("fertility"))
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, lang, word
+            |  FROM (SELECT doc_id, lang,
+            |          UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+            |        FROM documents)
+            |  WHERE length(word) > 0
+            |), wt AS (
+            |  SELECT word, n_toks
+            |  FROM read_parquet('${Ann.gateModelDir}/bpe_word_tokens_$GateNumMerges.parquet/*.parquet')
+            |), per AS (
+            |  SELECT w.doc_id, SUM(wt.n_toks) AS nt, COUNT(*) AS nw
+            |  FROM w JOIN wt USING (word) GROUP BY 1
+            |)
+            |SELECT d.lang,
+            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(COALESCE(SUM(p.nw), 0) AS BIGINT) AS n_words,
+            |  CAST(COALESCE(SUM(p.nt), 0) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(COALESCE(SUM(p.nt), 0) AS DOUBLE) /
+            |    CAST(COALESCE(SUM(p.nw), 0) AS DOUBLE) AS fertility
+            |FROM documents d LEFT JOIN per p USING (doc_id)
+            |GROUP BY d.lang""".stripMargin),
+    "per-language BPE fertility (tokens/word) under the trained merges: native scan counts vs oracle word-join recount, IEEE-exact division")
+
+  val all: Seq[Q] = Seq(q148, q153)
 }

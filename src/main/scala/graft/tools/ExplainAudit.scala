@@ -249,6 +249,14 @@ object ExplainAudit {
           v += Violation(name, "shuffle in plan (bpe accounting must be a pure scan map)")
         if (plan.contains("Join"))
           v += Violation(name, "join in plan (merges must ride the expression, not a table)")
+      case "q153_bpe_fertility" =>
+        // q148's shuffle-free-scan contract, plus ONE language
+        // aggregate: the merges ride the expression (no join of any
+        // kind), and the rollup keeps map-side partials
+        if (plan.contains("Join"))
+          v += Violation(name, "join in plan (merges must ride the expression, not a table)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q143_embed_quant" =>
         // quantization is a pure per-row map over the scan — any
         // Exchange/Window/join means the one-pass shape broke

@@ -154,4 +154,23 @@ class BpeSpec extends SparkSpec {
     wTot shouldBe want
     tTot shouldBe want
   }
+  test("q153 fertility: language rollup \u2261 q148 per-doc counts joined to lang") {
+    val per = Bpe.q148.build(spark, sfDir)
+      .select($"doc_id", $"n_words", $"n_bpe_tokens")
+    val want = per
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)), sum($"n_words"), sum($"n_bpe_tokens"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val rows = Bpe.q153.build(spark, sfDir)
+      .select($"lang", $"n_docs", $"n_words", $"n_bpe_tokens", $"fertility")
+      .as[(String, Long, Long, Long, Double)].collect()
+    rows.map(r => (r._1, r._2, r._3, r._4)).toSet shouldBe want
+    // the 20-merge gate budget keeps words multi-token: fertility > 1
+    // everywhere, and the division is exactly sum(nt)/sum(nw)
+    rows.foreach { r =>
+      r._5 shouldBe r._4.toDouble / r._3.toDouble
+      r._5 should be > 1.0
+    }
+  }
 }
