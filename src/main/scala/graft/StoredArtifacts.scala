@@ -41,6 +41,7 @@ object StoredArtifacts {
       operators.Cluster.clearStored(s) +
       operators.Ann.clearStored(s) +
       operators.Bpe.clearStored(s) +
+      operators.Dsir.clearStored(s) +
       operators.Jx.clearStored(s) +
       operators.Etl.clearStored(s) +
       operators.Text.clearStored(s) +

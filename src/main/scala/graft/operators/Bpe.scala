@@ -367,8 +367,11 @@ object Bpe extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nw")).as("n_words"),
           sum(col("nt")).as("n_bpe_tokens"),
-          (sum(col("nt")).cast("double") / sum(col("nw")).cast("double"))
-            .as("fertility"))
+          when(sum(col("nw")) > 0,
+            sum(col("nt")).cast("double") / sum(col("nw")).cast("double"))
+            .otherwise(lit(Double.NaN)).as("fertility"))
+          // review fix: a wordless language must agree across engines —
+          // Spark's x/0 is NULL, DuckDB's is inf/NaN; pin NaN on both
     },
     Some(s"""WITH w AS (
             |  SELECT doc_id, lang, word
@@ -387,8 +390,9 @@ object Bpe extends QueryPack {
             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
             |  CAST(COALESCE(SUM(p.nw), 0) AS BIGINT) AS n_words,
             |  CAST(COALESCE(SUM(p.nt), 0) AS BIGINT) AS n_bpe_tokens,
-            |  CAST(COALESCE(SUM(p.nt), 0) AS DOUBLE) /
-            |    CAST(COALESCE(SUM(p.nw), 0) AS DOUBLE) AS fertility
+            |  CASE WHEN COALESCE(SUM(p.nw), 0) = 0 THEN CAST('nan' AS DOUBLE)
+            |    ELSE CAST(COALESCE(SUM(p.nt), 0) AS DOUBLE) /
+            |      CAST(COALESCE(SUM(p.nw), 0) AS DOUBLE) END AS fertility
             |FROM documents d LEFT JOIN per p USING (doc_id)
             |GROUP BY d.lang""".stripMargin),
     "per-language BPE fertility (tokens/word) under the trained merges: native scan counts vs oracle word-join recount, IEEE-exact division")

@@ -1825,6 +1825,8 @@ object Dedup extends QueryPack {
     * reads it once and a persist would only cost memory).
     */
   private def gramStream(docsDf: DataFrame, n: Int, reuse: Boolean): DataFrame = {
+    require(n >= 2, s"excision works on word n-grams with n >= 2 (got $n); " +
+      "single-word dedup is q30/q48's exact-hash territory")
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))

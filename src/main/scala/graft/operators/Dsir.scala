@@ -31,14 +31,19 @@ object Dsir extends QueryPack {
     * the two families cannot collide into each other systematically.
     * The hashing step has no DuckDB mirror, so the gate ships this
     * table as data (the q32/q148 export contract) while the oracle
-    * recomputes everything downstream of it.
+    * recomputes everything downstream of it. A NULL `isTarget`
+    * counts as raw — never silently dropped (review-pinned in
+    * DsirSpec).
     */
   def hashedFeatures(docsDf: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val B = lit(buckets.toLong)
     docsDf
-      .select(col("doc_id"), isTarget.as("is_target"),
+      // review fix: a NULL isTarget would silently drop its doc's mass
+      // from BOTH side models (when(null,·)/when(!null,·) both miss);
+      // define NULL = raw (unknown provenance is not the target corpus)
+      .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
         posexplode(words(col("text"))).as(Seq("pos", "w")))
       .where(length(col("w")) > 0)
       .select(col("doc_id"), col("is_target"), col("w"),
@@ -159,7 +164,7 @@ object Dsir extends QueryPack {
     * the export path, so the bucket count is part of the oracle
     * contract. 10^4 is the paper's hashed-feature dimensionality.
     */
-  private val Buckets = 10000
+  private[graft] val Buckets = 10000
 
   /** Gate split (the q133 convention): sources src15..src19 are the
     * TARGET distribution, src0..src14 the raw pool.
@@ -189,7 +194,18 @@ object Dsir extends QueryPack {
       d
     })
 
-  private[graft] def clearStored(): Unit = exported.clear()
+  /** Evict the gate-export memo (the Bpe.clearStored rationale: stale
+    * export files must not shadow re-derived features when the data
+    * under a dir changes on a same-JVM rerun). Wired into
+    * [[graft.StoredArtifacts.clear]]; the memo is path-keyed, not
+    * session-keyed, so any session's clear drops it — matching Bpe's
+    * `exported` handling.
+    */
+  private[graft] def clearStored(s: SparkSession): Int = {
+    val n = exported.size
+    exported.clear()
+    n
+  }
 
   /** DSIR with exact-integer gate facts (the consumer-step oracle
     * pattern): per document its side, feature mass n_feats = Σ n(b),

@@ -677,7 +677,8 @@ object StreamOps extends QueryPack {
     * every doc at least `minLogW` target-like.
     */
   def streamingDsirSelect(stream: DataFrame, countsPath: String,
-      cleanPath: String, minLogW: Double, buckets: Int = 10000,
+      cleanPath: String, minLogW: Double,
+      buckets: Int = graft.operators.Dsir.Buckets,
       numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {

@@ -621,4 +621,9 @@ class DedupSpec extends SparkSpec {
     got shouldBe want
     got.count(_._3 > 0) should be > 0 // the corpus has real self-repeats at 3-grams
   }
+  test("excision rejects n < 2 loudly (review fix)") {
+    intercept[IllegalArgumentException] {
+      Dedup.spanExcise(documents, 1, 2)
+    }.getMessage should include("n >= 2")
+  }
 }

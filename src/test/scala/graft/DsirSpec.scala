@@ -138,4 +138,17 @@ class DsirSpec extends SparkSpec {
       .agg(sum($"ct"), sum($"cr")).as[(Long, Long)].collect().toSeq
     math.abs(w - (-5.0 * (math.log(tt + 4096.0) - math.log(tr + 4096.0)))) should be < 1e-12
   }
+  test("NULL isTarget counts as raw, never dropped (review fix)") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "cat cat", "t"), (1L, "cat dog", null.asInstanceOf[String])
+    )).toDF("doc_id", "text", "src")
+    val feats = Dsir.hashedFeatures(df, $"src" === "t", 4096)
+    // doc 1's predicate is NULL: its mass must land on the RAW side,
+    // not vanish from both models
+    feats.where($"doc_id" === 1L).count() should be > 0L
+    feats.where($"doc_id" === 1L && $"is_target").count() shouldBe 0L
+    val counts = Dsir.bucketCounts(feats)
+    counts.agg(sum($"ct") + sum($"cr")).as[Long].head() shouldBe
+      feats.agg(sum($"cnt")).as[Long].head()
+  }
 }

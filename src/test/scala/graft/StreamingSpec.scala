@@ -227,7 +227,17 @@ class StreamingSpec extends SparkSpec {
       .importanceWeightsUnder(cand, spark.read.parquet(countsDir), 10000)
       .select($"doc_id", $"log_w").as[(Long, Double)].collect()
     val sorted = scores.map(_._2).sorted
-    val minLogW = (sorted(sorted.length / 2) + sorted(sorted.length / 2 - 1)) / 2.0
+    // review fix: duplicate scores (the corpus has replicas) can make
+    // the two middle values EQUAL, putting docs exactly on the
+    // boundary — pick instead the real gap (> 1e-6) nearest the
+    // median and split it
+    val mid = sorted.length / 2
+    val gaps = (1 until sorted.length)
+      .map(i => (sorted(i) - sorted(i - 1), i))
+      .filter { case (gap, _) => gap > 1e-6 }
+    gaps should not be empty // scores genuinely vary on this corpus
+    val cut = gaps.minBy { case (_, j) => math.abs(j - mid) }._2
+    val minLogW = (sorted(cut) + sorted(cut - 1)) / 2.0
     // stage candidates in two files + one redelivery
     val dir = Files.createTempDirectory("graft-dsir-src").toString
     cand.repartition(2).write.mode("append").parquet(dir)
