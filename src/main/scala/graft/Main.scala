@@ -87,7 +87,7 @@ object Main {
       .master(opt(cfg, "master").getOrElse("local[*]")))
     val withConf = Option(cfg.get("sparkConf")).filter(_.isObject)
       .map { o =>
-        o.fields().asScala.foldLeft(builder)((b, e) =>
+        o.properties().asScala.foldLeft(builder)((b, e) =>
           b.config(e.getKey, e.getValue.asText()))
       }.getOrElse(builder)
     val spark = withConf.getOrCreate()

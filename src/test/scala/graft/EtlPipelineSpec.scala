@@ -349,7 +349,7 @@ class EtlPipelineSpec extends SparkSpec {
     // every additive store; pin the behavior so nobody assumes
     // redelivery safety here
     Etl.kpiIncrement(merged, delta)
-      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) shouldBe
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) shouldBe
       (ev.count() + delta.count())
   }
 
