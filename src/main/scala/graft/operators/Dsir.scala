@@ -104,7 +104,9 @@ object Dsir extends QueryPack {
   def importanceWeights(docsDf: DataFrame, isTarget: Column,
                         buckets: Int = Buckets): DataFrame = {
     val feats = graft.util.reused(hashedFeatures(docsDf, isTarget, buckets))
-    docsDf.select(col("doc_id"), isTarget.as("is_target"))
+    // same NULL→raw coalesce as hashedFeatures: a NULL-provenance doc is
+    // WEIGHTED as raw, so it must also REPORT is_target = false, not NULL
+    docsDf.select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"))
       .join(weightsCore(feats, bucketCounts(feats), buckets), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_target"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
@@ -186,9 +188,13 @@ object Dsir extends QueryPack {
   def exportGateFeatures(s: SparkSession, d: String): Unit =
     exported.compute(s"dsir_feats_$Buckets", (_, prev) => {
       if (prev != d) {
+        // unlike the model-sized gate exports (≤buckets/≤vocab rows,
+        // coalesce(1)) this table is O(corpus) — one row per
+        // doc×bucket — so keep the write parallel; the DuckDB oracle
+        // globs *.parquet and reads multi-file output unchanged
         hashedFeatures(docs(s, d), isTargetGate, Buckets)
           .select(col("doc_id"), col("b"), col("cnt"))
-          .coalesce(1).write.mode("overwrite")
+          .coalesce(8).write.mode("overwrite")
           .parquet(s"${Ann.gateModelDir}/dsir_feats_$Buckets.parquet")
       }
       d

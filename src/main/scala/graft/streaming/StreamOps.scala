@@ -636,12 +636,14 @@ object StreamOps extends QueryPack {
   def streamingDecontaminate(stream: DataFrame, evalWinsPath: String,
       cleanPath: String, threshold: Double, n: Int = 8, numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the stream schema is static — fail at CONSTRUCTION, not mid-run
+    // after the checkpoint has advanced past earlier batches
+    require(!stream.columns.contains("_rev"),
+      "streamingDecontaminate uses a scratch version column named _rev; " +
+        "rename the stream's _rev column first")
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint() // one materialization per batch
-      require(!docs.columns.contains("_rev"),
-        "streamingDecontaminate uses a scratch version column named _rev; " +
-          "rename the stream's _rev column first")
       if (docs.head(1).nonEmpty) {
         val wins = s.read.parquet(evalWinsPath)
         val drops = graft.operators.Dedup
@@ -663,8 +665,12 @@ object StreamOps extends QueryPack {
     * consumer: each micro-batch of candidate training documents is
     * scored under FROZEN side models (the (b, ct, cr) table a release
     * publishes once from [[graft.operators.Dsir.bucketCounts]] — or
-    * maintains at delta cost with `Dsir.countsIncrement` — read from
-    * `countsPath`), and docs whose log importance weight meets
+    * maintains at delta cost with `Dsir.countsIncrement`). The model
+    * is SNAPSHOTTED from `countsPath` once at stream construction, so
+    * every batch — including a crash-redelivered one — scores under
+    * the identical model even if the table is republished mid-run; a
+    * published update takes effect on the next stream start. Docs
+    * whose log importance weight meets
     * `minLogW` land in the keyed upsert sink (redelivery no-op, the
     * streamingUpsertIngest argument). Scoring is
     * [[graft.operators.Dsir.importanceWeightsUnder]] verbatim —
@@ -681,14 +687,30 @@ object StreamOps extends QueryPack {
       buckets: Int = graft.operators.Dsir.Buckets,
       numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the stream schema is static — fail at CONSTRUCTION, not mid-run
+    require(!stream.columns.contains("_rev"),
+      "streamingDsirSelect uses a scratch version column named _rev; " +
+        "rename the stream's _rev column first")
+    // FREEZE the side models at stream construction: the redelivery
+    // no-op guarantee (same doc scores the same on redelivery) only
+    // holds if every batch — original and redelivered — scores under
+    // the same model. The table is model-sized (≤ buckets rows), so a
+    // one-time driver snapshot is cheap; a countsIncrement-published
+    // update takes effect on the NEXT stream start, never mid-checkpoint.
+    val frozen = stream.sparkSession.read.parquet(countsPath)
+      .select(col("b").cast("long"), col("ct").cast("long"), col("cr").cast("long"))
+      .collect().toSeq
+    val frozenSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ct", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cr", org.apache.spark.sql.types.LongType)))
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint() // one materialization per batch
-      require(!docs.columns.contains("_rev"),
-        "streamingDsirSelect uses a scratch version column named _rev; " +
-          "rename the stream's _rev column first")
       if (docs.head(1).nonEmpty) {
-        val counts = s.read.parquet(countsPath)
+        val counts = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(frozen).asJava), frozenSchema)
         val kept = docs.join(
           graft.operators.Dsir.importanceWeightsUnder(docs, counts, buckets)
             .where(col("log_w") >= minLogW)
@@ -730,12 +752,13 @@ object StreamOps extends QueryPack {
       cleanPath: String, numBits: Int = 1 << 20, numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.functions.bloomContains
+    // the stream schema is static — fail at CONSTRUCTION, not mid-run
+    require(!stream.columns.contains("_rev"),
+      "streamingBloomDecontaminate uses a scratch version column named _rev; " +
+        "rename the stream's _rev column first")
     val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint() // one materialization per batch
-      require(!docs.columns.contains("_rev"),
-        "streamingBloomDecontaminate uses a scratch version column named _rev; " +
-          "rename the stream's _rev column first")
       if (docs.head(1).nonEmpty) {
         val bloom = s.read.parquet(s"$artifactsDir/bloom").select(col("bf"))
         val fps = graft.operators.Dedup.fingerprints(docs)

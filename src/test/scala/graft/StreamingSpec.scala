@@ -264,6 +264,70 @@ class StreamingSpec extends SparkSpec {
     (cand.select($"doc_id").as[Long].collect().toSet -- want) should not be empty
   }
 
+  test("streaming DSIR selection snapshots the side models at construction: a mid-stream republish does not change scoring") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val countsDir = Files.createTempDirectory("graft-dsir-frz").toString + "/counts"
+    graft.operators.Dsir.bucketCounts(
+      graft.operators.Dsir.hashedFeatures(docs, srcNum >= 15, 10000))
+      .write.parquet(countsDir)
+    // deterministic subset (limit() may pick different rows per
+    // evaluation; a key-hash filter cannot)
+    val cand = docs.where(srcNum < 15 && $"doc_id" % 20 === 0)
+    val scores = graft.operators.Dsir
+      .importanceWeightsUnder(cand, spark.read.parquet(countsDir), 10000)
+      .select($"doc_id", $"log_w").as[(Long, Double)].collect()
+    val sorted = scores.map(_._2).sorted
+    val mid = sorted.length / 2
+    val gaps = (1 until sorted.length)
+      .map(i => (sorted(i) - sorted(i - 1), i)).filter(_._1 > 1e-6)
+    val cut = gaps.minBy { case (_, j) => math.abs(j - mid) }._2
+    val minLogW = (sorted(cut) + sorted(cut - 1)) / 2.0
+    val dir = Files.createTempDirectory("graft-dsir-frz-src").toString + "/in"
+    cand.write.parquet(dir)
+    val table = Files.createTempDirectory("graft-dsir-frz-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-dsir-frz-ck").toString
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    // construct the writer (model snapshot happens HERE) …
+    val writer = StreamOps.streamingDsirSelect(stream, countsDir, table, minLogW)
+    // … then sabotage the published table before any batch runs: an
+    // all-target republish would flip every raw doc's score upward
+    import org.apache.spark.sql.functions.lit
+    spark.read.parquet(countsDir)
+      .select($"b", ($"ct" + $"cr").as("ct"), lit(0L).as("cr"))
+      .localCheckpoint() // materialize before overwriting our own input
+      .write.mode("overwrite").parquet(countsDir)
+    val query = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(120000)
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"doc_id").as[Long].collect().toSet
+    // admitted set matches the ORIGINAL model's threshold, proving the
+    // snapshot — under the sabotaged model every doc would score higher
+    val want = scores.filter(_._2 >= minLogW).map(_._1).toSet
+    got shouldBe want
+  }
+
+  test("streaming sinks with a _rev scratch column fail at construction, before any batch runs") {
+    val dir = Files.createTempDirectory("graft-rev-src").toString + "/in"
+    Tables.documents(spark, sfDir).limit(5)
+      .withColumn("_rev", org.apache.spark.sql.functions.lit(1L))
+      .write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val out = Files.createTempDirectory("graft-rev-out").toString
+    // all three foreachBatch selectors validate the STATIC stream
+    // schema eagerly — the require fires here, not mid-checkpoint
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.streamingDecontaminate(stream, out + "/w", out + "/t", 0.5)
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.streamingDsirSelect(stream, out + "/c", out + "/t", 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.streamingBloomDecontaminate(stream, out + "/a", out + "/t")
+  }
+
   test("streaming bloom decontamination: admitted set ≡ exact fingerprint anti-join, redelivery no-op") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
