@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomAgg, BloomMightContain, BpeTokenize, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, PqAdcDistance, SimHashAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg}
+import graft.expressions.{BloomAgg, BloomMightContain, BpeTokenize, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, ExciseWords, PqAdcDistance, SimHashAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -159,6 +159,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (s.substring(0, i), s.substring(i + 1))
         }
         BpeTokenize(children.head, merges)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("excise_words"),
+      new ExpressionInfo(classOf[ExciseWords].getName, "excise_words"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "excise_words expects exactly 2 arguments")
+        ExciseWords(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

@@ -51,6 +51,14 @@ package object functions {
   def dotFast(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
+  /** Native codegen'd excision keep-pass (see
+    * [[graft.expressions.ExciseWords]]): words not covered by the
+    * sorted disjoint intervals, re-joined with single spaces. Requires
+    * `graft.GraftExtensions` (installed by `graft.util.configure`).
+    */
+  def exciseWords(w: Column, intervals: Column): Column =
+    call_function("excise_words", w, intervals)
+
   /** Native codegen'd PQ asymmetric-distance lookup (see
     * [[graft.expressions.PqAdcDistance]]): Σ_j tbl[j][codes[j]].
     */

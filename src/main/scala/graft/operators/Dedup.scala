@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import graft.functions.{shingles, words}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data pipelines.
@@ -51,27 +51,51 @@ object Dedup extends QueryPack {
     }
   }
 
-  /** (doc_id, shingle) — every complete word n-gram of each document,
-    * with duplicates (one row per occurrence).
+  /** (doc_id, pos, w): every word of every document with its 0-based
+    * position — THE tokenizer pass every word-level operator derives
+    * from (n-grams here, the hashed uni+bigram features in
+    * [[graft.operators.Dsir.hashedFeatures]], the excision word
+    * stream). One shape means one thing to audit: explode stays in
+    * whole-stage codegen and downstream doc-keyed windows all ride
+    * the same (doc_id × pos) stream.
+    */
+  def posWords(df: DataFrame, carry: Column*): DataFrame =
+    df.select((col("doc_id") +: carry) :+
+      posexplode(words(col("text"))).as(Seq("pos", "w")): _*)
+
+  /** (doc_id, pos, shingle) — every complete word n-gram of each
+    * document with its 0-based start position, duplicates kept (one
+    * row per occurrence). THE single n-gram producer: [[ngrams]]
+    * (pos dropped) and the excision gram stream (shingle hashed) are
+    * projections of this one pipeline, so the dedup family (3-grams),
+    * fingerprinting (5-grams) and span excision (8-grams) share one
+    * audited shape.
     *
     * Built from exploded words + window leads rather than the
     * per-row HOF pipeline (transform∘slice∘array_join is
     * CodegenFallback-interpreted): explode/lead/concat_ws stay in
     * whole-stage codegen, at the cost of a per-doc window sort the
-    * downstream per-doc aggregations re-use anyway. Shared by the
-    * dedup family (3-grams) and fingerprinting (5-grams).
+    * downstream per-doc aggregations re-use anyway.
     */
-  def ngrams(df: DataFrame, n: Int): DataFrame = {
+  def ngramsWithPos(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"word n-grams need n >= 2 (got $n); " +
+      "single words are posWords' territory")
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))
-    df.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id"),
+    posWords(df)
+      .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("w") +: leads: _*).as("shingle"),
         leads.last.as("wlast"))
       .where(col("wlast").isNotNull) // only complete n-grams
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("pos"), col("shingle"))
   }
+
+  /** (doc_id, shingle) — [[ngramsWithPos]] with the position dropped,
+    * for consumers that only need the gram multiset.
+    */
+  def ngrams(df: DataFrame, n: Int): DataFrame =
+    ngramsWithPos(df, n).select(col("doc_id"), col("shingle"))
 
   /** (doc_id, shingle) exploded DISTINCT word-3-gram sets. */
   def shingleSets(df: DataFrame): DataFrame =
@@ -1777,6 +1801,67 @@ object Dedup extends QueryPack {
     q31.oracle,
     "incremental co-occurrence core: delta batch folded into the stored posting/pair store ≡ full recompute (q31 oracle)")
 
+  /** (doc_id, pos, gh): [[ngramsWithPos]] with the shingle hashed to
+    * a 64-bit key (strings never shuffle — q131's collision argument).
+    * `reuse` persists it — set it iff the caller consumes the stream
+    * more than once under different exchange keys (q150 does: df
+    * aggregate + occurrence join; q152 reads it once and a persist
+    * would only cost memory).
+    */
+  private def gramStream(docsDf: DataFrame, n: Int, reuse: Boolean): DataFrame = {
+    val g = ngramsWithPos(docsDf, n)
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("gh"))
+    if (reuse) graft.util.reused(g) else g
+  }
+
+  /** The shared excision rewrite: given marked n-gram start positions
+    * (doc_id, pos), cut every word position any marking window
+    * [pos, pos+n-1] covers and re-join the survivors. Two stages:
+    *
+    * 1. Sorted starts collapse into MERGED disjoint cover intervals
+    *    RELATIONALLY — a window gap-flag + running sum assigns
+    *    interval ids, two groupBys reduce them to (lo, hi) rows and
+    *    one small per-doc sorted interval array + the covered-word
+    *    count Σ(hi−lo+1), all whole-stage-codegen riding ONE doc_id
+    *    exchange (a per-element `aggregate` HOF fold here was the r15
+    *    lesson: at the 30× replica scale ~30M starts hit the
+    *    interpreted slice+concat fold and q150 ran 209 s).
+    * 2. The keep/drop pass joins the interval arrays back to the
+    *    documents doc-keyed (texts shuffle as one row per doc, never
+    *    word-exploded — an r16 sweep-line experiment that exploded
+    *    words into their own rows paid 2.4× in row overhead) and runs
+    *    the native [[graft.expressions.ExciseWords]] two-pointer
+    *    merge: O(words + intervals) per row, genuine codegen — the
+    *    ArrayFilter/ArrayExists probe it replaces was
+    *    CodegenFallback-interpreted AND O(words × intervals). The
+    *    removed count comes from stage 1's interval-length sum, so
+    *    the expression returns only the clean text (no struct output
+    *    for CollapseProject to double-evaluate).
+    */
+  private def exciseByStarts(docsDf: DataFrame, starts: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val newIv = when(col("pos") > lag(col("pos"), 1).over(byPos) + lit(n), lit(1))
+      .otherwise(lit(0)) // first row: null comparison → 0 → interval 0
+    val intervals = starts
+      .withColumn("ivid", sum(newIv).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("ivid"))
+      .agg(min(col("pos")).cast("int").as("lo"),
+        (max(col("pos")) + lit(n - 1)).cast("int").as("hi"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("iv"),
+        sum(col("hi") - col("lo") + lit(1)).cast("int").as("rm"))
+    val emptyIv = expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
+    docsDf
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("int").as("n_words"),
+        coalesce(col("rm"), lit(0)).as("removed_words"),
+        graft.functions.exciseWords(col("w"), coalesce(col("iv"), emptyIv))
+          .as("clean_text"))
+  }
+
   /** Duplicate-span EXCISION — the rewrite step of Lee et al. 2021's
     * substring dedup (q131 is the detector; this is the surgeon): every
     * word position covered by a cross-document duplicated `n`-gram is
@@ -1798,89 +1883,13 @@ object Dedup extends QueryPack {
     * Scale shape: grams travel as (doc_id, pos, 64-bit xxhash64) —
     * strings never shuffle (q131's collision argument). One gram-keyed
     * df aggregate (partial-agg'd; output is |distinct grams|), one
-    * equi-join of occurrences against the dup-gram keys, one per-doc
-    * collect of dup starts, one doc-keyed left join back to the word
-    * arrays — all linear in corpus size, never pairwise. The gram
-    * stream is persisted ([[graft.util.reused]]) because both the df
-    * aggregate and the occurrence join consume it and their exchange
-    * keys differ (gh vs (gh,doc_id)), so ReuseExchange cannot unify
-    * them. The rewrite itself: sorted dup starts collapse into MERGED
-    * disjoint cover intervals RELATIONALLY — a window gap-flag +
-    * running sum assigns interval ids, two groupBys reduce them to
-    * (lo, hi) rows and then to one small per-doc interval array, all
-    * whole-stage-codegen and all riding ONE doc_id exchange (a
-    * per-element `aggregate` HOF fold here was the r15 lesson: at the
-    * 30× replica scale, where nearly every gram is duplicated, the
-    * interpreted slice+concat fold over ~30M dup starts ran 209 s;
-    * this shape runs the same regime in seconds). The final per-row
-    * filter probes only the merged intervals — a copied run of k
-    * overlapping grams is ONE interval, so even a fully-copied long
-    * document costs one probe per word, never a quadratic scan.
+    * equi-join of occurrences against the dup-gram keys, then the
+    * joinless [[exciseByStarts]] sweep — all linear in corpus size,
+    * never pairwise. The gram stream is persisted
+    * ([[graft.util.reused]]) because both the df aggregate and the
+    * occurrence join consume it and their exchange keys differ (gh vs
+    * (gh,doc_id)), so ReuseExchange cannot unify them.
     */
-  /** (doc_id, pos, gh): every complete word n-gram with its 0-based
-    * start position, hashed — the ngrams() explode/lead codegen shape
-    * kept inline for the pos. `reuse` persists it — set it iff the
-    * caller consumes the stream more than once under different
-    * exchange keys (q150 does: df aggregate + occurrence join; q152
-    * reads it once and a persist would only cost memory).
-    */
-  private def gramStream(docsDf: DataFrame, n: Int, reuse: Boolean): DataFrame = {
-    require(n >= 2, s"excision works on word n-grams with n >= 2 (got $n); " +
-      "single-word dedup is q30/q48's exact-hash territory")
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))
-    val g = docsDf
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(concat_ws(" ", col("w") +: leads: _*)).as("gh"),
-        leads.last.isNotNull.as("complete"))
-      .where(col("complete"))
-      .select(col("doc_id"), col("pos"), col("gh"))
-    if (reuse) graft.util.reused(g) else g
-  }
-
-  /** The shared excision rewrite: given marked n-gram start positions
-    * (doc_id, pos), cut every word position any marking window
-    * [pos, pos+n-1] covers and re-join the survivors. Sorted starts
-    * collapse into MERGED disjoint cover intervals RELATIONALLY — a
-    * window gap-flag + running sum assigns interval ids, two groupBys
-    * reduce them to (lo, hi) rows and then one small per-doc interval
-    * array, all whole-stage-codegen riding ONE doc_id exchange (a
-    * per-element `aggregate` HOF fold here was the r15 lesson: at the
-    * 30× replica scale ~30M starts hit the interpreted slice+concat
-    * fold and q150 ran 209 s; this shape runs the same regime in
-    * seconds). The final per-row filter probes only the merged
-    * intervals — a marked run of k overlapping grams is ONE interval,
-    * so even a fully-marked long document costs one probe per word.
-    */
-  private def exciseByStarts(docsDf: DataFrame, starts: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val newIv = when(col("pos") > lag(col("pos"), 1).over(byPos) + lit(n), lit(1))
-      .otherwise(lit(0)) // first row: null comparison → 0 → interval 0
-    val intervals = starts
-      .withColumn("ivid", sum(newIv).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("ivid"))
-      .agg(min(col("pos")).cast("int").as("lo"),
-        (max(col("pos")) + lit(n - 1)).cast("int").as("hi"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("iv"))
-    val emptyIv = expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
-    docsDf
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .join(intervals, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("w"), coalesce(col("iv"), emptyIv).as("iv"))
-      .select(col("doc_id"), size(col("w")).cast("int").as("n_words"),
-        filter(col("w"), (x, i) =>
-          !exists(col("iv"), v =>
-            v.getField("lo") <= i && i <= v.getField("hi"))).as("kept"))
-      .select(col("doc_id"), col("n_words"),
-        (col("n_words") - size(col("kept"))).cast("int").as("removed_words"),
-        concat_ws(" ", col("kept")).as("clean_text"))
-  }
-
   def spanExcise(docsDf: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
     val g = gramStream(docsDf, n, reuse = true)
     val dupGrams = g.dropDuplicates("gh", "doc_id")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Q, QueryPack, Tables}
-import graft.functions.words
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,12 +38,14 @@ object Dsir extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val B = lit(buckets.toLong)
-    docsDf
-      // review fix: a NULL isTarget would silently drop its doc's mass
-      // from BOTH side models (when(null,·)/when(!null,·) both miss);
-      // define NULL = raw (unknown provenance is not the target corpus)
-      .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
-        posexplode(words(col("text"))).as(Seq("pos", "w")))
+    // review fix: a NULL isTarget would silently drop its doc's mass
+    // from BOTH side models (when(null,·)/when(!null,·) both miss);
+    // define NULL = raw (unknown provenance is not the target corpus).
+    // The provenance flag rides the shared tokenizer pass
+    // (Dedup.posWords — the one audited explode shape) as a doc-level
+    // expression evaluated before the explode.
+    graft.operators.Dedup
+      .posWords(docsDf, coalesce(isTarget, lit(false)).as("is_target"))
       .where(length(col("w")) > 0)
       .select(col("doc_id"), col("is_target"), col("w"),
         lead(col("w"), 1).over(byPos).as("nw"))

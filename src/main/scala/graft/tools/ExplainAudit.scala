@@ -293,11 +293,15 @@ object ExplainAudit {
           v += Violation(name, "window in plan (moments must be exact integer aggregates)")
       case "q150_span_excise" =>
         // q131's contract carried into the rewrite: the gram/occurrence
-        // self-join rides the 64-bit hash as an EQUI join; the gram-df
-        // aggregate keeps map-side partials; and the gram stream is
+        // self-join rides the 64-bit hash as an EQUI join (the ONLY
+        // join — the keep/drop pass is a joinless sweep-line); the
+        // gram-df aggregate keeps map-side partials; the gram stream is
         // persisted (both the df aggregate and the occurrence join
         // consume it under DIFFERENT exchange keys, so losing the
-        // InMemoryTableScan means the window+scan runs twice)
+        // InMemoryTableScan means the window+scan runs twice); and no
+        // interpreted lambda HOF sits on the data path (the r15 209 s
+        // incident class — ArrayFilter/ArrayExists/aggregate are
+        // CodegenFallback)
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "gram equi-join lost (nested loop or worse)")
@@ -305,16 +309,22 @@ object ExplainAudit {
           v += Violation(name, "no partial (map-side) aggregation")
         if (!plan.contains("InMemoryTableScan"))
           v += Violation(name, "gram stream reuse lost (no InMemoryTableScan)")
+        if (plan.contains("lambdafunction"))
+          v += Violation(name, "interpreted lambda HOF on the excision path")
       case "q152_selfrep_excise" =>
         // marking is JOINLESS (the first-start window rides the gram
         // stream's doc_id partitioning); the only join is the final
         // doc-keyed intervals attach — an EQUI join of any strategy.
-        // Aggregates keep map-side partials.
+        // Aggregates keep map-side partials; no interpreted lambda HOF
+        // on the data path (the keep-pass is the native excise_words
+        // two-pointer expression).
         if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
             !plan.contains("BroadcastHashJoin"))
           v += Violation(name, "intervals equi-join lost (nested loop or worse)")
         if (plan.split("HashAggregate").length <= 2)
           v += Violation(name, "no partial (map-side) aggregation")
+        if (plan.contains("lambdafunction"))
+          v += Violation(name, "interpreted lambda HOF on the excision path")
       case "q151_dsir_weights" =>
         // the side models are ≤ buckets rows and must come back to the
         // feature stream as a BROADCAST — a shuffle join here means the
