@@ -2,8 +2,9 @@ package graft
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import scala.jdk.CollectionConverters._
-import graft.sources.{DocumentSource, DocumentStore, EsDocumentStore,
-  EtlPipeline, ExtractBookmark, HttpDocumentStore, JsonLinesStore, ParquetStore}
+import graft.sources.{ConditionalPutCommitIO, DocumentSource, DocumentStore,
+  EsDocumentStore, EtlPipeline, ExtractBookmark, HttpDocumentStore,
+  JsonLinesStore, LocalEtagStore, ParquetStore, ParquetUpsertSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -52,6 +53,13 @@ import org.apache.spark.sql.types.StructType
   *    (`sync-stream` is rejected by design: sync is a point-in-time
   *    snapshot + atomic cutover, and a stream has no snapshot
   *    boundary — see [[EtlPipeline.replicateStream]].)
+  *
+  * Top-level `"commitIO"` (optional) selects the parquet sink's
+  * manifest-commit strategy: `"rename"` (default — atomic
+  * overwrite-rename, correct on HDFS/POSIX) or `"conditional-local"`
+  * (etag-conditioned puts via [[graft.sources.LocalEtagStore]]; the
+  * seam an S3/GCS/ABFS [[graft.sources.ConditionalObjectStore]]
+  * implementation plugs into).
   *
   * Store specs (`source` accepts any of these plus read-only types;
   * `dest`/`edgeStore` need a [[DocumentStore]]):
@@ -102,6 +110,20 @@ object Main {
     * [[main]]. Returns the JSON result line.
     */
   def run(spark: SparkSession, cfg: JsonNode): String = {
+    // deployment-level manifest-commit strategy for the parquet sink
+    // (top-level "commitIO"): "rename" (default — HDFS/POSIX atomic
+    // overwrite-rename) or "conditional-local" (etag-conditioned puts
+    // via the in-process LocalEtagStore; on a real object store, an
+    // S3/GCS/ABFS ConditionalObjectStore plugs into the same seam).
+    // Set before any store is touched — it is process-wide.
+    opt(cfg, "commitIO").foreach {
+      case "rename" =>
+        ParquetUpsertSink.commitIO = ParquetUpsertSink.RenameCommitIO
+      case "conditional-local" =>
+        ParquetUpsertSink.commitIO = new ConditionalPutCommitIO(LocalEtagStore)
+      case other => sys.error(
+        s"unknown commitIO '$other' (rename | conditional-local)")
+    }
     val mode = req(cfg, "mode")
     // lazy: the stream modes resolve their source via streamSourceOf
     def source = sourceOf(spark, cfg.get("source"))

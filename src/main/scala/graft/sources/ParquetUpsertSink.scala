@@ -90,6 +90,8 @@ object ParquetUpsertSink {
       versionCol: String, numBuckets: Int): Unit = {
     val spark = updates.sparkSession
     val manifest = readManifest(spark, path)
+    // anchor the commit precondition at THIS read of the live state
+    commitIO.begin(spark.sparkContext.hadoopConfiguration, manifestPath(path))
     if (manifest.isEmpty) assertNoPreManifestData(spark, path)
     val buckets = if (manifest.isDefined) readBucketCount(spark, path) else numBuckets
     val keyed = withBucket(updates, keyCols, buckets)
@@ -243,8 +245,27 @@ object ParquetUpsertSink {
     * implementation is the entire storage-portability surface.
     */
   trait CommitIO {
+    /** Called when a mutation resolves the live manifest (under the
+      * write lock), BEFORE any data is written: observe whatever
+      * precondition the commit will be conditioned on (object etag /
+      * generation). Default: nothing — rename-based commits have no
+      * precondition.
+      */
+    def begin(conf: org.apache.hadoop.conf.Configuration,
+        dst: org.apache.hadoop.fs.Path): Unit = ()
+
     def publish(conf: org.apache.hadoop.conf.Configuration,
         dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit
+
+    /** Remove the manifest — the table reads as absent afterwards
+      * (a delete that empties the whole table). Default: plain
+      * filesystem delete; conditional implementations condition it
+      * like publish.
+      */
+    def retract(conf: org.apache.hadoop.conf.Configuration,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      dst.getFileSystem(conf).delete(dst, false); ()
+    }
   }
 
   /** Default [[CommitIO]]: temp file + `FileContext.rename(OVERWRITE)`.
@@ -278,9 +299,14 @@ object ParquetUpsertSink {
 
   /** Process-wide manifest-commit strategy (see [[RenameCommitIO]]'s
     * atomicity note). Set ONCE at deployment bootstrap, before any
-    * writer runs; UpsertSinkSpec proves a publish that cannot
-    * guarantee atomic replace fails the mutation loudly and leaves
-    * the previous manifest (and so every reader) untouched.
+    * writer runs — [[graft.Main]] wires it from the config's
+    * `commitIO` key ("rename" | "conditional-local"); an object-store
+    * deployment installs a [[ConditionalPutCommitIO]] over its
+    * service's conditional-write API. UpsertSinkSpec proves a publish
+    * that cannot guarantee atomic replace fails the mutation loudly
+    * and leaves the previous manifest (and so every reader)
+    * untouched, and that a conditional commit losing a split-brain
+    * race fails loudly with the winner's manifest intact.
     */
   @volatile var commitIO: CommitIO = RenameCommitIO
 
@@ -304,7 +330,7 @@ object ParquetUpsertSink {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (next.isEmpty) {
-      fs.delete(manifestPath(path), false)
+      commitIO.retract(conf, manifestPath(path))
       fs.delete(metaPath(path), false)
     } else {
       val body = next.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n")
@@ -442,6 +468,10 @@ object ParquetUpsertSink {
       versionCol: String, numBuckets: Int): Unit = {
     val spark = snapshot.sparkSession
     val manifest = readManifest(spark, path)
+    // anchor the commit precondition at THIS read of the live state
+    // (the empty branch delegates to doUpsert, whose begin re-observes
+    // the same absent manifest)
+    commitIO.begin(spark.sparkContext.hadoopConfiguration, manifestPath(path))
     if (manifest.isEmpty) {
       doUpsert(snapshot, path, keyCols, versionCol, numBuckets)
       return
@@ -498,6 +528,8 @@ object ParquetUpsertSink {
       versionCol: String): Unit = {
     val spark = keys.sparkSession
     val manifest = readManifest(spark, path)
+    // anchor the commit precondition at THIS read of the live state
+    commitIO.begin(spark.sparkContext.hadoopConfiguration, manifestPath(path))
     if (manifest.isEmpty) return
     val live = manifest.get
     val buckets = readBucketCount(spark, path)

@@ -145,6 +145,35 @@ class MainSpec extends SparkSpec {
     } finally { fSrc.stop(); fDst.stop() }
   }
 
+  test("commitIO config key selects the manifest-commit strategy, bad values are loud") {
+    val base = tmp()
+    Seq((1L, "a", 1L)).toDF("id", "v", "rev").write.parquet(s"$base/src")
+    val prev = graft.sources.ParquetUpsertSink.commitIO
+    try {
+      val cfg = mapper.readTree(s"""{
+        "mode": "replicate",
+        "commitIO": "conditional-local",
+        "source": {"type": "parquet", "path": "$base/src"},
+        "wmCol": "rev",
+        "dest": {"type": "parquet", "path": "$base/dst",
+                 "keyCols": ["id"], "versionCol": "rev", "numBuckets": 4},
+        "bookmark": "$base/wm"
+      }""")
+      Main.run(spark, cfg) should include(""""extracted":1""")
+      graft.sources.ParquetUpsertSink.commitIO shouldBe
+        a[graft.sources.ConditionalPutCommitIO]
+      graft.sources.ParquetUpsertSink.read(spark, s"$base/dst")
+        .select($"id").as[Long].collect().toSet shouldBe Set(1L)
+      val ex = intercept[RuntimeException] {
+        Main.run(spark, mapper.readTree(
+          """{"mode":"replicate","commitIO":"s3-magic",
+             "source":{"type":"jsonl","path":"x"},"wmCol":"rev",
+             "dest":{"type":"jsonl","path":"y"},"bookmark":"z"}"""))
+      }
+      ex.getMessage should include("unknown commitIO")
+    } finally graft.sources.ParquetUpsertSink.commitIO = prev
+  }
+
   test("sync mode + config validation failures are loud") {
     val base = tmp()
     Seq((1L, "a", 1L)).toDF("id", "v", "rev").write.parquet(s"$base/src")

@@ -236,6 +236,21 @@ class UpsertSinkSpec extends SparkSpec {
   }
 
   test("differential fuzz: random upsert/delete/sync sequences match a reference model") {
+    differentialFuzz("graft-fuzz")
+  }
+
+  test("differential fuzz matrix under the conditional-put CommitIO") {
+    // the whole mutation matrix again, committed through
+    // etag-conditioned puts — semantics must be byte-identical to the
+    // rename path (the CommitIO changes durability, never results)
+    val prev = ParquetUpsertSink.commitIO
+    ParquetUpsertSink.commitIO =
+      new graft.sources.ConditionalPutCommitIO(graft.sources.LocalEtagStore)
+    try differentialFuzz("graft-cfuzz")
+    finally ParquetUpsertSink.commitIO = prev
+  }
+
+  private def differentialFuzz(tag: String): Unit = {
     // The sink is the engine's most state-critical component: every
     // pipeline's exactly-once story reduces to its latest-wins /
     // versioned-delete / snapshot-sync contract. Interpret random op
@@ -258,7 +273,7 @@ class UpsertSinkSpec extends SparkSpec {
     }
 
     (1 to 6).foreach { seqIdx =>
-      val dir = Files.createTempDirectory(s"graft-fuzz$seqIdx").toFile
+      val dir = Files.createTempDirectory(s"$tag$seqIdx").toFile
       dir.deleteOnExit()
       val path = dir.getPath + "/table"
       var model = Map.empty[Long, (Long, String)] // key -> (rev, payload)
@@ -572,6 +587,88 @@ class UpsertSinkSpec extends SparkSpec {
       path, Seq("id"), "rev", numBuckets = 2)
     ParquetUpsertSink.read(spark, path).where($"id" === 1L)
       .select($"payload").as[String].head() shouldBe "v2"
+  }
+
+  test("conditional-put CommitIO: a split-brain loser fails loudly, the winner's manifest intact") {
+    import graft.sources.{ConditionalPutCommitIO, LocalEtagStore}
+    val dir = Files.createTempDirectory("graft-condrace").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(path, "_graft_manifest")
+    val prev = ParquetUpsertSink.commitIO
+    ParquetUpsertSink.commitIO = new ConditionalPutCommitIO(LocalEtagStore)
+    try {
+      ParquetUpsertSink.upsert(
+        (1L to 4L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      // split-brain replay: writer B resolves the live manifest (its
+      // begin records the etag) — then writer A commits first. B's
+      // later publish is conditioned on the tag B OBSERVED, which is
+      // now stale — the put must be rejected, loudly.
+      val loserIO = new ConditionalPutCommitIO(LocalEtagStore)
+      loserIO.begin(conf, manifest) // B reads table state here
+      ParquetUpsertSink.upsert( // A wins the race
+        Seq((2L, 2L, "winner")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      val winnerState = ParquetUpsertSink.read(spark, path)
+        .as[(Long, Long, String)].collect().toSet
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        loserIO.publish(conf, manifest, "0 99\n1 99".getBytes("UTF-8"))
+      }
+      ex.getMessage should include("lost a commit race")
+      // the winner's manifest (and so the table) is byte-for-byte intact
+      ParquetUpsertSink.read(spark, path)
+        .as[(Long, Long, String)].collect().toSet shouldBe winnerState
+      winnerState.find(_._1 == 2L).map(_._3) shouldBe Some("winner")
+      // and a retract conditioned on the same stale observation is
+      // rejected identically (the empty-table path cannot clobber)
+      loserIO.begin(conf, manifest)
+      ParquetUpsertSink.upsert(
+        Seq((3L, 3L, "w2")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      intercept[java.util.ConcurrentModificationException] {
+        loserIO.retract(conf, manifest)
+      }
+      ParquetUpsertSink.read(spark, path).where($"id" === 3L)
+        .select($"payload").as[String].head() shouldBe "w2"
+    } finally ParquetUpsertSink.commitIO = prev
+  }
+
+  test("conditional-put CommitIO: publish without begin is a wiring bug and throws") {
+    import graft.sources.{ConditionalPutCommitIO, LocalEtagStore}
+    val io = new ConditionalPutCommitIO(LocalEtagStore)
+    val dir = Files.createTempDirectory("graft-condnobegin").toFile
+    dir.deleteOnExit()
+    val p = new org.apache.hadoop.fs.Path(dir.getPath, "_graft_manifest")
+    val ex = intercept[IllegalArgumentException] {
+      io.publish(spark.sparkContext.hadoopConfiguration, p, "0 0".getBytes)
+    }
+    ex.getMessage should include("without a begin")
+  }
+
+  test("conditional-put CommitIO: a delete that empties the table retracts conditionally and the table re-creates") {
+    import graft.sources.{ConditionalPutCommitIO, LocalEtagStore}
+    val dir = Files.createTempDirectory("graft-condretract").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val prev = ParquetUpsertSink.commitIO
+    ParquetUpsertSink.commitIO = new ConditionalPutCommitIO(LocalEtagStore)
+    try {
+      ParquetUpsertSink.upsert(
+        Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      ParquetUpsertSink.delete(
+        Seq((1L, 2L), (2L, 2L)).toDF("id", "rev"), path, Seq("id"), "rev")
+      ParquetUpsertSink.tableExists(spark, path) shouldBe false
+      // the store's tag registry agrees the object is gone, so a fresh
+      // first write commits with an If-None-Match-style precondition
+      ParquetUpsertSink.upsert(
+        Seq((5L, 1L, "fresh")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      ParquetUpsertSink.read(spark, path)
+        .as[(Long, Long, String)].collect().toSet shouldBe Set((5L, 1L, "fresh"))
+    } finally ParquetUpsertSink.commitIO = prev
   }
 
   test("vacuum reclaims a crashed writer's job-staging debris at the table root") {
