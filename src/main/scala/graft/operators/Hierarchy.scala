@@ -521,15 +521,22 @@ object Hierarchy extends QueryPack {
     * against the current rank vector plus one map-side-combinable
     * sum keyed by destination — the canonical distributed PageRank
     * step. The edge list and out-degrees are computed once and
-    * reused across iterations (at cluster scale: cache/checkpoint
-    * them; with deep `iters`, localCheckpoint the rank vector every
-    * few rounds like [[closure]] does for frontiers — at the gate's
-    * k=3 the lazy three-deep plan is cheaper than materializing).
-    * The node count rides a broadcast 1-row totals frame, never a
-    * driver collect.
+    * reused across iterations. The rank vector localCheckpoints
+    * every `checkpointEvery` rounds (the [[closure]] frontier
+    * pattern), so plan depth — and with it analysis/codegen time and
+    * lineage recovery cost — is bounded at a constant regardless of
+    * `iters`; a real 20–50-round convergence run stays flat. At the
+    * gate's k=3 no checkpoint fires and the lazy three-deep plan is
+    * cheaper than materializing. Checkpointing materializes exact
+    * computed doubles, so the cadence cannot change values
+    * (HierarchySpec pins it). The node count rides a broadcast 1-row
+    * totals frame, never a driver collect.
     */
   def pageRank(edgesDf: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"pageRank needs at least one iteration (got $iters)")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1 (got $checkpointEvery)")
     val links = edgesDf.select(col("child").as("src"), col("parent").as("dst"))
     // persist (lazily — no action here) the two subtrees every
     // iteration re-reads: without it the lazy k-deep plan recomputes
@@ -542,7 +549,7 @@ object Hierarchy extends QueryPack {
     val contrib = graft.util.reused(links.join(outDeg, Seq("src")))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inbound = contrib.as("c")
         .join(ranks.select(col("node").as("rn"), col("pr")).as("r"),
           col("c.src") === col("r.rn"))
@@ -554,6 +561,9 @@ object Hierarchy extends QueryPack {
         .select(col("n.node").as("node"),
           ((lit(1.0) - damping) / col("n_nodes") +
             lit(damping) * coalesce(col("i.mass"), lit(0.0))).as("pr"))
+      // bound the unrolled lineage (not on the last round — the
+      // caller decides whether the final vector materializes)
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -48,28 +48,47 @@ object Multimodal extends QueryPack {
       (lit(32) + col("doc_id") % 48).cast("int").as("height"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decoder: stands in for image decode / resize / frame sample.
-    * Deterministic fake features derived only from payload bytes and
-    * metadata, so the DuckDB oracle can verify the plumbing end to
-    * end. A real implementation would decode `b.payload` here.
+  /** The pluggable decode seam — the [[graft.sources.DocumentStore]]
+    * pattern applied to codecs: operators own the Spark plumbing
+    * (typed Dataset boundary, per-partition batching, feature
+    * schema); a deployment with real image/audio libraries drops in
+    * its decoder WITHOUT touching any operator. Implementations see
+    * fixed-size batches (≤ [[batchSize]] records), never single rows,
+    * so vectorized / GPU decode amortizes; they ship to executors in
+    * the task closure, hence Serializable — hold native handles
+    * lazily (`@transient lazy val`), not in constructor fields.
     */
-  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map { r =>
-      val nBytes = r.payload.length.toLong // real byte work on the real payload
-      MediaFeatures(r.doc_id, r.format, r.width, r.height,
-        nBytes, (nBytes % 251) / 250.0)
-    }
+  trait FrameDecoder extends Serializable {
+    def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Default [[FrameDecoder]] — the STUB this zero-codec build ships:
+    * stands in for image decode / resize / frame sample with
+    * deterministic fake features derived only from payload bytes and
+    * metadata, so the DuckDB oracle can verify the plumbing end to
+    * end. A real implementation would decode `r.payload` here.
+    */
+  object StubDecoder extends FrameDecoder {
+    def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val nBytes = r.payload.length.toLong // real byte work on the real payload
+        MediaFeatures(r.doc_id, r.format, r.width, r.height,
+          nBytes, (nBytes % 251) / 250.0)
+      }
+  }
 
   /** The decode pipeline: typed Dataset boundary, then per-partition
     * batched iteration (the Scala analogue of mapInPandas: the decoder
     * sees fixed-size batches, not single rows, so vectorized / GPU
-    * decode amortizes).
+    * decode amortizes). The decoder is the [[FrameDecoder]] seam;
+    * the default is this build's deterministic stub.
     */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame,
+      decoder: FrameDecoder = StubDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(batchSize).flatMap(decodeBatch)
+      it.grouped(batchSize).flatMap(decoder.decode)
     }
   }
 

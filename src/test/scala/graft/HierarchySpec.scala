@@ -195,6 +195,34 @@ class HierarchySpec extends SparkSpec {
     pr(1L) should be > pr(13L)
   }
 
+  test("pageRank checkpoint cadence never changes values; a 25-iteration run stays flat") {
+    // the gate's k=3 under a forced every-round checkpoint must equal
+    // the lazy default exactly — localCheckpoint materializes computed
+    // doubles, it cannot perturb them
+    val lazy3 = Hierarchy.pageRank(edges, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val ck3 = Hierarchy.pageRank(edges, iters = 3, checkpointEvery = 1)
+      .as[(Long, Double)].collect().toMap
+    ck3.keySet shouldBe lazy3.keySet
+    ck3.foreach { case (n, v) => v shouldBe lazy3(n) +- 1e-15 }
+    // a real convergence-depth run: 25 rounds complete (the default
+    // cadence checkpoints every 5, so plan depth stays ≤ 5 rounds deep
+    // instead of 25 nested join/agg layers) and the vector is sane
+    val deep = Hierarchy.pageRank(edges, iters = 25)
+      .as[(Long, Double)].collect().toMap
+    deep.size shouldBe lazy3.size
+    val n = deep.size
+    deep.values.foreach { v =>
+      v.isNaN shouldBe false
+      v should be >= (0.15 / n) - 1e-12
+    }
+    deep.values.sum should be <= 1.0 + 1e-9
+    // 25 damped rounds ≈ converged: one more round moves nothing
+    val deep26 = Hierarchy.pageRank(edges, iters = 26)
+      .as[(Long, Double)].collect().toMap
+    deep.foreach { case (k, v) => v shouldBe deep26(k) +- 1e-9 }
+  }
+
   test("percent-of-parent: every edge's subtree share, diamond children report one share per parent") {
     val fact = Seq(1L, 2L, 10L, 11L, 12L, 13L, 20L, 30L, 31L)
       .toDF("node").withColumn("m", $"node")
