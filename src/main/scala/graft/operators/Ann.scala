@@ -1299,6 +1299,96 @@ object Ann extends QueryPack {
            |WHERE rnk <= 5""".stripMargin),
     "top-5 cosine in the int8 domain: scales cancel, scores are exact integer algebra, q34's brute shape")
 
+  /** ANN index-quality audit: exact recall@k of the DEPLOYED IVF
+    * configuration against brute-force ground truth, per query — the
+    * regression gate an index deployment runs after every quantizer
+    * refresh or nprobe change (recall silently decaying as appends
+    * drift the distribution is THE operational failure mode of an IVF
+    * index; this measures it instead of assuming it).
+    *
+    * recall@k(q) = |IVF top-k(q) ∩ brute top-k(q)| / k, both sides
+    * under the same tie rule (score desc, cid asc — the shared topK).
+    * Output is hash-safe: hits and k are integers; the one division
+    * is the same integer ratio on both engines.
+    *
+    * Scale shape: ground truth is the q34 broadcast brute pass — the
+    * AUDIT cost, deliberately paid for the query SAMPLE only (queries
+    * are a fixed small probe set; the corpus is scanned once, never
+    * shuffled); the IVF side is the production q43 plan; the overlap
+    * join is probe-set-sized. At 100 TB the audit samples queries,
+    * not the corpus — same shape, same cost curve.
+    */
+  def ivfRecallAudit(e: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int, k: Int, isQuery: Column): DataFrame = {
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val brute = topK(
+      c.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("score", cosineFast(col("qv"), col("cv"))), k)
+      .select(col("qid"), col("cid"))
+    val ivf = ivfSearchOn(e, cents, nprobe, k)
+      .select(col("qid"), col("cid"), lit(1).as("m"))
+    brute.join(ivf, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("m").isNotNull, lit(1L)).otherwise(lit(0L))).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+  }
+
+  val q155 = Q(
+    "q155_ann_recall",
+    (s, d) => ivfRecallAudit(emb(s, d), storedCentroids(s, d, 16, 2),
+      nprobe = 4, k = 5, isQuery = col("vec_id") < 10),
+    Some(s"""WITH ct AS (
+           |  SELECT i AS cl, v AS cv
+           |  FROM read_parquet('$gateModelDir/ivf_centroids_16_2.parquet/*.parquet')
+           |), e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), brute AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_dot_product(q.v, c.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           |        DESC, c.vec_id ASC) AS rnk
+           |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 10) WHERE rnk <= 5
+           |), a AS (
+           |  SELECT vec_id, v, cl FROM (
+           |    SELECT e.vec_id, e.v, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, ct.cv) /
+           |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl DESC) AS rn
+           |    FROM e CROSS JOIN ct) WHERE rn = 1
+           |), probes AS (
+           |  SELECT qid, cl FROM (
+           |    SELECT a.vec_id AS qid, ct.cl,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           |        list_dot_product(a.v, ct.cv) /
+           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(ct.cv, ct.cv)))
+           |        DESC, ct.cl ASC) AS pr
+           |    FROM a CROSS JOIN ct WHERE a.vec_id < 10) WHERE pr <= 4
+           |), ivf AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT p.qid, a.vec_id AS cid,
+           |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+           |        list_dot_product(q.v, a.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v)))
+           |        DESC, a.vec_id ASC) AS rnk
+           |    FROM probes p
+           |    JOIN a ON a.cl = p.cl AND a.vec_id <> p.qid
+           |    JOIN e q ON q.vec_id = p.qid) WHERE rnk <= 5
+           |)
+           |SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS k,
+           |  CAST(SUM(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(SUM(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS recall
+           |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+           |GROUP BY b.qid""".stripMargin),
+    "ANN recall@5 audit: deployed IVF (16 lists, 4 probes) vs brute-force ground truth per query, exact integer hits")
+
   val all: Seq[Q] = Seq(q34, q35, q41, q43, q63, q75, q81, q84, q85, q92,
-    q105, q117, q143, q144)
+    q105, q117, q143, q144, q155)
 }

@@ -89,6 +89,19 @@ object Bpe extends QueryPack {
     * pair→words index are maintained across rounds, so each merge
     * re-scans only the words that contain the merged pair. Returns
     * the merges in training order (rank = position).
+    *
+    * Argmax selection is a LAZY-DELETION MAX-HEAP, not a per-merge
+    * scan of the pair map: the r16 32k-merge measurement (200k-entry
+    * dict, bench/BPE record in BASELINE.md) put the original linear
+    * scan at ~685 s — 32k merges × a ~1M-entry map walk each — while
+    * every other cost in the loop is footprint-proportional. Every
+    * count CHANGE pushes a (count, pair) entry; the heap top is valid
+    * iff it matches the live map (stale entries pop and drop), and
+    * ordering (count desc, pair asc) makes the valid top exactly the
+    * old scan's argmax — same merges, bit for bit (BpeSpec pins the
+    * sequence; the q148 oracle pins the gate). A rebuild compacts the
+    * heap when stale entries dominate, bounding memory at
+    * O(live pairs).
     */
   def trainMerges(dict: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
@@ -97,33 +110,54 @@ object Bpe extends QueryPack {
       dict.map { case (w, f) => (w.map(_.toString).toVector :+ Eow, f) })
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val heapOrd: java.util.Comparator[(Long, (String, String))] =
+      (a: (Long, (String, String)), b: (Long, (String, String))) => {
+        val byCount = java.lang.Long.compare(b._1, a._1) // count desc
+        if (byCount != 0) byCount
+        else {
+          val byLeft = a._2._1.compareTo(b._2._1) // pair asc
+          if (byLeft != 0) byLeft else a._2._2.compareTo(b._2._2)
+        }
+      }
+    val heap = new java.util.PriorityQueue[(Long, (String, String))](1024, heapOrd)
     def addWord(wid: Int, sign: Long): Unit = {
       val (s, f) = syms(wid)
       var i = 0
       while (i < s.length - 1) {
         val p = (s(i), s(i + 1))
         val c = pairCount.getOrElse(p, 0L) + sign * f
-        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (c == 0L) pairCount.remove(p)
+        else { pairCount(p) = c; heap.add((c, p)) } // push EVERY change
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wid
         i += 1
       }
     }
+    // valid top = entry matching the live map; everything above it was
+    // stale and discarded, so it is the (count desc, pair asc) argmax
+    def popBest(): Option[(String, String)] = {
+      while (!heap.isEmpty) {
+        val (c, p) = heap.peek()
+        if (pairCount.get(p).contains(c)) return Some(p)
+        heap.poll()
+        if (heap.size > (1 << 20) && heap.size > 8 * pairCount.size) {
+          heap.clear() // compact: re-seed from live counts only
+          pairCount.foreach { case (pp, cc) => heap.add((cc, pp)) }
+        }
+      }
+      None
+    }
     syms.indices.foreach(addWord(_, 1L))
     val merges = mutable.ArrayBuffer.empty[(String, String)]
-    while (merges.length < numMerges && pairCount.nonEmpty) {
-      // max by count, ties to the lexicographically smallest pair —
-      // one linear scan (the map is dict-sized, not corpus-sized)
-      val best = pairCount.iterator.reduce { (a, b) =>
-        if (a._2 > b._2) a
-        else if (a._2 < b._2) b
-        else if (implicitly[Ordering[(String, String)]].lt(a._1, b._1)) a else b
-      }._1
-      merges += best
-      pairWords.remove(best).getOrElse(mutable.Set.empty).foreach { wid =>
+    var best = popBest()
+    while (merges.length < numMerges && best.isDefined) {
+      val b = best.get
+      merges += b
+      pairWords.remove(b).getOrElse(mutable.Set.empty).foreach { wid =>
         addWord(wid, -1L) // retract the word's old pair counts
-        syms(wid) = (mergeAll(syms(wid)._1, best), syms(wid)._2)
+        syms(wid) = (mergeAll(syms(wid)._1, b), syms(wid)._2)
         addWord(wid, 1L) // and count its new ones
       }
+      best = popBest()
     }
     merges.toSeq
   }

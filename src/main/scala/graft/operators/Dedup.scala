@@ -338,14 +338,14 @@ object Dedup extends QueryPack {
   private val coocMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Double, Double)]()
 
-  private def gateMaxShingleDf(s: SparkSession): Int =
+  private[graft] def gateMaxShingleDf(s: SparkSession): Int =
     s.conf.get("graft.dedup.gateMaxShingleDf", "1024").toInt
 
   // The gate measures' thresholds, single-sourced so the stored core's
   // retention predicate and its consumers cannot drift apart.
-  private def gateJaccardThreshold(s: SparkSession): Double =
+  private[graft] def gateJaccardThreshold(s: SparkSession): Double =
     s.conf.get("graft.dedup.gateJaccardThreshold", "0.5").toDouble
-  private def gateContainmentThreshold(s: SparkSession): Double =
+  private[graft] def gateContainmentThreshold(s: SparkSession): Double =
     s.conf.get("graft.dedup.gateContainmentThreshold", "0.9").toDouble
 
   /** Retention predicate for the stored core: keep a co-occurrence

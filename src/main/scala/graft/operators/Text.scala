@@ -1495,7 +1495,206 @@ object Text extends QueryPack {
            |ORDER BY n DESC, t ASC LIMIT 20""".stripMargin),
     "Count-Min heavy-hitters on the gate: top-20 tokens with sketch-vs-exact verdict booleans (overestimate-only + CM error bound)")
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020: the
+    * "score CommonCrawl by a target-domain language model" filter):
+    * an add-1-smoothed bigram LM trains on the TARGET corpus slice
+    * (src15+ — the q151/q133 split convention) and every document is
+    * scored by its per-bigram log-probability; low-perplexity docs
+    * read like the target domain. This is the model-based tier above
+    * the corpus-frequency scores (q72 unigram, q103 bigram): those
+    * rank by raw frequency mass, this by a NORMALIZED conditional
+    * model with an explicit out-of-model penalty.
+    *
+    * log p(d) = Σ_bg k·(ln(c(bg)+1) − ln(c(ctx)+V)), ppl(d) =
+    * exp(−log p(d)/n) — computed by [[lmPerplexity]]; the GATE (q154)
+    * ships the exact-integer facts instead (Σ k·c(bg), Σ k·c(ctx),
+    * the unseen-bigram mass, V), the q151 consumer-step pattern: every
+    * input of the formula pins hash-exactly, the libm consumer is
+    * spec-pinned.
+    *
+    * Scale shape: one tokenize+shingle pass feeds per-doc bigram
+    * counts (map-side partial — the q103 plan family); the model is
+    * two aggregates of the target slice joined back on the compressed
+    * bigram/context domains (AQE handles the Zipf head); V rides a
+    * broadcast 1-row frame. The corpus shuffles (doc, bg, k) triples,
+    * never text. Docs with < 2 words have no bigrams and drop (the
+    * q103 contract).
+    */
+  def lmFacts(docsDf: DataFrame, isTarget: Column): DataFrame = {
+    val dbg = graft.util.reused(
+      docsDf
+        .select(col("doc_id"), isTarget.as("is_t"),
+          explode(shingles(words(col("text")), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("is_t"), col("bg"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("ctx", substring_index(col("bg"), " ", 1)))
+    val bgModel = dbg.where(col("is_t"))
+      .groupBy(col("bg")).agg(sum(col("k")).as("cbg"))
+    val ctxModel = dbg.where(col("is_t"))
+      .groupBy(col("ctx")).agg(sum(col("k")).as("cctx"))
+    val v = docsDf.where(coalesce(isTarget, lit(false)))
+      .select(explode(words(col("text"))).as("wd"))
+      .agg(count_distinct(col("wd")).as("v_target"))
+    dbg.join(bgModel, Seq("bg"), "left")
+      .join(ctxModel, Seq("ctx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * coalesce(col("cbg"), lit(0L))).as("dot_bg"),
+        sum(col("k") * coalesce(col("cctx"), lit(0L))).as("dot_ctx"),
+        sum(when(col("cbg").isNull, col("k")).otherwise(lit(0L))).as("unseen_bg"))
+      .crossJoin(broadcast(v))
+  }
+
+  /** The libm consumer of [[lmFacts]]'s model: per-doc add-1-smoothed
+    * bigram log-probability and perplexity under the target-side LM.
+    * Same joins as the facts; TextSpec pins it against a driver-side
+    * recompute from first principles.
+    */
+  def lmPerplexity(docsDf: DataFrame, isTarget: Column): DataFrame = {
+    val dbg = graft.util.reused(
+      docsDf
+        .select(col("doc_id"), isTarget.as("is_t"),
+          explode(shingles(words(col("text")), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("is_t"), col("bg"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("ctx", substring_index(col("bg"), " ", 1)))
+    val bgModel = dbg.where(col("is_t"))
+      .groupBy(col("bg")).agg(sum(col("k")).as("cbg"))
+    val ctxModel = dbg.where(col("is_t"))
+      .groupBy(col("ctx")).agg(sum(col("k")).as("cctx"))
+    val v = docsDf.where(coalesce(isTarget, lit(false)))
+      .select(explode(words(col("text"))).as("wd"))
+      .agg(count_distinct(col("wd")).as("v_target"))
+    dbg.join(bgModel, Seq("bg"), "left")
+      .join(ctxModel, Seq("ctx"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * (log(coalesce(col("cbg"), lit(0L)) + lit(1.0))
+          - log(coalesce(col("cctx"), lit(0L)) + col("v_target").cast("double"))))
+          .as("log_prob"))
+      .withColumn("ppl", exp(-col("log_prob") / col("n_bigrams")))
+  }
+
+  val q154 = Q(
+    "q154_lm_score",
+    (s, d) => lmFacts(docs(s, d),
+      substring(col("source"), 4, 10).cast("int") >= 15),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, CAST(substring(source, 4, 10) AS INT) >= 15 AS is_t,
+           |    string_split_regex(trim(text), '\s+') w
+           |  FROM documents
+           |), bi AS (
+           |  SELECT doc_id, is_t,
+           |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+           |  FROM toks
+           |), dbg AS (
+           |  SELECT doc_id, is_t, bg, COUNT(*) AS k FROM bi GROUP BY 1, 2, 3
+           |), bm AS (
+           |  SELECT bg, SUM(k) AS cbg FROM dbg WHERE is_t GROUP BY 1
+           |), cm AS (
+           |  SELECT split_part(bg, ' ', 1) AS ctx, SUM(k) AS cctx
+           |  FROM dbg WHERE is_t GROUP BY 1
+           |), v AS (
+           |  SELECT COUNT(DISTINCT wd) AS v_target
+           |  FROM (SELECT unnest(w) AS wd FROM toks WHERE is_t)
+           |)
+           |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           |  CAST(SUM(k * COALESCE(cbg, 0)) AS BIGINT) AS dot_bg,
+           |  CAST(SUM(k * COALESCE(cctx, 0)) AS BIGINT) AS dot_ctx,
+           |  CAST(SUM(CASE WHEN cbg IS NULL THEN k ELSE 0 END) AS BIGINT) AS unseen_bg,
+           |  CAST(ANY_VALUE(v.v_target) AS BIGINT) AS v_target
+           |FROM dbg LEFT JOIN bm USING (bg)
+           |  LEFT JOIN cm ON cm.ctx = split_part(dbg.bg, ' ', 1)
+           |  CROSS JOIN v
+           |GROUP BY doc_id""".stripMargin),
+    "CCNet-style LM quality facts: per-doc target-LM bigram/context dot products + unseen mass as exact integers; ln/ppl consumer spec-pinned")
+
+  /** Per-source doc-LENGTH distribution drift vs the corpus: exact
+    * Kolmogorov–Smirnov statistic KS(s) = max_x |F_s(x) − F(x)| over
+    * word-count CDFs. The length-axis complement of q107's vocabulary
+    * TVD: a source whose documents suddenly shorten (truncation bug,
+    * boilerplate stripping regression) or lengthen (concatenation
+    * bug) moves KS before any content metric notices.
+    *
+    * Exactness (the q107 trick): only integer cross-products are
+    * compared — max_x |cum_s(x)·N − cum(x)·N_s| as decimal(38,0)
+    * (cum ≤ N can reach 10^11 docs at 100 TB; the product overflows a
+    * long) — and the single division happens once at the end, so both
+    * engines round the same ratio. The evaluation grid is every
+    * corpus-observed distinct length per source: the KS max over step
+    * functions is attained at a step of either CDF, and every step of
+    * either is a corpus-observed length, so the grid is exact, and it
+    * is SMALL (distinct lengths × sources — lengths are a bounded
+    * physical domain, never corpus-sized).
+    *
+    * Scale shape: one scan to (source, len) counts (map-side
+    * partial); the dense source×length grid comes from one broadcast
+    * cross join on the compressed length domain; two prefix-sum
+    * windows partitioned by source / global-on-tiny-grid; one final
+    * per-source max. The corpus never shuffles — only counts do.
+    */
+  def lengthDrift(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docsDf.select(col("source"),
+      size(words(col("text"))).cast("long").as("len"))
+    val slc = graft.util.reused(
+      lens.groupBy(col("source"), col("len")).agg(count(lit(1)).as("c")))
+    val glc = slc.groupBy(col("len")).agg(sum(col("c")).as("g"))
+      .withColumn("gcum", sum(col("g")).over(
+        Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val srcTot = slc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val tot = slc.agg(sum(col("c")).as("n"))
+    val grid = srcTot.select(col("source"), col("n_s"))
+      .crossJoin(broadcast(glc.select(col("len"), col("gcum"))))
+      .join(slc, Seq("source", "len"), "left")
+      .withColumn("scum", sum(coalesce(col("c"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("num",
+        abs(col("scum").cast("decimal(38,0)") * col("n")
+          - col("gcum").cast("decimal(38,0)") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(max(col("num")).as("ks_num"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("ks_num").cast("double")
+          / (col("n_s").cast("double") * col("n").cast("double"))).as("ks"))
+  }
+
+  val q156 = Q(
+    "q156_ks_drift",
+    (s, d) => lengthDrift(docs(s, d)),
+    Some("""WITH lens AS (
+           |  SELECT source, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+           |  FROM documents
+           |), slc AS (
+           |  SELECT source, len, COUNT(*) AS c FROM lens GROUP BY 1, 2
+           |), glc AS (
+           |  SELECT len, SUM(g) OVER (ORDER BY len
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+           |  FROM (SELECT len, SUM(c) AS g FROM slc GROUP BY 1)
+           |), st AS (
+           |  SELECT source, SUM(c) AS n_s FROM slc GROUP BY 1
+           |), tot AS (SELECT SUM(c) AS n FROM slc
+           |), grid AS (
+           |  SELECT st.source, st.n_s, glc.len, glc.gcum,
+           |    SUM(COALESCE(slc.c, 0)) OVER (PARTITION BY st.source
+           |      ORDER BY glc.len
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scum
+           |  FROM st CROSS JOIN glc
+           |  LEFT JOIN slc ON slc.source = st.source AND slc.len = glc.len
+           |)
+           |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+           |  CAST(MAX(ABS(CAST(scum AS DECIMAL(38,0)) * n
+           |    - CAST(gcum AS DECIMAL(38,0)) * n_s)) AS DOUBLE)
+           |    / (CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE)) AS ks
+           |FROM grid CROSS JOIN tot
+           |GROUP BY source, n_s, n""".stripMargin),
+    "per-source doc-length KS drift: exact Kolmogorov-Smirnov distance vs the corpus length CDF, integer cross-products only")
+
   val all: Seq[Q] = Seq(q147, q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
     q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123,
-    q125, q134)
+    q125, q134, q154, q156)
 }

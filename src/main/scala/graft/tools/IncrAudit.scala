@@ -30,7 +30,21 @@ import org.apache.spark.sql.functions._
   * 1024) — ~10^10 shuffle-spill rows, beyond a single box's disk.
   * The incremental path's own cost is delta-proportional and fine;
   * it is the ground-truth side that cannot be materialized there.
-  * Those checks stay certified at sf3 (30×), where the rebuild fits.
+  *
+  * `GRAFT_INCR_SAMPLE=K` (K ≥ 2) certifies those two checks at such
+  * scales WITHOUT the uncut rebuild — the sample-trained-quantizer
+  * pattern applied to auditing: both the fold and its ground-truth
+  * rebuild run over the SAME deterministic document subset
+  * (xxhash64(doc_id) mod K = 0, a content-independent 1/K stride),
+  * so fold ≡ rebuild is verified exactly on a corpus drawn from the
+  * audited sf's own documents while the rebuild's Σ df² shrinks by
+  * ~K². Sampling contract: equality on the sample certifies the fold
+  * ALGORITHM (candidate discovery, hot re-entry, retention) at this
+  * sf's document mix; per-pair exactness on the unsampled corpus is
+  * already unconditional (counts depend only on the two documents).
+  * The cut-inert precondition (sample max shingle df ≤ the df-cut)
+  * is asserted, not assumed — a too-small K fails loudly rather than
+  * weakening ≡ to ⊇.
   */
 object IncrAudit {
 
@@ -40,6 +54,51 @@ object IncrAudit {
     sys.env.get("GRAFT_INCR_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+
+  private val sample: Int =
+    sys.env.get("GRAFT_INCR_SAMPLE").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).filter(_ >= 2).getOrElse(0)
+
+  /** The two pair-family checks in sampled-equivalence form (see the
+    * GRAFT_INCR_SAMPLE class-doc contract): fold ≡ rebuild and
+    * incremental-components ≡ full components, both over the 1/K
+    * xxhash-stride document subset. Returns (coocOk, componentsOk).
+    */
+  private def sampledPairFamily(spark: SparkSession, sfDir: String): (Boolean, Boolean) = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sampled = docs.where(pmod(xxhash64(col("doc_id")), lit(sample)) === 0)
+    val jT = Dedup.gateJaccardThreshold(spark)
+    val cT = Dedup.gateContainmentThreshold(spark)
+    val maxDf = Dedup.gateMaxShingleDf(spark)
+    // the ≡ contract needs the cut inert on the sample — assert it
+    // (beyond it the fold is a documented superset, a different claim)
+    val sampleMaxDf = Dedup.coocPostings(sampled)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    require(sampleMaxDf <= maxDf,
+      s"sampled corpus max shingle df $sampleMaxDf exceeds the df-cut $maxDf — " +
+        s"raise GRAFT_INCR_SAMPLE above $sample so the cut is inert and " +
+        "fold ≡ rebuild is the exact claim being audited")
+    println(s"SAMPLE 1/$sample: ${sampled.count()} docs, max shingle df " +
+      s"$sampleMaxDf (cut $maxDf inert)")
+    val rebuiltCooc = Dedup.buildCoocStore(sampled, maxDf, jT, cT)
+      .cooc.localCheckpoint()
+    val base = sampled.where(col("doc_id") % 10 =!= 0)
+    val delta = sampled.where(col("doc_id") % 10 === 0)
+    val coocOk = diff(s"cooc_incr ≡ rebuild [sampled 1/$sample]")(
+      Dedup.foldCoocDelta(
+        Dedup.buildCoocStore(base, maxDf, jT, cT), delta, maxDf, jT, cT).cooc,
+      rebuiltCooc)
+    val pairs = Dedup.jaccardFromCooc(rebuiltCooc, jT)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val storedHalf = pairs.where((col("d1") + col("d2")) % 2 === 0)
+    val deltaHalf = pairs.where((col("d1") + col("d2")) % 2 =!= 0)
+    val compsOk = diff(s"components_incr ≡ connectedComponents [sampled 1/$sample]")(
+      Cluster.componentsIncrement(
+        Cluster.connectedComponents(storedHalf), deltaHalf),
+      Cluster.connectedComponents(pairs))
+    (coocOk, compsOk)
+  }
 
   private def diff(name: String)(got: => DataFrame, want: => DataFrame): Boolean = {
     if (skip.exists(name.startsWith)) { println(s"SKIP $name"); return true }
@@ -60,9 +119,13 @@ object IncrAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // sampled mode replaces the two rebuild-bound checks (computed
+    // once — they share the sampled rebuild)
+    lazy val sampledPair = sampledPairFamily(spark, sfDir)
     val results = Seq(
       // q119: delta near-dup pairs folded into stored components
-      diff("components_incr ≡ connectedComponents(all pairs)")(
+      if (sample >= 2) sampledPair._2
+      else diff("components_incr ≡ connectedComponents(all pairs)")(
         Cluster.storedIncrementalComponents(spark, sfDir),
         Cluster.connectedComponents(
           Dedup.storedPairs(spark, sfDir).select(col("d1"), col("d2")))),
@@ -88,7 +151,8 @@ object IncrAudit {
       // the full retained co-occurrence core (gate cut is inert at
       // every audited sf — q31's in-plan assert would trip otherwise,
       // so fold ≡ rebuild exactly, not merely ⊇)
-      diff("cooc_incr ≡ storedCooc(all docs)")(
+      if (sample >= 2) sampledPair._1
+      else diff("cooc_incr ≡ storedCooc(all docs)")(
         Dedup.storedIncrementalCooc(spark, sfDir),
         Dedup.storedCooc(spark, sfDir)),
       // BPE dictionary: additive word-count fold ≡ full recount (the

@@ -319,6 +319,32 @@ class AnnSpec extends SparkSpec {
     sApp shouldBe sFull
   }
 
+  test("recall audit: probing every list reproduces brute exactly; fewer probes stay in [0,1] (q155)") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = Ann.storedCentroids(spark, sfDir, 16, 2)
+    // nprobe = nc probes ALL lists: the candidate set is the whole
+    // corpus minus self, and the shared topK tie rule makes IVF
+    // ranking ≡ brute ranking — recall must be exactly 1.0
+    val full = Ann.ivfRecallAudit(e, cents, nprobe = 16, k = 5,
+      isQuery = col("vec_id") < 10)
+      .select($"qid", $"k", $"hits", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    full.length shouldBe 10
+    full.foreach { case (_, k, hits, recall) =>
+      k shouldBe 5L
+      hits shouldBe 5L
+      recall shouldBe 1.0
+    }
+    // the deployed config is a genuine approximation: bounded, and
+    // never better than the exhaustive probe
+    val dep = Ann.ivfRecallAudit(e, cents, nprobe = 2, k = 5,
+      isQuery = col("vec_id") < 10)
+      .select($"recall").as[Double].collect()
+    dep.length shouldBe 10
+    dep.foreach { r => r should be >= 0.0; r should be <= 1.0 }
+  }
+
   test("IVF refresh: iters=0 is the identity; warm rounds are deterministic") {
     val e = Tables.embeddings(spark, sfDir)
     val cents = Ann.ivfCentroids(e, nc = 8, iters = 1)

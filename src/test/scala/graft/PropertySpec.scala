@@ -348,6 +348,89 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lmPerplexity ≡ driver-side recompute on 10 random corpora (q154)") {
+    (1 to 10).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val rows = (0 until (12 + rnd.nextInt(30))).map { i =>
+        (i.toLong,
+          (0 until rnd.nextInt(10))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val isT = $"doc_id" % 3 === 0
+      val got = operators.Text.lmPerplexity(df, isT)
+        .select($"doc_id", $"n_bigrams", $"log_prob", $"ppl")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      // driver model: add-1-smoothed bigram LM over the target slice
+      def toks(t: String) = t.trim.split("\\s+").toSeq
+      val target = rows.filter(_._1 % 3 == 0)
+      val bg = target.flatMap { case (_, t) =>
+        toks(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctx = bg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val v = target.flatMap { case (_, t) => toks(t) }.distinct.size
+      val want = rows.flatMap { case (id, t) =>
+        val pairs = toks(t).sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))).toSeq
+        if (pairs.isEmpty) None
+        else {
+          val lp = pairs.map { p =>
+            math.log(bg.getOrElse(p, 0L) + 1.0) -
+              math.log(ctx.getOrElse(p._1, 0L) + v.toDouble)
+          }.sum
+          Some(id -> (pairs.size.toLong, lp, math.exp(-lp / pairs.size)))
+        }
+      }.toMap
+      withClue(s"trial $trial: ") {
+        got.keySet shouldBe want.keySet
+        want.foreach { case (id, (n, lp, ppl)) =>
+          val (_, gn, glp, gppl) = got(id)
+          gn shouldBe n
+          glp shouldBe lp +- 1e-9
+          gppl shouldBe ppl +- 1e-9
+          gppl should be > 0.0
+        }
+      }
+    }
+  }
+
+  test("lengthDrift ≡ brute-force KS on 10 random corpora; 0 for a lone source (q156)") {
+    (1 to 10).foreach { trial =>
+      val nSrc = 1 + rnd.nextInt(4)
+      val rows = (0 until (10 + rnd.nextInt(40))).map { i =>
+        (i.toLong, s"s${rnd.nextInt(nSrc)}",
+          (0 until rnd.nextInt(15)).map(_ => "w").mkString(" "))
+      }
+      val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+      val got = operators.Text.lengthDrift(df)
+        .select($"source", $"n_docs", $"ks")
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+      def len(t: String) = t.trim.split("\\s+").length
+      val all = rows.map { case (_, s, t) => (s, len(t)) }
+      val n = all.size
+      val grid = all.map(_._2).distinct.sorted
+      val bySrc = all.groupBy(_._1)
+      withClue(s"trial $trial (nSrc=$nSrc): ") {
+        got.keySet shouldBe bySrc.keySet
+        bySrc.foreach { case (s, rs) =>
+          val ns = rs.size
+          val ks = grid.map { x =>
+            val cs = rs.count(_._2 <= x).toLong
+            val g = all.count(_._2 <= x).toLong
+            (BigInt(cs) * n - BigInt(g) * ns).abs
+          }.max.toDouble / (ns.toDouble * n.toDouble)
+          val (_, gn, gks) = got(s)
+          gn shouldBe ns.toLong
+          gks shouldBe ks +- 1e-15
+          gks should be >= 0.0
+          gks should be <= 1.0
+        }
+        if (bySrc.size == 1) got.head._2._3 shouldBe 0.0
+      }
+    }
+  }
+
   test("cohortRetention ≡ brute-force matrix on 10 random event logs (q109)") {
     (1 to 10).foreach { trial =>
       val nUsers = 1 + rnd.nextInt(12)
