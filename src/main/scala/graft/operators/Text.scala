@@ -1694,7 +1694,139 @@ object Text extends QueryPack {
            |GROUP BY source, n_s, n""".stripMargin),
     "per-source doc-length KS drift: exact Kolmogorov-Smirnov distance vs the corpus length CDF, integer cross-products only")
 
+  /** Heaps-law vocabulary growth curve: exact distinct word-3-gram
+    * count after each 10% prefix of the corpus (by doc_id range —
+    * the ingest-order proxy), the report that tells a data buyer
+    * whether more of the same crawl still adds NEW content or only
+    * repetition. q87 answers "how much vocab covers X% of tokens";
+    * this answers "how fast does vocab grow with corpus".
+    *
+    * Scale shape — the one-pass trick: the naive form rescans the
+    * corpus once per checkpoint (10 distinct-counts over growing
+    * prefixes). Instead each gram keys ONE min-aggregate on its
+    * FIRST-SEEN decile — distinct grams at checkpoint d = grams with
+    * first_seen ≤ d — so the whole curve costs one linear gram pass,
+    * one gram-keyed min (map-side partial), a 10-row histogram and a
+    * 10-row cumulative window. Exact at any scale, no per-checkpoint
+    * rescans, no sketches. Deciles come from the doc_id RANGE (a
+    * broadcast max, truncating division — identical arithmetic in
+    * the oracle), not a global ntile sort.
+    */
+  def vocabGrowth(docsDf: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = docsDf.agg(max(col("doc_id")).as("m"))
+    val dec = least(lit(10),
+      floor(col("doc_id") * 10 / (col("m") + 1)).cast("int") + 1)
+    // the shingles() projection (q103's choice) keeps the decile on
+    // the row through the explode — no join back, one true pass
+    val docsDec = graft.util.reused(
+      docsDf.crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("text"), dec.as("dec")))
+    val firstSeen = docsDec
+      .select(col("dec"), explode(shingles(words(col("text")), n)).as("sh"))
+      .groupBy(xxhash64(col("sh")).as("gh"))
+      .agg(min(col("dec")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("v"))
+    val docsPer = docsDec.groupBy(col("dec")).agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy(col("dec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDf.sparkSession.range(1, 11).select(col("id").cast("int").as("dec"))
+      .join(docsPer, Seq("dec"), "left")
+      .join(firstSeen.withColumnRenamed("fd", "dec"), Seq("dec"), "left")
+      .select(col("dec"),
+        sum(coalesce(col("nd"), lit(0L))).over(w).as("n_docs_cum"),
+        sum(coalesce(col("v"), lit(0L))).over(w).as("vocab_cum"))
+  }
+
+  val q157 = Q(
+    "q157_vocab_growth",
+    (s, d) => vocabGrowth(docs(s, d), 3),
+    Some("""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+           |docs AS (
+           |  SELECT doc_id, text,
+           |    LEAST(10, CAST(FLOOR(doc_id * 10.0 / (m + 1)) AS INT) + 1) AS dec
+           |  FROM documents CROSS JOIN mx
+           |), g AS (
+           |  SELECT dec, array_to_string(w[i:i+2], ' ') AS sh
+           |  FROM (SELECT dec, string_split_regex(trim(text), '\s+') AS w FROM docs),
+           |    UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), fs AS (
+           |  SELECT sh, MIN(dec) AS fd FROM g GROUP BY sh
+           |), vd AS (SELECT fd AS dec, COUNT(*) AS v FROM fs GROUP BY 1),
+           |dd AS (SELECT dec, COUNT(*) AS nd FROM docs GROUP BY 1)
+           |SELECT s.dec,
+           |  CAST(SUM(COALESCE(dd.nd, 0)) OVER (ORDER BY s.dec
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs_cum,
+           |  CAST(SUM(COALESCE(vd.v, 0)) OVER (ORDER BY s.dec
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+           |FROM (SELECT CAST(i AS INT) AS dec FROM UNNEST(generate_series(1, 10)) t(i)) s
+           |LEFT JOIN dd USING (dec) LEFT JOIN vd USING (dec)""".stripMargin),
+    "Heaps-law vocabulary growth: exact distinct 3-grams per 10% corpus prefix via one min-first-seen pass, no per-checkpoint rescan")
+
+  /** Quality-gate ablation — the knob-tuning report q78's histogram
+    * cannot give: per rule, how many failing docs fail it at all vs
+    * fail ONLY it (the docs that would be RECOVERED if the rule were
+    * dropped — a rule with high sole-failure count is the binding
+    * constraint worth re-examining; one whose failures always
+    * co-occur with others is free). Rides the q74 gate scan; output
+    * is rule-domain-sized.
+    */
+  def gateAblation(docsDf: DataFrame): DataFrame =
+    qualityGate(docsDf).where(!col("keep"))
+      .select(col("doc_id"), split(col("drop_reasons"), ",").as("rs"))
+      .select(col("doc_id"), size(col("rs")).as("nr"),
+        explode(col("rs")).as("rule"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_failing"),
+        sum(when(col("nr") === 1, lit(1L)).otherwise(lit(0L))).as("n_sole"))
+
+  val q158 = Q(
+    "q158_gate_ablation",
+    (s, d) => gateAblation(docs(s, d)),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents
+           |), wc AS (
+           |  SELECT doc_id, t AS wd, COUNT(*) AS c
+           |  FROM toks, UNNEST(w) u(t) GROUP BY 1, 2
+           |), ws AS (
+           |  SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot,
+           |    CAST(SUM(CASE WHEN wd IN ('the','a','of','and','is','in','to','it')
+           |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM wc GROUP BY 1
+           |), g AS (
+           |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+           |), gs AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct
+           |  FROM g GROUP BY 1
+           |), r AS (
+           |  SELECT t.doc_id,
+           |    concat_ws(',',
+           |      CASE WHEN ws.tot < 30 OR ws.tot > 10000 THEN 'word_count' END,
+           |      CASE WHEN CAST(length(regexp_replace(t.text, '\s', '', 'g')) AS DOUBLE) / ws.tot < 3.0
+           |             OR CAST(length(regexp_replace(t.text, '\s', '', 'g')) AS DOUBLE) / ws.tot > 12.0
+           |           THEN 'word_len' END,
+           |      CASE WHEN CAST(ws.mx AS DOUBLE) / ws.tot > 0.20 THEN 'top_word' END,
+           |      CASE WHEN gs.n_grams > 0
+           |             AND CAST(gs.n_grams - gs.n_distinct AS DOUBLE) / gs.n_grams > 0.30
+           |           THEN 'dup_3gram' END,
+           |      CASE WHEN ws.n_stop < 2 THEN 'no_stopwords' END) AS drop_reasons
+           |  FROM toks t
+           |  LEFT JOIN ws ON ws.doc_id = t.doc_id
+           |  LEFT JOIN gs ON gs.doc_id = t.doc_id
+           |), f AS (
+           |  SELECT doc_id, string_split(drop_reasons, ',') AS rs
+           |  FROM r WHERE drop_reasons <> ''
+           |)
+           |SELECT u.rule, CAST(COUNT(*) AS BIGINT) AS n_failing,
+           |  CAST(SUM(CASE WHEN len(f.rs) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole
+           |FROM f, UNNEST(f.rs) u(rule)
+           |GROUP BY u.rule""".stripMargin),
+    "quality-gate ablation: per rule, failing docs vs sole-reason failures (the recoverable set if the rule were dropped)")
+
   val all: Seq[Q] = Seq(q147, q30, q36, q37, q38, q39, q48, q53, q54, q59, q60, q62,
     q72, q74, q78, q79, q82, q87, q103, q107, q108, q113, q118, q123,
-    q125, q134, q154, q156)
+    q125, q134, q154, q156, q157, q158)
 }

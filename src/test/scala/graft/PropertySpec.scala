@@ -348,6 +348,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vocabGrowth ≡ brute-force prefix distinct counts on 10 random corpora (q157)") {
+    (1 to 10).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val rows = (0 until (10 + rnd.nextInt(40))).map { i =>
+        (i.toLong,
+          (0 until rnd.nextInt(12))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val got = operators.Text.vocabGrowth(df, 3)
+        .select($"dec", $"n_docs_cum", $"vocab_cum")
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      got.map(_._1).toSeq shouldBe (1 to 10)
+      // brute force: same decile rule, distinct 3-grams per prefix
+      val m = rows.map(_._1).max
+      def decOf(id: Long) = math.min(10, (id * 10 / (m + 1)).toInt + 1)
+      def grams(t: String) = t.trim.split("\\s+").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      (1 to 10).foreach { d =>
+        val prefix = rows.filter(r => decOf(r._1) <= d)
+        val (_, nd, v) = got(d - 1)
+        nd shouldBe prefix.size.toLong
+        v shouldBe prefix.flatMap(r => grams(r._2)).distinct.size.toLong
+      }
+      // cumulative ⇒ monotone in both coordinates
+      got.sliding(2).foreach { case Array(a, b) =>
+        b._2 should be >= a._2; b._3 should be >= a._3
+      }
+    }
+  }
+
+  test("gateAblation is consistent with the gate output (q158)") {
+    val df = Tables.documents(spark, sfDir)
+    val gate = operators.Text.qualityGate(df)
+      .select($"keep", $"drop_reasons").as[(Boolean, String)].collect()
+    val failing = gate.filter(!_._1).map(_._2.split(",").toSeq)
+    val got = operators.Text.gateAblation(df)
+      .select($"rule", $"n_failing", $"n_sole")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got.keySet shouldBe failing.flatten.toSet
+    got.foreach { case (rule, (nf, ns)) =>
+      nf shouldBe failing.count(_.contains(rule)).toLong
+      ns shouldBe failing.count(rs => rs == Seq(rule)).toLong
+      ns should be <= nf
+    }
+  }
+
   test("lmPerplexity ≡ driver-side recompute on 10 random corpora (q154)") {
     (1 to 10).foreach { trial =>
       val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
