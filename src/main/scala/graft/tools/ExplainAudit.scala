@@ -325,6 +325,26 @@ object ExplainAudit {
           v += Violation(name, "no partial (map-side) aggregation")
         if (plan.contains("lambdafunction"))
           v += Violation(name, "interpreted lambda HOF on the excision path")
+      case "q154_lm_score" =>
+        // one tokenize+shingle pass feeds the doc facts AND both side
+        // models (the reused() persist): losing the InMemoryTableScan
+        // means the explode runs three times; aggregates keep
+        // map-side partials
+        if (!plan.contains("InMemoryTableScan"))
+          v += Violation(name, "shared bigram pass reuse lost (no InMemoryTableScan)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
+      case "q155_ann_recall" =>
+        // ground truth is the q34 broadcast brute shape: the corpus
+        // scans once against broadcast queries — a shuffle join here
+        // means the corpus got exchanged to meet the probe set
+        if (!plan.contains("BroadcastNestedLoopJoin"))
+          v += Violation(name, "brute ground truth lost its query broadcast")
+      case "q156_ks_drift" | "q157_vocab_growth" | "q158_gate_ablation" =>
+        // compressed-domain analytics: counts aggregate with map-side
+        // partials before anything wide happens
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q151_dsir_weights" =>
         // the side models are ≤ buckets rows and must come back to the
         // feature stream as a BROADCAST — a shuffle join here means the
