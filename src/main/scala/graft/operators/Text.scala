@@ -1715,19 +1715,19 @@ object Text extends QueryPack {
   def vocabGrowth(docsDf: DataFrame, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mx = docsDf.agg(max(col("doc_id")).as("m"))
+    // the decile is a pure function of (doc_id, broadcast max), so it
+    // attaches to the codegen gram stream directly — no join back, no
+    // doc-table persist (an interpreted shingles()-HOF variant of this
+    // pass benched 3.2 s at sf0.1 vs ~1 s for the window form)
     val dec = least(lit(10),
       floor(col("doc_id") * 10 / (col("m") + 1)).cast("int") + 1)
-    // the shingles() projection (q103's choice) keeps the decile on
-    // the row through the explode — no join back, one true pass
-    val docsDec = graft.util.reused(
-      docsDf.crossJoin(broadcast(mx))
-        .select(col("doc_id"), col("text"), dec.as("dec")))
-    val firstSeen = docsDec
-      .select(col("dec"), explode(shingles(words(col("text")), n)).as("sh"))
-      .groupBy(xxhash64(col("sh")).as("gh"))
-      .agg(min(col("dec")).as("fd"))
+    val firstSeen = Dedup.ngrams(docsDf, n)
+      .crossJoin(broadcast(mx))
+      .groupBy(xxhash64(col("shingle")).as("gh"))
+      .agg(min(dec).as("fd"))
       .groupBy(col("fd")).agg(count(lit(1)).as("v"))
-    val docsPer = docsDec.groupBy(col("dec")).agg(count(lit(1)).as("nd"))
+    val docsPer = docsDf.crossJoin(broadcast(mx))
+      .groupBy(dec.as("dec")).agg(count(lit(1)).as("nd"))
     val w = Window.orderBy(col("dec"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docsDf.sparkSession.range(1, 11).select(col("id").cast("int").as("dec"))
