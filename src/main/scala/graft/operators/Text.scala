@@ -1663,6 +1663,67 @@ object Text extends QueryPack {
           / (col("n_s").cast("double") * col("n").cast("double"))).as("ks"))
   }
 
+  /** Publish the frozen length baseline a drift MONITOR compares
+    * against: (len, gcum, n) — every distinct corpus length with its
+    * cumulative doc count and the total. Model-sized by construction
+    * (distinct lengths are a bounded physical domain); consumers
+    * broadcast it. The [[graft.streaming.StreamOps.streamingLengthDrift]]
+    * publisher.
+    */
+  def exportLengthBaseline(docsDf: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    docsDf.select(size(words(col("text"))).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("g"))
+      .withColumn("gcum", sum(col("g")).over(
+        Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(
+        docsDf.agg(count(lit(1)).as("n"))))
+      .select(col("len"), col("gcum"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** [[lengthDrift]] against an EXTERNAL baseline CDF (len, gcum, n)
+    * instead of the corpus itself — the monitoring form: per source,
+    * the exact KS distance between this batch's length CDF and the
+    * frozen baseline's. The KS max over two step functions is
+    * attained at a step of either, so the evaluation grid is the
+    * union of batch and baseline lengths; the baseline CDF
+    * forward-fills across batch-only lengths (running max of gcum —
+    * gcum is nondecreasing in len). Same integer-cross-product
+    * exactness contract as q156. Stateless and per-batch-pure, so
+    * the streaming monitor calls it verbatim on every micro-batch.
+    */
+  def lengthDriftAgainst(docsDf: DataFrame, baseline: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slc = docsDf.select(col("source"),
+        size(words(col("text"))).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val srcTot = slc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val baseGrid = baseline.select(col("len"), col("gcum"))
+    val batchGrid = slc.select(col("len")).distinct()
+    val grid = srcTot.select(col("source"), col("n_s"))
+      .crossJoin(broadcast(
+        baseGrid.select(col("len")).unionByName(batchGrid).distinct()))
+      .join(broadcast(baseGrid), Seq("len"), "left")
+      .join(slc, Seq("source", "len"), "left")
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("scum", sum(coalesce(col("c"), lit(0L))).over(bySrc))
+      .withColumn("basecum", coalesce(
+        max(col("gcum")).over(bySrc), lit(0L))) // forward-fill the step CDF
+      .crossJoin(broadcast(baseline.select(col("n")).limit(1)))
+      .withColumn("num",
+        abs(col("scum").cast("decimal(38,0)") * col("n")
+          - col("basecum").cast("decimal(38,0)") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(max(col("num")).as("ks_num"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("ks_num").cast("double")
+          / (col("n_s").cast("double") * col("n").cast("double"))).as("ks"))
+  }
+
   val q156 = Q(
     "q156_ks_drift",
     (s, d) => lengthDrift(docs(s, d)),

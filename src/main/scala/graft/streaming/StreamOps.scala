@@ -727,6 +727,52 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** Streaming length-drift monitor — q156's operational twin: each
+    * micro-batch of ingested documents is KS-tested per source
+    * against a FROZEN baseline length CDF (published once by
+    * [[graft.operators.Text.exportLengthBaseline]] from a reference
+    * corpus), and per-(source, batch) verdict rows land in the keyed
+    * upsert sink — an ingest feed whose documents suddenly truncate
+    * or concatenate trips the monitor within one batch, before any
+    * content metric moves. Scoring is
+    * [[graft.operators.Text.lengthDriftAgainst]] verbatim (stateless,
+    * per-batch-pure), so stream ≡ batch by construction; the baseline
+    * is SNAPSHOTTED at stream construction (model-sized: distinct
+    * lengths) — the streamingDsirSelect redelivery argument: a
+    * redelivered batch scores under the identical baseline, and with
+    * the sink keyed on (source, batch_id) redelivery is a same-key
+    * no-op.
+    */
+  def streamingLengthDrift(stream: DataFrame, baselinePath: String,
+      outPath: String, ksThreshold: Double, numBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = stream.sparkSession.read.parquet(baselinePath)
+      .select(col("len").cast("long"), col("gcum").cast("long"), col("n").cast("long"))
+      .collect().toSeq
+    val frozenSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("len", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("gcum", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
+      val s = batch.sparkSession
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      if (docs.head(1).nonEmpty) {
+        val baseline = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(frozen).asJava), frozenSchema)
+        val verdicts = graft.operators.Text.lengthDriftAgainst(docs, baseline)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("drifted", col("ks") >= ksThreshold)
+        graft.sources.ParquetUpsertSink.upsert(
+          verdicts, outPath, Seq("source", "batch_id"), "batch_id", numBuckets)
+      }
+      ()
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   /** Two-tier fingerprint decontamination at ingest — the broadcast-
     * SKETCH form of the contamination firewall. Each micro-batch of
     * candidate training docs is fingerprinted (codegen ngram

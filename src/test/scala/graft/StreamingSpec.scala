@@ -310,6 +310,59 @@ class StreamingSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("streaming length-drift monitor: self-batch ≡ q156's self-drift, truncation trips the gate") {
+    import org.apache.spark.sql.functions.{array_join, col, slice}
+    import graft.functions.words
+    val docs = Tables.documents(spark, sfDir)
+    val base = Files.createTempDirectory("graft-ksdrift").toString
+    graft.operators.Text.exportLengthBaseline(docs, base + "/baseline")
+    // scenario 1: the stream IS the baseline corpus in one batch —
+    // scoring against the external baseline must reproduce q156's
+    // self-drift numbers exactly (same grid, same integer products)
+    val dir1 = base + "/in1"
+    docs.write.parquet(dir1)
+    val t1 = base + "/out1"
+    val q1 = StreamOps.streamingLengthDrift(
+        spark.readStream.schema(spark.read.parquet(dir1).schema).parquet(dir1),
+        base + "/baseline", t1, ksThreshold = 0.3)
+      .option("checkpointLocation", base + "/ck1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val got = graft.sources.ParquetUpsertSink.read(spark, t1)
+      .select($"source", $"n_docs", $"ks", $"drifted")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val want = graft.operators.Text.lengthDrift(docs)
+      .select($"source", $"n_docs", $"ks")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    got.keySet shouldBe want.keySet
+    want.foreach { case (src, (_, n, ks)) =>
+      got(src)._2 shouldBe n
+      got(src)._3 shouldBe ks // identical arithmetic, exact
+      got(src)._4 shouldBe false // a corpus does not drift from itself
+    }
+    // scenario 2: a truncation regression — every doc cut to its
+    // first 2 words — must trip every source's gate within the batch
+    val dir2 = base + "/in2"
+    docs.withColumn("text", array_join(slice(words(col("text")), 1, 2), " "))
+      .write.parquet(dir2)
+    val t2 = base + "/out2"
+    val q2 = StreamOps.streamingLengthDrift(
+        spark.readStream.schema(spark.read.parquet(dir2).schema).parquet(dir2),
+        base + "/baseline", t2, ksThreshold = 0.3)
+      .option("checkpointLocation", base + "/ck2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val tripped = graft.sources.ParquetUpsertSink.read(spark, t2)
+      .select($"source", $"ks", $"drifted")
+      .as[(String, Double, Boolean)].collect()
+    tripped should not be empty
+    tripped.foreach { case (_, ks, drifted) =>
+      ks should be > 0.3
+      drifted shouldBe true
+    }
+  }
+
   test("streaming sinks with a _rev scratch column fail at construction, before any batch runs") {
     val dir = Files.createTempDirectory("graft-rev-src").toString + "/in"
     Tables.documents(spark, sfDir).limit(5)
