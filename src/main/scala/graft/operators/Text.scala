@@ -1576,6 +1576,65 @@ object Text extends QueryPack {
       .withColumn("ppl", exp(-col("log_prob") / col("n_bigrams")))
   }
 
+  /** The target-LM model as PERSISTABLE tables, maintained at delta
+    * cost (the Dsir.countsIncrement / Bpe.dictIncrement pattern):
+    *  - `lmBigramCounts` — (bg, cbg) over the target slice; additive
+    *    under append-only ingest, so the fold is one delta count +
+    *    sum. The CONTEXT model derives exactly from it at read time
+    *    (cctx = Σ cbg over bg with that first word), so only one
+    *    count table persists.
+    *  - `lmVocab` — the distinct target word set; the fold is a
+    *    union-distinct (monotone under appends). |lmVocab| is the
+    *    smoothing V.
+    * Fold ≡ full recount exactly (integer counts / set union;
+    * TextSpec + tools.IncrAudit `lm_counts_incr`).
+    */
+  def lmBigramCounts(docsDf: DataFrame, isTarget: Column): DataFrame =
+    docsDf.where(coalesce(isTarget, lit(false)))
+      .select(explode(shingles(words(col("text")), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+
+  def lmBigramIncrement(stored: DataFrame, deltaDocs: DataFrame,
+      isTarget: Column): DataFrame =
+    stored.unionByName(lmBigramCounts(deltaDocs, isTarget))
+      .groupBy(col("bg")).agg(sum(col("cbg")).as("cbg"))
+
+  def lmVocab(docsDf: DataFrame, isTarget: Column): DataFrame =
+    docsDf.where(coalesce(isTarget, lit(false)))
+      .select(explode(words(col("text"))).as("wd")).distinct()
+
+  def lmVocabIncrement(stored: DataFrame, deltaDocs: DataFrame,
+      isTarget: Column): DataFrame =
+    stored.unionByName(lmVocab(deltaDocs, isTarget)).distinct()
+
+  /** Scoring under a FROZEN persisted model — the deployment form:
+    * the bigram table broadcasts (or shuffle-joins on the compressed
+    * bigram domain at vocab² scale), the context model derives from
+    * it in-plan, V rides a 1-row broadcast. Same formula as
+    * [[lmPerplexity]]; TextSpec pins stored-model scoring ≡ the
+    * self-trained form on the same corpus.
+    */
+  def lmPerplexityUnder(docsDf: DataFrame, bgModel: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val dbg = docsDf
+      .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+    val ctxModel = bgModel
+      .groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum(col("cbg")).as("cctx"))
+    val v = vocab.agg(count(lit(1)).as("v_target"))
+    dbg.join(bgModel, Seq("bg"), "left")
+      .join(ctxModel, Seq("ctx"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * (log(coalesce(col("cbg"), lit(0L)) + lit(1.0))
+          - log(coalesce(col("cctx"), lit(0L)) + col("v_target").cast("double"))))
+          .as("log_prob"))
+      .withColumn("ppl", exp(-col("log_prob") / col("n_bigrams")))
+  }
+
   val q154 = Q(
     "q154_lm_score",
     (s, d) => lmFacts(docs(s, d),

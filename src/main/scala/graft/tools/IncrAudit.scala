@@ -181,6 +181,29 @@ object IncrAudit {
           graft.operators.Dsir.bucketCounts(
             graft.operators.Dsir.hashedFeatures(docs, isT, 10000)))
       },
+      // target-LM model (q154): additive bigram-count fold + vocab
+      // union ≡ full recount (the persisted form lmPerplexityUnder
+      // scores under; context model derives from the bigram table)
+      locally {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val isT = col("source").substr(4, 10).cast("int") >= 15
+        diff("lm_counts_incr ≡ lmBigramCounts(all target docs)")(
+          graft.operators.Text.lmBigramIncrement(
+            graft.operators.Text.lmBigramCounts(
+              docs.where(col("doc_id") % 10 =!= 0), isT),
+            docs.where(col("doc_id") % 10 === 0), isT),
+          graft.operators.Text.lmBigramCounts(docs, isT))
+      },
+      locally {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val isT = col("source").substr(4, 10).cast("int") >= 15
+        diff("lm_vocab_incr ≡ lmVocab(all target docs)")(
+          graft.operators.Text.lmVocabIncrement(
+            graft.operators.Text.lmVocab(
+              docs.where(col("doc_id") % 10 =!= 0), isT),
+            docs.where(col("doc_id") % 10 === 0), isT),
+          graft.operators.Text.lmVocab(docs, isT))
+      },
       // near-dup delta pairs ≡ the full pair run restricted to
       // delta-touching pairs (the nightly signature-store contract)
       locally {

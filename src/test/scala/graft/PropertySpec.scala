@@ -379,6 +379,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LM model: incremental fold ≡ full recount, frozen-model scoring ≡ self-trained (q154)") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, substring}
+    val docs = Tables.documents(spark, sfDir)
+    val isT = substring(col("source"), 4, 10).cast("int") >= 15
+    val base = docs.where($"doc_id" % 10 =!= 0)
+    val delta = docs.where($"doc_id" % 10 === 0)
+    // additive fold ≡ full recount, exactly (integer counts / set union)
+    operators.Text.lmBigramIncrement(
+        operators.Text.lmBigramCounts(base, isT), delta, isT)
+      .as[(String, Long)].collect().toSet shouldBe
+      operators.Text.lmBigramCounts(docs, isT).as[(String, Long)].collect().toSet
+    operators.Text.lmVocabIncrement(
+        operators.Text.lmVocab(base, isT), delta, isT)
+      .as[String].collect().toSet shouldBe
+      operators.Text.lmVocab(docs, isT).as[String].collect().toSet
+    // scoring under the persisted model ≡ the self-trained form
+    // (same formula; per-doc float sums may associate differently)
+    val self = operators.Text.lmPerplexity(docs, isT)
+      .select($"doc_id", $"n_bigrams", $"log_prob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val under = operators.Text.lmPerplexityUnder(docs,
+        operators.Text.lmBigramCounts(docs, isT),
+        operators.Text.lmVocab(docs, isT))
+      .select($"doc_id", $"n_bigrams", $"log_prob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    under.keySet shouldBe self.keySet
+    self.foreach { case (id, (_, n, lp)) =>
+      under(id)._2 shouldBe n
+      under(id)._3 shouldBe lp +- 1e-9
+    }
+  }
+
   test("gateAblation is consistent with the gate output (q158)") {
     val df = Tables.documents(spark, sfDir)
     val gate = operators.Text.qualityGate(df)
