@@ -302,13 +302,20 @@ object Ann extends QueryPack {
   def ivfSearch(df: DataFrame, nc: Int, nprobe: Int, iters: Int, k: Int): DataFrame =
     ivfSearchOn(df, ivfCentroids(df, nc, iters), nprobe, k)
 
-  /** ivfSearch with an already-trained (or stored) quantizer. */
+  /** ivfSearch with an already-trained (or stored) quantizer.
+    * `isQuery` selects the probe set (default: the gate's 10-query
+    * convention) — r16 fix: this was hardcoded inside the assigned
+    * search, so a caller auditing a DIFFERENT probe set (q155's
+    * recall audit) would have silently compared mismatched query
+    * sets.
+    */
   def ivfSearchOn(df: DataFrame, cents: Array[Array[Double]],
-      nprobe: Int, k: Int): DataFrame =
+      nprobe: Int, k: Int,
+      isQuery: Column = col("vec_id") < 10): DataFrame =
     ivfSearchAssigned(
       assignClusters(df, cents)
         .transform(graft.util.reused), // assignment runs once: reused by query + candidate sides
-      cents, nprobe, k)
+      cents, nprobe, k, isQuery)
 
   /** IVF search over an EXISTING assignment table (vec_id, embedding,
     * cl) — the deployed-index read path: a production index stores
@@ -317,8 +324,9 @@ object Ann extends QueryPack {
     * [[ivfAppend]] for delta maintenance.
     */
   def ivfSearchAssigned(assigned: DataFrame, cents: Array[Array[Double]],
-      nprobe: Int, k: Int): DataFrame = {
-    val q = assigned.where(col("vec_id") < 10)
+      nprobe: Int, k: Int,
+      isQuery: Column = col("vec_id") < 10): DataFrame = {
+    val q = assigned.where(isQuery)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probeRank = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cl").asc)
     val probes = q
@@ -1327,7 +1335,7 @@ object Ann extends QueryPack {
       c.join(broadcast(q), col("cid") =!= col("qid"))
         .withColumn("score", cosineFast(col("qv"), col("cv"))), k)
       .select(col("qid"), col("cid"))
-    val ivf = ivfSearchOn(e, cents, nprobe, k)
+    val ivf = ivfSearchOn(e, cents, nprobe, k, isQuery)
       .select(col("qid"), col("cid"), lit(1).as("m"))
     brute.join(ivf, Seq("qid", "cid"), "left")
       .groupBy(col("qid"))

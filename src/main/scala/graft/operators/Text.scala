@@ -1883,6 +1883,52 @@ object Text extends QueryPack {
            |LEFT JOIN dd USING (dec) LEFT JOIN vd USING (dec)""".stripMargin),
     "Heaps-law vocabulary growth: exact distinct 3-grams per 10% corpus prefix via one min-first-seen pass, no per-checkpoint rescan")
 
+  /** Vocabulary-novelty ingest — q157's operational twin, maintained
+    * INCREMENTALLY: a persisted distinct-gram store records, per
+    * gram, the batch that FIRST introduced it, and each ingested
+    * batch reports how much genuinely new vocabulary it brought
+    * (novelty collapsing toward 0 means the crawl is re-fetching
+    * what the corpus already holds — stop paying for it).
+    *
+    * Exactly-once by construction on an at-least-once transport:
+    * grams upsert keyed on the 64-bit gram hash with version
+    * −batch_id, so under the sink's latest-wins rule the SMALLEST
+    * batch id wins — first ingest owns the gram, and a redelivered
+    * (or out-of-order) batch is a same-key no-op. The verdict is
+    * then read FROM the store (rows with first_batch = this batch),
+    * not from transient batch state, so redelivery reproduces the
+    * original verdict bit-for-bit instead of reporting zero novelty.
+    *
+    * Scale shape: one gram pass over the BATCH (never the corpus),
+    * one distinct, one keyed upsert (merge cost ∝ touched buckets);
+    * the verdict is a bucket-pruned filtered read. Returns
+    * (batch_id, n_grams, new_grams, novelty_rate).
+    */
+  def vocabNoveltyIngest(storePath: String, batch: DataFrame, batchId: Long,
+      n: Int = 3, numBuckets: Int = 64): DataFrame = {
+    val s = batch.sparkSession
+    val grams = Dedup.ngrams(batch, n)
+      .select(xxhash64(col("shingle")).as("gh")).distinct()
+      .withColumn("first_batch", lit(batchId))
+      .withColumn("_v", lit(-batchId))
+      .localCheckpoint() // upsert + count both read it; one gram pass
+    import s.implicits._
+    if (grams.head(1).isEmpty)
+      // a gram-less batch (all docs shorter than n words) touches
+      // nothing — including a store that may not exist yet
+      return Seq((batchId, 0L, 0L, 0.0))
+        .toDF("batch_id", "n_grams", "new_grams", "novelty_rate")
+    graft.sources.ParquetUpsertSink.upsert(
+      grams, storePath, Seq("gh"), "_v", numBuckets)
+    val store = graft.sources.ParquetUpsertSink.read(s, storePath)
+    val nNew = store.where(col("first_batch") === batchId)
+      .agg(count(lit(1)).as("new_grams"))
+    grams.agg(count(lit(1)).as("n_grams"))
+      .crossJoin(nNew)
+      .select(lit(batchId).as("batch_id"), col("n_grams"), col("new_grams"),
+        (col("new_grams").cast("double") / col("n_grams")).as("novelty_rate"))
+  }
+
   /** Quality-gate ablation — the knob-tuning report q78's histogram
     * cannot give: per rule, how many failing docs fail it at all vs
     * fail ONLY it (the docs that would be RECOVERED if the rule were

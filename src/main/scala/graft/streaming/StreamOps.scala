@@ -773,6 +773,34 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** Streaming vocabulary-novelty monitor — q157's live form: each
+    * micro-batch folds its distinct grams into the persisted
+    * first-batch-wins gram store
+    * ([[graft.operators.Text.vocabNoveltyIngest]]) and its novelty
+    * verdict lands in a keyed table — the "is this crawl still
+    * adding new content?" dial, updated per batch. Exactly-once on
+    * both tables: the gram store's first-wins versioning makes a
+    * redelivered batch a same-key no-op AND reproduces its original
+    * verdict (read from the store, not batch state); the verdict
+    * upserts keyed on batch_id.
+    */
+  def streamingVocabNovelty(stream: DataFrame, storePath: String,
+      outPath: String, n: Int = 3, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      if (docs.head(1).nonEmpty) {
+        graft.sources.ParquetUpsertSink.upsert(
+          graft.operators.Text.vocabNoveltyIngest(storePath, docs, batchId, n, numBuckets),
+          outPath, Seq("batch_id"), "batch_id", numBuckets = 8)
+      }
+      ()
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   /** Two-tier fingerprint decontamination at ingest — the broadcast-
     * SKETCH form of the contamination firewall. Each micro-batch of
     * candidate training docs is fingerprinted (codegen ngram

@@ -343,6 +343,15 @@ class AnnSpec extends SparkSpec {
       .select($"recall").as[Double].collect()
     dep.length shouldBe 10
     dep.foreach { r => r should be >= 0.0; r should be <= 1.0 }
+    // a NON-default probe set threads through BOTH sides (the r16
+    // hardcoded-query-set fix): exhaustive probing is again exact
+    val other = Ann.ivfRecallAudit(e, cents, nprobe = 16, k = 5,
+      isQuery = col("vec_id") >= 20 && col("vec_id") < 30)
+      .select($"qid", $"recall").as[(Long, Double)].collect()
+    other.length shouldBe 10
+    other.foreach { case (qid, r) =>
+      qid should be >= 20L; qid should be < 30L; r shouldBe 1.0
+    }
   }
 
   test("IVF refresh: iters=0 is the identity; warm rounds are deterministic") {

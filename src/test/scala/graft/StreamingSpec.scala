@@ -363,6 +363,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("vocab-novelty ingest: first-batch-wins store, exact rates, redelivery reproduces the verdict") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val docs = Tables.documents(spark, sfDir)
+    val base = Files.createTempDirectory("graft-novelty").toString
+    val store = base + "/grams"
+    val b0 = docs.where($"doc_id" % 3 === 0)
+    val b1 = docs.where($"doc_id" % 3 =!= 0)
+    def distinctGrams(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.ngrams(df, 3)
+        .select(xxhash64(col("shingle")).as("gh")).distinct()
+        .as[Long].collect().toSet
+    val g0 = distinctGrams(b0)
+    val g1 = distinctGrams(b1)
+    // batch 0: everything is new
+    val v0 = graft.operators.Text.vocabNoveltyIngest(store, b0, 0L)
+      .as[(Long, Long, Long, Double)].head()
+    v0 shouldBe ((0L, g0.size.toLong, g0.size.toLong, 1.0))
+    // batch 1: novelty = grams not already owned by batch 0
+    val v1 = graft.operators.Text.vocabNoveltyIngest(store, b1, 1L)
+      .as[(Long, Long, Long, Double)].head()
+    v1._2 shouldBe g1.size.toLong
+    v1._3 shouldBe (g1 -- g0).size.toLong
+    // the store now holds exactly the union, each gram owned by its
+    // FIRST batch
+    val owned = graft.sources.ParquetUpsertSink.read(spark, store)
+      .select($"gh", $"first_batch").as[(Long, Long)].collect().toMap
+    owned.keySet shouldBe (g0 ++ g1)
+    g0.foreach(g => owned(g) shouldBe 0L)
+    (g1 -- g0).foreach(g => owned(g) shouldBe 1L)
+    // redelivery of batch 1 is a store no-op AND reproduces the
+    // original verdict (read from the store, not batch state)
+    val v1again = graft.operators.Text.vocabNoveltyIngest(store, b1, 1L)
+      .as[(Long, Long, Long, Double)].head()
+    v1again shouldBe v1
+    // the streaming wrapper lands the same verdicts keyed by batch
+    val dir = base + "/in"
+    // coalesce(1): one FILE per logical batch, so maxFilesPerTrigger=1
+    // delivers exactly the two batches (in either order — the sum
+    // assertions below are order-independent)
+    b0.coalesce(1).write.mode("append").parquet(dir)
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.streamingVocabNovelty(stream, base + "/sgrams", base + "/verdicts")
+      .option("checkpointLocation", base + "/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val verdicts = graft.sources.ParquetUpsertSink.read(spark, base + "/verdicts")
+      .select($"batch_id", $"n_grams", $"new_grams")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    verdicts.map(_._2).sum shouldBe (g0.size + g1.size).toLong // each batch counted once
+    verdicts.map(_._3).sum shouldBe (g0 ++ g1).size.toLong // novelty partitions the union
+    graft.sources.ParquetUpsertSink.read(spark, base + "/sgrams")
+      .count() shouldBe (g0 ++ g1).size.toLong
+  }
+
   test("streaming sinks with a _rev scratch column fail at construction, before any batch runs") {
     val dir = Files.createTempDirectory("graft-rev-src").toString + "/in"
     Tables.documents(spark, sfDir).limit(5)
