@@ -141,6 +141,33 @@ class FunctionsSpec extends SparkSpec {
     row shouldBe agg
   }
 
+  test("excise_words: empty/full/adjacent/boundary interval covers cut exactly the right words") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    import graft.functions.exciseWords
+    def run(text: String, iv: Seq[(Int, Int)]): String = {
+      val ivSql =
+        if (iv.isEmpty) "CAST(array() AS array<struct<lo:int,hi:int>>)"
+        else iv.map { case (l, h) => s"named_struct('lo', $l, 'hi', $h)" }
+          .mkString("array(", ", ", ")")
+      Seq(text).toDF("text")
+        .select(exciseWords(split(col("text"), " "), expr(ivSql)).as("c"))
+        .as[String].head()
+    }
+    val t = "w0 w1 w2 w3 w4 w5 w6 w7"
+    run(t, Nil) shouldBe t // no intervals: identity
+    run(t, Seq((0, 7))) shouldBe "" // full cover: empty string
+    run(t, Seq((0, 1), (6, 7))) shouldBe "w2 w3 w4 w5" // both ends cut
+    run(t, Seq((2, 3), (5, 5))) shouldBe "w0 w1 w4 w6 w7" // disjoint middles
+    // boundary exactness: hi is inclusive, hi+1 survives
+    run(t, Seq((3, 4))) shouldBe "w0 w1 w2 w5 w6 w7"
+    // many short disjoint intervals (the quadratic corner of the old
+    // ArrayExists probe): two-pointer stays exact
+    run(t, Seq((0, 0), (2, 2), (4, 4), (6, 6))) shouldBe "w1 w3 w5 w7"
+    // intervals past the word range are harmless (never produced by
+    // the callers, but the merge must not misbehave)
+    run("a b", Seq((1, 5))) shouldBe "a"
+  }
+
   test("count-min sketch: overestimate-only, exact at generous width, layout-independent") {
     import graft.functions.{cmEstimate, countMinAgg}
     import org.apache.spark.sql.functions.xxhash64
