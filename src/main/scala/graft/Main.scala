@@ -115,13 +115,13 @@ object Main {
     // overwrite-rename) or "conditional-local" (etag-conditioned puts
     // via the in-process LocalEtagStore; on a real object store, an
     // S3/GCS/ABFS ConditionalObjectStore plugs into the same seam).
-    // Set before any store is touched — it is process-wide.
-    opt(cfg, "commitIO").foreach {
-      case "rename" =>
-        ParquetUpsertSink.commitIO = ParquetUpsertSink.RenameCommitIO
-      case "conditional-local" =>
-        ParquetUpsertSink.commitIO = new ConditionalPutCommitIO(LocalEtagStore)
-      case other => sys.error(
+    // Set before any store is touched — it is process-wide; an ABSENT
+    // key restores the rename default (a long-lived JVM must not
+    // silently inherit a previous run's strategy).
+    ParquetUpsertSink.commitIO = opt(cfg, "commitIO") match {
+      case None | Some("rename") => ParquetUpsertSink.RenameCommitIO
+      case Some("conditional-local") => new ConditionalPutCommitIO(LocalEtagStore)
+      case Some(other) => sys.error(
         s"unknown commitIO '$other' (rename | conditional-local)")
     }
     val mode = req(cfg, "mode")

@@ -57,6 +57,12 @@ case class ExciseWords(left: Expression, right: Expression)
     var j = 0
     while (j < nIv) {
       val r = iv.getStruct(j, 2)
+      // the function is in the public SQL catalog: a null interval
+      // element type-checks, so fail comprehensibly, not with an NPE
+      // from compiled codegen (internal callers build intervals via
+      // collect_list, which never emits null elements)
+      if (r == null) throw new IllegalArgumentException(
+        s"excise_words: interval array contains a null element at index $j")
       los(j) = r.getInt(0); his(j) = r.getInt(1)
       j += 1
     }

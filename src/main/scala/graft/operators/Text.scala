@@ -1546,35 +1546,17 @@ object Text extends QueryPack {
   }
 
   /** The libm consumer of [[lmFacts]]'s model: per-doc add-1-smoothed
-    * bigram log-probability and perplexity under the target-side LM.
-    * Same joins as the facts; TextSpec pins it against a driver-side
-    * recompute from first principles.
+    * bigram log-probability and perplexity under the target-side LM,
+    * trained on the scored corpus itself. ONE formula exists: this
+    * delegates to [[lmPerplexityUnder]] with the self-trained model
+    * (r16 review fix — three copies of the bigram-LM pipeline had
+    * started to coexist), so a smoothing or tokenization change lands
+    * once. PropertySpec pins it against a driver-side recompute from
+    * first principles.
     */
-  def lmPerplexity(docsDf: DataFrame, isTarget: Column): DataFrame = {
-    val dbg = graft.util.reused(
-      docsDf
-        .select(col("doc_id"), isTarget.as("is_t"),
-          explode(shingles(words(col("text")), 2)).as("bg"))
-        .groupBy(col("doc_id"), col("is_t"), col("bg"))
-        .agg(count(lit(1)).as("k"))
-        .withColumn("ctx", substring_index(col("bg"), " ", 1)))
-    val bgModel = dbg.where(col("is_t"))
-      .groupBy(col("bg")).agg(sum(col("k")).as("cbg"))
-    val ctxModel = dbg.where(col("is_t"))
-      .groupBy(col("ctx")).agg(sum(col("k")).as("cctx"))
-    val v = docsDf.where(coalesce(isTarget, lit(false)))
-      .select(explode(words(col("text"))).as("wd"))
-      .agg(count_distinct(col("wd")).as("v_target"))
-    dbg.join(bgModel, Seq("bg"), "left")
-      .join(ctxModel, Seq("ctx"), "left")
-      .crossJoin(broadcast(v))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"),
-        sum(col("k") * (log(coalesce(col("cbg"), lit(0L)) + lit(1.0))
-          - log(coalesce(col("cctx"), lit(0L)) + col("v_target").cast("double"))))
-          .as("log_prob"))
-      .withColumn("ppl", exp(-col("log_prob") / col("n_bigrams")))
-  }
+  def lmPerplexity(docsDf: DataFrame, isTarget: Column): DataFrame =
+    lmPerplexityUnder(docsDf,
+      lmBigramCounts(docsDf, isTarget), lmVocab(docsDf, isTarget))
 
   /** The target-LM model as PERSISTABLE tables, maintained at delta
     * cost (the Dsir.countsIncrement / Bpe.dictIncrement pattern):
@@ -1890,43 +1872,53 @@ object Text extends QueryPack {
     * (novelty collapsing toward 0 means the crawl is re-fetching
     * what the corpus already holds — stop paying for it).
     *
-    * Exactly-once by construction on an at-least-once transport:
-    * grams upsert keyed on the 64-bit gram hash with version
-    * −batch_id, so under the sink's latest-wins rule the SMALLEST
-    * batch id wins — first ingest owns the gram, and a redelivered
-    * (or out-of-order) batch is a same-key no-op. The verdict is
-    * then read FROM the store (rows with first_batch = this batch),
-    * not from transient batch state, so redelivery reproduces the
-    * original verdict bit-for-bit instead of reporting zero novelty.
+    * Exactly-once by construction on an at-least-once transport with
+    * MONOTONE batch ids (what Structured Streaming provides): grams
+    * upsert keyed on the 64-bit gram hash with version −batch_id, so
+    * under the sink's latest-wins rule the SMALLEST batch id wins —
+    * first ingest owns the gram, and a redelivered batch is a
+    * same-key no-op. The verdict counts the batch's grams owned by
+    * EARLIER batches (first_batch < this batch) — on redelivery the
+    * batch's own novel grams carry its OWN id, so they still count
+    * as new and the original verdict reproduces bit-for-bit instead
+    * of collapsing to zero novelty.
     *
     * Scale shape: one gram pass over the BATCH (never the corpus),
-    * one distinct, one keyed upsert (merge cost ∝ touched buckets);
-    * the verdict is a bucket-pruned filtered read. Returns
-    * (batch_id, n_grams, new_grams, novelty_rate).
+    * one distinct, one gram-keyed left-semi pass over the store for
+    * the verdict (the monitor's cadence knob — run per batch or per
+    * nightly window), one keyed upsert (merge cost ∝ touched
+    * buckets). Returns (batch_id, n_grams, new_grams, novelty_rate).
     */
   def vocabNoveltyIngest(storePath: String, batch: DataFrame, batchId: Long,
       n: Int = 3, numBuckets: Int = 64): DataFrame = {
     val s = batch.sparkSession
+    import s.implicits._
     val grams = Dedup.ngrams(batch, n)
       .select(xxhash64(col("shingle")).as("gh")).distinct()
       .withColumn("first_batch", lit(batchId))
       .withColumn("_v", lit(-batchId))
-      .localCheckpoint() // upsert + count both read it; one gram pass
-    import s.implicits._
+      .localCheckpoint() // verdict + upsert both read it; one gram pass
     if (grams.head(1).isEmpty)
       // a gram-less batch (all docs shorter than n words) touches
       // nothing — including a store that may not exist yet
       return Seq((batchId, 0L, 0L, 0.0))
         .toDF("batch_id", "n_grams", "new_grams", "novelty_rate")
+    val nGrams = grams.count()
+    // count earlier owners BEFORE the upsert (one store pass, batch
+    // side gram-keyed): grams this batch introduced — original
+    // delivery or redelivery — are exactly those with no earlier owner
+    val earlier =
+      if (graft.sources.ParquetUpsertSink.tableExists(s, storePath))
+        graft.sources.ParquetUpsertSink.read(s, storePath)
+          .where(col("first_batch") < batchId)
+          .join(grams.select(col("gh")), Seq("gh"), "left_semi")
+          .count()
+      else 0L
     graft.sources.ParquetUpsertSink.upsert(
       grams, storePath, Seq("gh"), "_v", numBuckets)
-    val store = graft.sources.ParquetUpsertSink.read(s, storePath)
-    val nNew = store.where(col("first_batch") === batchId)
-      .agg(count(lit(1)).as("new_grams"))
-    grams.agg(count(lit(1)).as("n_grams"))
-      .crossJoin(nNew)
-      .select(lit(batchId).as("batch_id"), col("n_grams"), col("new_grams"),
-        (col("new_grams").cast("double") / col("n_grams")).as("novelty_rate"))
+    Seq((batchId, nGrams, nGrams - earlier,
+        (nGrams - earlier).toDouble / nGrams))
+      .toDF("batch_id", "n_grams", "new_grams", "novelty_rate")
   }
 
   /** Quality-gate ablation — the knob-tuning report q78's histogram

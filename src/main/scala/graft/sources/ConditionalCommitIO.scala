@@ -50,6 +50,15 @@ trait ConditionalObjectStore {
   * note): rename-based publish makes the LAST writer win, silently
   * discarding the first writer's buckets from the manifest.
   *
+  * Two companion guarantees make the loser's failure actually
+  * harmless (r16 review fixes): the precondition is observed BEFORE
+  * the mutation reads the manifest (a swap inside the window can only
+  * cause a spurious loud failure, never a stale publish under a fresh
+  * etag), and generation ids are unique per attempt
+  * ([[ParquetUpsertSink.nextGen]]), so the loser's data write can
+  * never land in — or dynamically overwrite — the winner's committed
+  * generation directory.
+  *
   * One instance serves many tables: preconditions are tracked per
   * manifest key. A publish without a begin is a wiring bug and
   * throws.

@@ -40,10 +40,10 @@ import org.apache.spark.sql.functions._
   * removes all unreferenced generations when the operator knows no
   * reader is in flight. A writer that crashes before the manifest
   * swap leaves orphan `__gen` dirs (and possibly Spark job-staging
-  * debris) that no reader ever sees; the next mutation reuses the
-  * same generation number (dynamic-partition overwrite replaces the
-  * partial data) and vacuum collects any leftovers, staging debris
-  * included.
+  * debris) that no reader ever sees; generation ids are unique per
+  * ATTEMPT (see [[nextGen]] — the split-brain data guard), so a
+  * retry writes a fresh directory and vacuum collects the orphans,
+  * staging debris included.
   *
   * SINGLE WRITER per table: a merge is a non-atomic read-modify-write
   * of the touched buckets, so concurrent upserts into the same path
@@ -89,9 +89,14 @@ object ParquetUpsertSink {
   private def doUpsert(updates: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int): Unit = {
     val spark = updates.sparkSession
-    val manifest = readManifest(spark, path)
-    // anchor the commit precondition at THIS read of the live state
+    // anchor the commit precondition BEFORE reading the manifest: with
+    // begin-after-read, a manifest swap in the window between read and
+    // begin would let a stale mutation publish under the NEW etag — a
+    // silent lost update. Observed-before-read is fail-safe: a swap in
+    // the window makes the read see newer-or-equal state than the
+    // precondition, so the worst case is a spurious LOUD failure.
     commitIO.begin(spark.sparkContext.hadoopConfiguration, manifestPath(path))
+    val manifest = readManifest(spark, path)
     if (manifest.isEmpty) assertNoPreManifestData(spark, path)
     val buckets = if (manifest.isDefined) readBucketCount(spark, path) else numBuckets
     val keyed = withBucket(updates, keyCols, buckets)
@@ -143,10 +148,11 @@ object ParquetUpsertSink {
     * bucket still parallelize across row groups; it is the
     * single-task WRITE of a hot bucket that numBuckets bounds).
     *
-    * Dynamic-partition overwrite + a fresh generation number means a
-    * crashed previous attempt at the SAME generation (possible — the
-    * generation counter comes from the committed manifest, which a
-    * crash leaves unchanged) is replaced wholesale, never merged with.
+    * Generation ids are unique per attempt ([[nextGen]]), so this
+    * write can never land in — or dynamically overwrite — a directory
+    * any other attempt (crashed, concurrent, or committed) produced;
+    * a crashed attempt's partial directory stays an invisible orphan
+    * until [[vacuum]].
     */
   private def writeBuckets(df: DataFrame, path: String, gen: Long): Unit =
     df.withColumn(genCol, lit(gen))
@@ -157,8 +163,28 @@ object ParquetUpsertSink {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
-  private def nextGen(manifest: Map[Int, Long]): Long =
-    if (manifest.isEmpty) 0L else manifest.values.max + 1
+  /** A generation id for THIS mutation attempt: strictly above every
+    * committed generation AND unique across attempts. Uniqueness is
+    * the split-brain DATA guard (r16): two writers that both read the
+    * same manifest (past the lock — the ConditionalPutCommitIO threat
+    * model) must never share a generation DIRECTORY, or the loser's
+    * writeBuckets (dynamic-partition overwrite) would replace the
+    * winner's already-committed files before the loser's conditional
+    * publish fails — a silent lost update behind a loud error. A
+    * millisecond timestamp in the high bits plus a 22-bit random salt
+    * makes collision need same-ms attempts AND a 1-in-4M salt match;
+    * the committed-max floor covers clock skew. Costs: generations
+    * are large opaque numbers (they were never contiguous anyway —
+    * only manifest references matter), and a crashed attempt's
+    * partial directory is no longer overwritten by the retry (it
+    * stays an invisible orphan until [[vacuum]]).
+    */
+  private[graft] def nextGen(manifest: Map[Int, Long]): Long = {
+    val floor = if (manifest.isEmpty) 0L else manifest.values.max + 1
+    val nonce = (System.currentTimeMillis() << 22) |
+      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 22).toLong
+    math.max(floor, nonce)
+  }
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
   private def manifestPath(path: String) = new org.apache.hadoop.fs.Path(path, manifestName)
@@ -467,11 +493,10 @@ object ParquetUpsertSink {
   private def doSync(snapshot: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String, numBuckets: Int): Unit = {
     val spark = snapshot.sparkSession
-    val manifest = readManifest(spark, path)
-    // anchor the commit precondition at THIS read of the live state
-    // (the empty branch delegates to doUpsert, whose begin re-observes
-    // the same absent manifest)
+    // precondition BEFORE the read (see doUpsert); the empty branch
+    // delegates to doUpsert, whose begin re-observes the same state
     commitIO.begin(spark.sparkContext.hadoopConfiguration, manifestPath(path))
+    val manifest = readManifest(spark, path)
     if (manifest.isEmpty) {
       doUpsert(snapshot, path, keyCols, versionCol, numBuckets)
       return
@@ -527,9 +552,9 @@ object ParquetUpsertSink {
   private def doDelete(keys: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String): Unit = {
     val spark = keys.sparkSession
-    val manifest = readManifest(spark, path)
-    // anchor the commit precondition at THIS read of the live state
+    // precondition BEFORE the read (see doUpsert)
     commitIO.begin(spark.sparkContext.hadoopConfiguration, manifestPath(path))
+    val manifest = readManifest(spark, path)
     if (manifest.isEmpty) return
     val live = manifest.get
     val buckets = readBucketCount(spark, path)

@@ -57,7 +57,15 @@ object IncrAudit {
 
   private val sample: Int =
     sys.env.get("GRAFT_INCR_SAMPLE").map(_.trim).filter(_.nonEmpty)
-      .map(_.toInt).filter(_ >= 2).getOrElse(0)
+      .map { v =>
+        val k = v.toInt
+        // loud, like every other bad input: silently mapping K<2 to
+        // "disabled" would fall back to the uncut ground-truth rebuild
+        // the sampling mode exists to avoid
+        require(k >= 2, s"GRAFT_INCR_SAMPLE must be >= 2 (got $k); " +
+          "unset it to run the full-rebuild comparison")
+        k
+      }.getOrElse(0)
 
   /** The two pair-family checks in sampled-equivalence form (see the
     * GRAFT_INCR_SAMPLE class-doc contract): fold ≡ rebuild and

@@ -635,6 +635,78 @@ class UpsertSinkSpec extends SparkSpec {
     } finally ParquetUpsertSink.commitIO = prev
   }
 
+  test("generation ids are unique per attempt: two writers off one manifest never share a data directory") {
+    // the split-brain DATA guard: if two attempts computed the same
+    // generation from the same manifest snapshot, the loser's
+    // dynamic-partition overwrite would replace the winner's committed
+    // files BEFORE its conditional publish fails
+    val manifest = Map(0 -> 5L, 1 -> 7L)
+    val gens = (1 to 1000).map(_ => ParquetUpsertSink.nextGen(manifest))
+    gens.toSet.size shouldBe 1000 // all distinct
+    gens.foreach(_ should be > 7L) // and above every committed gen
+  }
+
+  test("split-brain end-to-end: a paused loser mutation fails loudly; the winner's manifest AND data survive") {
+    import graft.sources.{ConditionalPutCommitIO, LocalEtagStore}
+    val dir = Files.createTempDirectory("graft-condfull").toFile
+    dir.deleteOnExit()
+    val path = dir.getPath + "/table"
+    val prev = ParquetUpsertSink.commitIO
+    val reached = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // writer A's IO: conditional semantics, but publish PAUSES at the
+    // commit point so a second writer can slip past (the operator
+    // force-unlocks a live-but-slow holder — the documented hazard)
+    val pausing = new ParquetUpsertSink.CommitIO {
+      val inner = new ConditionalPutCommitIO(LocalEtagStore)
+      override def begin(conf: org.apache.hadoop.conf.Configuration,
+          dst: org.apache.hadoop.fs.Path): Unit = inner.begin(conf, dst)
+      def publish(conf: org.apache.hadoop.conf.Configuration,
+          dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit = {
+        reached.countDown()
+        gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        inner.publish(conf, dst, body)
+      }
+      override def retract(conf: org.apache.hadoop.conf.Configuration,
+          dst: org.apache.hadoop.fs.Path): Unit = inner.retract(conf, dst)
+    }
+    try {
+      ParquetUpsertSink.commitIO = new ConditionalPutCommitIO(LocalEtagStore)
+      ParquetUpsertSink.upsert(
+        (1L to 4L).map(i => (i, 1L, s"p$i")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      ParquetUpsertSink.commitIO = pausing
+      val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val tA = new Thread(() =>
+        try ParquetUpsertSink.upsert(
+          Seq((2L, 2L, "loser")).toDF("id", "rev", "payload"),
+          path, Seq("id"), "rev", numBuckets = 2)
+        catch { case e: Throwable => aErr.set(e) })
+      tA.start()
+      reached.await(60, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      // A has written its generation data and sits at the commit.
+      // Split brain: the operator force-unlocks and writer B runs a
+      // FULL mutation to completion under its own conditional IO.
+      ParquetUpsertSink.commitIO = new ConditionalPutCommitIO(LocalEtagStore)
+      ParquetUpsertSink.forceUnlock(spark, path)
+      ParquetUpsertSink.upsert(
+        Seq((2L, 3L, "winner")).toDF("id", "rev", "payload"),
+        path, Seq("id"), "rev", numBuckets = 2)
+      val winnerState = ParquetUpsertSink.read(spark, path)
+        .as[(Long, Long, String)].collect().toSet
+      winnerState.find(_._1 == 2L).map(_._3) shouldBe Some("winner")
+      // release A: its conditional publish must LOSE, loudly …
+      gate.countDown()
+      tA.join(60000)
+      aErr.get() shouldBe a[java.util.ConcurrentModificationException]
+      // … and the winner's manifest AND data are byte-for-byte intact
+      // (A's generation directory is an invisible orphan — unique
+      // generation ids mean it can never be B's directory)
+      ParquetUpsertSink.read(spark, path)
+        .as[(Long, Long, String)].collect().toSet shouldBe winnerState
+    } finally ParquetUpsertSink.commitIO = prev
+  }
+
   test("conditional-put CommitIO: publish without begin is a wiring bug and throws") {
     import graft.sources.{ConditionalPutCommitIO, LocalEtagStore}
     val io = new ConditionalPutCommitIO(LocalEtagStore)
