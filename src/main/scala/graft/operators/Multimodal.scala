@@ -77,11 +77,120 @@ object Multimodal extends QueryPack {
       }
   }
 
+  /** REAL image decoder for binary P6 PPM payloads — the seam with an
+    * actual codec in it: parse the PPM header (`P6 <w> <h> <max>` with
+    * whitespace/comment handling), then one pass over the RGB byte
+    * triples computing mean Rec.601 luma. Pure JVM byte arithmetic —
+    * PPM is the uncompressed interchange format, so no external
+    * library is needed even in this zero-egress build, and the decode
+    * work (header parse, bounds checks, per-pixel arithmetic over the
+    * payload bytes) is the real thing, not a stand-in. A libjpeg-class
+    * decoder drops into the same trait the same way. Dimensions come
+    * from the PAYLOAD (the header), not the metadata columns —
+    * validating stored metadata against decoded truth is exactly what
+    * a real ingest decode stage does. Records that do not parse as P6
+    * (wrong magic, truncated pixels) fail loudly with the doc_id — a
+    * corrupt payload must never become silent fake features.
+    */
+  object PpmDecoder extends FrameDecoder {
+    def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val b = r.payload
+        def fail(why: String): Nothing = throw new IllegalArgumentException(
+          s"PpmDecoder: doc ${r.doc_id}: $why")
+        var i = 0
+        def skipWs(): Unit = {
+          var go = true
+          while (go && i < b.length) {
+            if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+            else if (b(i).toChar.isWhitespace) i += 1
+            else go = false
+          }
+        }
+        def int(): Int = {
+          skipWs()
+          val s = i
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+          if (i == s) fail(s"expected integer at byte $s")
+          new String(b, s, i - s, "US-ASCII").toInt
+        }
+        if (b.length < 2 || b(0) != 'P' || b(1) != '6') fail("not a P6 PPM payload")
+        i = 2
+        val w = int(); val h = int(); val maxv = int()
+        if (maxv <= 0 || maxv > 255) fail(s"unsupported maxval $maxv")
+        i += 1 // the single whitespace byte after maxval
+        val need = w.toLong * h * 3
+        if (b.length - i < need) fail(
+          s"truncated pixel data: need $need bytes, have ${b.length - i}")
+        var lum = 0.0
+        var p = i
+        val end = i + need.toInt
+        while (p < end) {
+          val rr = b(p) & 0xff; val gg = b(p + 1) & 0xff; val bb = b(p + 2) & 0xff
+          lum += 0.299 * rr + 0.587 * gg + 0.114 * bb
+          p += 3
+        }
+        MediaFeatures(r.doc_id, "ppm", w, h, b.length.toLong,
+          lum / (w.toLong * h) / maxv)
+      }
+  }
+
+  /** REAL audio decoder for PCM16 WAV payloads: parse the RIFF/fmt
+    * chunks (little-endian), require uncompressed 16-bit PCM, then one
+    * pass over the samples computing RMS amplitude in [0,1] — reported
+    * through the shared feature schema (`luma` doubles as the scalar
+    * signal statistic; width/height carry channels/sample-rate-kHz).
+    * Same rationale as [[PpmDecoder]]: the uncompressed format needs
+    * no external codec, so the seam ships with genuine byte-level
+    * decode in this build.
+    */
+  object WavDecoder extends FrameDecoder {
+    def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val b = r.payload
+        def fail(why: String): Nothing = throw new IllegalArgumentException(
+          s"WavDecoder: doc ${r.doc_id}: $why")
+        def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+        if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") fail("not a RIFF/WAVE payload")
+        var o = 12
+        var fmtOk = false; var channels = 0; var rate = 0L
+        var data: Option[(Int, Int)] = None // (offset, bytes)
+        while (o + 8 <= b.length && data.isEmpty) {
+          val id = tag(o); val sz = u32(o + 4).toInt
+          if (id == "fmt ") {
+            if (u16(o + 8) != 1 || u16(o + 22) != 16) fail("only uncompressed PCM16 supported")
+            channels = u16(o + 10); rate = u32(o + 12)
+            fmtOk = true
+          } else if (id == "data") data = Some((o + 8, sz))
+          o += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        if (!fmtOk) fail("missing fmt chunk")
+        val (off, sz) = data.getOrElse(fail("missing data chunk"))
+        if (off + sz > b.length) fail("truncated data chunk")
+        val n = sz / 2
+        var acc = 0.0
+        var p = off
+        while (p + 1 < off + sz) {
+          val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toDouble / 32768.0
+          acc += s * s
+          p += 2
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(acc / n)
+        MediaFeatures(r.doc_id, "wav", channels, (rate / 1000).toInt,
+          b.length.toLong, rms)
+      }
+  }
+
   /** The decode pipeline: typed Dataset boundary, then per-partition
     * batched iteration (the Scala analogue of mapInPandas: the decoder
     * sees fixed-size batches, not single rows, so vectorized / GPU
     * decode amortizes). The decoder is the [[FrameDecoder]] seam;
-    * the default is this build's deterministic stub.
+    * the default is this build's deterministic stub (the gate's
+    * oracle-mirrorable form); [[PpmDecoder]]/[[WavDecoder]] are REAL
+    * codecs for the uncompressed formats.
     */
   def decodeFeatures(media: DataFrame,
       decoder: FrameDecoder = StubDecoder): Dataset[MediaFeatures] = {

@@ -45,6 +45,71 @@ class MultimodalSpec extends SparkSpec {
     sizes.sum shouldBe got.length
   }
 
+  test("PpmDecoder decodes REAL P6 image bytes: exact luma, header truth, loud corruption") {
+    def ppm(header: String, px: Array[Int]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ px.map(_.toByte)
+    // 2x1: one white pixel, one black — mean Rec.601 luma = 0.5 exactly
+    val img = ppm("P6\n# a comment\n2 1\n255\n",
+      Array(255, 255, 255, 0, 0, 0))
+    val media = Seq(MediaRecord(7L, "ppm", 0, 0, img)) // metadata dims wrong on purpose
+    val out = Multimodal.PpmDecoder.decode(media)
+    out should have size 1
+    out.head.width shouldBe 2 // decoded truth, not the metadata
+    out.head.height shouldBe 1
+    out.head.luma shouldBe 0.5 +- 1e-12
+    // a pure-green pixel: luma = 0.587
+    val g = ppm("P6 1 1 255\n", Array(0, 255, 0))
+    Multimodal.PpmDecoder.decode(Seq(MediaRecord(8L, "ppm", 1, 1, g)))
+      .head.luma shouldBe 0.587 +- 1e-12
+    // corruption is LOUD, with the doc id
+    val bad = intercept[IllegalArgumentException] {
+      Multimodal.PpmDecoder.decode(Seq(MediaRecord(9L, "ppm", 1, 1,
+        "JFIF....".getBytes("US-ASCII"))))
+    }
+    bad.getMessage should include("doc 9")
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmDecoder.decode(Seq(MediaRecord(10L, "ppm", 1, 1,
+        ppm("P6 4 4 255\n", Array(1, 2, 3))))) // truncated pixels
+    }.getMessage should include("truncated")
+    // and it rides the same Spark plumbing as any decoder
+    val df = spark.createDataFrame(Seq((7L, "ppm", 0, 0, img)))
+      .toDF("doc_id", "format", "width", "height", "payload")
+    val viaSpark = Multimodal.decodeFeatures(df, Multimodal.PpmDecoder).collect()
+    viaSpark.head.luma shouldBe 0.5 +- 1e-12
+  }
+
+  test("WavDecoder decodes REAL PCM16 WAV bytes: exact RMS, format metadata, loud corruption") {
+    def wav(channels: Int, rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSz = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSz)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // constant half-scale samples: rms = 16384/32768 = 0.5 exactly
+    val b = wav(2, 16000, Array.fill(8)(16384.toShort))
+    val out = Multimodal.WavDecoder.decode(
+      Seq(MediaRecord(11L, "wav", 0, 0, b))).head
+    out.width shouldBe 2 // channels
+    out.height shouldBe 16 // sample rate in kHz
+    out.luma shouldBe 0.5 +- 1e-12
+    // silence is rms 0
+    Multimodal.WavDecoder.decode(
+      Seq(MediaRecord(12L, "wav", 0, 0, wav(1, 8000, Array.fill(4)(0.toShort)))))
+      .head.luma shouldBe 0.0
+    // a compressed or malformed payload is LOUD
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(Seq(MediaRecord(13L, "wav", 0, 0,
+        "OggS....".getBytes("US-ASCII") ++ Array.fill(40)(0.toByte))))
+    }.getMessage should include("doc 13")
+  }
+
   test("the default decoder is the deterministic stub (q40's oracle contract)") {
     // deterministic subset (limit() may pick different rows per evaluation)
     val media = Multimodal.mediaTable(spark, sfDir).where($"doc_id" % 10 === 0)
