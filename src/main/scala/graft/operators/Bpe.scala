@@ -431,5 +431,57 @@ object Bpe extends QueryPack {
             |GROUP BY d.lang""".stripMargin),
     "per-language BPE fertility (tokens/word) under the trained merges: native scan counts vs oracle word-join recount, IEEE-exact division")
 
-  val all: Seq[Q] = Seq(q148, q153)
+  /** Per-source tokenizer compression — bytes of raw text per exact
+    * BPE token, the efficiency number a tokenizer team tracks per
+    * corpus slice (a source whose ratio drops is costing more
+    * sequence budget per byte of content — markup injection, OCR
+    * noise, an alphabet the vocab under-serves). Completes the BPE
+    * report family: q148 counts per document, q153 normalizes per
+    * word by language, this normalizes per BYTE by source.
+    *
+    * Scale shape: q148's contract verbatim — the merges ride the
+    * native `bpe_tokenize` expression, so the corpus pays ONE
+    * shuffle-free scan plus a sources-sized aggregate; exact integer
+    * sums, one final division both engines compute identically. The
+    * oracle recomputes token totals from the exported per-word
+    * encodings (the q148 consumer-step split) and byte totals from
+    * the documents table directly.
+    */
+  val q159 = Q(
+    "q159_bpe_compression",
+    (s, d) => {
+      val toks = graft.functions.bpeTokenize(col("text"), storedMerges(s, d))
+      Tables.documents(s, d)
+        .select(col("source"),
+          octet_length(col("text")).cast("long").as("nb"),
+          size(toks).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bytes"),
+          sum(col("nt")).as("n_bpe_tokens"))
+        .withColumn("bytes_per_token",
+          col("n_bytes").cast("double") / col("n_bpe_tokens"))
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, word
+            |  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+            |        FROM documents)
+            |  WHERE length(word) > 0
+            |), wt AS (
+            |  SELECT word, n_toks
+            |  FROM read_parquet('${Ann.gateModelDir}/bpe_word_tokens_$GateNumMerges.parquet/*.parquet')
+            |), per AS (
+            |  SELECT w.doc_id, CAST(SUM(wt.n_toks) AS BIGINT) AS nt
+            |  FROM w JOIN wt USING (word) GROUP BY 1
+            |)
+            |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
+            |  CAST(SUM(COALESCE(per.nt, 0)) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(SUM(octet_length(encode(d.text))) AS DOUBLE)
+            |    / SUM(COALESCE(per.nt, 0)) AS bytes_per_token
+            |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+            |GROUP BY d.source""".stripMargin),
+    "per-source tokenizer compression: raw bytes per exact BPE token off one shuffle-free bpe_tokenize scan (q148's oracle split)")
+
+  val all: Seq[Q] = Seq(q148, q153, q159)
 }

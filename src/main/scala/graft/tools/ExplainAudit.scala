@@ -340,6 +340,14 @@ object ExplainAudit {
         // means the corpus got exchanged to meet the probe set
         if (!plan.contains("BroadcastNestedLoopJoin"))
           v += Violation(name, "brute ground truth lost its query broadcast")
+      case "q159_bpe_compression" =>
+        // q148's shuffle-free-scan contract: the merges ride the
+        // expression (no join of any kind), and the source rollup
+        // keeps map-side partials
+        if (plan.contains("Join"))
+          v += Violation(name, "join in plan (merges must ride the expression, not a table)")
+        if (plan.split("HashAggregate").length <= 2)
+          v += Violation(name, "no partial (map-side) aggregation")
       case "q156_ks_drift" | "q157_vocab_growth" | "q158_gate_ablation" =>
         // compressed-domain analytics: counts aggregate with map-side
         // partials before anything wide happens
