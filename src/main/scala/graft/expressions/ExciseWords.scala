@@ -64,6 +64,17 @@ case class ExciseWords(left: Expression, right: Expression)
       if (r == null) throw new IllegalArgumentException(
         s"excise_words: interval array contains a null element at index $j")
       los(j) = r.getInt(0); his(j) = r.getInt(1)
+      // the two-pointer merge is only correct for sorted, disjoint
+      // intervals; this is a public SQL-catalog function, so a caller
+      // violating the contract must fail loudly (like null elements do),
+      // not get silently corrupted text — O(nIv) check, negligible next
+      // to the word pass
+      if (his(j) < los(j)) throw new IllegalArgumentException(
+        s"excise_words: interval [${los(j)},${his(j)}] at index $j has hi < lo")
+      if (j > 0 && los(j) <= his(j - 1)) throw new IllegalArgumentException(
+        s"excise_words: intervals must be sorted and disjoint; " +
+          s"[${los(j)},${his(j)}] at index $j overlaps or precedes " +
+          s"[${los(j - 1)},${his(j - 1)}]")
       j += 1
     }
     val kept = new Array[UTF8String](nW)

@@ -460,7 +460,12 @@ object Bpe extends QueryPack {
           sum(col("nb")).as("n_bytes"),
           sum(col("nt")).as("n_bpe_tokens"))
         .withColumn("bytes_per_token",
-          col("n_bytes").cast("double") / col("n_bpe_tokens"))
+          // zero-token guard: Spark's Divide yields NULL on /0 while
+          // DuckDB's IEEE division yields Infinity — guard both engines
+          // identically (here `when`, oracle NULLIF) so a degenerate
+          // all-empty source can't diverge the gate
+          when(col("n_bpe_tokens") > 0,
+            col("n_bytes").cast("double") / col("n_bpe_tokens")))
     },
     Some(s"""WITH w AS (
             |  SELECT doc_id, word
@@ -478,7 +483,7 @@ object Bpe extends QueryPack {
             |  CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
             |  CAST(SUM(COALESCE(per.nt, 0)) AS BIGINT) AS n_bpe_tokens,
             |  CAST(SUM(octet_length(encode(d.text))) AS DOUBLE)
-            |    / SUM(COALESCE(per.nt, 0)) AS bytes_per_token
+            |    / NULLIF(SUM(COALESCE(per.nt, 0)), 0) AS bytes_per_token
             |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
             |GROUP BY d.source""".stripMargin),
     "per-source tokenizer compression: raw bytes per exact BPE token off one shuffle-free bpe_tokenize scan (q148's oracle split)")

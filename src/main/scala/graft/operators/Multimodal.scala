@@ -160,6 +160,11 @@ object Multimodal extends QueryPack {
         var data: Option[(Int, Int)] = None // (offset, bytes)
         while (o + 8 <= b.length && data.isEmpty) {
           val id = tag(o); val sz = u32(o + 4).toInt
+          // A corrupt size (negative after the u32→Int narrowing, or past
+          // the payload end) must fail loudly BEFORE the cursor advances:
+          // sz = -8/-9 would make the advance zero or negative — a hung
+          // executor task, worse than any wrong answer.
+          if (sz < 0 || sz > b.length - o - 8) fail(s"invalid chunk size $sz at offset $o")
           if (id == "fmt ") {
             if (u16(o + 8) != 1 || u16(o + 22) != 16) fail("only uncompressed PCM16 supported")
             channels = u16(o + 10); rate = u32(o + 12)

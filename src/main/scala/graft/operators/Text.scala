@@ -1823,9 +1823,15 @@ object Text extends QueryPack {
     // pass benched 3.2 s at sf0.1 vs ~1 s for the window form)
     val dec = least(lit(10),
       floor(col("doc_id") * 10 / (col("m") + 1)).cast("int") + 1)
+    // group on the shingle STRING, not its 64-bit hash: unlike q131
+    // (where a hash collision only perturbs a join key), here a collision
+    // would directly under-count vocab_cum, so the "exact at any scale"
+    // claim must be unconditional. Shuffle volume is one (gram, min-decile)
+    // pair per DISTINCT gram per partition after the map-side partial min —
+    // the string key costs bytes, not cardinality.
     val firstSeen = Dedup.ngrams(docsDf, n)
       .crossJoin(broadcast(mx))
-      .groupBy(xxhash64(col("shingle")).as("gh"))
+      .groupBy(col("shingle"))
       .agg(min(dec).as("fd"))
       .groupBy(col("fd")).agg(count(lit(1)).as("v"))
     val docsPer = docsDf.crossJoin(broadcast(mx))

@@ -181,10 +181,19 @@ object ParquetUpsertSink {
     */
   private[graft] def nextGen(manifest: Map[Int, Long]): Long = {
     val floor = if (manifest.isEmpty) 0L else manifest.values.max + 1
-    val nonce = (System.currentTimeMillis() << 22) |
-      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 22).toLong
-    math.max(floor, nonce)
+    math.max(floor, genNonce(System.currentTimeMillis(),
+      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 22)))
   }
+
+  /** Mask the timestamp to 41 bits so the shifted nonce never sets the
+    * sign bit: an unmasked epoch-ms crosses 2^41 in Sept 2039, the nonce
+    * goes negative, and math.max silently degrades to the manifest floor —
+    * re-enabling the shared-generation split-brain the nonce prevents.
+    * 41 bits of ms ≈ a 69-year wrap; uniqueness needs same-ms + salt
+    * match either way, so the wrap is harmless.
+    */
+  private[graft] def genNonce(millis: Long, salt: Int): Long =
+    ((millis & ((1L << 41) - 1)) << 22) | (salt & ((1 << 22) - 1)).toLong
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
   private def manifestPath(path: String) = new org.apache.hadoop.fs.Path(path, manifestName)

@@ -166,6 +166,15 @@ class FunctionsSpec extends SparkSpec {
     // intervals past the word range are harmless (never produced by
     // the callers, but the merge must not misbehave)
     run("a b", Seq((1, 5))) shouldBe "a"
+    // the function is in the public SQL catalog, so a contract-violating
+    // interval array (unsorted, overlapping, or inverted) must fail
+    // LOUDLY like null elements do — not silently corrupt the text
+    val unsorted = intercept[Exception] { run(t, Seq((4, 5), (1, 2))) }
+    unsorted.getMessage should include("sorted and disjoint")
+    val overlap = intercept[Exception] { run(t, Seq((1, 3), (3, 5))) }
+    overlap.getMessage should include("sorted and disjoint")
+    val inverted = intercept[Exception] { run(t, Seq((5, 2))) }
+    inverted.getMessage should include("hi < lo")
   }
 
   test("count-min sketch: overestimate-only, exact at generous width, layout-independent") {

@@ -108,6 +108,15 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.WavDecoder.decode(Seq(MediaRecord(13L, "wav", 0, 0,
         "OggS....".getBytes("US-ASCII") ++ Array.fill(40)(0.toByte))))
     }.getMessage should include("doc 13")
+    // a corrupt chunk size ≥ 2^31 narrows to a NEGATIVE Int; before the
+    // guard, `o += 8 + sz + (sz & 1)` advanced by zero or backwards — an
+    // infinite loop on the executor. Must fail loudly, never hang.
+    val evil = wav(1, 8000, Array.fill(4)(0.toShort))
+    // overwrite the fmt chunk's size field (offset 16) with 0xFFFFFFFF
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(Seq(MediaRecord(14L, "wav", 0, 0, evil)))
+    }.getMessage should include("invalid chunk size")
   }
 
   test("the default decoder is the deterministic stub (q40's oracle contract)") {

@@ -644,6 +644,15 @@ class UpsertSinkSpec extends SparkSpec {
     val gens = (1 to 1000).map(_ => ParquetUpsertSink.nextGen(manifest))
     gens.toSet.size shouldBe 1000 // all distinct
     gens.foreach(_ should be > 7L) // and above every committed gen
+    // Long-horizon regression: once epoch-ms crosses 2^41 (Sept 2039) an
+    // unmasked `millis << 22` sets the sign bit, the nonce goes negative,
+    // and math.max silently degrades to the shared manifest floor —
+    // re-enabling the split-brain hazard. The 41-bit mask keeps the
+    // nonce positive for any timestamp.
+    val y2040 = 2200000000000L // > 2^41 ≈ 2.199e12
+    ParquetUpsertSink.genNonce(y2040, 0) should be > 0L
+    ParquetUpsertSink.genNonce(Long.MaxValue, (1 << 22) - 1) should be > 0L
+    ParquetUpsertSink.genNonce(System.currentTimeMillis(), 7) should be > 0L
   }
 
   test("split-brain end-to-end: a paused loser mutation fails loudly; the winner's manifest AND data survive") {
