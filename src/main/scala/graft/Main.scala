@@ -42,6 +42,30 @@ import org.apache.spark.sql.types.StructType
   *    themselves. Rows must carry the dest's key/version columns.
   *  - `"sync"` — full reindex: the dest becomes exactly the source's
   *    current rows ([[DocumentStore.sync]]; no bookmark involved).
+  *  - `"train-tokenizer"` — train a BPE tokenizer on a document
+  *    source and persist it as a deployment artifact: `"source"` (any
+  *    readable store spec), `"textCol"` (default `text`),
+  *    `"numMerges"`, optional `"maxDictWords"` (default 200000), and
+  *    `"modelPath"` — the trained (rank, left, right) merge table
+  *    lands there via [[graft.sources.ModelStore.saveMerges]];
+  *    later jobs load it and `bpe_tokenize` bit-identically.
+  *  - `"query"` — the reference's ActiveData-style query endpoint as a
+  *    runnable artifact: execute a jx JSON document (`"query"` inline
+  *    or `"queryFile"` path) against any configured stores and emit
+  *    the result. `"stores": {"<name>": <source spec>}` makes each
+  *    store visible to the query's `from` by name (parquet | es |
+  *    http | jsonl — the same seam as the ETL modes, credentials
+  *    included); `"dir"` optionally points at a testdata-table
+  *    directory as the fallback resolver. All jx formats pass
+  *    through (`list`/`nested`/`table`/`cube`). Delivery: with
+  *    `"output": {"type":"parquet"|"jsonl","path":...}` the result
+  *    writes distributed (the 100 TB-result path) and the stdout
+  *    line reports `rows` + `output`; without it the rows are
+  *    returned ON stdout as `{"format","rows","data":[...]}` —
+  *    a driver collect, hard-capped at `"maxReturn"` (default
+  *    10000) so an unbounded result fails loudly instead of
+  *    OOMing the driver. `"lenient": true` opts into jx
+  *    missing-field semantics for reference queries verbatim.
   *  - `"closure-stream"` / `"closure-deletes-stream"` /
   *    `"replicate-stream"` — the same loops as Structured Streaming
   *    ([[EtlPipeline.runStream]] / [[runStreamWithDeletes]] /
@@ -169,6 +193,77 @@ object Main {
         val q = startStream(spark, cfg,
           rows => EtlPipeline.replicateStream(rows, dest))
         s"""{"stream":"replicate","stopped":${!q.isActive}}"""
+      case "train-tokenizer" =>
+        // tokenizer training as a deployment step, not a bench harness:
+        // one distributed word-count pass compresses the corpus to a
+        // capped dict, the merge loop runs driver-side on that
+        // model-sized dict (corpus-size-independent after the scan),
+        // and the trained merges persist through ModelStore — any later
+        // job scores with bpe_tokenize under the LOADED model,
+        // bit-identical to the in-session one (MainSpec pins it).
+        val docs = source.scan(spark)
+        val textCol = opt(cfg, "textCol").getOrElse("text")
+        val numMerges = req(cfg, "numMerges").toInt
+        val maxDictWords = opt(cfg, "maxDictWords").map(_.toInt).getOrElse(200000)
+        val modelPath = req(cfg, "modelPath")
+        val dict = {
+          import spark.implicits._
+          graft.operators.Bpe.wordDict(docs, textCol, maxDictWords)
+            .as[(String, Long)].collect().toSeq // model-sized by construction
+        }
+        val merges = graft.operators.Bpe.trainMerges(dict, numMerges)
+        graft.sources.ModelStore.saveMerges(spark, modelPath, merges)
+        s"""{"mode":"train-tokenizer","merges":${merges.length},""" +
+          s""""dictWords":${dict.length},"model":"$modelPath"}"""
+      case "query" =>
+        val qJson =
+          if (cfg.hasNonNull("queryFile"))
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(req(cfg, "queryFile"))),
+              java.nio.charset.StandardCharsets.UTF_8)
+          else {
+            require(cfg.hasNonNull("query"),
+              "config missing 'query' (inline jx document) or 'queryFile'")
+            cfg.get("query").toString
+          }
+        // every named store is visible to the query's `from` — parquet,
+        // es, http, jsonl, all through the same source seam as the ETL
+        // modes (headers/credentials handling included)
+        val named = Option(cfg.get("stores")).filter(_.isObject).map { o =>
+          o.properties().asScala
+            .map(e => e.getKey -> sourceOf(spark, e.getValue).scan(spark)).toMap
+        }.getOrElse(Map.empty[String, DataFrame])
+        val result = graft.jx.JxCompiler.queryOn(spark,
+          opt(cfg, "dir").getOrElse(""), qJson, named,
+          lenient = cfg.path("lenient").asBoolean(false))
+        Option(cfg.get("output")).filter(_.isObject) match {
+          case Some(out) =>
+            // large results go to a distributed sink, never the driver
+            val path = req(out, "path")
+            val n = req(out, "type") match {
+              case "parquet" =>
+                result.write.mode("overwrite").parquet(path)
+                spark.read.parquet(path).count() // footer-metadata count
+              case "jsonl" =>
+                result.write.mode("overwrite").json(path)
+                spark.read.text(path).count() // line count, no re-parse
+              case other => sys.error(
+                s"unknown query output type '$other' (parquet | jsonl)")
+            }
+            s"""{"mode":"query","rows":$n,"output":"$path"}"""
+          case None =>
+            // stdout is the ActiveData response shape: {"format","data"}.
+            // It is a DRIVER COLLECT, so it is capped — a query result
+            // beyond maxReturn must name an output sink instead of
+            // silently truncating or OOMing the driver.
+            val max = opt(cfg, "maxReturn").map(_.toInt).getOrElse(10000)
+            val rows = result.limit(max + 1).toJSON.collect()
+            require(rows.length <= max,
+              s"query returned more than maxReturn=$max rows for stdout " +
+                "delivery — set an 'output' sink (parquet | jsonl) for large results")
+            val fmt = graft.jx.JxCompiler.parse(qJson).path("format").asText("list")
+            s"""{"format":"$fmt","rows":${rows.length},"data":[${rows.mkString(",")}]}"""
+        }
       case "sync-stream" => sys.error(
         "sync cannot be a stream: sync is a point-in-time snapshot made " +
           "live by one atomic cutover, and an unbounded stream has no " +
@@ -176,7 +271,8 @@ object Main {
           "batch 'sync' when a consistent snapshot is wanted")
       case other => sys.error(
         s"unknown mode '$other' (closure | closure-deletes | replicate | " +
-          "sync | closure-stream | closure-deletes-stream | replicate-stream)")
+          "sync | query | train-tokenizer | closure-stream | " +
+          "closure-deletes-stream | replicate-stream)")
     }
   }
 

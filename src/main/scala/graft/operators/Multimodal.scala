@@ -189,6 +189,124 @@ object Multimodal extends QueryPack {
       }
   }
 
+  /** REAL compressed-image decoder via the JDK's bundled `javax.imageio`
+    * plugins — PNG, JPEG, GIF and BMP decode ship inside every JRE, so
+    * this zero-egress build gets genuine compressed-format decode with
+    * zero new dependencies. Dimensions come from the DECODED image (the
+    * payload's truth), not the metadata columns — validating stored
+    * metadata against decoded pixels is exactly what a real ingest
+    * decode stage does; `luma` is the mean Rec.601 luma over every
+    * pixel. `ImageIO.read` returns null (not an exception) when no
+    * plugin claims the bytes, and the contract here is the same as
+    * [[PpmDecoder]]/[[WavDecoder]]: a corrupt or unrecognized payload
+    * fails LOUDLY with the doc id — never silent fake features, never
+    * a hung task. Decode is in-memory (`setUseCache(false)`): no
+    * per-record temp-file I/O on executors.
+    */
+  object ImageIoDecoder extends FrameDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private[graft] def read(docId: Long,
+        payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"ImageIoDecoder: doc $docId: decode failed: ${e.getMessage}", e)
+        }
+      if (img == null) throw new IllegalArgumentException(
+        s"ImageIoDecoder: doc $docId: payload is not a decodable image " +
+          "(no ImageIO plugin claimed it)")
+      img
+    }
+
+    private def luma(rgb: Int): Double =
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
+
+    def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val img = read(r.doc_id, r.payload)
+        val w = img.getWidth; val h = img.getHeight
+        var acc = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { acc += luma(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        MediaFeatures(r.doc_id, r.format, w, h,
+          r.payload.length.toLong, acc / (w.toLong * h))
+      }
+
+    /** 48-bit dHash from DECODED pixels — the real perceptual
+      * fingerprint q88's stub sampling stands in for: mean luma over a
+      * 7×8 grid of cells (block averaging ≡ the canonical
+      * resize-to-tiny step), each bit comparing horizontally adjacent
+      * cells. Robust to re-encode (JPEG quantization noise is small
+      * against cell-mean differences) and to resize (cells are
+      * relative). Images smaller than the grid fail loudly — a 6-px
+      * strip has no 7×8 structure to fingerprint.
+      */
+    private[graft] def dHash48(docId: Long,
+        img: java.awt.image.BufferedImage): Long = {
+      val gw = 7; val gh = 8
+      val w = img.getWidth; val h = img.getHeight
+      if (w < gw || h < gh) throw new IllegalArgumentException(
+        s"ImageIoDecoder: doc $docId: image ${w}x$h smaller than the ${gw}x$gh dHash grid")
+      val cells = Array.ofDim[Double](gh, gw)
+      var cy = 0
+      while (cy < gh) {
+        val y0 = cy * h / gh; val y1 = (cy + 1) * h / gh
+        var cx = 0
+        while (cx < gw) {
+          val x0 = cx * w / gw; val x1 = (cx + 1) * w / gw
+          var acc = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { acc += luma(img.getRGB(x, y)); x += 1 }
+            y += 1
+          }
+          cells(cy)(cx) = acc / ((y1 - y0).toLong * (x1 - x0))
+          cx += 1
+        }
+        cy += 1
+      }
+      var bits = 0L
+      var i = 0
+      cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw - 1) {
+          if (cells(cy)(cx) < cells(cy)(cx + 1)) bits |= 1L << i
+          i += 1
+          cx += 1
+        }
+        cy += 1
+      }
+      bits
+    }
+  }
+
+  /** [[mediaPhashPairs]] with the sampling stub swapped for REAL
+    * decoded pixels: per-partition batched ImageIO decode → 48-bit
+    * block-mean dHash, then the SAME pigeonhole banding + bit_count
+    * verify ([[phashPairsFromHashes]] — shared code, not parallel
+    * code). This is the production shape for image near-dup at scale:
+    * decode+hash is one shuffle-free scan over the payload column;
+    * only 8-byte fingerprints enter the shuffle.
+    */
+  def mediaPhashPairsDecoded(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r =>
+        (r.doc_id, ImageIoDecoder.dHash48(r.doc_id, ImageIoDecoder.read(r.doc_id, r.payload)))))
+    }.toDF("doc_id", "ph")
+    phashPairsFromHashes(hashed, maxHamming)
+  }
+
   /** The decode pipeline: typed Dataset boundary, then per-partition
     * batched iteration (the Scala analogue of mapInPandas: the decoder
     * sees fixed-size batches, not single rows, so vectorized / GPU
@@ -337,6 +455,20 @@ object Multimodal extends QueryPack {
     }.reduce(_ + _)
     val hashed = media.where(n >= 2)
       .select(col("doc_id"), phash.as("ph"))
+    phashPairsFromHashes(hashed, maxHamming)
+  }
+
+  /** The dHash pair machinery downstream of hashing — shared verbatim
+    * by the stub-sampled path ([[mediaPhashPairs]]) and the decoded
+    * path ([[mediaPhashPairsDecoded]]): pigeonhole chunk buckets,
+    * narrow equi-join candidates, bit_count verify. Input: one row per
+    * record, `(doc_id: long, ph: long)` with ph a 48-bit fingerprint.
+    */
+  private def phashPairsFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bits = 48
+    val chunks = 4
+    val chunkBits = bits / chunks // 12
+    val hashed = hashes
       .transform(graft.util.reused) // hash once: reused by both bucket-join sides
     val bucketed = hashed.select(col("doc_id"), col("ph"),
       posexplode(array((0 until chunks).map(c =>

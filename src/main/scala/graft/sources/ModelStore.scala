@@ -84,6 +84,33 @@ object ModelStore {
     }
   }
 
+  private val mergesSchema = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("left", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("right", org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Trained BPE merges as (rank, left, right) rows — rank IS the
+    * greedy-apply priority, so order round-trips exactly and
+    * `bpe_tokenize` under a loaded model is bit-identical to the
+    * in-session model (strings round-trip parquet exactly; the spec
+    * pins the full token arrays equal). Overwrites.
+    */
+  def saveMerges(spark: SparkSession, path: String,
+      merges: Seq[(String, String)]): Unit = {
+    val rows = merges.zipWithIndex.map { case ((l, r), i) => Row(i, l, r) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), mergesSchema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val rows = spark.read.schema(mergesSchema).parquet(path)
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"$path: empty merges model")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      s"$path: merge ranks are not contiguous 0..${rows.length - 1}")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** PCA basis via Spark ML's native persistence (parquet + metadata
     * dir). Overwrites.
     */

@@ -727,6 +727,62 @@ object StreamOps extends QueryPack {
       .foreachBatch(sink)
   }
 
+  /** LM-quality selection at ingest — q154's consumer as the streaming
+    * twin of [[streamingDsirSelect]], completing the model-based
+    * selection pair: each micro-batch of candidate training documents
+    * is scored with [[graft.operators.Text.lmPerplexityUnder]] under a
+    * FROZEN persisted target-LM (the (bg, cbg) bigram-count and (wd)
+    * vocab tables a release publishes once from
+    * `Text.lmBigramCounts` / `Text.lmVocab` — or maintains at delta
+    * cost with the lmBigramIncrement/lmVocabIncrement folds), and docs
+    * whose perplexity is at most `maxPpl` land in the keyed upsert
+    * sink (redelivery no-op, the streamingUpsertIngest argument).
+    *
+    * The freeze differs from the bucket-count/length-CDF monitors on
+    * purpose: a bigram model grows with target vocabulary and is NOT
+    * driver-snapshot-sized, so instead of a driver collect the models
+    * are `localCheckpoint`ed once at stream construction — one
+    * cluster-side materialization reused by every batch. A republished
+    * model takes effect on the next stream START, never mid-checkpoint;
+    * and if a checkpoint block is lost the query fails LOUDLY rather
+    * than silently rescoring later batches under a different model
+    * (lineage to the mutable source path is severed).
+    *
+    * Docs too short to produce a bigram have no score and are NOT
+    * admitted: an unscoreable doc cannot demonstrate target-likeness,
+    * and admitting it would bypass the quality gate (the opposite
+    * convention from [[streamingDecontaminate]], where no-windows
+    * means nothing-to-memorize and admission is safe).
+    */
+  def streamingLmSelect(stream: DataFrame, bgPath: String, vocabPath: String,
+      cleanPath: String, maxPpl: Double, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the stream schema is static — fail at CONSTRUCTION, not mid-run
+    require(!stream.columns.contains("_rev"),
+      "streamingLmSelect uses a scratch version column named _rev; " +
+        "rename the stream's _rev column first")
+    val s0 = stream.sparkSession
+    val frozenBg = s0.read.parquet(bgPath).localCheckpoint()
+    val frozenVocab = s0.read.parquet(vocabPath).localCheckpoint()
+    val sink = (batch: Dataset[org.apache.spark.sql.Row], _: Long) => {
+      val docs = batch.toDF().localCheckpoint() // one materialization per batch
+      if (docs.head(1).nonEmpty) {
+        val kept = docs.join(
+          graft.operators.Text.lmPerplexityUnder(docs, frozenBg, frozenVocab)
+            .where(col("ppl") <= maxPpl)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.sources.ParquetUpsertSink.upsert(
+          kept.withColumn("_rev", lit(0L)), cleanPath,
+          Seq("doc_id"), "_rev", numBuckets)
+      }
+      ()
+    }
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+  }
+
   /** Streaming length-drift monitor — q156's operational twin: each
     * micro-batch of ingested documents is KS-tested per source
     * against a FROZEN baseline length CDF (published once by

@@ -37,6 +37,45 @@ object ExplainAudit {
     specs.nonEmpty && specs.forall(_.startsWith(key))
   }
 
+  /** GLOBAL window-boundedness rule: a Window with an EMPTY partition
+    * spec moves its whole input to ONE task (SinglePartition exchange +
+    * global sort) — fatal on raw rows at 100 TB, fine on a
+    * domain-compressed input (vocabGrowth's 10-row decile cumsum, the
+    * q87/q112 coverage curves). So every unpartitioned window must sit
+    * ABOVE an aggregate, a Range spine, or literal rows in the plan
+    * tree; an unpartitioned window whose subtree is scans/projections
+    * only is the global-sort-on-raw-rows regression this rule exists
+    * to catch. Detection: in formatted plans an unpartitioned spec's
+    * first `windowspecdefinition` argument is an ORDER expression
+    * (`col ASC/DESC ...`) where a partitioned spec leads with the
+    * bare partition column.
+    */
+  private[tools] def unboundedWindowViolations(name: String, plan: String): Seq[Violation] = {
+    val lines = plan.split("\n")
+    val detailStart = lines.indexWhere(_.matches(raw"\(\d+\) .*"))
+    val tree = if (detailStart < 0) lines.toSeq else lines.take(detailStart).toSeq
+    def indent(l: String) = l.indexWhere(_.isLetter)
+    val compressed = raw"\b(HashAggregate|SortAggregate|ObjectHashAggregate|Range|LocalTableScan)\b".r
+    val unpartSpec = raw"windowspecdefinition\(([^,)]*)".r
+    tree.zipWithIndex.collect {
+      case (l, i) if raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).isDefined =>
+        (raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).get.group(1), i, indent(l))
+    }.flatMap { case (id, i, ind) =>
+      // this Window node's detail block: unpartitioned iff any of its
+      // windowspecdefinitions leads with an order expression
+      val detail = (raw"(?s)\n\($id\) Window\n(.*?)(?=\n\(\d+\) |\z)".r
+        .findFirstMatchIn(plan).map(_.group(1))).getOrElse("")
+      val unpartitioned = unpartSpec.findAllMatchIn(detail)
+        .exists(m => raw"\s(ASC|DESC)\b".r.findFirstIn(m.group(1)).isDefined)
+      val subtree = tree.drop(i + 1).takeWhile(l => indent(l) > ind)
+      if (unpartitioned && !subtree.exists(l => compressed.findFirstIn(l).isDefined))
+        Some(Violation(name,
+          "unpartitioned window over raw rows (global single-task sort; " +
+            "input has no aggregate/Range/literal compression)"))
+      else None
+    }
+  }
+
   /** Pure check of one query's formatted plan text — unit-testable
     * without running a session (ExplainAuditSpec seeds regressions).
     */
@@ -48,6 +87,8 @@ object ExplainAudit {
     // broadcast was lost
     if (plan.contains("CartesianProduct"))
       v += Violation(name, "CartesianProduct in plan (lost broadcast?)")
+    // global: unpartitioned windows must ride domain-compressed inputs
+    v ++= unboundedWindowViolations(name, plan)
     name match {
       case "q01_filter_project" =>
         // parquet pushdown: the scan must carry at least one pushed

@@ -55,6 +55,30 @@ class ExplainAuditSpec extends SparkSpec {
     vs.map(_.rule).exists(_.contains("partition")) shouldBe true
   }
 
+  test("unpartitioned windows are bounded: domain-compressed cumsums pass, a raw-scan global sort is caught") {
+    // the legitimate unpartitioned-window family: every input is an
+    // aggregate / tiny Range spine, so the single-task sort is over a
+    // handful of rows — these must stay green under the global rule
+    for (name <- Seq("q157_vocab_growth", "q87_vocab_coverage", "q112_kpi_daily")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      ExplainAudit.violations(name, plan(df)) shouldBe empty
+    }
+    // seeded regression: the same running-sum shape directly over the
+    // raw lineitem scan — the whole fact table onto ONE task
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("l_shipdate"))
+    val degraded = Tables.lineitem(spark, sfDir)
+      .withColumn("running", sum(col("l_quantity")).over(w))
+    val vs = ExplainAudit.violations("seeded_raw_window", plan(degraded))
+    vs.map(_.rule).exists(_.contains("unpartitioned window over raw rows")) shouldBe true
+    // and a KEYED window over the same raw scan stays fine (partition
+    // spec present — not this rule's business)
+    val keyed = Tables.lineitem(spark, sfDir)
+      .withColumn("running", sum(col("l_quantity")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey")).orderBy(col("l_shipdate"))))
+    ExplainAudit.violations("keyed_raw_window", plan(keyed)) shouldBe empty
+  }
+
   test("seeded regression: label attachment via a join is caught") {
     // the naive formulation q145's oracle runs — a keyed range join —
     // must trip the no-join rule if it ever replaces the window shape

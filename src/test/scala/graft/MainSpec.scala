@@ -3,6 +3,7 @@ package graft
 import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** The config-driven entrypoint: the reference's settings.json-fed
   * CLI shape, smoke-driven end-to-end against real stores.
@@ -299,5 +300,112 @@ class MainSpec extends SparkSpec {
       fSrc.badRequests shouldBe 0
       fDst.badRequests shouldBe 0
     } finally { fSrc.stop(); fDst.stop() }
+  }
+
+  test("query mode: a jx query file runs against a parquet store; list/table on stdout, sink output, stdout cap") {
+    val base = tmp()
+    Seq(("click", 10L), ("click", 20L), ("view", 5L), ("view", 95L))
+      .toDF("event_type", "value").write.parquet(s"$base/events")
+    val qf = s"$base/q.json"
+    Files.write(java.nio.file.Paths.get(qf), """{
+      "from": "t",
+      "groupby": ["event_type"],
+      "select": [{"name":"n","aggregate":"count"},
+                 {"name":"total","value":"value","aggregate":"sum"}],
+      "format": "list"
+    }""".getBytes(UTF_8))
+    def cfg(extra: String) = mapper.readTree(s"""{
+      "mode": "query",
+      "queryFile": "$qf",
+      "stores": {"t": {"type": "parquet", "path": "$base/events"}}
+      $extra
+    }""")
+    // ActiveData response shape on stdout: {"format","rows","data"}
+    val got = mapper.readTree(Main.run(spark, cfg("")))
+    got.get("format").asText() shouldBe "list"
+    got.get("rows").asInt() shouldBe 2
+    val byType = got.get("data").asScala
+      .map(r => r.get("event_type").asText() -> r).toMap
+    byType("click").get("n").asLong() shouldBe 2L
+    byType("click").get("total").asLong() shouldBe 30L
+    byType("view").get("total").asLong() shouldBe 100L
+    // table transport: one row, header + data arrays, through the CLI
+    val tbl = mapper.readTree(Main.run(spark, mapper.readTree(s"""{
+      "mode": "query",
+      "query": {"from":"t","groupby":["event_type"],
+                "select":[{"name":"n","aggregate":"count"}],
+                "format":"table"},
+      "stores": {"t": {"type": "parquet", "path": "$base/events"}}
+    }""")))
+    tbl.get("format").asText() shouldBe "table"
+    tbl.get("rows").asInt() shouldBe 1
+    val header = tbl.get("data").get(0).get("header").asScala.map(_.asText()).toSeq
+    header shouldBe Seq("event_type", "n")
+    // large results go to a DISTRIBUTED sink, reported not collected
+    val sunk = mapper.readTree(Main.run(spark,
+      cfg(s""", "output": {"type": "jsonl", "path": "$base/out"}""")))
+    sunk.get("rows").asLong() shouldBe 2L
+    spark.read.json(s"$base/out").where($"event_type" === "click")
+      .select($"total").as[Double].head() shouldBe 30.0
+    // stdout delivery is hard-capped: beyond maxReturn fails loudly
+    // instead of truncating or OOMing the driver
+    intercept[IllegalArgumentException] {
+      Main.run(spark, cfg(""", "maxReturn": "1""""))
+    }.getMessage should include("maxReturn")
+  }
+
+  test("train-tokenizer mode: trains, persists, reloads; bpe_tokenize under the loaded model is bit-identical") {
+    val base = tmp()
+    Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .write.parquet(s"$base/docs")
+    val out = mapper.readTree(Main.run(spark, mapper.readTree(s"""{
+      "mode": "train-tokenizer",
+      "source": {"type": "parquet", "path": "$base/docs"},
+      "numMerges": 30,
+      "modelPath": "$base/bpe"
+    }""")))
+    out.get("merges").asInt() shouldBe 30
+    out.get("dictWords").asInt() should be > 0
+    // reload: rank order and merge pairs round-trip exactly
+    val loaded = graft.sources.ModelStore.loadMerges(spark, s"$base/bpe")
+    val inSession = {
+      val dict = graft.operators.Bpe
+        .wordDict(spark.read.parquet(s"$base/docs"), "text", 200000)
+        .as[(String, Long)].collect().toSeq
+      graft.operators.Bpe.trainMerges(dict, 30)
+    }
+    loaded shouldBe inSession
+    // the consumer: full token ARRAYS under the loaded model are
+    // bit-identical to the in-session model on every document
+    val docs = spark.read.parquet(s"$base/docs")
+    def toks(m: Seq[(String, String)]) = docs
+      .select($"doc_id", graft.functions.bpeTokenize($"text", m).as("t"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    toks(loaded) shouldBe toks(inSession)
+  }
+
+  test("query mode: the same jx endpoint queries a live ES index; cube format covered") {
+    val f = new EsFixture
+    try {
+      val schema = "doc_id BIGINT, k STRING, v BIGINT, rev BIGINT"
+      graft.sources.EsDocumentStore(f.base, "docs", Seq("doc_id"), "rev",
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .push(Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 1L), (3L, "a", 5L, 1L))
+          .toDF("doc_id", "k", "v", "rev"))
+      val got = mapper.readTree(Main.run(spark, mapper.readTree(s"""{
+        "mode": "query",
+        "query": {"from":"t","edges":["k"],
+                  "select":[{"name":"total","value":"v","aggregate":"sum"}],
+                  "format":"cube"},
+        "stores": {"t": {"type": "es", "base": "${f.base}", "alias": "docs",
+                         "keyCols": ["doc_id"], "versionCol": "rev",
+                         "schema": "$schema"}}
+      }""")))
+      got.get("format").asText() shouldBe "cube"
+      val cell = got.get("data").get(0)
+      cell.get("domain_k").asScala.map(_.asText()).toSeq shouldBe Seq("a", "b")
+      cell.get("total").asScala.map(_.asLong()).toSeq shouldBe Seq(15L, 20L)
+      f.badRequests shouldBe 0
+    } finally f.stop()
   }
 }

@@ -119,6 +119,89 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage should include("invalid chunk size")
   }
 
+  /** Encode a w×h image with per-pixel RGB from `px(x, y)` through the
+    * JDK's own ImageIO writers — REAL compressed PNG/JPEG bytes, built
+    * in-memory with zero external tooling.
+    */
+  private def enc(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def gray(v: Int): Int = (v << 16) | (v << 8) | v
+
+  test("ImageIoDecoder decodes REAL PNG and JPEG bytes: luma truth, decoded dimensions, loud corruption") {
+    // PNG is lossless: an all-white 16x12 decodes to luma exactly 1.0,
+    // all-black to 0.0, and dimensions come from the PAYLOAD, not the
+    // metadata columns (passed as 0x0 to prove they are ignored)
+    val white = Multimodal.ImageIoDecoder.decode(
+      Seq(MediaRecord(1L, "png", 0, 0, enc("png", 16, 12)((_, _) => gray(255))))).head
+    white.width shouldBe 16
+    white.height shouldBe 12
+    white.luma shouldBe 1.0 +- 1e-12
+    Multimodal.ImageIoDecoder.decode(
+      Seq(MediaRecord(2L, "png", 0, 0, enc("png", 16, 12)((_, _) => gray(0)))))
+      .head.luma shouldBe 0.0 +- 1e-12
+    // mid-gray 128/255 exactly (0.299+0.587+0.114 = 1 by construction)
+    Multimodal.ImageIoDecoder.decode(
+      Seq(MediaRecord(3L, "png", 0, 0, enc("png", 8, 8)((_, _) => gray(128)))))
+      .head.luma shouldBe 128.0 / 255.0 +- 1e-9
+    // JPEG is lossy but a flat field survives quantization nearly exactly
+    val jpg = Multimodal.ImageIoDecoder.decode(
+      Seq(MediaRecord(4L, "jpeg", 0, 0, enc("jpg", 16, 12)((_, _) => gray(128))))).head
+    jpg.width shouldBe 16
+    jpg.luma shouldBe 128.0 / 255.0 +- 0.02
+    // batch semantics: mixed formats in one batch, order preserved
+    val batch = Multimodal.ImageIoDecoder.decode(Seq(
+      MediaRecord(5L, "png", 0, 0, enc("png", 8, 8)((_, _) => gray(255))),
+      MediaRecord(6L, "jpeg", 0, 0, enc("jpg", 8, 8)((_, _) => gray(0))))).map(_.doc_id)
+    batch shouldBe Seq(5L, 6L)
+    // corruption is LOUD with the doc id: ImageIO.read returns null on
+    // unclaimed bytes — that must become an exception, not fake features
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(Seq(MediaRecord(7L, "png", 0, 0,
+        Array.fill[Byte](64)(0x5a))))
+    }.getMessage should include("doc 7")
+    // a TRUNCATED png (valid magic, cut body) must also fail loudly,
+    // whether ImageIO throws or returns a null/partial decode
+    val cut = enc("png", 16, 12)((x, _) => gray(x * 15)).take(24)
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(Seq(MediaRecord(8L, "png", 0, 0, cut)))
+    }.getMessage should include("doc 8")
+  }
+
+  test("decoded dHash routes q88's machinery over real pixels: a PNG/JPEG re-encode of the same image is a near-dup pair") {
+    // a strong horizontal gradient: every adjacent dHash cell pair
+    // differs by ~36 luma levels, far above JPEG quantization noise, so
+    // the decoded fingerprint is re-encode-stable by construction
+    def grad(x: Int, y: Int) = gray((x * 255) / 63)
+    def revGrad(x: Int, y: Int) = gray(((63 - x) * 255) / 63)
+    val media = Seq(
+      MediaRecord(10L, "png", 0, 0, enc("png", 64, 64)(grad)),
+      MediaRecord(20L, "jpeg", 0, 0, enc("jpg", 64, 64)(grad)), // same pixels, lossy re-encode
+      MediaRecord(30L, "png", 0, 0, enc("png", 64, 64)(revGrad)) // mirrored: hamming 48 from both
+    ).toDS().toDF()
+    val pairs = Multimodal.mediaPhashPairsDecoded(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((10L, 20L))
+    pairs.head._3 should be <= 3L // re-encode noise, not identity, is the test
+    // the fingerprint itself: gradient = all 48 comparison bits set,
+    // reverse gradient = none (block-mean dHash truth, not just pair truth)
+    val img = Multimodal.ImageIoDecoder.read(10L, enc("png", 64, 64)(grad))
+    Multimodal.ImageIoDecoder.dHash48(10L, img) shouldBe (1L << 48) - 1
+    val rev = Multimodal.ImageIoDecoder.read(30L, enc("png", 64, 64)(revGrad))
+    Multimodal.ImageIoDecoder.dHash48(30L, rev) shouldBe 0L
+    // too-small images cannot be fingerprinted: loud, with the doc id
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.dHash48(40L,
+        Multimodal.ImageIoDecoder.read(40L, enc("png", 6, 6)((_, _) => gray(9))))
+    }.getMessage should include("smaller than")
+  }
+
   test("the default decoder is the deterministic stub (q40's oracle contract)") {
     // deterministic subset (limit() may pick different rows per evaluation)
     val media = Multimodal.mediaTable(spark, sfDir).where($"doc_id" % 10 === 0)

@@ -264,6 +264,110 @@ class StreamingSpec extends SparkSpec {
     (cand.select($"doc_id").as[Long].collect().toSet -- want) should not be empty
   }
 
+  test("streaming LM selection: admitted set ≡ batch perplexity threshold under frozen models, redelivery + unscoreable-doc contract") {
+    import org.apache.spark.sql.functions.{col, lit, substring}
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // the target LM published once over the labeled slice (q154's model)
+    val base = Files.createTempDirectory("graft-lm-models").toString
+    graft.operators.Text.lmBigramCounts(docs, srcNum >= 15)
+      .write.parquet(base + "/bg")
+    graft.operators.Text.lmVocab(docs, srcNum >= 15)
+      .write.parquet(base + "/vocab")
+    val cand = docs.where(srcNum < 15) // the raw pool arrives as a stream
+    val scores = graft.operators.Text.lmPerplexityUnder(cand,
+      spark.read.parquet(base + "/bg"), spark.read.parquet(base + "/vocab"))
+      .select($"doc_id", $"ppl").as[(Long, Double)].collect()
+    // threshold at a real gap near the median: non-trivial both ways,
+    // no doc within float noise of the boundary (the DSIR trick)
+    val sorted = scores.map(_._2).sorted
+    val mid = sorted.length / 2
+    val gaps = (1 until sorted.length)
+      .map(i => (sorted(i) - sorted(i - 1), i)).filter(_._1 > 1e-6)
+    gaps should not be empty
+    val cut = gaps.minBy { case (_, j) => math.abs(j - mid) }._2
+    val maxPpl = (sorted(cut) + sorted(cut - 1)) / 2.0
+    // stage candidates in two files + one redelivery + one UNSCOREABLE
+    // doc (a single word has no bigram, hence no score)
+    val dir = Files.createTempDirectory("graft-lm-src").toString
+    cand.repartition(2).write.mode("append").parquet(dir)
+    cand.limit(20).write.mode("append").parquet(dir)
+    cand.limit(1).withColumn("doc_id", lit(999999999L))
+      .withColumn("text", lit("solo")).write.mode("append").parquet(dir)
+    val table = Files.createTempDirectory("graft-lm-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-lm-ck").toString
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val query = StreamOps
+      .streamingLmSelect(stream, base + "/bg", base + "/vocab", table, maxPpl)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = scores.filter(_._2 <= maxPpl).map(_._1).toSet
+    got shouldBe want
+    // the gate is non-trivial both ways, and the unscoreable doc was
+    // NOT admitted (no bigrams → no score → no demonstration of
+    // target-likeness)
+    want should not be empty
+    (cand.select($"doc_id").as[Long].collect().toSet -- want) should not be empty
+    got should not contain 999999999L
+  }
+
+  test("streaming LM selection freezes the model at construction: a mid-stream republish does not change scoring") {
+    import org.apache.spark.sql.functions.{col, lit, substring}
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val base = Files.createTempDirectory("graft-lm-frz").toString
+    graft.operators.Text.lmBigramCounts(docs, srcNum >= 15)
+      .write.parquet(base + "/bg")
+    graft.operators.Text.lmVocab(docs, srcNum >= 15)
+      .write.parquet(base + "/vocab")
+    // deterministic subset (key-hash filter, not limit())
+    val cand = docs.where(srcNum < 15 && $"doc_id" % 20 === 0)
+    def scoresUnder(bg: org.apache.spark.sql.DataFrame) =
+      graft.operators.Text.lmPerplexityUnder(cand, bg,
+        spark.read.parquet(base + "/vocab"))
+        .select($"doc_id", $"ppl").as[(Long, Double)].collect()
+    val scores = scoresUnder(spark.read.parquet(base + "/bg"))
+    val sorted = scores.map(_._2).sorted
+    val mid = sorted.length / 2
+    val gaps = (1 until sorted.length)
+      .map(i => (sorted(i) - sorted(i - 1), i)).filter(_._1 > 1e-6)
+    val cut = gaps.minBy { case (_, j) => math.abs(j - mid) }._2
+    val maxPpl = (sorted(cut) + sorted(cut - 1)) / 2.0
+    val dir = Files.createTempDirectory("graft-lm-frz-src").toString + "/in"
+    cand.write.parquet(dir)
+    val table = Files.createTempDirectory("graft-lm-frz-out").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-lm-frz-ck").toString
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    // construct the writer (the localCheckpoint freeze happens HERE) …
+    val writer = StreamOps
+      .streamingLmSelect(stream, base + "/bg", base + "/vocab", table, maxPpl)
+    // … then republish a degenerate model before any batch runs: with
+    // every count collapsed to 1 the scores — and the admitted set —
+    // would change (assert non-vacuously below)
+    val sabotaged = spark.read.parquet(base + "/bg")
+      .select($"bg", lit(1L).as("cbg"))
+      .localCheckpoint() // materialize before overwriting our own input
+    sabotaged.write.mode("overwrite").parquet(base + "/bg")
+    val wantSabotaged = scoresUnder(sabotaged)
+      .filter(_._2 <= maxPpl).map(_._1).toSet
+    val query = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination(120000)
+    val got = graft.sources.ParquetUpsertSink.read(spark, table)
+      .select($"doc_id").as[Long].collect().toSet
+    // admitted set matches the ORIGINAL model's threshold, proving the
+    // freeze — and the sabotaged model would have admitted differently
+    val want = scores.filter(_._2 <= maxPpl).map(_._1).toSet
+    got shouldBe want
+    wantSabotaged should not be want
+  }
+
   test("streaming DSIR selection snapshots the side models at construction: a mid-stream republish does not change scoring") {
     import org.apache.spark.sql.functions.{col, substring}
     val docs = Tables.documents(spark, sfDir)
@@ -436,6 +540,8 @@ class StreamingSpec extends SparkSpec {
       StreamOps.streamingDsirSelect(stream, out + "/c", out + "/t", 0.0)
     an[IllegalArgumentException] should be thrownBy
       StreamOps.streamingBloomDecontaminate(stream, out + "/a", out + "/t")
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.streamingLmSelect(stream, out + "/bg", out + "/v", out + "/t", 100.0)
   }
 
   test("streaming bloom decontamination: admitted set ≡ exact fingerprint anti-join, redelivery no-op") {
