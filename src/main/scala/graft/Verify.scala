@@ -50,6 +50,14 @@ object Verify {
     operators.Dedup.exportGateSignatures(spark, sfDir)
     operators.Bpe.exportGateModel(spark, sfDir)
     operators.Dsir.exportGateFeatures(spark, sfDir)
+    // stamp which sf dir the exports were trained on: a later Verify at
+    // a DIFFERENT sf overwrites the model dir, and checking an older
+    // dump against it fails the model-consumer oracles with confusing
+    // value diffs (the r17 sf1 incident) — check.py compares the stamp
+    // and warns loudly on mismatch
+    Files.writeString(Paths.get(
+      s"${operators.Ann.gateModelDir}/_SF_DIR"), sfDir)
+    Files.writeString(Paths.get(s"$outDir/_SF_DIR"), sfDir)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

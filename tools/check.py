@@ -36,10 +36,28 @@ def main():
     mem = os.environ.get("GRAFT_CHECK_MEM", "")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # optional spill cap (driver sets neither): without it a quadratic
+    # oracle at large sf SPILLS past the memory limit instead of dying —
+    # 50+ GB of /tmp and no progress signal (the r17 sf1 incident)
+    tmpcap = os.environ.get("GRAFT_CHECK_TMP", "")
+    if tmpcap:
+        con.execute(f"SET max_temp_directory_size='{tmpcap}'")
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # stale-model guard: the gate-model exports in /tmp/graft_gate_models
+    # are global and overwritten by every Verify run — comparing a dump
+    # against models trained on a DIFFERENT sf dir fails the
+    # model-consumer oracles (q32/q33/q81/q92/q105/q148/q151/...) with
+    # confusing value diffs. Verify stamps both dirs; warn on mismatch.
+    stamp = lambda p: open(p).read().strip() if os.path.exists(p) else None
+    dump_sf = stamp(f"{out}/_SF_DIR")
+    model_sf = stamp("/tmp/graft_gate_models/_SF_DIR")
+    if dump_sf and model_sf and dump_sf != model_sf:
+        print(f"WARN: dump was generated at sf dir '{dump_sf}' but the gate "
+              f"models were last exported for '{model_sf}' — model-consumer "
+              "oracles WILL mismatch; re-run graft.Verify for this sf first")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     # Local escape hatch (driver never sets it): GRAFT_CHECK_SKIP=q52,...
     # skips queries whose ORACLE is infeasible at a given sf (e.g. the
