@@ -214,7 +214,7 @@ object Main {
         val merges = graft.operators.Bpe.trainMerges(dict, numMerges)
         graft.sources.ModelStore.saveMerges(spark, modelPath, merges)
         s"""{"mode":"train-tokenizer","merges":${merges.length},""" +
-          s""""dictWords":${dict.length},"model":"$modelPath"}"""
+          s""""dictWords":${dict.length},"model":${jstr(modelPath)}}"""
       case "query" =>
         val qJson =
           if (cfg.hasNonNull("queryFile"))
@@ -250,7 +250,7 @@ object Main {
               case other => sys.error(
                 s"unknown query output type '$other' (parquet | jsonl)")
             }
-            s"""{"mode":"query","rows":$n,"output":"$path"}"""
+            s"""{"mode":"query","rows":$n,"output":${jstr(path)}}"""
           case None =>
             // stdout is the ActiveData response shape: {"format","data"}.
             // It is a DRIVER COLLECT, so it is capped — a query result
@@ -262,7 +262,7 @@ object Main {
               s"query returned more than maxReturn=$max rows for stdout " +
                 "delivery — set an 'output' sink (parquet | jsonl) for large results")
             val fmt = graft.jx.JxCompiler.parse(qJson).path("format").asText("list")
-            s"""{"format":"$fmt","rows":${rows.length},"data":[${rows.mkString(",")}]}"""
+            s"""{"format":${jstr(fmt)},"rows":${rows.length},"data":[${rows.mkString(",")}]}"""
         }
       case "sync-stream" => sys.error(
         "sync cannot be a stream: sync is a point-in-time snapshot made " +
@@ -449,4 +449,19 @@ object Main {
 
   private def resultJson(extracted: Long, pushed: Long, wm: Option[Long]): String =
     s"""{"extracted":$extracted,"pushed":$pushed,"watermark":${wm.getOrElse("null")}}"""
+
+  /** JSON string literal for a result line — config-derived values
+    * (paths, format names) interpolate through here, never raw: a
+    * path containing a quote/backslash/control char must not make
+    * the one machine-readable stdout line unparsable.
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -224,17 +224,42 @@ object Multimodal extends QueryPack {
       (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
         0.114 * (rgb & 0xff)) / 255.0
 
+    /** The whole raster as one packed-int array, read ONCE: the
+      * per-pixel `getRGB(x, y)` form pays bounds checks plus a
+      * ColorModel conversion PER CALL (and the bulk `getRGB(0, y, w,
+      * 1, ...)` row form still converts pixel-by-pixel inside), which
+      * on megapixel JPEGs is the dominant cost — and these loops are
+      * the per-record hot path of a 100 TB image scan. Decoders hand
+      * back TYPE_3BYTE_BGR/other layouts, so convert via ONE
+      * `drawImage` blit into TYPE_INT_RGB (AWT's optimized conversion
+      * loop, same sRGB values `getRGB` produces) and then index the
+      * backing DataBufferInt directly. Values identical —
+      * MultimodalSpec pins them; tools/DecodeBench is the A/B
+      * harness.
+      */
+    private def pixels(img: java.awt.image.BufferedImage): Array[Int] = {
+      import java.awt.image.{BufferedImage, DataBufferInt}
+      val rgb =
+        if (img.getType == BufferedImage.TYPE_INT_RGB) img
+        else {
+          val c = new BufferedImage(img.getWidth, img.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+          val g = c.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          c
+        }
+      rgb.getRaster.getDataBuffer.asInstanceOf[DataBufferInt].getData
+    }
+
     def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val img = read(r.doc_id, r.payload)
         val w = img.getWidth; val h = img.getHeight
+        val px = pixels(img)
         var acc = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { acc += luma(img.getRGB(x, y)); x += 1 }
-          y += 1
-        }
+        var i = 0
+        while (i < px.length) { acc += luma(px(i)); i += 1 }
         MediaFeatures(r.doc_id, r.format, w, h,
           r.payload.length.toLong, acc / (w.toLong * h))
       }
@@ -255,6 +280,7 @@ object Multimodal extends QueryPack {
       if (w < gw || h < gh) throw new IllegalArgumentException(
         s"ImageIoDecoder: doc $docId: image ${w}x$h smaller than the ${gw}x$gh dHash grid")
       val cells = Array.ofDim[Double](gh, gw)
+      val px = pixels(img)
       var cy = 0
       while (cy < gh) {
         val y0 = cy * h / gh; val y1 = (cy + 1) * h / gh
@@ -264,8 +290,9 @@ object Multimodal extends QueryPack {
           var acc = 0.0
           var y = y0
           while (y < y1) {
+            val row = y * w
             var x = x0
-            while (x < x1) { acc += luma(img.getRGB(x, y)); x += 1 }
+            while (x < x1) { acc += luma(px(row + x)); x += 1 }
             y += 1
           }
           cells(cy)(cx) = acc / ((y1 - y0).toLong * (x1 - x0))

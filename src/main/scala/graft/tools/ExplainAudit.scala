@@ -46,32 +46,66 @@ object ExplainAudit {
     * tree; an unpartitioned window whose subtree is scans/projections
     * only is the global-sort-on-raw-rows regression this rule exists
     * to catch. Detection: in formatted plans an unpartitioned spec's
-    * first `windowspecdefinition` argument is an ORDER expression
-    * (`col ASC/DESC ...`) where a partitioned spec leads with the
-    * bare partition column.
+    * first `windowspecdefinition` argument is either an ORDER
+    * expression (`col ASC/DESC ...`) or — for an UNORDERED
+    * unpartitioned spec — the frame itself (`specifiedwindowframe`);
+    * a partitioned spec leads with the bare partition column. The
+    * compressing node must sit DIRECTLY under the window (through
+    * sort/exchange/projection plumbing only): an aggregate buried
+    * below a join elsewhere in the subtree does not bound the row
+    * count the window's single task actually sorts.
     */
   private[tools] def unboundedWindowViolations(name: String, plan: String): Seq[Violation] = {
     val lines = plan.split("\n")
     val detailStart = lines.indexWhere(_.matches(raw"\(\d+\) .*"))
     val tree = if (detailStart < 0) lines.toSeq else lines.take(detailStart).toSeq
     def indent(l: String) = l.indexWhere(_.isLetter)
-    val compressed = raw"\b(HashAggregate|SortAggregate|ObjectHashAggregate|Range|LocalTableScan)\b".r
+    val compressed = raw"\b(HashAggregate|SortAggregate|ObjectHashAggregate|Range|LocalTableScan|ReusedExchange)\b".r
+    // nodes that preserve (or reduce) their input's row count — the
+    // window's effective input is whatever sits below this plumbing.
+    // ReusedExchange above counts as compressed: its referent subtree
+    // is printed elsewhere and was audited where it appears.
+    // BroadcastHashJoin is plumbing too: its output scales with the
+    // STREAMED side (the build side is broadcast-small by
+    // construction), and the streamed child prints first in the
+    // formatted tree, so the walk continues into the branch that
+    // actually bounds the window's input (q140's spine⟕counts join,
+    // q157's Range-spine decile join). Shuffle joins stay
+    // non-pass-through: both sides are unbounded.
+    // Generate is pass-through as well: an explode over a raw scan
+    // still terminates at the scan (flagged), while the legitimate
+    // calendar/day-spine explodes (q140) sit over a 1-row min/max
+    // aggregate — the domain-compressed shape the rule admits.
+    val passThrough = raw"\b(Sort|Exchange|Project|Filter|WholeStageCodegen|InputAdapter|ColumnarToRow|RowToColumnar|AQEShuffleRead|ShuffleQueryStage|TableCacheQueryStage|ResultQueryStage|InMemoryTableScan|InMemoryRelation|Window|WindowGroupLimit|Coalesce|Union|AdaptiveSparkPlan|BroadcastHashJoin|Generate)\b".r
     val unpartSpec = raw"windowspecdefinition\(([^,)]*)".r
     tree.zipWithIndex.collect {
       case (l, i) if raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).isDefined =>
         (raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).get.group(1), i, indent(l))
     }.flatMap { case (id, i, ind) =>
       // this Window node's detail block: unpartitioned iff any of its
-      // windowspecdefinitions leads with an order expression
+      // windowspecdefinitions leads with an order expression or
+      // (unordered spec) directly with the frame definition
       val detail = (raw"(?s)\n\($id\) Window\n(.*?)(?=\n\(\d+\) |\z)".r
         .findFirstMatchIn(plan).map(_.group(1))).getOrElse("")
-      val unpartitioned = unpartSpec.findAllMatchIn(detail)
-        .exists(m => raw"\s(ASC|DESC)\b".r.findFirstIn(m.group(1)).isDefined)
+      val unpartitioned = unpartSpec.findAllMatchIn(detail).exists { m =>
+        raw"\s(ASC|DESC)\b".r.findFirstIn(m.group(1)).isDefined ||
+          m.group(1).startsWith("specifiedwindowframe")
+      }
       val subtree = tree.drop(i + 1).takeWhile(l => indent(l) > ind)
-      if (unpartitioned && !subtree.exists(l => compressed.findFirstIn(l).isDefined))
+      // walk the direct input chain: the first node that is not pure
+      // plumbing must be the compressing node
+      val boundedInput = subtree.iterator
+        .map { l =>
+          if (compressed.findFirstIn(l).isDefined) Some(true)
+          else if (passThrough.findFirstIn(l).isDefined) None
+          else Some(false)
+        }
+        .collectFirst { case Some(b) => b }
+        .getOrElse(false)
+      if (unpartitioned && !boundedInput)
         Some(Violation(name,
           "unpartitioned window over raw rows (global single-task sort; " +
-            "input has no aggregate/Range/literal compression)"))
+            "input has no aggregate/Range/literal compression directly below)"))
       else None
     }
   }

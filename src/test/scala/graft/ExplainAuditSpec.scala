@@ -79,6 +79,34 @@ class ExplainAuditSpec extends SparkSpec {
     ExplainAudit.violations("keyed_raw_window", plan(keyed)) shouldBe empty
   }
 
+  test("seeded regression: UNORDERED unpartitioned window over raw rows is caught") {
+    // no partitionBy AND no orderBy — the windowspecdefinition leads
+    // with specifiedwindowframe instead of an ASC/DESC expression, the
+    // r17 rule's false-negative path: still one task holding the whole
+    // fact table
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val degraded = Tables.lineitem(spark, sfDir)
+      .withColumn("total", sum(col("l_quantity")).over(w))
+    val vs = ExplainAudit.violations("seeded_unordered_window", plan(degraded))
+    vs.map(_.rule).exists(_.contains("unpartitioned window over raw rows")) shouldBe true
+  }
+
+  test("seeded regression: an aggregate below a fact join does not excuse a global window") {
+    // an aggregate EXISTS in the subtree (the tiny per-order count)
+    // but the window's direct input is the join against raw lineitem —
+    // the single task still sorts the full fact table. The r17 rule's
+    // other false-negative path: compression must sit directly below.
+    val perOrder = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    val joined = Tables.lineitem(spark, sfDir)
+      .join(perOrder, col("l_orderkey") === col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("l_shipdate"))
+    val degraded = joined.withColumn("running", sum(col("l_quantity")).over(w))
+    val vs = ExplainAudit.violations("seeded_join_window", plan(degraded))
+    vs.map(_.rule).exists(_.contains("unpartitioned window over raw rows")) shouldBe true
+  }
+
   test("seeded regression: label attachment via a join is caught") {
     // the naive formulation q145's oracle runs — a keyed range join —
     // must trip the no-join rule if it ever replaces the window shape

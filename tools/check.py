@@ -55,9 +55,19 @@ def main():
     dump_sf = stamp(f"{out}/_SF_DIR")
     model_sf = stamp("/tmp/graft_gate_models/_SF_DIR")
     if dump_sf and model_sf and dump_sf != model_sf:
-        print(f"WARN: dump was generated at sf dir '{dump_sf}' but the gate "
-              f"models were last exported for '{model_sf}' — model-consumer "
-              "oracles WILL mismatch; re-run graft.Verify for this sf first")
+        msg = (f"dump was generated at sf dir '{dump_sf}' but the gate "
+               f"models were last exported for '{model_sf}' — model-consumer "
+               "oracles WILL mismatch; re-run graft.Verify for this sf first")
+        # fail FAST by default: a scripted gate must not burn a long
+        # run on a known-bad model/dump pairing and then report the
+        # same confusing value diffs this stamp exists to prevent.
+        # GRAFT_CHECK_ALLOW_STALE_MODELS=1 is the escape hatch for an
+        # INTENTIONAL cross-sf comparison.
+        if os.environ.get("GRAFT_CHECK_ALLOW_STALE_MODELS", "") == "1":
+            print(f"WARN (GRAFT_CHECK_ALLOW_STALE_MODELS=1): {msg}")
+        else:
+            print(f"FATAL: {msg}")
+            sys.exit(2)
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     # Local escape hatch (driver never sets it): GRAFT_CHECK_SKIP=q52,...
     # skips queries whose ORACLE is infeasible at a given sf (e.g. the
