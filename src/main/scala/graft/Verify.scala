@@ -50,6 +50,7 @@ object Verify {
     operators.Dedup.exportGateSignatures(spark, sfDir)
     operators.Bpe.exportGateModel(spark, sfDir)
     operators.Dsir.exportGateFeatures(spark, sfDir)
+    operators.Multimodal.exportGateHashes(spark, sfDir)
     // stamp which sf dir the exports were trained on: a later Verify at
     // a DIFFERENT sf overwrites the model dir, and checking an older
     // dump against it fails the model-consumer oracles with confusing

@@ -316,6 +316,23 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** One shuffle-free scan over the payload column: real ImageIO
+    * decode → 48-bit block-mean dHash per record. Only these 8-byte
+    * fingerprints ever enter a shuffle; [[graft.Verify]] also exports
+    * this table so the q160 oracle recomputes everything downstream
+    * of the decode independently (the q32/q33 consumer-step pattern —
+    * PNG/JPEG decode has no DuckDB mirror, so the hash step ships as
+    * data).
+    */
+  def decodedHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r =>
+        (r.doc_id, ImageIoDecoder.dHash48(r.doc_id, ImageIoDecoder.read(r.doc_id, r.payload)))))
+    }.toDF("doc_id", "ph")
+  }
+
   /** [[mediaPhashPairs]] with the sampling stub swapped for REAL
     * decoded pixels: per-partition batched ImageIO decode → 48-bit
     * block-mean dHash, then the SAME pigeonhole banding + bit_count
@@ -324,15 +341,8 @@ object Multimodal extends QueryPack {
     * decode+hash is one shuffle-free scan over the payload column;
     * only 8-byte fingerprints enter the shuffle.
     */
-  def mediaPhashPairsDecoded(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val hashed = media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.map(r =>
-        (r.doc_id, ImageIoDecoder.dHash48(r.doc_id, ImageIoDecoder.read(r.doc_id, r.payload)))))
-    }.toDF("doc_id", "ph")
-    phashPairsFromHashes(hashed, maxHamming)
-  }
+  def mediaPhashPairsDecoded(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashPairsFromHashes(decodedHashes(media), maxHamming)
 
   /** The decode pipeline: typed Dataset boundary, then per-partition
     * batched iteration (the Scala analogue of mapInPandas: the decoder
@@ -551,5 +561,141 @@ object Multimodal extends QueryPack {
            |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin),
     "perceptual-hash media dedup: 48-bit dHash over stub luma samples, banded hamming pairs")
 
-  val all: Seq[Q] = Seq(q40, q46, q55, q88)
+  /** SplitMix64 finalizer — the avalanche step that turns the
+    * (doc, cell) index into well-distributed bits for the seeded gate
+    * images. Public-domain constant set (Steele et al., "Fast
+    * Splittable Pseudorandom Number Generators").
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic REAL image for `docId` — the gate's seeded pixel
+    * source for the decoded-dHash path: a 21×16 gray image whose 3×2
+    * pixel cells align EXACTLY with the 7×8 dHash grid. Each cell is
+    * one of 8 gray levels spaced 28 apart, hashed independently per
+    * (doc, cell) — full 48-bit fingerprint entropy, so cross-doc
+    * hamming≤3 collisions are ~zero and the banding buckets stay cold
+    * (a low-entropy pattern here would make chunk buckets quadratic
+    * at replica scale). Horizontally-adjacent cells are forced
+    * DISTINCT, so every dHash bit rests on a ≥28-level mean
+    * difference — far above JPEG default-quality quantization noise.
+    * That margin is what makes the planted PNG→JPEG re-encode pair
+    * land at hamming 0 and a decode-robustness regression fail the
+    * q160 gate loudly.
+    */
+  private[graft] def syntheticImage(docId: Long): java.awt.image.BufferedImage = {
+    val gw = 7; val gh = 8; val cw = 3; val ch = 2
+    val img = new java.awt.image.BufferedImage(
+      gw * cw, gh * ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < gh) {
+      var prev = -1
+      var cx = 0
+      while (cx < gw) {
+        var k = (((mix64(docId * 56 + cy * 7 + cx) >>> 40) % 8) + 8).toInt % 8
+        if (k == prev) k = (k + 1) % 8 // adjacent cells always distinct
+        prev = k
+        val v = 16 + 28 * k
+        val rgb = (v << 16) | (v << 8) | v
+        var y = cy * ch
+        while (y < (cy + 1) * ch) {
+          var x = cx * cw
+          while (x < (cx + 1) * cw) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    img
+  }
+
+  private[graft] def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** The gate media table with REAL compressed payloads: every doc_id
+    * carries its seeded [[syntheticImage]] PNG-encoded on the
+    * executors (deterministic: seeded pixels + the JDK's PNG
+    * encoder), and every tenth doc is ADDITIONALLY planted as the
+    * SAME pixels re-encoded JPEG under doc_id+10,000,000 — the
+    * re-upload/re-encode case image near-dup exists for (q88's plant
+    * pattern, but across codecs on real decoded pixels).
+    */
+  def realMediaTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val png = ids.mapPartitions(_.map(id =>
+      MediaRecord(id, "png", 21, 16, encodeImage(syntheticImage(id), "png"))))
+    val jpg = ids.filter(_ % 10 == 0).mapPartitions(_.map(id =>
+      MediaRecord(id + 10000000L, "jpeg", 21, 16,
+        encodeImage(syntheticImage(id), "jpg"))))
+    png.unionByName(jpg).toDF()
+  }
+
+  /** dir currently exported (Ann.exportOnce contract: a dir change
+    * must overwrite, never memo-skip). */
+  private val phExported = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Export the decoded-dHash table the q160 oracle consumes — called
+    * by [[graft.Verify]] after planning, never from a query builder
+    * (builders stay action-free at plan time). PNG/JPEG decode has no
+    * DuckDB mirror, so the DECODE+HASH step ships as data while the
+    * pigeonhole banding, the XOR-popcount verify, and the planted-pair
+    * recovery are recomputed independently by the oracle.
+    */
+  def exportGateHashes(s: SparkSession, d: String): Unit =
+    phExported.compute("decoded_phash", (_, prev) => {
+      if (prev != d)
+        decodedHashes(realMediaTable(s, d)).coalesce(1).write.mode("overwrite")
+          .parquet(s"${graft.operators.Ann.gateModelDir}/decoded_phash.parquet")
+      d
+    })
+
+  /** Gate query for the REAL image-decode path: seeded real PNGs (plus
+    * the planted cross-codec JPEG re-encodes) through genuine ImageIO
+    * decode → decoded-pixel dHash → the shared banding machinery. The
+    * oracle recomputes banding + hamming from the exported hash table
+    * AND includes every planted (d, d+10M) pair UNCONDITIONALLY at its
+    * actual hamming — so if the decode ever loses its re-encode
+    * robustness (planted hamming drifts above the gate's ≤3), Spark's
+    * banded output no longer matches and the gate FAILS rather than
+    * silently passing on a self-consistent export.
+    */
+  val q160 = Q(
+    "q160_phash_decoded",
+    (s, d) => mediaPhashPairsDecoded(realMediaTable(s, d)),
+    Some(s"""WITH ph AS (
+           |  SELECT doc_id, ph
+           |  FROM read_parquet('${graft.operators.Ann.gateModelDir}/decoded_phash.parquet/*.parquet')
+           |), b AS (
+           |  SELECT doc_id, ph, c AS chunk, (ph >> (c * 12)) & 4095 AS cv
+           |  FROM ph, UNNEST(generate_series(0, 3)) t(c)
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, x.ph AS p1, y.doc_id AS d2, y.ph AS p2
+           |  FROM b x JOIN b y ON x.chunk = y.chunk AND x.cv = y.cv
+           |  WHERE x.doc_id < y.doc_id
+           |), banded AS (
+           |  SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+           |  FROM cand WHERE bit_count(xor(p1, p2)) <= 3
+           |), planted AS (
+           |  SELECT a.doc_id AS d1, p.doc_id AS d2,
+           |    CAST(bit_count(xor(a.ph, p.ph)) AS BIGINT) AS hamming
+           |  FROM ph a JOIN ph p ON p.doc_id = a.doc_id + 10000000
+           |  WHERE a.doc_id % 10 = 0
+           |)
+           |SELECT d1, d2, hamming FROM banded
+           |UNION
+           |SELECT d1, d2, hamming FROM planted""".stripMargin),
+    "REAL image decode on the gate: seeded PNGs + planted JPEG re-encodes, ImageIO decode, decoded dHash, banded hamming pairs")
+
+  val all: Seq[Q] = Seq(q40, q46, q55, q88, q160)
 }

@@ -202,6 +202,30 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage should include("smaller than")
   }
 
+  test("q160 gate table: real deterministic PNG/JPEG payloads, planted cross-codec pairs recovered at hamming 0") {
+    // payloads are REAL compressed bytes: PNG magic on base rows, JFIF
+    // on planted rows, and ImageIO decodes every one of them
+    val media = Multimodal.realMediaTable(spark, sfDir)
+      .as[MediaRecord].collect().toSeq
+    val base = media.filter(_.doc_id < 10000000L)
+    val planted = media.filter(_.doc_id >= 10000000L)
+    planted.size shouldBe base.count(_.doc_id % 10 == 0)
+    base.head.payload.take(4).map(_ & 0xff) shouldBe Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)
+    planted.head.payload.take(2).map(_ & 0xff) shouldBe Seq(0xff, 0xd8) // JPEG SOI
+    // encode is deterministic: the same doc id yields byte-identical
+    // payloads across evaluations (the oracle-consistency contract)
+    Multimodal.encodeImage(Multimodal.syntheticImage(42L), "png") shouldBe
+      Multimodal.encodeImage(Multimodal.syntheticImage(42L), "png")
+    // the gate query recovers EVERY planted (d, d+10M) cross-codec pair
+    // at hamming 0: the >=28-level cell margins survive JPEG
+    val pairs = SparkEntry.queries("q160_phash_decoded")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val plantedPairs = pairs.filter(p => p._2 == p._1 + 10000000L)
+    plantedPairs.map(_._1).toSet shouldBe
+      base.map(_.doc_id).filter(_ % 10 == 0).toSet
+    all(plantedPairs.map(_._3)) shouldBe 0L
+  }
+
   test("the default decoder is the deterministic stub (q40's oracle contract)") {
     // deterministic subset (limit() may pick different rows per evaluation)
     val media = Multimodal.mediaTable(spark, sfDir).where($"doc_id" % 10 === 0)
