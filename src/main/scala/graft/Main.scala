@@ -66,6 +66,18 @@ import org.apache.spark.sql.types.StructType
   *    10000) so an unbounded result fails loudly instead of
   *    OOMing the driver. `"lenient": true` opts into jx
   *    missing-field semantics for reference queries verbatim.
+  *  - `"query-stream"` — the same endpoint over an UNBOUNDED source:
+  *    `"source"` must be a streaming spec (`parquet-stream` /
+  *    `es-stream` / `http-stream`), `"checkpoint"` is required, and
+  *    the jx document must have incremental semantics
+  *    ([[graft.jx.JxCompiler.queryStream]]'s contract: stateless
+  *    select/where passthrough, or aggregation grouped on an
+  *    `"eventTime"` calendar bucket under a `"watermarkDelay"`
+  *    watermark, default 10 minutes). Results land ONLY in the
+  *    required `"output"` file sink (parquet | jsonl, append mode) —
+  *    a stream has no bounded stdout delivery. `trigger` picks
+  *    drain-and-exit (`availableNow`, default) or a live
+  *    `processingTime=...` loop, exactly as the ETL stream modes.
   *  - `"closure-stream"` / `"closure-deletes-stream"` /
   *    `"replicate-stream"` — the same loops as Structured Streaming
   *    ([[EtlPipeline.runStream]] / [[runStreamWithDeletes]] /
@@ -216,16 +228,7 @@ object Main {
         s"""{"mode":"train-tokenizer","merges":${merges.length},""" +
           s""""dictWords":${dict.length},"model":${jstr(modelPath)}}"""
       case "query" =>
-        val qJson =
-          if (cfg.hasNonNull("queryFile"))
-            new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(req(cfg, "queryFile"))),
-              java.nio.charset.StandardCharsets.UTF_8)
-          else {
-            require(cfg.hasNonNull("query"),
-              "config missing 'query' (inline jx document) or 'queryFile'")
-            cfg.get("query").toString
-          }
+        val qJson = queryJsonOf(cfg)
         // every named store is visible to the query's `from` — parquet,
         // es, http, jsonl, all through the same source seam as the ETL
         // modes (headers/credentials handling included)
@@ -264,6 +267,33 @@ object Main {
             val fmt = graft.jx.JxCompiler.parse(qJson).path("format").asText("list")
             s"""{"format":${jstr(fmt)},"rows":${rows.length},"data":[${rows.mkString(",")}]}"""
         }
+      case "query-stream" =>
+        // the streaming half of the query endpoint: a jx document with
+        // incremental semantics ([[graft.jx.JxCompiler.queryStream]]'s
+        // contract — stateless select/where, or watermarked
+        // event-time-bucketed aggregation) over a STREAMING source
+        // spec, delivered to an append-only file sink. A stream has no
+        // bounded stdout delivery, so the sink is REQUIRED — the
+        // batch mode's maxReturn collect shape does not exist here.
+        val qJson = queryJsonOf(cfg)
+        val out = cfg.get("output")
+        require(out != null && out.isObject,
+          "query-stream requires an 'output' sink {type: parquet|jsonl, " +
+            "path: ...} — a stream has no bounded stdout delivery")
+        val path = req(out, "path")
+        val fmt = req(out, "type") match {
+          case "parquet" => "parquet"
+          case "jsonl" => "json"
+          case other => sys.error(
+            s"unknown query-stream output type '$other' (parquet | jsonl)")
+        }
+        val eventTime = opt(cfg, "eventTime").getOrElse("")
+        val delay = opt(cfg, "watermarkDelay").getOrElse("10 minutes")
+        val q = startStream(spark, cfg, src =>
+          graft.jx.JxCompiler.queryStream(src, qJson, eventTime, delay)
+            .writeStream.format(fmt).option("path", path)
+            .outputMode(opt(cfg, "outputMode").getOrElse("append")))
+        s"""{"stream":"query","output":${jstr(path)},"stopped":${!q.isActive}}"""
       case "sync-stream" => sys.error(
         "sync cannot be a stream: sync is a point-in-time snapshot made " +
           "live by one atomic cutover, and an unbounded stream has no " +
@@ -271,7 +301,7 @@ object Main {
           "batch 'sync' when a consistent snapshot is wanted")
       case other => sys.error(
         s"unknown mode '$other' (closure | closure-deletes | replicate | " +
-          "sync | query | train-tokenizer | closure-stream | " +
+          "sync | query | query-stream | train-tokenizer | closure-stream | " +
           "closure-deletes-stream | replicate-stream)")
     }
   }
@@ -432,6 +462,20 @@ object Main {
       r: org.apache.spark.sql.streaming.DataStreamReader)
       : org.apache.spark.sql.streaming.DataStreamReader =
     headersOf(spec).foldLeft(r) { case (acc, (k, v)) => acc.option(s"header.$k", v) }
+
+  /** The jx document for the query endpoints: inline `"query"` object
+    * or a `"queryFile"` path.
+    */
+  private def queryJsonOf(cfg: JsonNode): String =
+    if (cfg.hasNonNull("queryFile"))
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(req(cfg, "queryFile"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else {
+      require(cfg.hasNonNull("query"),
+        "config missing 'query' (inline jx document) or 'queryFile'")
+      cfg.get("query").toString
+    }
 
   private def req(n: JsonNode, field: String): String = {
     require(n != null && n.hasNonNull(field), s"config missing '$field'")

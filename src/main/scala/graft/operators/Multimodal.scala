@@ -144,37 +144,50 @@ object Multimodal extends QueryPack {
     * no external codec, so the seam ships with genuine byte-level
     * decode in this build.
     */
+  /** Parsed PCM16 WAV layout: the chunk walk shared by
+    * [[WavDecoder]] (RMS features) and [[wavEnergy48]] (the
+    * block-energy fingerprint) — one place for the header contract
+    * and the corrupt-chunk-size guard.
+    */
+  private[graft] final case class WavInfo(
+      channels: Int, rate: Long, dataOff: Int, dataBytes: Int)
+
+  private[graft] def parseWav(docId: Long, b: Array[Byte]): WavInfo = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"WavDecoder: doc $docId: $why")
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") fail("not a RIFF/WAVE payload")
+    var o = 12
+    var fmtOk = false; var channels = 0; var rate = 0L
+    var data: Option[(Int, Int)] = None // (offset, bytes)
+    while (o + 8 <= b.length && data.isEmpty) {
+      val id = tag(o); val sz = u32(o + 4).toInt
+      // A corrupt size (negative after the u32→Int narrowing, or past
+      // the payload end) must fail loudly BEFORE the cursor advances:
+      // sz = -8/-9 would make the advance zero or negative — a hung
+      // executor task, worse than any wrong answer.
+      if (sz < 0 || sz > b.length - o - 8) fail(s"invalid chunk size $sz at offset $o")
+      if (id == "fmt ") {
+        if (u16(o + 8) != 1 || u16(o + 22) != 16) fail("only uncompressed PCM16 supported")
+        channels = u16(o + 10); rate = u32(o + 12)
+        fmtOk = true
+      } else if (id == "data") data = Some((o + 8, sz))
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (!fmtOk) fail("missing fmt chunk")
+    val (off, sz) = data.getOrElse(fail("missing data chunk"))
+    if (off + sz > b.length) fail("truncated data chunk")
+    WavInfo(channels, rate, off, sz)
+  }
+
   object WavDecoder extends FrameDecoder {
     def decode(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val b = r.payload
-        def fail(why: String): Nothing = throw new IllegalArgumentException(
-          s"WavDecoder: doc ${r.doc_id}: $why")
-        def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-        def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-        def tag(o: Int) = new String(b, o, 4, "US-ASCII")
-        if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") fail("not a RIFF/WAVE payload")
-        var o = 12
-        var fmtOk = false; var channels = 0; var rate = 0L
-        var data: Option[(Int, Int)] = None // (offset, bytes)
-        while (o + 8 <= b.length && data.isEmpty) {
-          val id = tag(o); val sz = u32(o + 4).toInt
-          // A corrupt size (negative after the u32→Int narrowing, or past
-          // the payload end) must fail loudly BEFORE the cursor advances:
-          // sz = -8/-9 would make the advance zero or negative — a hung
-          // executor task, worse than any wrong answer.
-          if (sz < 0 || sz > b.length - o - 8) fail(s"invalid chunk size $sz at offset $o")
-          if (id == "fmt ") {
-            if (u16(o + 8) != 1 || u16(o + 22) != 16) fail("only uncompressed PCM16 supported")
-            channels = u16(o + 10); rate = u32(o + 12)
-            fmtOk = true
-          } else if (id == "data") data = Some((o + 8, sz))
-          o += 8 + sz + (sz & 1) // chunks are word-aligned
-        }
-        if (!fmtOk) fail("missing fmt chunk")
-        val (off, sz) = data.getOrElse(fail("missing data chunk"))
-        if (off + sz > b.length) fail("truncated data chunk")
+        val WavInfo(channels, rate, off, sz) = parseWav(r.doc_id, b)
         val n = sz / 2
         var acc = 0.0
         var p = off
@@ -343,6 +356,59 @@ object Multimodal extends QueryPack {
     */
   def mediaPhashPairsDecoded(media: DataFrame, maxHamming: Int = 3): DataFrame =
     phashPairsFromHashes(decodedHashes(media), maxHamming)
+
+  /** 48-bit block-energy fingerprint for a PCM16 WAV payload — the
+    * AUDIO analogue of the image dHash: the sample stream splits into
+    * 49 equal blocks BY POSITION FRACTION (not absolute time), RMS
+    * energy per block, each bit comparing adjacent blocks. Relative
+    * positions + relative comparisons make it invariant to the two
+    * re-encode transforms audio dedup must survive: resampling (the
+    * energy envelope keeps its shape over the same duration) and
+    * level change (a monotone gain preserves every RMS comparison).
+    * Fewer than 49 samples has no envelope to fingerprint — loud
+    * failure, the decoder-seam contract.
+    */
+  private[graft] def wavEnergy48(docId: Long, b: Array[Byte]): Long = {
+    val blocks = 49
+    val WavInfo(_, _, off, sz) = parseWav(docId, b)
+    val n = sz / 2
+    if (n < blocks) throw new IllegalArgumentException(
+      s"WavDecoder: doc $docId: $n samples < $blocks fingerprint blocks")
+    val acc = new Array[Double](blocks)
+    val cnt = new Array[Long](blocks)
+    var p = 0
+    while (p < n) {
+      val o = off + 2 * p
+      val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toDouble / 32768.0
+      val j = (p.toLong * blocks / n).toInt
+      acc(j) += s * s; cnt(j) += 1
+      p += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < blocks - 1) {
+      if (math.sqrt(acc(j) / cnt(j)) < math.sqrt(acc(j + 1) / cnt(j + 1)))
+        bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  /** Audio near-dup pairs: block-energy fingerprints through the SAME
+    * pigeonhole banding + bit_count verify as the image paths
+    * ([[phashPairsFromHashes]] — shared machinery, multimodal means
+    * multimodal). One shuffle-free scan over the payload column; only
+    * 8-byte fingerprints enter the shuffle.
+    */
+  def audioPhashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r =>
+        (r.doc_id, wavEnergy48(r.doc_id, r.payload))))
+    }.toDF("doc_id", "ph")
+    phashPairsFromHashes(hashed, maxHamming)
+  }
 
   /** The decode pipeline: typed Dataset boundary, then per-partition
     * batched iteration (the Scala analogue of mapInPandas: the decoder

@@ -1904,22 +1904,32 @@ object Text extends QueryPack {
       .withColumn("first_batch", lit(batchId))
       .withColumn("_v", lit(-batchId))
       .localCheckpoint() // verdict + upsert both read it; one gram pass
-    if (grams.head(1).isEmpty)
+    // ONE aggregate action answers all three verdict questions (is the
+    // batch gram-less? how many grams? how many had an earlier owner?):
+    // left-join the checkpointed gram table against the store's
+    // earlier-batch owners and count + sum in the same pass. The
+    // earlier-owner read happens BEFORE the upsert, so grams this
+    // batch introduced — original delivery or redelivery — are exactly
+    // those with no earlier owner. r17 ran three separate actions
+    // here; StreamingSpec pins the consolidated job count.
+    val earlierOwners =
+      if (graft.sources.ParquetUpsertSink.tableExists(s, storePath))
+        graft.sources.ParquetUpsertSink.read(s, storePath)
+          .where(col("first_batch") < batchId)
+          .select(col("gh"), lit(1L).as("_seen"))
+      else Seq.empty[(Long, Long)].toDF("gh", "_seen")
+    val (nGrams, earlier) = grams.select(col("gh"))
+      .join(earlierOwners, Seq("gh"), "left_outer")
+      .agg(count(lit(1)),
+        sum(when(col("_seen").isNotNull, 1L).otherwise(0L)))
+      .as[(Long, Option[Long])].head() match {
+        case (c, e) => (c, e.getOrElse(0L))
+      }
+    if (nGrams == 0)
       // a gram-less batch (all docs shorter than n words) touches
       // nothing — including a store that may not exist yet
       return Seq((batchId, 0L, 0L, 0.0))
         .toDF("batch_id", "n_grams", "new_grams", "novelty_rate")
-    val nGrams = grams.count()
-    // count earlier owners BEFORE the upsert (one store pass, batch
-    // side gram-keyed): grams this batch introduced — original
-    // delivery or redelivery — are exactly those with no earlier owner
-    val earlier =
-      if (graft.sources.ParquetUpsertSink.tableExists(s, storePath))
-        graft.sources.ParquetUpsertSink.read(s, storePath)
-          .where(col("first_batch") < batchId)
-          .join(grams.select(col("gh")), Seq("gh"), "left_semi")
-          .count()
-      else 0L
     graft.sources.ParquetUpsertSink.upsert(
       grams, storePath, Seq("gh"), "_v", numBuckets)
     Seq((batchId, nGrams, nGrams - earlier,

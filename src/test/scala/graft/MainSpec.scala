@@ -384,6 +384,55 @@ class MainSpec extends SparkSpec {
     toks(loaded) shouldBe toks(inSession)
   }
 
+  test("query-stream mode: a watermarked jx aggregation streams into a parquet sink and resumes from checkpoint") {
+    val base = tmp()
+    // file 1: two day-1 clicks + the day-2 event that will advance the
+    // watermark past day 1 on the NEXT batch
+    Seq(("click", "2024-01-01 10:00:00", 10L),
+        ("click", "2024-01-01 11:00:00", 20L),
+        ("view", "2024-01-02 09:00:00", 5L))
+      .toDF("event_type", "ts_s", "value")
+      .select($"event_type", $"ts_s".cast("timestamp").as("ts"), $"value")
+      .coalesce(1).write.parquet(s"$base/events")
+    val cfg = mapper.readTree(s"""{
+      "mode": "query-stream",
+      "source": {"type": "parquet-stream", "path": "$base/events"},
+      "checkpoint": "$base/ckpt",
+      "eventTime": "ts",
+      "watermarkDelay": "10 minutes",
+      "query": {"from": "t",
+                "where": {"neq": {"event_type": "bot"}},
+                "groupby": [{"name": "day", "value": {"floor": ["ts", "day"]}},
+                            "event_type"],
+                "select": [{"name": "n", "aggregate": "count"},
+                           {"name": "total", "value": "value", "aggregate": "sum"}]},
+      "output": {"type": "parquet", "path": "$base/out"}
+    }""")
+    // run 1 drains file 1: append mode emits nothing yet (the
+    // watermark only advances AFTER the batch), but state + offsets
+    // are checkpointed
+    Main.run(spark, cfg) should include(""""stopped":true""")
+    // a later event lands; run 2 resumes FROM THE CHECKPOINT (file 1
+    // is not reprocessed), and its batch runs under the persisted
+    // watermark (day-2 09:00 - 10min), which closes the day-1 window
+    Seq(("view", "2024-01-03 09:00:00", 7L))
+      .toDF("event_type", "ts_s", "value")
+      .select($"event_type", $"ts_s".cast("timestamp").as("ts"), $"value")
+      .coalesce(1).write.mode("append").parquet(s"$base/events")
+    Main.run(spark, cfg) should include(""""stopped":true""")
+    val got = spark.read.parquet(s"$base/out")
+      .select(org.apache.spark.sql.functions.date_format($"day", "yyyy-MM-dd"),
+        $"event_type", $"n", $"total")
+      .as[(String, String, Long, Double)].collect().toSet
+    // day-1 and day-2 rows exactly once each — run 2 resumed from the
+    // checkpoint (file 1 NOT reprocessed: each group appears once
+    // across both runs), its batch ran under the persisted watermark
+    // (closing day 1), and the trailing no-data flush batch advanced
+    // the watermark past day 2; the day-3 window is still open
+    got shouldBe Set(("2024-01-01", "click", 2L, 30.0),
+      ("2024-01-02", "view", 1L, 5.0))
+  }
+
   test("query mode: the same jx endpoint queries a live ES index; cube format covered") {
     val f = new EsFixture
     try {

@@ -226,6 +226,61 @@ class MultimodalSpec extends SparkSpec {
     all(plantedPairs.map(_._3)) shouldBe 0L
   }
 
+  test("audio block-energy fingerprint: a resampled + regained WAV re-encode is a near-dup pair through the shared banding") {
+    def wav(channels: Int, rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSz = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSz)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // seeded 49-block amplitude envelope, adjacent blocks distinct;
+    // amplitudes are even so a 0.5 gain stays EXACT in 16-bit samples
+    def envelope(seed: Long): Array[Int] = {
+      var prev = -1
+      (0 until 49).map { k =>
+        var lv = (((seed + 31L * k) * 2654435761L >>> 33) % 8).toInt
+        if (lv == prev) lv = (lv + 1) % 8
+        prev = lv
+        (lv + 1) * 4000
+      }.toArray
+    }
+    // square-ish wave: |sample| = block amplitude, alternating sign —
+    // per-block RMS IS the amplitude, exactly
+    def pcm(env: Array[Int], perBlock: Int, upsample: Int, gain: Double): Array[Short] =
+      env.flatMap { a =>
+        (0 until perBlock).flatMap { i =>
+          val s = ((if (i % 2 == 0) a else -a) * gain).toInt.toShort
+          Seq.fill(upsample)(s)
+        }
+      }
+    val env1 = envelope(100L); val env2 = envelope(200L)
+    val media = Seq(
+      // base: 8 kHz
+      MediaRecord(100L, "wav", 0, 0, wav(1, 8000, pcm(env1, 20, 1, 1.0))),
+      // the planted re-encode: 16 kHz (2x zero-order-hold resample) at
+      // half the level — same energy ENVELOPE, different bytes
+      MediaRecord(10000100L, "wav", 0, 0, wav(1, 16000, pcm(env1, 20, 2, 0.5))),
+      // a different recording: no pair
+      MediaRecord(200L, "wav", 0, 0, wav(1, 8000, pcm(env2, 20, 1, 1.0)))
+    ).toDS().toDF()
+    val pairs = Multimodal.audioPhashPairs(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((100L, 10000100L))
+    // resample + gain preserve every RMS comparison: hamming exactly 0
+    pairs.head._3 shouldBe 0L
+    // too-short audio has no envelope to fingerprint: loud, with doc id
+    intercept[IllegalArgumentException] {
+      Multimodal.wavEnergy48(9L, wav(1, 8000, Array.fill(10)(1000.toShort)))
+    }.getMessage should include("doc 9")
+  }
+
   test("the default decoder is the deterministic stub (q40's oracle contract)") {
     // deterministic subset (limit() may pick different rows per evaluation)
     val media = Multimodal.mediaTable(spark, sfDir).where($"doc_id" % 10 === 0)

@@ -497,10 +497,33 @@ class StreamingSpec extends SparkSpec {
     g0.foreach(g => owned(g) shouldBe 0L)
     (g1 -- g0).foreach(g => owned(g) shouldBe 1L)
     // redelivery of batch 1 is a store no-op AND reproduces the
-    // original verdict (read from the store, not batch state)
-    val v1again = graft.operators.Text.vocabNoveltyIngest(store, b1, 1L)
-      .as[(Long, Long, Long, Double)].head()
+    // original verdict (read from the store, not batch state) — and
+    // the monitor runs a BOUNDED number of jobs per batch: gram
+    // checkpoint + ONE combined verdict aggregate + the upsert (whose
+    // sink runs its own small fixed job set). r17's shape ran the
+    // gram table through three separate count actions; this pin
+    // keeps the consolidation from regressing.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            actions.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val v1again =
+      try {
+        val v = graft.operators.Text.vocabNoveltyIngest(store, b1, 1L)
+          .as[(Long, Long, Long, Double)].head()
+        Thread.sleep(500) // let queued listener events drain
+        v
+      } finally spark.sparkContext.removeSparkListener(l)
     v1again shouldBe v1
+    withClue(s"SQL actions per ingest batch: ${actions.get()}") {
+      actions.get() should be <= 5
+    }
     // the streaming wrapper lands the same verdicts keyed by batch
     val dir = base + "/in"
     // coalesce(1): one FILE per logical batch, so maxFilesPerTrigger=1
