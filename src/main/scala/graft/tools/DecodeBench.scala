@@ -9,7 +9,7 @@ import graft.operators.{MediaRecord, Multimodal}
   * micro-bench isolates exactly what a 100 TB image scan pays per
   * record.
   *
-  * Usage: `sbt "runMain graft.tools.DecodeBench [nImages] [side] [reps]"`
+  * Usage: `sbt "runMain graft.tools.DecodeBench [nImages] [side] [reps] [png|jpg]"`
   * — prints one JSON line with decode and dHash wall times.
   */
 object DecodeBench {
@@ -17,6 +17,7 @@ object DecodeBench {
     val n = if (args.length > 0) args(0).toInt else 16
     val side = if (args.length > 1) args(1).toInt else 1024
     val reps = if (args.length > 2) args(2).toInt else 3
+    val fmt = if (args.length > 3) args(3) else "png"
 
     // seeded smooth-gradient images (deterministic; PNG-encoded once,
     // outside the timed region — encode is not the loop under test)
@@ -34,8 +35,8 @@ object DecodeBench {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      MediaRecord(i.toLong, "png", side, side, bos.toByteArray)
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      MediaRecord(i.toLong, fmt, side, side, bos.toByteArray)
     }
 
     def time[A](f: => A): (Double, A) = {
@@ -51,7 +52,7 @@ object DecodeBench {
       time(imgs.zipWithIndex.map { case (im, i) =>
         Multimodal.ImageIoDecoder.dHash48(i.toLong, im) })._1)
 
-    println(s"""{"bench":"decode","images":$n,"side":$side,""" +
+    println(s"""{"bench":"decode","images":$n,"side":$side,"format":"$fmt",""" +
       s""""decode_best_sec":${decodeSecs.min},"dhash_best_sec":${hashSecs.min},""" +
       s""""decode_all":[${decodeSecs.mkString(",")}],"dhash_all":[${hashSecs.mkString(",")}]}""")
   }

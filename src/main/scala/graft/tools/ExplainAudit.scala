@@ -229,6 +229,17 @@ object ExplainAudit {
           v += Violation(name, "Expand in plan (mergeable sketch lost)")
         if (!plan.contains("hll_union_agg"))
           v += Violation(name, "hll_union_agg missing (artifact merge lost)")
+      case "q160_phash_decoded" =>
+        // the decode+hash scan must be REUSED across both bucket-join
+        // sides — without the memo the 550k-image ImageIO decode runs
+        // once PER SIDE — and the candidate join must stay an EQUI
+        // join on (chunk, cv) (pigeonhole banding; a nested loop is
+        // the all-pairs regression banding exists to prevent)
+        if (!plan.contains("InMemoryRelation") && !plan.contains("Scan ExistingRDD"))
+          v += Violation(name, "decoded-hash table not reused (decode runs per join side)")
+        if (!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+            !plan.contains("BroadcastHashJoin"))
+          v += Violation(name, "bucket equi-join lost (nested loop or worse)")
       case "q131_dup_spans" =>
         // the gram/shingle self-join rides the 64-bit hash — an EQUI
         // join (any strategy); a nested loop means the hash key was lost
