@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 object SampleDir {
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args
-    val k = kStr.toInt
     val spark = graft.util.configureLocalHarness(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, kStr.toInt)
+    spark.stop()
+  }
+
+  /** The testable core: build `out` from `src` with the 1/K document
+    * stride (SampleDirSpec pins the exact sample and the linked
+    * tables).
+    */
+  def run(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val others = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "embeddings")
@@ -50,6 +58,5 @@ object SampleDir {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     val n = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"""{"sampled_docs":$n,"k":$k,"src":"$src","out":"$out"}""")
-    spark.stop()
   }
 }
