@@ -253,11 +253,24 @@ object Multimodal extends QueryPack {
     private def pixels(img: java.awt.image.BufferedImage): Array[Int] = {
       import java.awt.image.{BufferedImage, DataBufferInt}
       val rgb =
-        if (img.getType == BufferedImage.TYPE_INT_RGB) img
+        if (img.getType == BufferedImage.TYPE_INT_RGB ||
+            img.getType == BufferedImage.TYPE_INT_ARGB) img
         else {
+          // Canvas type follows the SOURCE's alpha, and the composite
+          // is Src (not the default SrcOver): together they copy the
+          // source color channels verbatim instead of compositing
+          // translucent PNGs (TYPE_4BYTE_ABGR etc.) onto the black
+          // canvas — SrcOver alpha-multiplies luma/dHash toward
+          // black, and even Src blit loops zero the color of
+          // alpha=0 pixels when the TARGET drops the alpha band.
+          // getRGB-mask semantics (color regardless of coverage) are
+          // what the fingerprints pin; luma() masks the top byte, so
+          // ARGB-packed ints feed the same loops unchanged.
           val c = new BufferedImage(img.getWidth, img.getHeight,
-            BufferedImage.TYPE_INT_RGB)
+            if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+            else BufferedImage.TYPE_INT_RGB)
           val g = c.createGraphics()
+          g.setComposite(java.awt.AlphaComposite.Src)
           g.drawImage(img, 0, 0, null)
           g.dispose()
           c

@@ -1912,11 +1912,17 @@ object Text extends QueryPack {
     // batch introduced — original delivery or redelivery — are exactly
     // those with no earlier owner. r17 ran three separate actions
     // here; StreamingSpec pins the consolidated job count.
+    // dropDuplicates on gh: the store is KEYED on gh so this is a
+    // no-op when the upsert invariant holds, but it guarantees the
+    // left join stays 1:1 — a duplicated store key would otherwise
+    // inflate n_grams itself (the primary metric), not just the
+    // earlier-owner count.
     val earlierOwners =
       if (graft.sources.ParquetUpsertSink.tableExists(s, storePath))
         graft.sources.ParquetUpsertSink.read(s, storePath)
           .where(col("first_batch") < batchId)
           .select(col("gh"), lit(1L).as("_seen"))
+          .dropDuplicates("gh")
       else Seq.empty[(Long, Long)].toDF("gh", "_seen")
     val (nGrams, earlier) = grams.select(col("gh"))
       .join(earlierOwners, Seq("gh"), "left_outer")

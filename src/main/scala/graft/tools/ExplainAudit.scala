@@ -65,23 +65,60 @@ object ExplainAudit {
     // window's effective input is whatever sits below this plumbing.
     // ReusedExchange above counts as compressed: its referent subtree
     // is printed elsewhere and was audited where it appears.
-    // BroadcastHashJoin is plumbing too: its output scales with the
-    // STREAMED side (the build side is broadcast-small by
-    // construction), and the streamed child prints first in the
-    // formatted tree, so the walk continues into the branch that
-    // actually bounds the window's input (q140's spine⟕counts join,
-    // q157's Range-spine decile join). Shuffle joins stay
-    // non-pass-through: both sides are unbounded.
     // Generate is pass-through as well: an explode over a raw scan
     // still terminates at the scan (flagged), while the legitimate
     // calendar/day-spine explodes (q140) sit over a 1-row min/max
     // aggregate — the domain-compressed shape the rule admits.
-    val passThrough = raw"\b(Sort|Exchange|Project|Filter|WholeStageCodegen|InputAdapter|ColumnarToRow|RowToColumnar|AQEShuffleRead|ShuffleQueryStage|TableCacheQueryStage|ResultQueryStage|InMemoryTableScan|InMemoryRelation|Window|WindowGroupLimit|Coalesce|Union|AdaptiveSparkPlan|BroadcastHashJoin|Generate)\b".r
+    // Single-child plumbing only; multi-child nodes (broadcast joins,
+    // Union) are handled structurally in boundedAt below.
+    val passThrough = raw"\b(Sort|Exchange|Project|Filter|WholeStageCodegen|InputAdapter|ColumnarToRow|RowToColumnar|AQEShuffleRead|ShuffleQueryStage|TableCacheQueryStage|ResultQueryStage|InMemoryTableScan|InMemoryRelation|Window|WindowGroupLimit|Coalesce|AdaptiveSparkPlan|Generate)\b".r
+    val treeArr = tree.toArray
+    val broadcastJoin = raw"\b(BroadcastHashJoin|BroadcastNestedLoopJoin)\b".r
+    val broadcastSide = raw"\b(BroadcastExchange|BroadcastQueryStage)\b".r
+    // direct children of the node at line i: the minimally-indented
+    // lines of its subtree region (letter-index indentation — the
+    // `+- :  *` tree prefix contains no letters)
+    def childrenOf(i: Int): Seq[Int] = {
+      val ind = indent(treeArr(i))
+      var end = i + 1
+      while (end < treeArr.length && indent(treeArr(end)) > ind) end += 1
+      val region = (i + 1) until end
+      if (region.isEmpty) Seq.empty
+      else {
+        val ci = region.map(j => indent(treeArr(j))).min
+        region.filter(j => indent(treeArr(j)) == ci)
+      }
+    }
+    // is the subtree rooted at line i row-count-bounded? A structural
+    // walk (not first-in-print-order): broadcast joins scale with the
+    // STREAMED side only (the build side is broadcast-small by
+    // construction, so its BroadcastExchange/BroadcastQueryStage
+    // subtree is skipped regardless of BuildLeft/BuildRight print
+    // order — q140's spine⟕counts join, q157's Range-spine decile
+    // join); Union is bounded only when EVERY branch is; shuffle
+    // joins stay non-pass-through: both sides are unbounded.
+    def boundedAt(i: Int): Boolean = {
+      val l = treeArr(i)
+      if (compressed.findFirstIn(l).isDefined) true
+      else if (broadcastJoin.findFirstIn(l).isDefined) {
+        val kids = childrenOf(i)
+        val streamed = kids.filterNot(j =>
+          broadcastSide.findFirstIn(treeArr(j)).isDefined)
+        val walk = if (streamed.nonEmpty) streamed else kids
+        walk.nonEmpty && walk.forall(boundedAt)
+      } else if (raw"\bUnion\b".r.findFirstIn(l).isDefined) {
+        val kids = childrenOf(i)
+        kids.nonEmpty && kids.forall(boundedAt)
+      } else if (passThrough.findFirstIn(l).isDefined) {
+        val kids = childrenOf(i)
+        kids.nonEmpty && boundedAt(kids.head)
+      } else false
+    }
     val unpartSpec = raw"windowspecdefinition\(([^,)]*)".r
     tree.zipWithIndex.collect {
       case (l, i) if raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).isDefined =>
-        (raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).get.group(1), i, indent(l))
-    }.flatMap { case (id, i, ind) =>
+        (raw"\bWindow \((\d+)\)".r.findFirstMatchIn(l).get.group(1), i)
+    }.flatMap { case (id, i) =>
       // this Window node's detail block: unpartitioned iff any of its
       // windowspecdefinitions leads with an order expression or
       // (unordered spec) directly with the frame definition
@@ -91,17 +128,10 @@ object ExplainAudit {
         raw"\s(ASC|DESC)\b".r.findFirstIn(m.group(1)).isDefined ||
           m.group(1).startsWith("specifiedwindowframe")
       }
-      val subtree = tree.drop(i + 1).takeWhile(l => indent(l) > ind)
-      // walk the direct input chain: the first node that is not pure
-      // plumbing must be the compressing node
-      val boundedInput = subtree.iterator
-        .map { l =>
-          if (compressed.findFirstIn(l).isDefined) Some(true)
-          else if (passThrough.findFirstIn(l).isDefined) None
-          else Some(false)
-        }
-        .collectFirst { case Some(b) => b }
-        .getOrElse(false)
+      val boundedInput = {
+        val kids = childrenOf(i)
+        kids.nonEmpty && boundedAt(kids.head)
+      }
       if (unpartitioned && !boundedInput)
         Some(Violation(name,
           "unpartitioned window over raw rows (global single-task sort; " +

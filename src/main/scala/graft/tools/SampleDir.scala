@@ -41,9 +41,21 @@ object SampleDir {
     val others = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "embeddings")
     for (t <- others) {
+      val srcP = java.nio.file.Paths.get(s"$src/$t.parquet")
+      if (!java.nio.file.Files.isRegularFile(srcP))
+        throw new IllegalArgumentException(
+          s"SampleDir: $srcP is not a single parquet FILE (Spark-written " +
+            "directory tables aren't supported — the oracle protocol " +
+            "needs gen_sf.py-style one-file tables)")
       val dst = java.nio.file.Paths.get(s"$out/$t.parquet")
       java.nio.file.Files.deleteIfExists(dst)
-      java.nio.file.Files.createLink(dst, java.nio.file.Paths.get(s"$src/$t.parquet"))
+      // hardlink when src and out share a filesystem (free, the normal
+      // /tmp-to-/tmp usage); fall back to a copy across filesystems
+      try java.nio.file.Files.createLink(dst, srcP)
+      catch {
+        case _: java.nio.file.FileSystemException | _: UnsupportedOperationException =>
+          java.nio.file.Files.copy(srcP, dst)
+      }
     }
     val tmp = s"$out/_docs_sample"
     val sampled = spark.read.parquet(s"$src/documents.parquet")

@@ -92,6 +92,52 @@ class ExplainAuditSpec extends SparkSpec {
     vs.map(_.rule).exists(_.contains("unpartitioned window over raw rows")) shouldBe true
   }
 
+  test("structural boundedness: BuildLeft broadcast joins judged by the STREAMED side, Union by EVERY branch") {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n"))
+    // BuildLeft: the broadcast hint on the LEFT relation makes the
+    // build side print FIRST in the formatted tree. The streamed side
+    // is an aggregate — bounded regardless of print order (the r18
+    // walk's false-positive path: it saw BroadcastExchange first and
+    // judged the window unbounded)
+    val streamedAgg = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val dimLeft = broadcast(Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")))
+    val buildLeft = dimLeft
+      .join(streamedAgg, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("r", sum(col("n")).over(w))
+    val pBL = plan(buildLeft)
+    pBL should include("BuildLeft") // the shape under test, pinned
+    ExplainAudit.violations("buildleft_bounded_stream", pBL) shouldBe empty
+    // and the converse: a bounded BUILD side does not excuse a raw
+    // streamed side — the single task still sorts the fact table
+    val tinyBuild = broadcast(Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("m")))
+    val rawStream = tinyBuild
+      .join(Tables.lineitem(spark, sfDir).withColumn("n", col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn("r", sum(col("n")).over(w))
+    ExplainAudit.violations("buildleft_raw_stream", plan(rawStream))
+      .map(_.rule).exists(_.contains("unpartitioned window")) shouldBe true
+    // Union: EVERY branch must be bounded — a compressed FIRST branch
+    // over a raw second one (the r18 walk's false-negative path: it
+    // audited only the first branch in print order) is caught
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("n"))
+    val mixed = agg.union(raw).withColumn("r", sum(col("n")).over(w))
+    ExplainAudit.violations("union_mixed", plan(mixed))
+      .map(_.rule).exists(_.contains("unpartitioned window")) shouldBe true
+    // while a union of two aggregates stays green
+    val bothAgg = agg.union(
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n")))
+      .withColumn("r", sum(col("n")).over(w))
+    ExplainAudit.violations("union_bounded", plan(bothAgg)) shouldBe empty
+  }
+
   test("seeded regression: an aggregate below a fact join does not excuse a global window") {
     // an aggregate EXISTS in the subtree (the tiny per-order count)
     // but the window's direct input is the join against raw lineitem —

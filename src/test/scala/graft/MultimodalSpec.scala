@@ -174,6 +174,40 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage should include("doc 8")
   }
 
+  test("translucent ARGB PNG decodes with alpha DISCARDED (Src composite), not composited toward black") {
+    // a half-transparent white PNG: getRGB-style semantics return the
+    // raw color channels (luma 1.0); the SrcOver regression would
+    // alpha-multiply onto the black canvas (luma ~0.5)
+    def encArgb(alpha: Int, v: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        bi.setRGB(x, y, (alpha << 24) | gray(v))
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(bi, "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    Multimodal.ImageIoDecoder.decode(
+      Seq(MediaRecord(9L, "png", 0, 0, encArgb(128, 255))))
+      .head.luma shouldBe 1.0 +- 1e-12
+    // fully transparent mid-gray still reads its color channels
+    Multimodal.ImageIoDecoder.decode(
+      Seq(MediaRecord(9L, "png", 0, 0, encArgb(0, 128))))
+      .head.luma shouldBe 128.0 / 255.0 +- 1e-9
+    // and the dHash over a translucent gradient matches the opaque one
+    val opq = Multimodal.ImageIoDecoder.read(9L,
+      enc("png", 64, 64)((x, _) => gray((x * 255) / 63)))
+    val bi = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      bi.setRGB(x, y, (64 << 24) | gray((x * 255) / 63))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val trn = Multimodal.ImageIoDecoder.read(9L, bos.toByteArray)
+    Multimodal.ImageIoDecoder.dHash48(9L, trn) shouldBe
+      Multimodal.ImageIoDecoder.dHash48(9L, opq)
+  }
+
   test("decoded dHash routes q88's machinery over real pixels: a PNG/JPEG re-encode of the same image is a near-dup pair") {
     // a strong horizontal gradient: every adjacent dHash cell pair
     // differs by ~36 luma levels, far above JPEG quantization noise, so

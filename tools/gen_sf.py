@@ -34,9 +34,10 @@ perturb mode mutates each replica's WORDS deterministically so pair
 mass scales ~linearly:
 
   replica r mutates word positions p with p%10 == (j*7)%10 for every
-  step j <= r, keeping only the LATEST step's token `zz<j>` (closed
-  form below; 7 is coprime to 10, so 10 consecutive steps cycle all
-  residues). Effect: replica r shares ~7/10 of its word 3-grams with
+  step j <= r, keeping only the LATEST step's doc-keyed token
+  `z<j>x<h>` (h hashed from (doc_id, pos); closed form below; 7 is
+  coprime to 10, so 10 consecutive steps cycle all residues).
+  Effect: replica r shares ~7/10 of its word 3-grams with
   r±1 (Jaccard ≈ 0.54, still a near-dup pair) and ~4/10 with r±2
   (≈ 0.25, below the 0.5 family threshold) — each doc's near-dup
   clique is its chain NEIGHBORS, per-shingle bucket occupancy is
