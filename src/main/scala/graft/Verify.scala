@@ -33,8 +33,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // cluster-boundary certification runs this same main under
+    // `local-cluster[w,c,mb]` via spark-submit (separate executor
+    // JVMs, real serialization + broadcast + block-fetch paths; see
+    // tools/cluster_gate.sh). The driver never sets it.
     val spark = util.configureLocalHarness(SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
