@@ -121,8 +121,11 @@ object IncrAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // SPARK_GRAFT_MASTER: same override as Verify/Bench — the
+    // cluster-boundary certification also runs this audit under
+    // local-cluster via spark-submit (tools/cluster_gate.sh notes).
     val spark = graft.util.configureLocalHarness(SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
