@@ -447,20 +447,48 @@ object Ann extends QueryPack {
         "(q32_dedup_minhash / q35_ann_lsh / q43_ann_ivf), raise maxRows, " +
         "or pass maxRows=0 to run unbounded deliberately.")
 
+  /** Norm-hoisted exact cosine for PAIRWISE joins (guide §1.2 step 1:
+    * don't compute in the Ω(n²) stage what a linear pass provides).
+    * The fused CosineSimilarity loop does 3 multiply-adds per element
+    * PER PAIR (dot, |a|², |b|²) — but the norms depend on one vector
+    * each, so an O(n·d) pre-pass computes `vnorm` once per vector and
+    * the quadratic stage pays only the dot product (~3× fewer flops
+    * where the suite spends most of its 100×-scale time: q41/q63/
+    * q105 were 46% of the sf10p total).
+    *
+    * Bit-exactness vs the fused expression (the oracle contract):
+    * `vnorm` is sqrt of the SAME sequential index-order Σx² the fused
+    * loop accumulates (dense fixed-dim vectors, so min(len) = len);
+    * the denominator is the same sqrt(na)·sqrt(nb) product of
+    * bit-identical doubles; the division is the same op. Zero-norm
+    * semantics preserved: fused yields NULL when the denom is 0.0,
+    * and so does [[cosinePre]]. AnnSpec pins old≡new on the corpus
+    * plus a zero-vector edge.
+    */
+  private[operators] def vnorm(e: Column): Column = sqrt(dotFast(e, e))
+
+  private[operators] def cosinePre(dot: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === lit(0.0), lit(null).cast("double")).otherwise(dot / denom)
+  }
+
   def blockedCosinePairs(df: DataFrame, threshold: Double, blocks: Int = 16,
       maxRows: Long = 1000000L): DataFrame = {
     val withB = guardQuadratic(df, maxRows, "blockedCosinePairs")
       .select(col("vec_id"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"),
         pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("b"))
     val l = withB.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("nrm").as("n1"),
       col("b").as("bi"), explode(sequence(col("b"), lit(blocks - 1))).as("bj"))
     val r = withB.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("nrm").as("n2"),
       explode(sequence(lit(0), col("b"))).as("bi"), col("b").as("bj"))
     l.join(r, Seq("bi", "bj"))
       // diagonal blocks see both orientations of a pair — keep one;
       // off-diagonal blocks see exactly one orientation — keep it
       .where((col("bi") =!= col("bj")) || (col("v1") < col("v2")))
-      .withColumn("score", cosineFast(col("e1"), col("e2")))
+      .withColumn("score", cosinePre(dotFast(col("e1"), col("e2")), col("n1"), col("n2")))
       .where(col("score") >= threshold && col("v1") =!= col("v2"))
       .select(least(col("v1"), col("v2")).as("v1"),
         greatest(col("v1"), col("v2")).as("v2"), col("score"))
@@ -481,13 +509,15 @@ object Ann extends QueryPack {
     val (ga, gb) = (guardQuadratic(a, maxRows, "crossCosinePairs"),
       guardQuadratic(b, maxRows, "crossCosinePairs"))
     val l = ga.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      vnorm(col("embedding")).as("na"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bi"),
       explode(sequence(lit(0), lit(blocks - 1))).as("bj"))
     val r = gb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      vnorm(col("embedding")).as("nb"),
       explode(sequence(lit(0), lit(blocks - 1))).as("bi"),
       pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bj"))
     l.join(r, Seq("bi", "bj"))
-      .withColumn("score", cosineFast(col("ea"), col("eb")))
+      .withColumn("score", cosinePre(dotFast(col("ea"), col("eb")), col("na"), col("nb")))
       .where(col("score") >= threshold)
       .select(col("a_id"), col("b_id"), col("score"))
   }
@@ -1101,13 +1131,17 @@ object Ann extends QueryPack {
   def semanticDedupOn(df: DataFrame, cents: Array[Array[Double]],
       threshold: Double): DataFrame = {
     val assigned = assignClusters(df, cents)
-    val a = assigned.select(col("cl"), col("vec_id").as("a_id"),
-      col("embedding").as("ea"))
-    val b = assigned.select(col("cl"), col("vec_id").as("b_id"),
-      col("embedding").as("eb"))
+    // norm-hoisted pairwise cosine (see cosinePre): the within-cluster
+    // join is the quadratic stage here, so norms are computed once per
+    // vector in the assignment pass, not 3×-fused per candidate pair
+    val withN = assigned.withColumn("nrm", vnorm(col("embedding")))
+    val a = withN.select(col("cl"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withN.select(col("cl"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     val dropped = a.join(b, Seq("cl"))
       .where(col("a_id") < col("b_id") &&
-        cosineFast(col("ea"), col("eb")) >= threshold)
+        cosinePre(dotFast(col("ea"), col("eb")), col("na"), col("nb")) >= threshold)
       .select(col("b_id").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cl").as("cluster"))

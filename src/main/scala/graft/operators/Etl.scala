@@ -737,16 +737,32 @@ object Etl extends QueryPack {
       .withColumn("d1", floor((unix_micros(col("w_end")) - 1) / usPerDay))
       .withColumn("bucket", explode(sequence(col("d0"), col("d1"))))
       .drop("d0", "d1")
+    // AGGREGATE BEFORE THE SHUFFLE (r19, guide §2.3): the join needs
+    // each fact row only through (its day bucket, its exact timestamp)
+    // — so collapse lineitem to per-(bucket, l_shipdate) partials
+    // first. The residual range check is a function of l_shipdate
+    // alone, so filtering partials ≡ filtering rows; the per-order
+    // counts/sums then aggregate the partials. For date-grained facts
+    // (ship dates) the exchange carries one partial per distinct day
+    // (~2.4k rows at ANY scale) instead of every lineitem row — this
+    // also dissolves the old shape's parallelism ceiling (the 2.4k-
+    // distinct-day bucket key as a shuffle-join key, the r18 verdict
+    // watch item): the only shuffle keyed by bucket now carries
+    // partials, and AQE broadcast-joins them against the exploded
+    // windows. Worst case (every fact timestamp distinct) degrades to
+    // the old row-level join plus one map-side partial pass.
     val li = lineitem.select(
       col("l_shipdate"), col("l_extendedprice"),
       floor(unix_micros(col("l_shipdate")) / usPerDay).as("bucket"))
+      .groupBy(col("bucket"), col("l_shipdate"))
+      .agg(count(lit(1)).as("_n"), sum(col("l_extendedprice")).as("_s"))
     buckets.join(li, Seq("bucket"))
       .where(col("l_shipdate") >= col("w_start") &&
         col("l_shipdate") < col("w_end"))
       .groupBy(col("o_orderkey"))
       .agg(
-        count(lit(1)).as("n_shipped"),
-        round(sum(col("l_extendedprice")) * 100).cast("long").as("ship_cents"))
+        sum(col("_n")).as("n_shipped"),
+        round(sum(col("_s")) * 100).cast("long").as("ship_cents"))
   }
 
   val q138 = Q(

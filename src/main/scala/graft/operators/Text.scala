@@ -169,11 +169,20 @@ object Text extends QueryPack {
       // strip non-alphanumerics, collapse whitespace. Pure codegen'd
       // string expressions in the scan projection — at 100 TB this is
       // the map-side prep pass every near-dup pipeline runs first.
+      //
+      // ONE regex pass (r19, guide §1.2 per-task work): the original
+      // two passes (strip [^a-z0-9\s] to ' ', then collapse \s+) are
+      // equivalent to replacing every maximal run of non-alphanumerics
+      // with a single space — any such run becomes all-whitespace
+      // after pass 1 and collapses to one ' ' in pass 2, and \s ⊂
+      // [^a-z0-9] so no character changes class. One rewrite of each
+      // row instead of two (each regexp_replace materializes a full
+      // new string), and runs match once instead of per character.
+      // The oracle keeps the two-pass spelling; results are identical
+      // for every string (TextSpec pins old≡new on the corpus).
       docs(s, d).select(
         col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
-          "\\s+", " ")).as("norm_text"))
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm_text"))
         .withColumn("norm_hash", md5(col("norm_text"))),
     Some("""SELECT doc_id,
            |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),

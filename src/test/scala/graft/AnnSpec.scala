@@ -126,6 +126,27 @@ class AnnSpec extends SparkSpec {
     rows.toSet shouldBe naive
   }
 
+  test("norm-hoisted pairwise cosine is BIT-identical to the fused expression (scores, zero vectors)") {
+    // r19 optimization: the quadratic stages compute dot/(n1*n2) with
+    // per-vector norms hoisted out of the join. The oracle contract is
+    // bit-exact doubles, so pin score equality (not just pair sets)
+    // against the fused CosineSimilarity, including a zero vector
+    // (fused yields NULL → pair filtered on both paths).
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .unionByName(spark.range(1).select(
+        lit(990001L).as("vec_id"),
+        expr("array_repeat(CAST(0.0 AS FLOAT), 64)").as("embedding"),
+        lit(7).as("label")))
+    val hoisted = Ann.blockedCosinePairs(e, 0.1, blocks = 3)
+      .select($"v1", $"v2", $"score").as[(Long, Long, Double)].collect()
+    val fused = e.toDF("v1", "e1", "l1").join(e.toDF("v2", "e2", "l2"), $"v1" < $"v2")
+      .withColumn("score", cosineFast($"e1", $"e2"))
+      .where($"score" >= 0.1)
+      .select($"v1", $"v2", $"score").as[(Long, Long, Double)].collect().toSet
+    hoisted.toSet shouldBe fused // exact double equality, zero vector emits no pair
+    hoisted.map(t => (t._1, t._2)).toSet.contains((990001L, 990001L)) shouldBe false
+  }
+
   test("quadratic audits refuse an over-bound corpus; maxRows=0 overrides") {
     val e = Tables.embeddings(spark, sfDir)
     // build succeeds (lazy guard — no eager count at build time);

@@ -14,6 +14,29 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260812L)
 
+  test("q48 single-pass canonicalization equals the two-pass form (crafted + random + corpus)") {
+    import org.apache.spark.sql.Column
+    // r19: q48 fused its two regexp_replace passes into one
+    // ([^a-z0-9]+ → ' '); equivalence argument in Text.scala. Pin it
+    // against the ORIGINAL two-pass spelling over crafted edges,
+    // random punct/whitespace/unicode strings, and the real corpus.
+    def fused(c: Column): Column =
+      trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    def twoPass(c: Column): Column =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val alphabet = "ab1 \t\n\r.,;:!?-_\"'é→Ж  Z9"
+    val crafted = Seq("", " ", "\t", "a\tb", "x--y .. z", " é",
+      "A.B,C", "  lead trail  ", "a  b", "..", "a1b2c3", "ALL CAPS!")
+    val random = (1 to 500).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (crafted ++ random).toDF("text")
+    df.select(fused(col("text")).as("f"), twoPass(col("text")).as("t"))
+      .where(!(col("f") <=> col("t"))).count() shouldBe 0L
+    Tables.documents(spark, sfDir)
+      .select(fused(col("text")).as("f"), twoPass(col("text")).as("t"))
+      .where(!(col("f") <=> col("t"))).count() shouldBe 0L
+  }
+
   test("capPerKey equals the single-window top-K on 20 random skewed datasets") {
     import org.apache.spark.sql.expressions.Window
     (1 to 20).foreach { trial =>
