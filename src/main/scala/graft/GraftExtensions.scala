@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomAgg, BloomMightContain, BpeTokenize, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, ExciseWords, PqAdcDistance, SimHashAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg}
+import graft.expressions.{BloomAgg, BloomMightContain, BpeTokenize, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, ExciseWords, PqAdcDistance, SimHashAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, WordNgrams, WordStats}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -166,6 +166,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "excise_words expects exactly 2 arguments")
         ExciseWords(children.head, children(1))
+      }))
+    // word_ngrams(text, n): n must be an int literal — it fixes the
+    // output arity per row like the sketch buffer sizes do
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "word_ngrams expects (text, n)")
+        WordNgrams(children.head, intLit(children(1), "word_ngrams n"))
+      }))
+    // word_stats(text, stops): stops must be an array<string> literal
+    // — it is part of the expression like bpe_tokenize's merges
+    ext.injectFunction((
+      new FunctionIdentifier("word_stats"),
+      new ExpressionInfo(classOf[WordStats].getName, "word_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "word_stats expects (text, stops)")
+        require(children(1).foldable,
+          "word_stats stops must be an array<string> literal")
+        val arr = children(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType)
+        WordStats(children.head, arr.toSeq.map(_.toString))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),

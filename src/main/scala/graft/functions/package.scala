@@ -170,6 +170,30 @@ package object functions {
     */
   def splitHash(id: Column): Column = id % 100000007L * 2654435761L
 
+  /** Native codegen'd word n-gram shingles (see
+    * [[graft.expressions.WordNgrams]]): all complete n-grams of
+    * `split(trim(text), "\\s+")` joined with single spaces, as one
+    * in-row array — the shuffle-free n-gram producer (the explode +
+    * per-doc window form pays an Exchange + sort of the whole word
+    * stream; the `shingles` HOF form pays per-element lambda
+    * interpretation). Empty array below n words. Requires
+    * `graft.GraftExtensions` (installed by `graft.util.configure`).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, lit(n))
+
+  /** Native per-document word statistics (see
+    * [[graft.expressions.WordStats]]): struct(tot, mx, nstop) =
+    * (token count, max token multiplicity, stop-token occurrences)
+    * over `split(trim(text), "\\s+")` in ONE in-row counting pass —
+    * the shuffle-free form of the exploded groupBy(doc, word) →
+    * groupBy(doc) word-stats aggregation. Null text → null struct
+    * (matching the exploded form's missing-doc left-join nulls).
+    * Requires `graft.GraftExtensions`.
+    */
+  def wordStats(text: Column, stops: Seq[String]): Column =
+    call_function("word_stats", text, lit(stops.toArray))
+
   /** Word n-gram shingles joined with single spaces; empty array when
     * the document has fewer than `n` words.
     */

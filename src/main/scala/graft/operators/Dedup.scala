@@ -71,24 +71,25 @@ object Dedup extends QueryPack {
     * fingerprinting (5-grams) and span excision (8-grams) share one
     * audited shape.
     *
-    * Built from exploded words + window leads rather than the
-    * per-row HOF pipeline (transform∘slice∘array_join is
-    * CodegenFallback-interpreted): explode/lead/concat_ws stay in
-    * whole-stage codegen, at the cost of a per-doc window sort the
-    * downstream per-doc aggregations re-use anyway.
+    * r19 shape (guide §2.4 — remove shuffles outright): grams build
+    * IN-ROW via the native [[graft.expressions.WordNgrams]] codegen
+    * expression + posexplode, so the producer is a shuffle-free scan
+    * projection. The r18 explode→window(lead) form paid an Exchange
+    * PLUS a sort of the ENTIRE exploded word stream before the first
+    * shingle existed; downstream per-doc/per-gram aggregations now
+    * get map-side partials instead of riding that raw-row exchange.
+    * (The per-row `transform∘slice∘array_join` HOF pipeline remains
+    * the wrong third option — CodegenFallback lambda interpretation
+    * per element.) DedupSpec pins (doc_id, pos, shingle) equality
+    * against the retired window formulation, tokenizer edge cases
+    * included.
     */
   def ngramsWithPos(df: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"word n-grams need n >= 2 (got $n); " +
       "single words are posWords' territory")
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("w"), i).over(byPos))
-    posWords(df)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("w") +: leads: _*).as("shingle"),
-        leads.last.as("wlast"))
-      .where(col("wlast").isNotNull) // only complete n-grams
-      .select(col("doc_id"), col("pos"), col("shingle"))
+    df.select(col("doc_id"),
+      posexplode(graft.functions.wordNgrams(col("text"), n))
+        .as(Seq("pos", "shingle")))
   }
 
   /** (doc_id, shingle) — [[ngramsWithPos]] with the position dropped,
@@ -1469,7 +1470,10 @@ object Dedup extends QueryPack {
     * the store directly.
     */
   def windowSignatures(df: DataFrame, n: Int = 8): DataFrame = df
-    .select(explode(shingles(words(col("text")), n)).as("w"))
+    // native in-row grams (r19): same values in the same order as the
+    // transform∘slice∘array_join HOF this used through r18, without
+    // the per-element lambda interpretation
+    .select(explode(graft.functions.wordNgrams(col("text"), n)).as("w"))
     .select(xxhash64(col("w")).as("win"))
     .distinct()
 
@@ -1493,7 +1497,8 @@ object Dedup extends QueryPack {
   def memorizationRateAgainst(storedWins: DataFrame, eval: DataFrame,
       n: Int = 8, broadcastEval: Boolean = true): DataFrame = {
     val evalWins0 = eval
-      .select(col("doc_id"), explode(shingles(words(col("text")), n)).as("w"))
+      .select(col("doc_id"),
+        explode(graft.functions.wordNgrams(col("text"), n)).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("win"))
       .distinct()
     def rollup(joined: DataFrame): DataFrame = joined
@@ -1652,15 +1657,27 @@ object Dedup extends QueryPack {
   val q131 = Q(
     "q131_dup_spans",
     (s, d) => {
-      val g8 = ngrams(Tables.documents(s, d), 8)
+      // The gram stream feeds BOTH the df aggregate and the occurrence
+      // join. Through r18 the window-form producer's exchange was
+      // deduped by ReuseExchange; the r19 in-row producer has no
+      // exchange of its own, so compress to per-(doc, gram) occurrence
+      // counts FIRST — one aggregate whose exchange both branches
+      // derive from (canonically identical → ReuseExchange evaluates
+      // the expansion once; an explicit persist here leaked
+      // MEMORY_AND_DISK blocks into every later query of the session).
+      // Identity: df = rows per gh of the (doc, gh)-distinct frame
+      // (exactly the old dropDuplicates count), n_spans = Σ c, and
+      // dup_spans = Σ c over df≥2 grams ≡ the old per-occurrence
+      // conditional count.
+      val occ = ngrams(Tables.documents(s, d), 8)
         .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
-      val gramDf = g8.dropDuplicates("gh", "doc_id")
-        .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      g8.join(gramDf, "gh")
+        .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("c"))
+      val gramDf = occ.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      occ.join(gramDf, "gh")
         .groupBy(col("doc_id"))
         .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("dup_spans"))
+          sum(col("c")).as("n_spans"),
+          sum(when(col("df") >= 2, col("c")).otherwise(lit(0L))).as("dup_spans"))
         .where(col("dup_spans") > 0)
         .withColumn("mostly_copied", col("dup_spans") * lit(4L) >= col("n_spans"))
     },

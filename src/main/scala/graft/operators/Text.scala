@@ -101,9 +101,15 @@ object Text extends QueryPack {
         col("doc_id"),
         length(col("text")).as("n_chars_m"),
         size(ws).as("n_words"),
-        (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(ws)).as("avg_word_len"),
-        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") / length(col("text"))).as("punct_ratio"),
-        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / length(col("text"))).as("digit_ratio"),
+        // Run-fused char-class strips (r19, the q48 lesson): with ""
+        // as the replacement, deleting every maximal RUN ([c]+)
+        // produces the identical string to deleting per CHARACTER
+        // ([c]) while matching once per run instead of once per char.
+        // The oracle keeps the per-char spelling; PropertySpec pins
+        // run-fused ≡ per-char on crafted edges + the corpus.
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(ws)).as("avg_word_len"),
+        (length(regexp_replace(col("text"), "[^.,;:!?]+", "")).cast("double") / length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), "[^0-9]+", "")).cast("double") / length(col("text"))).as("digit_ratio"),
         (size(filter(ws, t => t.isin(stops: _*))).cast("double") / size(ws)).as("stop_ratio"))
         .withColumn("quality",
           round(col("stop_ratio") * 0.5 +
@@ -407,26 +413,23 @@ object Text extends QueryPack {
   val q60 = Q(
     "q60_repetition",
     (s, d) => {
-      val grams = Dedup.ngrams(docs(s, d), 3)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          countDistinct(col("shingle")).as("n_distinct"))
-      val wordStats = docs(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-      docs(s, d).select(col("doc_id"))
-        .join(grams, Seq("doc_id"), "left")
-        .join(wordStats, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          when(col("n_grams") > 0,
-            (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
-            .as("dup_gram_ratio"),
-          (col("mx").cast("double") / col("tot")).as("top_word_ratio"))
+      // r19: every metric is row-local — gram counts from the native
+      // in-row n-gram array, word stats from the native counting pass
+      // (see gateVerdicts). One map-only scan replaces two exploded
+      // double-aggregations + two joins. Identity: same integer facts
+      // from the same tokenizer; a short doc's in-row n_grams=0 takes
+      // the same branches the old missing-row NULL took (coalesce→0,
+      // `when(0 > 0)` and `when(NULL > 0)` both null the ratio).
+      val g = graft.functions.wordNgrams(col("text"), 3)
+      val st = graft.functions.wordStats(col("text"), stops)
+      docs(s, d).select(
+        col("doc_id"),
+        coalesce(size(g).cast("long"), lit(0L)).as("n_grams"),
+        coalesce(size(array_distinct(g)).cast("long"), lit(0L)).as("n_distinct"),
+        when(size(g).cast("long") > 0,
+          (size(g) - size(array_distinct(g))).cast("double") / size(g))
+          .as("dup_gram_ratio"),
+        (st.getField("mx").cast("double") / st.getField("tot")).as("top_word_ratio"))
     },
     Some("""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents
@@ -547,12 +550,13 @@ object Text extends QueryPack {
     * (concat_ws drops the null non-firings on both engines) so the
     * gate output stays scalar-typed for the driver compare.
     *
-    * Scale shape: two exploded partial aggregates (per-doc word
-    * counts, per-doc 3-gram distinct counts — both map-side combined)
-    * joined back to a narrow scan projection; every ratio is a single
-    * division of integer aggregates, so thresholds compare bit-
-    * identically across engines. Thresholds are Gopher-ish, tuned so
-    * the templated corpus exercises both verdicts.
+    * Scale shape (r19): ONE map-only scan — every gate fact is
+    * row-local, computed by the native WordStats/WordNgrams
+    * expressions (see [[gateVerdicts]]); no explode, no join, no
+    * exchange. Every ratio is a single division of integer facts, so
+    * thresholds compare bit-identically across engines. Thresholds
+    * are Gopher-ish, tuned so the templated corpus exercises both
+    * verdicts.
     */
   /** The five gate rules as one reason-string expression, shared by
     * both formulations so their thresholds cannot drift.
@@ -570,27 +574,47 @@ object Text extends QueryPack {
       when(nStop < 2, "no_stopwords"))
   }
 
-  def qualityGate(df: DataFrame): DataFrame = {
-    val base = df.select(col("doc_id"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nchars"))
-    val wordStats = df
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
-        sum(when(col("w").isin(stops: _*), col("c")).otherwise(0L)).as("n_stop"))
-    val grams = Dedup.ngrams(df, 3)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("shingle")).as("n_distinct"))
-    base
-      .join(wordStats, Seq("doc_id"), "left")
-      .join(grams, Seq("doc_id"), "left")
+  /** The gate facts + verdicts as ONE scan projection (r19, guide
+    * §2.4 — remove shuffles outright): every gate fact is a function
+    * of a document's own row, so the r18 shape (two exploded
+    * double-aggregations + two joins back — four exchanges of the
+    * corpus word/gram streams) was pure plumbing. Word stats come
+    * from the native [[graft.expressions.WordStats]] counting pass,
+    * gram stats from `size`/`array_distinct` over the native
+    * [[graft.expressions.WordNgrams]] array; the whole gate is now
+    * map-only. `carry` columns pass through for callers that report
+    * per-dimension (q78's source rollup — previously a full extra
+    * scan + shuffle join).
+    *
+    * Identity with the exploded form (FunctionsSpec pins row ≡
+    * aggregate on the corpus): integer facts from the same tokenizer;
+    * null text → null stats ≡ the old left-join's missing-doc nulls;
+    * a short doc's n_grams=0 and the old form's NULL both leave the
+    * dup_3gram rule unfired (0 > 0 and NULL both skip the `when`,
+    * and the 0/0 double division is IEEE NaN, never an error).
+    */
+  private[operators] def gateVerdicts(df: DataFrame, carry: Column*): DataFrame = {
+    val g = graft.functions.wordNgrams(col("text"), 3)
+    val st = graft.functions.wordStats(col("text"), stops)
+    // \s+ not \s: deleting whitespace by maximal RUN yields the same
+    // string as per-char deletion at one regex match per run (r19,
+    // the q48 lesson; PropertySpec pins the equivalence)
+    df.select((col("doc_id") +: carry) ++ Seq(
+        st.getField("tot").as("tot"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nchars"),
+        st.getField("mx").as("mx"),
+        size(g).cast("long").as("n_grams"),
+        size(array_distinct(g)).cast("long").as("n_distinct"),
+        st.getField("nstop").as("n_stop")): _*)
       .withColumn("drop_reasons", gateReasons(col("tot"), col("nchars"),
         col("mx"), col("n_grams"), col("n_distinct"), col("n_stop")))
-      .select(col("doc_id"), col("tot").as("n_words"),
-        (col("drop_reasons") === "").as("keep"), col("drop_reasons"))
+      .withColumn("keep", col("drop_reasons") === "")
   }
+
+  def qualityGate(df: DataFrame): DataFrame =
+    gateVerdicts(df)
+      .select(col("doc_id"), col("tot").as("n_words"),
+        col("keep"), col("drop_reasons"))
 
   /** Per-ROW formulation of the q74 gate: the same five verdicts
     * computed from each document's token array with array expressions
@@ -605,12 +629,14 @@ object Text extends QueryPack {
     */
   def qualityGateRow(df: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val grams = shingles(ws, 3)
+    // native in-row grams (r19): same values as shingles(ws, 3), no
+    // per-element lambda interpretation
+    val grams = graft.functions.wordNgrams(col("text"), 3)
     val wordCounts =
       transform(array_distinct(ws), w => size(filter(ws, x => x === w)))
     df.select(col("*"),
       size(ws).cast("long").as("_tot"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("_nchars"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("_nchars"),
       array_max(wordCounts).cast("long").as("_mx"),
       size(grams).cast("long").as("_ng"),
       size(array_distinct(grams)).cast("long").as("_nd"),
@@ -674,9 +700,12 @@ object Text extends QueryPack {
   val q78 = Q(
     "q78_source_report",
     (s, d) => {
-      val gated = qualityGate(docs(s, d))
-      val withSrc = docs(s, d).select(col("doc_id"), col("source"))
-        .join(gated, "doc_id")
+      // r19: the gate is a map-only projection now (gateVerdicts), so
+      // `source` rides through as a carry column instead of a second
+      // corpus scan + doc_id shuffle join — the report is one scan +
+      // a 20-row rollup. Join was 1:1 on unique doc_id, so the
+      // (source, keep, drop_reasons) multiset is unchanged.
+      val withSrc = gateVerdicts(docs(s, d), col("source"))
       def cnt(r: String) =
         sum(when(array_contains(split(col("drop_reasons"), ","), r), 1L)
           .otherwise(0L)).as(s"n_$r")
@@ -1067,7 +1096,7 @@ object Text extends QueryPack {
       // multiplicity rides the k weights: n = Σk, sum_bf = Σ k·bf
       val dbg = graft.util.reused(
         docs(s, d)
-          .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
+          .select(col("doc_id"), explode(graft.functions.wordNgrams(col("text"), 2)).as("bg"))
           .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k")))
       val bf = dbg.groupBy(col("bg")).agg(sum(col("k")).as("bf"))
       dbg.join(bf, Seq("bg"))
@@ -1400,15 +1429,21 @@ object Text extends QueryPack {
     * per occurrence (the oracle's formulation), at compressed volume.
     */
   private def langClassifyTf(tf: DataFrame, profiles: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = tf
       .join(broadcast(profiles.withColumnRenamed("lang", "cand")), Seq("tg"))
       .groupBy(col("doc_id"), col("lang"), col("cand"))
       .agg(sum(col("tf") * col("cnt")).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cand").asc)
-    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col("doc_id"), col("lang"), col("cand").as("predicted"))
+    // argmax as a hash AGGREGATE, not a row_number window (r19, guide
+    // §2.4): the window form re-sorted every (doc × candidate) score
+    // row; min_by over the (-score, cand) struct picks the same row —
+    // lexicographic struct order ≡ ORDER BY score DESC, cand ASC (the
+    // integer score negates losslessly), map-side partials instead of
+    // a sort. TextSpec-level equivalence rides the oracle gate (exact
+    // integer scores, total order, no ties beyond equal cand).
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("cand"),
+        struct((-col("score")).as("s"), col("cand").as("c"))).as("predicted"))
+      .select(col("doc_id"), col("lang"), col("predicted"))
   }
 
   /** The gate corpus's trigram frequencies and trained profiles as
@@ -1533,7 +1568,7 @@ object Text extends QueryPack {
     val dbg = graft.util.reused(
       docsDf
         .select(col("doc_id"), isTarget.as("is_t"),
-          explode(shingles(words(col("text")), 2)).as("bg"))
+          explode(graft.functions.wordNgrams(col("text"), 2)).as("bg"))
         .groupBy(col("doc_id"), col("is_t"), col("bg"))
         .agg(count(lit(1)).as("k"))
         .withColumn("ctx", substring_index(col("bg"), " ", 1)))
@@ -1582,7 +1617,7 @@ object Text extends QueryPack {
     */
   def lmBigramCounts(docsDf: DataFrame, isTarget: Column): DataFrame =
     docsDf.where(coalesce(isTarget, lit(false)))
-      .select(explode(shingles(words(col("text")), 2)).as("bg"))
+      .select(explode(graft.functions.wordNgrams(col("text"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
 
   def lmBigramIncrement(stored: DataFrame, deltaDocs: DataFrame,
@@ -1608,7 +1643,7 @@ object Text extends QueryPack {
   def lmPerplexityUnder(docsDf: DataFrame, bgModel: DataFrame,
       vocab: DataFrame): DataFrame = {
     val dbg = docsDf
-      .select(col("doc_id"), explode(shingles(words(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), explode(graft.functions.wordNgrams(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
       .withColumn("ctx", substring_index(col("bg"), " ", 1))
     val ctxModel = bgModel
@@ -1961,10 +1996,30 @@ object Text extends QueryPack {
     * is rule-domain-sized.
     */
   def gateAblation(docsDf: DataFrame): DataFrame =
-    qualityGate(docsDf).where(!col("keep"))
+    // Explode FIRST, filter on the generated rule (r19): with the
+    // map-only gate, a `where(!keep)` ahead of the reason projection
+    // splits into Filter + Project that EACH inline the full gate
+    // expression — every document pays the counting passes twice
+    // (measured ×2-3 at sf3). A Generate is a pushdown barrier, so
+    // exploding every doc's reason array and dropping the kept docs
+    // by their one empty-string rule evaluates the gate ONCE per row.
+    // Identical result: a failing doc's rules are exactly its
+    // non-empty split tokens (concat_ws emits no empties), a kept
+    // doc's split is [""] and contributes only the filtered-out ""
+    // rule, and nr — size BEFORE the filter — is unchanged for
+    // failing docs.
+    // explode_OUTER, deliberately: plain explode lets
+    // InferFiltersFromGenerate push an inferred `size(rs) > 0` filter
+    // below the Generate — re-inlining the whole gate expression into
+    // a Filter under the scan, the very duplication this shape
+    // avoids. The split array is NEVER empty or null (split with
+    // limit -1 returns at least [""], and drop_reasons is non-null —
+    // concat_ws never returns null), so outer ≡ inner row-for-row.
+    qualityGate(docsDf)
       .select(col("doc_id"), split(col("drop_reasons"), ",").as("rs"))
       .select(col("doc_id"), size(col("rs")).as("nr"),
-        explode(col("rs")).as("rule"))
+        explode_outer(col("rs")).as("rule"))
+      .where(col("rule") =!= "")
       .groupBy(col("rule"))
       .agg(count(lit(1)).as("n_failing"),
         sum(when(col("nr") === 1, lit(1L)).otherwise(lit(0L))).as("n_sole"))

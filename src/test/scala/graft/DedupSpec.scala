@@ -626,4 +626,46 @@ class DedupSpec extends SparkSpec {
       Dedup.spanExcise(documents, 1, 2)
     }.getMessage should include("n >= 2")
   }
+
+  test("native word_ngrams pipeline ≡ the retired window-form n-gram reference (corpus + edges)") {
+    // The r19 n-gram producer builds shingles IN-ROW (WordNgrams) so
+    // the pass is shuffle-free; this pins (doc_id, pos, shingle)
+    // equality against the r18 explode→window(lead) formulation it
+    // replaced — including the tokenizer's edge semantics (Spark trim
+    // strips 0x20 only, so a leading tab yields a leading empty token;
+    // split keeps interior empties; sub-n-word docs emit nothing).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    def windowNgrams(df: DataFrame, n: Int): DataFrame = {
+      val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+      val leads = (1 until n).map(i => lead($"w", i).over(byPos))
+      df.select($"doc_id",
+        posexplode(graft.functions.words($"text")).as(Seq("pos", "w")))
+        .select($"doc_id", $"pos",
+          concat_ws(" ", ($"w" +: leads): _*).as("shingle"),
+          leads.last.as("wlast"))
+        .where($"wlast".isNotNull)
+        .select($"doc_id", $"pos", $"shingle")
+    }
+    val edges = Seq(
+      (1L, "a b c d"),
+      (2L, " \t alpha  beta\tgamma  "),
+      (3L, ""),
+      (4L, "one two"),
+      (5L, "solo"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "a a a a a"),
+      (8L, "tab\tsep\nnewline words here and more of them")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(documents, edges); n <- Seq(2, 3, 5, 8)) {
+      val got = Dedup.ngramsWithPos(df, n)
+        .as[(Long, Int, String)].collect().sorted
+      val want = windowNgrams(df, n)
+        .as[(Long, Int, String)].collect().sorted
+      withClue(s"n=$n: ") { got shouldBe want }
+      if (df eq documents) withClue(s"n=$n corpus must be non-trivial: ") {
+        got.length should be > 0
+      }
+    }
+  }
 }

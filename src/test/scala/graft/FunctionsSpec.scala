@@ -334,4 +334,57 @@ class FunctionsSpec extends SparkSpec {
     graft.operators.Text.vocabOverlapThetaAudit(full)
       .where(!$"theta_ok").count() shouldBe 0L
   }
+
+  test("native word_ngrams equals the shingles HOF (corpus + edges, n=2/3/5/8)") {
+    val edges = Seq((1L, "a b c d"), (2L, " \t alpha  beta\tgamma  "), (3L, ""),
+      (4L, "one two"), (5L, "solo"), (6L, null.asInstanceOf[String]),
+      (7L, "a a a a a")).toDF("doc_id", "text")
+    for (df <- Seq(Tables.documents(spark, sfDir), edges); n <- Seq(2, 3, 5, 8)) {
+      // null text is the one value-level difference: the HOF's
+      // when(...).otherwise falls through to an EMPTY array while the
+      // native expression is null — identical under explode (both
+      // emit zero rows), so pin array equality on non-null text and
+      // null-in/null-out explicitly
+      df.where($"text".isNotNull)
+        .select(wordNgrams($"text", n).as("a"),
+          shingles(words($"text"), n).as("b"))
+        .where(!($"a" <=> $"b")).count() shouldBe 0L
+      df.where($"text".isNull)
+        .select(wordNgrams($"text", n).as("a"))
+        .where($"a".isNotNull).count() shouldBe 0L
+    }
+  }
+
+  test("native word_stats equals the exploded word aggregation (corpus + edges)") {
+    val stops = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+    val edges = Seq((1L, "the the the"), (2L, " \t a  b\tc "), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "x y x y x")).toDF("doc_id", "text")
+    for (df <- Seq(Tables.documents(spark, sfDir), edges)) {
+      val native = df.select($"doc_id",
+          wordStats($"text", stops).as("st"))
+        .select($"doc_id", $"st.tot".as("tot"), $"st.mx".as("mx"),
+          $"st.nstop".as("n_stop"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+      val exploded = df
+        .select($"doc_id", explode(words($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("mx"), sum($"c").as("tot"),
+          sum(when($"w".isin(stops: _*), $"c").otherwise(0L)).as("n_stop"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (k, mx, tot, ns) => k -> (Some(tot), Some(mx), Some(ns)) }.toMap
+      // docs the exploded form never emits (null text) carry null
+      // stats in the native form — the left-join-null equivalence
+      native.foreach { case (k, v) =>
+        exploded.get(k) match {
+          case Some(w) => withClue(s"doc $k: ") { v shouldBe w }
+          case None => withClue(s"doc $k (null text): ") {
+            v shouldBe ((None, None, None))
+          }
+        }
+      }
+      native.keySet.size.toLong shouldBe df.count()
+    }
+  }
 }

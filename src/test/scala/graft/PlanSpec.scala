@@ -114,15 +114,29 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
-  test("unigram score, quality gate, source report: hash joins only (q72, q74, q78)") {
-    Seq(operators.Text.q72, operators.Text.q74, operators.Text.q78).foreach { q =>
-      val p = plan(q)
-      withClue(s"${q.name}: ") {
-        p should not include "CartesianProduct"
-        p should not include "BroadcastNestedLoopJoin"
-        p should include("HashAggregate") // map-side partial aggregation
-      }
-    }
+  test("unigram score: hash joins with map-side partials (q72)") {
+    val p = plan(operators.Text.q72)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("HashAggregate") // map-side partial aggregation
+  }
+
+  test("quality gate is MAP-ONLY; source report adds just its rollup (q74, q78)") {
+    // r19: every gate fact is row-local (native WordStats/WordNgrams),
+    // so q74 must plan as one scan projection — an Exchange/Window/
+    // join here means the gate regressed to the exploded-aggregation
+    // shape. q78 = the same scan + one partial-agg'd source rollup.
+    val p74 = plan(operators.Text.q74)
+    p74 should not include "Exchange"
+    p74 should not include "Window"
+    p74 should not include "Join"
+    p74 should include("wordstats")
+    p74 should include("wordngrams")
+    val p78 = plan(operators.Text.q78)
+    p78 should not include "Join" // source rides the projection now
+    p78 should not include "Window"
+    p78 should include("HashAggregate") // the per-source rollup partials
+    p78.split("Exchange").length shouldBe 2 // exactly ONE exchange (rollup)
   }
 
   test("embed diversity: two aggregates over one scan, no join of the corpus (q75)") {

@@ -37,6 +37,34 @@ class PropertySpec extends SparkSpec {
       .where(!(col("f") <=> col("t"))).count() shouldBe 0L
   }
 
+  test("run-fused char-class strips equal the per-char form (crafted + random + corpus)") {
+    import org.apache.spark.sql.Column
+    // r19: q37/qualityGate strip char classes with "" as the
+    // replacement; deleting every maximal RUN ([c]+) produces the
+    // identical string to deleting per CHARACTER ([c]) — runs are
+    // non-overlapping leftmost matches either way and nothing between
+    // them changes. Pin all three fused classes against the original
+    // per-char spellings.
+    val classes = Seq("\\s", "[^.,;:!?]", "[^0-9]")
+    def perChar(c: Column, cls: String): Column = regexp_replace(c, cls, "")
+    def fused(c: Column, cls: String): Column = regexp_replace(c, cls + "+", "")
+    val alphabet = "ab1 \t\n\r.,;:!?-_\"'é→Ж  Z9"
+    val crafted = Seq("", " ", "\t\t", "a\tb", "x--y .. z", " é",
+      "A.B,C", "  lead trail  ", "a  b", "...", "12 34", "!?!?")
+    val random = (1 to 500).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (crafted ++ random).toDF("text")
+    for (cls <- classes) {
+      withClue(s"class $cls: ") {
+        df.select(fused(col("text"), cls).as("f"), perChar(col("text"), cls).as("p"))
+          .where(!(col("f") <=> col("p"))).count() shouldBe 0L
+        Tables.documents(spark, sfDir)
+          .select(fused(col("text"), cls).as("f"), perChar(col("text"), cls).as("p"))
+          .where(!(col("f") <=> col("p"))).count() shouldBe 0L
+      }
+    }
+  }
+
   test("capPerKey equals the single-window top-K on 20 random skewed datasets") {
     import org.apache.spark.sql.expressions.Window
     (1 to 20).foreach { trial =>
