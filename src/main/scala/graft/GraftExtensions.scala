@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomAgg, BloomMightContain, BpeTokenize, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, ExciseWords, PqAdcDistance, SimHashAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, WordNgrams, WordStats}
+import graft.expressions.{ArrayPairs, BloomAgg, BloomMightContain, BpeTokenize, CharNgrams, CmEstimate, CosineSimilarity, CountMinAgg, DotProduct, ExciseWords, PqAdcDistance, SimHashAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, WordNgrams, WordStats}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -175,6 +175,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "word_ngrams expects (text, n)")
         WordNgrams(children.head, intLit(children(1), "word_ngrams n"))
+      }))
+    // char_ngrams(text, n): n must be an int literal (fixed arity)
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "char_ngrams expects (text, n)")
+        CharNgrams(children.head, intLit(children(1), "char_ngrams n"))
+      }))
+    // array_pairs(arr): all ordered index pairs of a long array
+    ext.injectFunction((
+      new FunctionIdentifier("array_pairs"),
+      new ExpressionInfo(classOf[ArrayPairs].getName, "array_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "array_pairs expects (arr)")
+        ArrayPairs(children.head)
       }))
     // word_stats(text, stops): stops must be an array<string> literal
     // — it is part of the expression like bpe_tokenize's merges

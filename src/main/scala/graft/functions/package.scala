@@ -194,6 +194,23 @@ package object functions {
   def wordStats(text: Column, stops: Seq[String]): Column =
     call_function("word_stats", text, lit(stops.toArray))
 
+  /** Native character n-grams (see
+    * [[graft.expressions.CharNgrams]]): every code-point n-gram of
+    * the text as one in-row array — `substr(text, i, n)` for each
+    * position, computed in a single byte-stream walk instead of the
+    * interpreted per-position HOF. Requires `graft.GraftExtensions`.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    call_function("char_ngrams", text, lit(n))
+
+  /** Native ordered index pairs of a long-array column (see
+    * [[graft.expressions.ArrayPairs]]): array<struct<p1,p2>> of
+    * (a[i], a[j]) for i < j — the basket pair fanout as one
+    * primitive loop. Requires `graft.GraftExtensions`.
+    */
+  def arrayPairs(arr: Column): Column =
+    call_function("array_pairs", arr)
+
   /** Word n-gram shingles joined with single spaces; empty array when
     * the document has fewer than `n` words.
     */

@@ -505,11 +505,12 @@ object Relational extends QueryPack {
     val partCnt = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
     val nOrders = baskets.agg(count(lit(1)).as("n_orders_total"))
+    // native pair fanout (r19): the nested transform∘slice HOF paid
+    // per-element lambda interpretation (~k²/2 calls per basket);
+    // array_pairs emits the identical structs in the identical (i, j)
+    // order from one primitive loop (PropertySpec pins ≡ brute force)
     val pairs = baskets
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
-        .as("pr"))
+      .select(explode(graft.functions.arrayPairs(col("ps"))).as("pr"))
       .select(col("pr.p1"), col("pr.p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_pair"))

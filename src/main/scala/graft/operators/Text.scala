@@ -1402,17 +1402,20 @@ object Text extends QueryPack {
     */
   private def trigramTf(docsDf: DataFrame): DataFrame =
     docsDf
-      // the length guard is load-bearing, not an optimization: Spark's
-      // sequence(start, stop) defaults to step -1 when start > stop,
-      // so a 1-char doc would yield sequence(1, -1) = [1, 0, -1] —
-      // bogus positions instead of no trigrams. DuckDB's
-      // generate_series(1, len-2) is empty for the same input; the
-      // filter keeps both engines at "docs shorter than 3 chars have
-      // no trigrams".
+      // the length guard predates the native expression (it kept
+      // Spark's sequence(1, len-2) from going negative-step on short
+      // docs) and is retained verbatim: char_ngrams returns an empty
+      // array below 3 code points, so the filter is now redundant but
+      // keeps the two engines' "docs shorter than 3 chars have no
+      // trigrams" contract spelled identically.
       .where(length(col("text")) >= 3)
+      // native char trigrams (r19): one byte-stream walk per doc —
+      // the transform(sequence, substr) HOF paid an interpreted
+      // lambda per character, each substr re-scanning from the
+      // string's start (O(len²)). Identical grams in identical order
+      // (FunctionsSpec pins char_ngrams ≡ the substr enumeration).
       .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("tg"))
+        explode(graft.functions.charNgrams(col("text"), 3)).as("tg"))
       .groupBy(col("doc_id"), col("lang"), col("tg"))
       .agg(count(lit(1)).as("tf"))
 

@@ -51,6 +51,53 @@ object AbShapes {
       .withColumn("mostly_copied", col("dup_spans") * lit(4L) >= col("n_spans"))
   }
 
+  /** The RETIRED r18 pair fanout (nested transform∘slice HOFs) on the
+    * full q110 pipeline. */
+  private def q110Old(s: SparkSession, d: String): DataFrame = {
+    val raw = graft.Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val baskets = graft.util.reused(raw)
+    val partCnt = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders_total"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .select(col("pr.p1"), col("pr.p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= 2)
+    pairs
+      .join(broadcast(partCnt.select(col("l_partkey").as("p1"), col("c").as("c1"))), Seq("p1"))
+      .join(broadcast(partCnt.select(col("l_partkey").as("p2"), col("c").as("c2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        (col("n_pair") * col("n_orders_total")).cast("double") / (col("c1") * col("c2")))
+      .select(col("p1"), col("p2"), col("n_pair"), col("c1"), col("c2"), col("lift"))
+  }
+
+  /** The RETIRED r18 char-trigram tf stream (transform∘sequence∘substr
+    * HOF) vs the native char_ngrams form — the trigram_tf build's hot
+    * pass, compared as the tf aggregate itself. */
+  private def tfOld(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("tg"))
+      .groupBy(col("doc_id"), col("lang"), col("tg"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def tfNew(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.charNgrams(col("text"), 3)).as("tg"))
+      .groupBy(col("doc_id"), col("lang"), col("tg"))
+      .agg(count(lit(1)).as("tf"))
+
   private def q125Old(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = graft.operators.Text.storedTrigramTf(s, d)
@@ -83,6 +130,9 @@ object AbShapes {
         () => graft.operators.Dedup.q131.build(spark, sfDir))
       case "q125" => (() => q125Old(spark, sfDir),
         () => graft.operators.Text.q125.build(spark, sfDir))
+      case "q110" => (() => q110Old(spark, sfDir),
+        () => graft.operators.Relational.q110.build(spark, sfDir))
+      case "tf" => (() => tfOld(spark, sfDir), () => tfNew(spark, sfDir))
       case other => sys.error(s"unknown case $other")
     }
     // equality first: both arms must compute the same rows

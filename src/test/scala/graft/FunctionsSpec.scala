@@ -335,6 +335,38 @@ class FunctionsSpec extends SparkSpec {
       .where(!$"theta_ok").count() shouldBe 0L
   }
 
+  test("native char_ngrams equals the substr enumeration (corpus + unicode edges)") {
+    val edges = Seq((1L, "abcd"), (2L, "ab"), (3L, ""), (4L, "abc"),
+      (5L, null.asInstanceOf[String]), (6L, "héllo wörld"),
+      (7L, "→Ж漢字x"), (8L, "aaa bbb")).toDF("doc_id", "text")
+    for (df <- Seq(Tables.documents(spark, sfDir), edges); n <- Seq(2, 3, 4)) {
+      val len = org.apache.spark.sql.functions.length($"text")
+      val hof = when(len >= n,
+        transform(sequence(lit(1), len - (n - 1)),
+          i => $"text".substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      df.where($"text".isNotNull && len >= n)
+        .select(charNgrams($"text", n).as("a"), hof.as("b"))
+        .where(!($"a" <=> $"b")).count() shouldBe 0L
+      // below n code points (or null): empty/null array → no grams
+      df.where($"text".isNull || len < n)
+        .select(charNgrams($"text", n).as("a"))
+        .where(org.apache.spark.sql.functions.size($"a") > 0)
+        .count() shouldBe 0L
+    }
+  }
+
+  test("native array_pairs equals the nested-transform HOF pair fanout") {
+    val arrs = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)), (2L, Seq(7L)), (3L, Seq.empty[Long]),
+      (4L, Seq(5L, 5L, 5L)), (5L, (1L to 40L))).map { case (k, v) => (k, v.toArray) }
+      .toDF("id", "ps")
+    val hof = expr("flatten(transform(ps, (x, i) -> " +
+      "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))")
+    arrs.select(arrayPairs($"ps").as("a"), hof.as("b"))
+      .where(!($"a" <=> $"b")).count() shouldBe 0L
+  }
+
   test("native word_ngrams equals the shingles HOF (corpus + edges, n=2/3/5/8)") {
     val edges = Seq((1L, "a b c d"), (2L, " \t alpha  beta\tgamma  "), (3L, ""),
       (4L, "one two"), (5L, "solo"), (6L, null.asInstanceOf[String]),
